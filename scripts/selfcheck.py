@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 gate (SURVEY §5.2).
+
+Usage:  python3 scripts/selfcheck.py [sfDir] [outDir] [query_name ...]
+
+Reads outDir/oracle_sql.json (written by `sbt "runMain graft.Verify sfDir outDir"`),
+registers the 10 fixture tables as DuckDB views over sfDir, and for every query
+compares the Spark-written parquet against the oracle result: schema (column
+names sorted), row count, and exact values. Mirrors the driver: columns sorted
+by name, then value hash — so float/timestamp values must match EXACTLY.
+"""
+import duckdb, json, sys, glob, math
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/v"
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    sqls = json.load(open(f"{out}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(sqls):
+        if only and name not in only:
+            continue
+        q = sqls[name]
+        files = glob.glob(f"{out}/{name}/*.parquet")
+        if not files:
+            print(f"{name}: FAIL no spark output"); n_bad += 1; continue
+        try:
+            mine_rel = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'")
+            mcols = mine_rel.columns
+            theirs_rel = con.sql(q)
+            tcols = theirs_rel.columns
+            if sorted(mcols) != sorted(tcols):
+                print(f"{name}: FAIL columns {sorted(mcols)} vs {sorted(tcols)}")
+                n_bad += 1; continue
+            # driver sorts columns by name before hashing values
+            mine = con.sql("SELECT " + ", ".join(f'"{c}"' for c in sorted(mcols))
+                           + f" FROM '{out}/{name}/*.parquet'").fetchall()
+            theirs = con.sql("SELECT " + ", ".join(f'"{c}"' for c in sorted(tcols))
+                             + " FROM (" + q + ")").fetchall()
+        except Exception as e:
+            print(f"{name}: FAIL exception {e}"); n_bad += 1; continue
+        if len(mine) != len(theirs):
+            print(f"{name}: FAIL rowcount {len(mine)} vs {len(theirs)}")
+            n_bad += 1; continue
+        if len(mine) == 0:
+            print(f"{name}: WARN empty result (counts match)")
+        bad = None
+        for i, (a, b) in enumerate(zip(mine, theirs)):
+            if tuple(map(norm, a)) != tuple(map(norm, b)):
+                bad = (i, a, b); break
+        if bad:
+            i, a, b = bad
+            print(f"{name}: FAIL row {i}:\n  spark : {a}\n  oracle: {b}")
+            n_bad += 1
+        else:
+            print(f"{name}: OK ({len(mine)} rows)")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()
