@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** The full declared-query registry, in SURVEY §2.1 block order. */
   def all: Vector[Q] =
-    AggOps.ops
+    ScanOps.ops ++ FilterOps.ops ++ JoinOps.ops ++ AggOps.ops ++ SortSetOps.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,234 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import graft.engine.Determinism._
+
+/** SURVEY §2.1 block C — joins.
+  *
+  * Scale posture: equi-joins are left to Catalyst's JoinSelection — dims under
+  * `autoBroadcastJoinThreshold` broadcast automatically, and c02 hints
+  * `broadcast()` explicitly so the L⋈dims chain never shuffles the fact table.
+  * The two genuinely non-equi operators (c09 theta, c11 as-of) keep their
+  * build side tiny (supplier / per-user signups) so BroadcastNestedLoop stays
+  * bounded; the 100 TB path for c11 is a range-bucketed join (see
+  * `graft.plans` notes) — semantics pinned here.
+  */
+object JoinOps {
+
+  /** c01 — inner equi-join O⋈C, per-nation order count + total. */
+  val c01: Q = Q(
+    "c01_join_inner",
+    s"""SELECT c_nationkey, COUNT(*) AS n_orders,
+       |  ${dsumSql("o_totalprice")} AS total_price
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_nationkey
+       |ORDER BY c_nationkey ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(asc_nulls_last("c_nationkey")))
+
+  /** c02 — explicit broadcast of the dim chain S⋈N⋈R under the L fact scan. */
+  val c02: Q = Q(
+    "c02_join_broadcast",
+    s"""SELECT r_name, COUNT(*) AS n,
+       |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name
+       |ORDER BY r_name ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n"),
+             dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(asc_nulls_last("r_name")))
+
+  /** c03 — left outer: every customer with order count including zero. */
+  val c03: Q = Q(
+    "c03_join_left",
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(asc_nulls_last("c_custkey")))
+
+  /** c04 — right outer mirror of c03 (orders RIGHT JOIN customer). */
+  val c04: Q = Q(
+    "c04_join_right",
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(asc_nulls_last("c_custkey")))
+
+  /** c05 — full outer join of per-nation supplier vs customer counts;
+    * null sides preserved (nations can lack suppliers). */
+  val c05: Q = Q(
+    "c05_join_full",
+    """WITH s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1),
+      |     c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1)
+      |SELECT COALESCE(s.nk, c.nk) AS nationkey, n_supp, n_cust
+      |FROM s FULL JOIN c ON s.nk = c.nk
+      |ORDER BY nationkey ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val sp = Tables.supplier(s, dir)
+        .groupBy(col("s_nationkey").as("snk")).agg(count(lit(1)).as("n_supp"))
+      val cu = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey").as("cnk")).agg(count(lit(1)).as("n_cust"))
+      sp.join(cu, col("snk") === col("cnk"), "full")
+        .select(coalesce(col("snk"), col("cnk")).as("nationkey"),
+                col("n_supp"), col("n_cust"))
+        .orderBy(asc_nulls_last("nationkey"))
+    })
+
+  /** c06 — left semi (EXISTS): customers with ≥1 URGENT order. */
+  val c06: Q = Q(
+    "c06_join_semi",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy(asc_nulls_last("c_custkey")))
+
+  /** c07 — left anti (NOT EXISTS): customers with no 'P'-status order. */
+  val c07: Q = Q(
+    "c07_join_anti",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "P"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy(asc_nulls_last("c_custkey")))
+
+  /** c08 — cross join: region × distinct part type grid with type counts. */
+  val c08: Q = Q(
+    "c08_join_cross",
+    """SELECT r_name, p_type, n_parts
+      |FROM region CROSS JOIN
+      |  (SELECT p_type, COUNT(*) AS n_parts FROM part GROUP BY 1) t
+      |ORDER BY r_name ASC NULLS LAST, p_type ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.region(s, dir)
+        .crossJoin(Tables.part(s, dir).groupBy("p_type").agg(count(lit(1)).as("n_parts")))
+        .select("r_name", "p_type", "n_parts")
+        .orderBy(asc_nulls_last("r_name"), asc_nulls_last("p_type")))
+
+  /** c09 — theta (band) join: per-supplier count of customers with a larger
+    * account balance. Non-equi → BroadcastNestedLoopJoin with the 100-row
+    * supplier side broadcast. */
+  val c09: Q = Q(
+    "c09_join_theta",
+    """SELECT s_suppkey, COUNT(c_custkey) AS n_richer
+      |FROM supplier LEFT JOIN customer ON c_acctbal > s_acctbal
+      |GROUP BY s_suppkey
+      |ORDER BY s_suppkey ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.supplier(s, dir)
+        .join(Tables.customer(s, dir), col("c_acctbal") > col("s_acctbal"), "left")
+        .groupBy("s_suppkey")
+        .agg(count(col("c_custkey")).as("n_richer"))
+        .orderBy(asc_nulls_last("s_suppkey")))
+
+  /** c10 — TPC-H Q5 shape: 6-way join, revenue per nation, one region+year.
+    * AQE reorders/re-sizes at runtime; all dims broadcast. */
+  val c10: Q = Q(
+    "c10_join_multiway",
+    s"""SELECT n_name, ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM customer, orders, lineitem, supplier, nation, region
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY n_name ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+                .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                        col("o_orderdate") <  lit("1997-01-01").cast("timestamp")),
+              col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir),
+              col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(asc_nulls_last("n_name")))
+
+  /** c11 — as-of join: for each purchase event, the latest signup ts ≤ it for
+    * the same user. Emulated as range-join + max; at 100 TB this becomes a
+    * bucketed window over union'd streams (semantics identical). */
+  val c11: Q = Q(
+    "c11_join_asof",
+    """SELECT p.event_id, p.user_id, p.ts,
+      |  (SELECT MAX(g.ts) FROM events g
+      |   WHERE g.user_id = p.user_id AND g.event_type = 'signup'
+      |     AND g.ts <= p.ts) AS signup_ts
+      |FROM events p
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY p.event_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val g = e.filter(col("event_type") === "signup")
+        .select(col("user_id").as("g_uid"), col("ts").as("g_ts"))
+      p.join(g, col("user_id") === col("g_uid") && col("g_ts") <= col("ts"), "left")
+        .groupBy("event_id", "user_id", "ts")
+        .agg(max(col("g_ts")).as("signup_ts"))
+        .orderBy(asc_nulls_last("event_id"))
+    })
+
+  /** c12 — self-join on a sequential key: consecutive-event pairs per user. */
+  val c12: Q = Q(
+    "c12_join_self_seq",
+    """SELECT e1.event_id AS id1, e2.event_id AS id2, e1.user_id,
+      |  e1.event_type AS type1, e2.event_type AS type2
+      |FROM events e1 JOIN events e2
+      |  ON e2.event_id = e1.event_id + 1 AND e1.user_id = e2.user_id
+      |ORDER BY id1 ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val e1 = e.select(col("event_id").as("id1"), col("user_id"),
+                        col("event_type").as("type1"))
+      val e2 = e.select(col("event_id").as("id2"), col("user_id").as("uid2"),
+                        col("event_type").as("type2"))
+      e1.join(e2, col("id2") === col("id1") + 1 && col("user_id") === col("uid2"))
+        .select("id1", "id2", "user_id", "type1", "type2")
+        .orderBy(asc_nulls_last("id1"))
+    })
+
+  def ops: Vector[Q] = Vector(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12)
+}
