@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** The full declared-query registry, in SURVEY §2.1 block order. */
   def all: Vector[Q] =
-    ScanOps.ops ++ FilterOps.ops ++ JoinOps.ops ++ AggOps.ops ++ SortSetOps.ops
+    ScanOps.ops ++ FilterOps.ops ++ JoinOps.ops ++ AggOps.ops ++
+      WindowOps.ops ++ SortSetOps.ops ++ FuncOps.ops ++ CdcOps.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,104 @@
+package graft.engine
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.1 block I — ETL / CDC / replication semantics.
+  *
+  * The reference domain's core computations (MySQL→ClickHouse replication),
+  * expressed as deterministic batch queries over `events` as the change
+  * stream: event_id = binlog position, user_id = primary key, ts = event
+  * time. i02/i03 are exactly ClickHouse ReplacingMergeTree/Collapsing
+  * `FINAL` semantics; i04 is the SCD-2 interval build.
+  * [public: ClickHouse MergeTree docs; Debezium CDC envelope]
+  */
+object CdcOps {
+
+  /** i01 — incremental watermark slice: the "resume from checkpoint" read. */
+  val i01: Q = Q(
+    "i01_inc_scan",
+    """SELECT COUNT(*) AS n, MAX(ts) AS max_ts FROM events
+      |WHERE ts > TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
+    (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp"))
+        .agg(count(lit(1)).as("n"), max(col("ts")).as("max_ts")))
+
+  private def latestPerKey(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+              col("value"), row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  private val latestSql =
+    """SELECT user_id, event_id, ts, event_type, value FROM (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1""".stripMargin
+
+  /** i02 — latest-row-wins per key: ReplacingMergeTree FINAL / upsert collapse. */
+  val i02: Q = Q(
+    "i02_cdc_latest",
+    latestSql + "\nORDER BY user_id ASC NULLS LAST",
+    (s, dir) => latestPerKey(s, dir).orderBy(asc_nulls_last("user_id")))
+
+  /** i03 — tombstone handling: keys whose latest op is a delete are dropped
+    * (CollapsingMergeTree analog; event_type='error' plays the tombstone). */
+  val i03: Q = Q(
+    "i03_cdc_tombstone",
+    s"""SELECT * FROM ($latestSql) latest
+       |WHERE event_type <> 'error'
+       |ORDER BY user_id ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      latestPerKey(s, dir)
+        .filter(col("event_type") =!= "error")
+        .orderBy(asc_nulls_last("user_id")))
+
+  /** i04 — SCD-2 interval build: valid_from/valid_to per user change event. */
+  val i04: Q = Q(
+    "i04_scd2",
+    """SELECT user_id, event_id, ts AS valid_from,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to
+      |FROM events
+      |WHERE event_type IN ('signup', 'purchase')
+      |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+                lead(col("ts"), 1).over(w).as("valid_to"))
+        .orderBy(asc_nulls_last("user_id"), asc_nulls_last("event_id"))
+    })
+
+  /** i05 — full-row dedup of a projection (at-least-once replay dedup). */
+  val i05: Q = Q(
+    "i05_dedup_exact_rows",
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id ASC NULLS LAST, event_type ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select("user_id", "event_type")
+        .distinct()
+        .orderBy(asc_nulls_last("user_id"), asc_nulls_last("event_type")))
+
+  /** i06 — per-day partition rollup (PARTITION BY toYYYYMMDD bookkeeping). */
+  val i06: Q = Q(
+    "i06_partition_stats",
+    s"""SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d, COUNT(*) AS n,
+       |  ${Determinism.dsumSql("value")} AS sum_value
+       |FROM events GROUP BY 1
+       |ORDER BY d ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"), Determinism.dsum(col("value")).as("sum_value"))
+        .orderBy(asc_nulls_last("d")))
+
+  def ops: Vector[Q] = Vector(i01, i02, i03, i04, i05, i06)
+}
