@@ -15,7 +15,8 @@ object SparkEntry {
   /** The full declared-query registry, in SURVEY §2.1 block order. */
   def all: Vector[Q] =
     ScanOps.ops ++ FilterOps.ops ++ JoinOps.ops ++ AggOps.ops ++
-      WindowOps.ops ++ SortSetOps.ops ++ FuncOps.ops ++ CdcOps.ops
+      WindowOps.ops ++ SortSetOps.ops ++ FuncOps.ops ++ CdcOps.ops ++
+      StreamBatchOps.ops ++ LlmOps.ops ++ CustomOps.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,321 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.1 block K — LLM-data-pipeline operators (the north star).
+  *
+  * Scale posture per operator:
+  *  - k01/k10: hash-groupBy — shuffles digest+id only, trivially 100 TB-safe.
+  *  - k02/k08: exact near-dup via token/shingle inverted index self-join,
+  *    blocked by `source`; shingles (word 3-grams) are far more selective
+  *    than tokens, so k08 is the shape that scales. The sub-quadratic path
+  *    is MinHashLSH (Tier 2, graft.operators.NearDedup).
+  *  - k03/k07: brute-force cosine with the probe/dim side broadcast; the
+  *    100 TB path is LSH/IVF bucketing (Tier 2).
+  *  - k04/k05/k06/k09/k11: embarrassingly parallel per-row expressions + one
+  *    partial-agg shuffle.
+  */
+object LlmOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  /** k01 — exact text dedup by md5: keeper = min(doc_id), copy count. */
+  val k01: Q = Q(
+    "k01_dedup_exact_text",
+    """SELECT MD5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1
+      |ORDER BY h ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      docs(s, dir)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .orderBy(asc_nulls_last("h")))
+
+  /** k02 — exact token-set Jaccard near-dup pairs within a source block. */
+  val k02: Q = Q(
+    "k02_near_dedup_jaccard",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, source, token FROM
+      |    (SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      |     FROM documents)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+      |  FROM tok a JOIN tok b
+      |    ON a.token = b.token AND a.source = b.source AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id1, id2,
+      |  ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id1
+      |JOIN sizes sb ON sb.doc_id = id2
+      |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.6
+      |ORDER BY id1 ASC NULLS LAST, id2 ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+                explode(split(col("text"), " ")).as("token"))
+        .distinct()
+      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = tok.as("a")
+        .join(tok.as("b"),
+              col("a.token") === col("b.token") &&
+              col("a.source") === col("b.source") &&
+              col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("i"))
+      val j = col("i").cast("double") / (col("sa.sz") + col("sb.sz") - col("i"))
+      inter
+        .join(sizes.as("sa"), col("sa.doc_id") === col("id1"))
+        .join(sizes.as("sb"), col("sb.doc_id") === col("id2"))
+        .filter(j >= 0.6)
+        .select(col("id1"), col("id2"), round(j, 4).as("jaccard"))
+        .orderBy(asc_nulls_last("id1"), asc_nulls_last("id2"))
+    })
+
+  /** Cosine similarity between two double-array columns, composed from HOFs —
+    * zero custom code, fully codegen-compatible. */
+  private def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(c: org.apache.spark.sql.Column) =
+    transform(c, x => x.cast("double"))
+
+  /** k03 — top-10 cosine neighbors of probe vector vec_id=0 (brute force,
+    * probe broadcast under every partition of the corpus). */
+  val k03: Q = Q(
+    "k03_sim_topk_cosine",
+    """SELECT vec_id,
+      |  ROUND(list_cosine_similarity(
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |    (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+      |     FROM embeddings WHERE vec_id = 0)), 4) AS cos
+      |FROM embeddings
+      |WHERE vec_id <> 0
+      |ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS LAST
+      |LIMIT 10""".stripMargin,
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val probe = e.filter(col("vec_id") === 0)
+        .select(asDouble(col("embedding")).as("p"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"),
+                round(cosine(asDouble(col("embedding")), col("p")), 4).as("cos"))
+        .orderBy(desc_nulls_last("cos"), asc_nulls_last("vec_id"))
+        .limit(10)
+    })
+
+  /** k04 — per-language doc counts, avg token count, avg chars. */
+  val k04: Q = Q(
+    "k04_text_stats",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  ROUND(CAST(SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)) AS DOUBLE)
+      |        / COUNT(*), 4) AS avg_tokens,
+      |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+      |FROM documents GROUP BY lang
+      |ORDER BY lang ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      docs(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             round(sum(size(split(col("text"), " ")).cast("bigint")).cast("double")
+                     / count(lit(1)), 4).as("avg_tokens"),
+             round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"))
+        .orderBy(asc_nulls_last("lang")))
+
+  /** k05 — L2 norm per embedding; top-10 by norm. */
+  val k05: Q = Q(
+    "k05_embed_norm",
+    """SELECT vec_id,
+      |  ROUND(SQRT(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2
+      |FROM embeddings
+      |ORDER BY l2 DESC NULLS LAST, vec_id ASC NULLS LAST
+      |LIMIT 10""".stripMargin,
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+                round(sqrt(aggregate(
+                  transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+                  lit(0.0), (acc, v) => acc + v)), 4).as("l2"))
+        .orderBy(desc_nulls_last("l2"), asc_nulls_last("vec_id"))
+        .limit(10))
+
+  /** k06 — lang × source doc-count matrix (pipeline partition planning). */
+  val k06: Q = Q(
+    "k06_lang_source_matrix",
+    """SELECT lang, source, COUNT(*) AS n FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang ASC NULLS LAST, source ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      docs(s, dir)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_last("lang"), asc_nulls_last("source")))
+
+  /** k07 — embedding-cosine near-dup: same-label pairs with cosine ≥ 0.4
+    * (label is the blocking key; exact within block). */
+  val k07: Q = Q(
+    "k07_cosine_neardup",
+    """SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  ROUND(list_cosine_similarity(
+      |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+      |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cos
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(
+      |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+      |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4
+      |ORDER BY id1 ASC NULLS LAST, id2 ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("id1"), col("label"),
+                       asDouble(col("embedding")).as("ea"))
+      val b = e.select(col("vec_id").as("id2"), col("label").as("lb"),
+                       asDouble(col("embedding")).as("eb"))
+      val cos = cosine(col("ea"), col("eb"))
+      a.join(b, col("label") === col("lb") && col("id1") < col("id2"))
+        .filter(cos >= 0.4)
+        .select(col("id1"), col("id2"), round(cos, 4).as("cos"))
+        .orderBy(asc_nulls_last("id1"), asc_nulls_last("id2"))
+    })
+
+  /** k08 — n-gram (word 3-gram shingle) Jaccard near-dup within source block.
+    * Shingles are selective, so the inverted-index self-join stays bounded —
+    * this is the exact-dedup shape that survives scale-up. */
+  val k08: Q = Q(
+    "k08_shingle_jaccard",
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, source, shingle FROM (
+      |    SELECT doc_id, source,
+      |      UNNEST(list_transform(generate_series(1, len(t) - 2),
+      |        g -> t[g] || ' ' || t[g+1] || ' ' || t[g+2])) AS shingle
+      |    FROM (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS t
+      |          FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3))),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+      |  FROM sh a JOIN sh b
+      |    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id1, id2,
+      |  ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id1
+      |JOIN sizes sb ON sb.doc_id = id2
+      |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+      |ORDER BY id1 ASC NULLS LAST, id2 ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+      val sh = base
+        .select(col("doc_id"), col("source"),
+                explode(expr(
+                  "transform(sequence(1, size(t) - 2), " +
+                  "g -> concat(element_at(t, g), ' ', element_at(t, g + 1), ' ', element_at(t, g + 2)))"
+                )).as("shingle"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+              col("a.shingle") === col("b.shingle") &&
+              col("a.source") === col("b.source") &&
+              col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("i"))
+      val j = col("i").cast("double") / (col("sa.sz") + col("sb.sz") - col("i"))
+      inter
+        .join(sizes.as("sa"), col("sa.doc_id") === col("id1"))
+        .join(sizes.as("sb"), col("sb.doc_id") === col("id2"))
+        .filter(j >= 0.5)
+        .select(col("id1"), col("id2"), round(j, 4).as("jaccard"))
+        .orderBy(asc_nulls_last("id1"), asc_nulls_last("id2"))
+    })
+
+  private val stopwords = Seq("a", "the", "of", "and", "to", "value", "data")
+
+  /** k09 — quality scoring: token count, char stats, stopword ratio, and a
+    * bounded composite score — the classic pretraining-corpus filter shape.
+    * Ratios are rounded at 9 and the composite uses a /7 divisor so no
+    * integer-ratio in range can terminate exactly at the rounding scale —
+    * true decimal ties are where Spark's shortest-repr rounding and DuckDB's
+    * exact-expansion rounding diverge. */
+  val k09: Q = Q(
+    "k09_quality_score",
+    s"""SELECT doc_id,
+       |  CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
+       |  ROUND(CAST(LEN(list_filter(STRING_SPLIT(text, ' '),
+       |    t -> list_contains(${stopwords.map(w => s"'$w'").mkString("[", ", ", "]")}, t)))
+       |    AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')), 9) AS stop_ratio,
+       |  ROUND(CAST(n_chars AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')), 9) AS chars_per_token,
+       |  ROUND(LEAST(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) / 100, 1.0) * 0.5
+       |      + LEAST(CAST(n_chars AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')) / 7, 1.0) * 0.5,
+       |    9) AS quality
+       |FROM documents
+       |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val stopArr = array(stopwords.map(lit): _*)
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          round(size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+                  / nTok, 9).as("stop_ratio"),
+          round(col("n_chars").cast("double") / nTok, 9).as("chars_per_token"),
+          round(least(nTok.cast("double") / 100, lit(1.0)) * 0.5
+                  + least(col("n_chars").cast("double") / nTok / 7, lit(1.0)) * 0.5,
+                9).as("quality"))
+        .orderBy(asc_nulls_last("doc_id"))
+    })
+
+  /** k10 — order-canonical document fingerprint: md5 over the sorted distinct
+    * token set (rolling-hash analog, set-stable under token reordering). */
+  val k10: Q = Q(
+    "k10_doc_fingerprint",
+    """SELECT doc_id,
+      |  MD5(array_to_string(list_sort(list_distinct(STRING_SPLIT(text, ' '))), ' ')) AS fp
+      |FROM documents
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+                md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("fp"))
+        .orderBy(asc_nulls_last("doc_id")))
+
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of"),
+    "db" -> Seq("table", "row", "column", "index"),
+    "ops" -> Seq("scan", "merge", "batch", "hash"))
+
+  /** k11 — language/domain-ID scores: distinct-token overlap against marker
+    * sets (n-gram-membership heuristic; corpus vocabulary is shared across
+    * langs, so scores — not argmax — are the declared output). */
+  val k11: Q = Q(
+    "k11_langid_scores",
+    s"""SELECT doc_id,
+       |  ${markers.toSeq.sortBy(_._1).map { case (k, ws) =>
+             s"CAST(LEN(list_intersect(list_distinct(STRING_SPLIT(text, ' ')), " +
+             s"${ws.map(w => s"'$w'").mkString("[", ", ", "]")})) AS INT) AS score_$k"
+           }.mkString(",\n       |  ")}
+       |FROM documents
+       |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val toks = array_distinct(split(col("text"), " "))
+      val scoreCols = markers.toSeq.sortBy(_._1).map { case (k, ws) =>
+        size(array_intersect(toks, array(ws.map(lit): _*))).as(s"score_$k")
+      }
+      docs(s, dir)
+        .select(col("doc_id") +: scoreCols: _*)
+        .orderBy(asc_nulls_last("doc_id"))
+    })
+
+  def ops: Vector[Q] = Vector(k01, k02, k03, k04, k05, k06, k07, k08, k09, k10, k11)
+}
