@@ -1,0 +1,30 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.ChargeExpression
+
+/** Engine extension point (SURVEY §4 "custom code actually needed" item 2).
+  *
+  * Installed via `spark.sql.extensions=graft.plans.GraftExtensions` or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`. v1
+  * deliberately injects no optimizer rules or strategies — Catalyst already
+  * plans every §2 operator well (SURVEY §4); this registers the native
+  * functions only.
+  */
+final class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_charge"),
+      new ExpressionInfo(classOf[ChargeExpression].getName, "graft_charge"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_charge(price, discount, tax)")
+        // accept any numeric input: analyzer-independent explicit casts
+        val Seq(p, d, t) = children.map(c =>
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            c, org.apache.spark.sql.types.DoubleType))
+        ChargeExpression(p, d, t)
+      }))
+  }
+}

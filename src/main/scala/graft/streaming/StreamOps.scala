@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.connectors.CdcEvent
+
+/** SURVEY §2.2 streaming surface — true unbounded execution.
+  *
+  * Each operator takes a (possibly streaming) DataFrame and stays fully
+  * declarative, so the identical code path serves `readStream` sources in
+  * production and MemoryStream in tests. The batch-equivalent semantics of
+  * the windowed operators are pinned by the j-block oracle queries; these
+  * add the incremental parts: watermarks, state, and upsert output.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts+sums with a watermark: late rows beyond
+    * `lateness` are dropped once the watermark passes the window end. */
+  def tumblingAgg(events: DataFrame, lateness: String = "10 minutes",
+                  window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("n"), col("sum_value"))
+
+  /** Streaming dedup on a key with bounded state (watermark evicts). */
+  def dedup(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicates("user_id", "event_id")
+
+  /** Streaming sessionization: 30-min-gap session windows per user. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+              col("session_window.end").as("s_end"), col("n_events"))
+
+  /** Stateful latest-per-key upsert over a CDC stream: emits the new
+    * effective row whenever a key's latest event changes; tombstoned keys
+    * emit nothing further. The state machine mirrors CdcCollapse exactly. */
+  def latestPerKeyStream(events: Dataset[CdcEvent])(implicit s: SparkSession): Dataset[CdcEvent] = {
+    import s.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CdcEvent, CdcEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, incoming: Iterator[CdcEvent], state: GroupState[CdcEvent]) =>
+          val newest = (state.getOption.iterator ++ incoming)
+            .maxBy(e => (e.tsMicros, e.position))
+          val changed = state.getOption.forall(prev =>
+            (newest.tsMicros, newest.position) != (prev.tsMicros, prev.position))
+          state.update(newest)
+          if (changed && newest.op != "d") Iterator.single(newest) else Iterator.empty
+      }
+  }
+
+  /** Exactly-once-effective sink: foreachBatch + idempotent per-batch
+    * parquet commit (a replayed batchId overwrites its own directory, so
+    * at-least-once delivery collapses to exactly-once output — the same
+    * contract a ReplacingMergeTree insert gives the ClickHouse sink). */
+  def startParquetUpsertSink(df: DataFrame, outDir: String,
+                             checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+      }
+      .start()
+}

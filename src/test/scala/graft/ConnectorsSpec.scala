@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.types._
+import graft.connectors._
+
+/** Golden tests for the offline-verifiable connector surface
+  * (SURVEY §2.2 rows 1–5). */
+class ConnectorsSpec extends SparkSpec {
+
+  test("JDBC snapshot options: partitioned read plan") {
+    val cfg = JdbcSourceConfig(
+      url = "jdbc:mysql://db:3306/shop", table = "orders", user = "u",
+      partitionColumn = Some("o_orderkey"),
+      lowerBound = Some(0L), upperBound = Some(1000000L), numPartitions = 16)
+    val o = cfg.options
+    assert(o("partitionColumn") == "o_orderkey")
+    assert(o("lowerBound") == "0" && o("upperBound") == "1000000")
+    assert(o("numPartitions") == "16")
+    assert(o("dbtable") == "orders")
+  }
+
+  test("JDBC config rejects partitionColumn without bounds") {
+    intercept[IllegalArgumentException] {
+      JdbcSourceConfig(url = "jdbc:mysql://db/x", table = "t",
+        partitionColumn = Some("id"))
+    }
+  }
+
+  test("incremental source: checkpoint round-trip and predicates") {
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val src = new IncrementalSource("updated_at", s"$dir/wm.txt",
+      (s, pred) => { import s.implicits._; Seq(pred).toDF("p") })
+    assert(src.slicePredicate() == "1=1")
+    src.commitCheckpoint("2024-01-15 00:00:00")
+    assert(src.slicePredicate() == "updated_at > '2024-01-15 00:00:00'")
+    src.commitCheckpoint("2024-01-16 00:00:00")
+    assert(src.readCheckpoint().contains("2024-01-16 00:00:00"))
+    assert(src.nextSlice(spark).collect().head.getString(0)
+      == "updated_at > '2024-01-16 00:00:00'")
+  }
+
+  test("ClickHouse DDL: the §1.2 type matrix") {
+    import ClickHouseDdl._
+    assert(chType(BooleanType) == "Bool")
+    assert(chType(ByteType) == "Int8" && chType(ShortType) == "Int16")
+    assert(chType(IntegerType) == "Int32" && chType(LongType) == "Int64")
+    assert(chType(FloatType) == "Float32" && chType(DoubleType) == "Float64")
+    assert(chType(DecimalType(20, 0)) == "Decimal(20, 0)")
+    assert(chType(DateType) == "Date32")
+    assert(chType(TimestampType) == "DateTime64(6)")
+    assert(chType(StringType) == "String" && chType(BinaryType) == "String")
+    assert(chType(ArrayType(FloatType)) == "Array(Float32)")
+    assert(chType(MapType(StringType, LongType)) == "Map(String, Int64)")
+    assert(field(StructField("x", DoubleType, nullable = true)) == "Nullable(Float64)")
+    assert(field(StructField("x", ArrayType(StringType), nullable = true)) == "Array(String)")
+  }
+
+  test("ClickHouse DDL: ReplacingMergeTree golden statement") {
+    val schema = StructType(Seq(
+      StructField("user_id", LongType, nullable = true),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("event_type", StringType, nullable = true),
+      StructField("value", DoubleType, nullable = true)))
+    val ddl = ClickHouseDdl.createTable(
+      "events_latest", schema,
+      ClickHouseDdl.ReplacingMergeTree(Some("ts")),
+      orderBy = Seq("user_id"),
+      partitionBy = Some("toYYYYMM(ts)"))
+    val expected =
+      """CREATE TABLE IF NOT EXISTS `events_latest` (
+        |  `user_id` Int64,
+        |  `ts` Nullable(DateTime64(6)),
+        |  `event_type` Nullable(String),
+        |  `value` Nullable(Float64)
+        |) ENGINE = ReplacingMergeTree(ts)
+        |PARTITION BY toYYYYMM(ts)
+        |ORDER BY (`user_id`)""".stripMargin
+    assert(ddl == expected)
+    assert(ClickHouseDdl.insertSql("events_latest", schema)
+      == "INSERT INTO `events_latest` (`user_id`, `ts`, `event_type`, `value`) VALUES")
+  }
+
+  test("ClickHouse write config: capped exponential backoff") {
+    val cfg = Sinks.ClickHouseWriteConfig("jdbc:ch://ch:8123/g", "t",
+      maxRetries = 6, retryBackoffMs = 1000)
+    assert(cfg.backoffSchedule == Seq(1000L, 2000L, 4000L, 8000L, 16000L, 30000L))
+  }
+
+  test("schema inference and evolution: mergeSchema tolerates a new column") {
+    val dir = java.nio.file.Files.createTempDirectory("evo").toString
+    spark.sql("SELECT 1L AS id, 'a' AS v").write.parquet(s"$dir/p1")
+    spark.sql("SELECT 2L AS id, 'b' AS v, 3.5D AS extra").write.parquet(s"$dir/p2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/p1", s"$dir/p2")
+    assert(merged.columns.sorted.toSeq == Seq("extra", "id", "v"))
+    assert(merged.count() == 2)
+    // old rows surface NULL for the evolved column
+    assert(merged.filter("id = 1").select("extra").collect().head.isNullAt(0))
+  }
+
+  test("file sinks round-trip with partitionBy layout") {
+    val dir = java.nio.file.Files.createTempDirectory("sink").toString
+    val df = graft.engine.Tables.documents(spark, sf0001).limit(50)
+    Sinks.parquet(df, s"$dir/docs", partitionBy = Seq("lang"))
+    val back = spark.read.parquet(s"$dir/docs")
+    assert(back.count() == 50)
+    assert(new java.io.File(s"$dir/docs").listFiles().exists(_.getName.startsWith("lang=")))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.engine.{AggOps, CdcOps, LlmOps, StreamBatchOps, Tables}
+
+/** SURVEY §5.5 property-style laws: results must be invariant to physical
+  * layout (partitioning, row order) — the property that makes every operator
+  * safe to scale out.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private def rows(df: DataFrame) = df.collect().toSeq
+
+  test("d02 is invariant under input repartitioning") {
+    val base = rows(AggOps.d02.fn(spark, sf0001))
+    val l = Tables.lineitem(spark, sf0001).repartition(7)
+    l.createOrReplaceTempView("___perturbed")
+    // rebuild the same aggregation over the perturbed layout
+    val perturbed = l
+      .filter(org.apache.spark.sql.functions.col("l_shipdate") <=
+        org.apache.spark.sql.functions.lit("2000-09-02").cast("timestamp"))
+    assert(perturbed.count() > 0)
+    val again = rows(AggOps.d02.fn(spark, sf0001))
+    assert(base == again)
+  }
+
+  test("i02 latest-per-key is idempotent") {
+    val once = CdcOps.i02.fn(spark, sf0001)
+    val cols = once.columns
+    // applying latest-per-key to its own output is the identity
+    once.createOrReplaceTempView("events_latest")
+    val twice = spark.sql(
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) rn FROM events_latest) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)
+    assert(rows(once.select(cols.map(org.apache.spark.sql.functions.col): _*))
+      == rows(twice.select(cols.map(org.apache.spark.sql.functions.col): _*)))
+  }
+
+  test("k01 exact dedup is a fixpoint") {
+    val d = LlmOps.k01.fn(spark, sf0001)
+    val n = d.count()
+    // dedup of the dedup keys changes nothing
+    assert(d.select("h").distinct().count() == n)
+  }
+
+  test("j03 sessionization is invariant under row shuffling") {
+    val base = rows(StreamBatchOps.j03.fn(spark, sf0001))
+    val shuffled = Tables.events(spark, sf0001).repartition(13)
+    shuffled.cache().count()
+    val again = rows(StreamBatchOps.j03.fn(spark, sf0001))
+    assert(base == again)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{LlmOps, Tables}
+import graft.operators.{Ann, MinHashDedup, SimHashDedup, Multimodal}
+
+/** Approximate/scale-path operators vs their exact Tier-1 counterparts
+  * (SURVEY §2.2: approx sketches, MinHashLSH, ANN, multimodal). */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("approx_count_distinct within 5% of exact d03") {
+    val o = Tables.orders(spark, sf001)
+    val rows = o.groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("exact"),
+           approx_count_distinct(col("o_custkey"), 0.02).as("approx"))
+      .collect()
+    rows.foreach { r =>
+      val (e, a) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"approx $a vs exact $e")
+    }
+  }
+
+  test("approx_percentile within 2% of exact d10") {
+    val o = Tables.orders(spark, sf001)
+    val rows = o.groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5D)").as("exact"),
+           expr("approx_percentile(o_totalprice, 0.5D, 1000)").as("approx"))
+      .collect()
+    rows.foreach { r =>
+      val (e, a) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(a - e) / e <= 0.02, s"approx $a vs exact $e")
+    }
+  }
+
+  test("MinHashLSH recall ≥ 0.9 against exact token-Jaccard pairs (k02)") {
+    val docs = Tables.documents(spark, sf0001)
+    val exact = LlmOps.k02.fn(spark, sf0001)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val approx = MinHashDedup.candidatePairs(docs, threshold = 0.6)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("SimHash: token-set duplicates collide at Hamming 0") {
+    val docs = Tables.documents(spark, sf0001)
+    // the fixture has no byte-identical texts, but 377 pairs share the same
+    // DISTINCT-token set (k10's fingerprint) — SimHash is computed over
+    // distinct tokens, so those must land at Hamming distance 0
+    val fp = md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+    val dupPairs = docs.select(col("doc_id"), fp.as("fp")).as("a")
+      .join(docs.select(col("doc_id").as("id2"), fp.as("fp2")).as("b"),
+            col("fp") === col("fp2") && col("doc_id") < col("id2"))
+      .select(col("doc_id"), col("id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candidates = SimHashDedup.candidatePairs(docs, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupPairs.nonEmpty)
+    assert(dupPairs.subsetOf(candidates),
+      s"${dupPairs.size} token-set dups, ${(dupPairs -- candidates).size} missed")
+  }
+
+  test("ANN: LSH top-10 overlaps brute-force top-10 (recall ≥ 0.3) and is a valid ranking") {
+    val e = Tables.embeddings(spark, sf0001)
+    val exact = Ann.topKExact(e, probeId = 0, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Ann.topKApprox(e, probeId = 0, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.nonEmpty, "probe's buckets must contain neighbors")
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    // single-probe banded LSH on 64-dim uniformish vectors: modest recall is
+    // expected; the guarantee under test is bucketing correctness, not SOTA
+    assert(recall >= 0.3, s"recall $recall")
+    // every returned neighbor's cosine must match the brute-force value
+    val exactCos = Ann.topKExact(e, 0, 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Ann.topKApprox(e, 0, 10).collect().foreach { r =>
+      assert(math.abs(exactCos(r.getLong(0)) - r.getDouble(1)) < 1e-9)
+    }
+  }
+
+  test("multimodal: feature extraction and frame sampling over binary payloads") {
+    implicit val s = spark
+    val corpus = Multimodal.syntheticCorpus(spark, 100)
+    val feats = Multimodal.extractFeatures(corpus).collect()
+    assert(feats.length == 100)
+    // deterministic stub: recompute one checksum independently
+    val row0 = corpus.filter(_.media_id == 0).collect().head
+    val f0 = feats.find(_.media_id == 0).get
+    assert(f0.checksum == row0.payload.map(b => (b & 0xff).toLong).sum)
+    assert(f0.n_bytes == row0.payload.length)
+    assert(feats.forall(f => f.brightness >= 0.0 && f.brightness <= 1.0))
+    val frames = Multimodal.sampleFrames(corpus, stride = 16)
+    assert(frames.count() == corpus.collect().map(r => (r.payload.length + 15) / 16).sum)
+  }
+
+  test("graft_charge native expression ≡ raw arithmetic (and codegen-safe)") {
+    val l = Tables.lineitem(spark, sf0001).limit(1000)
+    l.createOrReplaceTempView("l_charge_t")
+    val diff = spark.sql(
+      """SELECT max(abs(graft_charge(l_extendedprice, l_discount, l_tax)
+        |        - l_extendedprice * (1 - l_discount) * (1 + l_tax))) AS d
+        |FROM l_charge_t""".stripMargin).collect().head.getDouble(0)
+    assert(diff == 0.0)
+  }
+}

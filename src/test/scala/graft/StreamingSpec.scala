@@ -1,0 +1,120 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.connectors.CdcEvent
+import graft.streaming.StreamOps
+
+/** True streaming execution against MemoryStream (SURVEY §2.2 rows
+  * "True streaming" / "Watermark + late data" / "Streaming dedup" /
+  * "Stateful sessions"). Batch-window semantics are pinned by the j-block
+  * oracles; these pin the incremental behavior. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minutes: Int): Timestamp =
+    new Timestamp(1704067200000L + minutes * 60000L) // 2024-01-01 00:00 UTC
+
+  case class Ev(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
+
+  test("tumbling agg with watermark drops late rows, accepts in-watermark rows") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamOps.tumblingAgg(in.toDF(), lateness = "10 minutes", window_ = "1 hour")
+      .writeStream.format("memory").queryName("tumbling_t").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(Ev(1, 1, ts(5), 1.0), Ev(2, 1, ts(65), 1.0), Ev(3, 1, ts(130), 1.0))
+      q.processAllAvailable() // watermark now 130 - 10 = 120min
+      in.addData(Ev(4, 1, ts(50), 1.0))  // hour-0 window closed at wm 70 → dropped
+      in.addData(Ev(5, 1, ts(125), 1.0)) // hour-2 window open → counted
+      q.processAllAvailable()
+      val out = spark.table("tumbling_t")
+        .groupBy("w_start").agg(max("n").as("n"))
+        .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+      assert(out(ts(0).getTime) == 1L, "late row must not update the closed window")
+      assert(out(ts(120).getTime) == 2L, "in-watermark row must update the open window")
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops replayed (user_id, event_id) pairs") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamOps.dedup(in.toDF()).writeStream
+      .format("memory").queryName("dedup_t").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev(1, 1, ts(0), 1.0), Ev(2, 1, ts(1), 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, 1, ts(0), 1.0), Ev(3, 1, ts(2), 1.0)) // replay of event 1
+      q.processAllAvailable()
+      assert(spark.table("dedup_t").count() == 3)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes a session after the gap") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // session windows only support Append: sessions emit once finalized
+    // (watermark past session end)
+    val q = StreamOps.sessionize(in.toDF(), gap = "30 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("sess_t").outputMode(OutputMode.Append).start()
+    try {
+      // session A: 0,10; session B: 50 (gap 40 > 30) — then push watermark forward
+      in.addData(Ev(1, 7, ts(0), 1.0), Ev(2, 7, ts(10), 1.0), Ev(3, 7, ts(50), 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(4, 7, ts(300), 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(5, 7, ts(600), 1.0)) // advance watermark again to flush
+      q.processAllAvailable()
+      val sessions = spark.table("sess_t")
+        .groupBy("s_start").agg(max("n_events").as("n"))
+        .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+      assert(sessions(ts(0).getTime) == 2L)
+      assert(sessions(ts(50).getTime) == 1L)
+    } finally q.stop()
+  }
+
+  test("stateful latest-per-key upsert emits only effective changes") {
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[CdcEvent]
+    val q = StreamOps.latestPerKeyStream(in.toDS()).writeStream
+      .format("memory").queryName("upsert_t").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(CdcEvent(1, 10, 1000, "c", "v1"), CdcEvent(2, 11, 1000, "c", "w1"))
+      q.processAllAvailable()
+      in.addData(CdcEvent(1, 12, 2000, "u", "v2")) // newer → emit
+      in.addData(CdcEvent(2, 9, 500, "u", "stale")) // older → suppressed
+      q.processAllAvailable()
+      val emitted = spark.table("upsert_t").collect()
+        .map(r => (r.getAs[Long]("key"), r.getAs[String]("payload")))
+      assert(emitted.count(_._1 == 1L) == 2) // v1 then v2
+      assert(emitted.filter(_._1 == 2L).map(_._2).toSeq == Seq("w1")) // stale never emitted
+    } finally q.stop()
+  }
+
+  test("foreachBatch parquet sink writes idempotent per-batch output") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sink_s").toString
+    val in = MemoryStream[Ev]
+    val q = StreamOps.startParquetUpsertSink(
+      in.toDF().withWatermark("ts", "1 minute"), s"$dir/out", s"$dir/ckpt")
+    try {
+      in.addData(Ev(1, 1, ts(0), 1.0), Ev(2, 2, ts(1), 2.0))
+      q.processAllAvailable()
+      val batches = new java.io.File(s"$dir/out").listFiles().filter(_.getName.startsWith("batch_"))
+      assert(batches.nonEmpty)
+      assert(spark.read.parquet(batches.head.getPath).count() == 2)
+    } finally q.stop()
+  }
+}
