@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-review diagnostic: prints `explain("formatted")` for the named
+  * queries (or a default set of plan-shape-critical ones) against sf0.001.
+  *
+  * Usage: sbt "runMain graft.Explain [queryName ...]"
+  *
+  * What to look for (SURVEY §4): `PushedFilters`/`ReadSchema` on scans,
+  * `BroadcastHashJoin` on dim joins, `TakeOrderedAndProject` for top-k,
+  * `WindowGroupLimit` under e08, two-phase `HashAggregate` pairs, and wide
+  * `WholeStageCodegen` spans.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("a02_scan_project", "a03_scan_filter_pushdown", "c02_join_broadcast",
+               "c10_join_multiway", "d02_agg_group_q1", "e08_win_topk_group",
+               "f03_topk_global", "k03_sim_topk_cosine")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val byName = SparkEntry.queries
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      byName.get(n) match {
+        case Some(fn) => fn(spark, "/root/testdata/sf0.001").explain("formatted")
+        case None     => println(s"unknown query: $n")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -178,10 +178,12 @@ object LlmOps {
                        asDouble(col("embedding")).as("ea"))
       val b = e.select(col("vec_id").as("id2"), col("label").as("lb"),
                        asDouble(col("embedding")).as("eb"))
-      val cos = cosine(col("ea"), col("eb"))
+      // materialize the cosine once per pair (projection before filter), so
+      // the 64-dim dot product isn't evaluated twice by filter + select
       a.join(b, col("label") === col("lb") && col("id1") < col("id2"))
-        .filter(cos >= 0.4)
-        .select(col("id1"), col("id2"), round(cos, 4).as("cos"))
+        .select(col("id1"), col("id2"), cosine(col("ea"), col("eb")).as("cos_raw"))
+        .filter(col("cos_raw") >= 0.4)
+        .select(col("id1"), col("id2"), round(col("cos_raw"), 4).as("cos"))
         .orderBy(asc_nulls_last("id1"), asc_nulls_last("id2"))
     })
 
