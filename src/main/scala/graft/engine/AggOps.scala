@@ -223,5 +223,27 @@ object AggOps {
         .orderBy(asc_nulls_last("user_id"))
     })
 
-  def ops: Vector[Q] = Vector(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12)
+  /** d13 — relational pivot operator (RelationalGroupedDataset.pivot with
+    * explicit value list → deterministic output columns; d12 is the
+    * conditional-aggregation formulation of the same result). */
+  val d13: Q = Q(
+    "d13_pivot_native",
+    """SELECT user_id,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+      |FROM events GROUP BY user_id
+      |ORDER BY user_id ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(asc_nulls_last("user_id")))
+
+  def ops: Vector[Q] = Vector(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
+                              d11, d12, d13)
 }

@@ -319,5 +319,54 @@ object LlmOps {
         .orderBy(asc_nulls_last("doc_id"))
     })
 
-  def ops: Vector[Q] = Vector(k01, k02, k03, k04, k05, k06, k07, k08, k09, k10, k11)
+  /** k12 — token counting three ways: whitespace split, alpha-word regex,
+    * and a BPE-ish vowel-centered piece regex (the task brief's "whitespace
+    * + a BPE-ish regex" pair); all codegen'd regexp_count. */
+  val k12: Q = Q(
+    "k12_token_count_bpe",
+    """SELECT doc_id,
+      |  CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_ws,
+      |  CAST(LEN(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha,
+      |  CAST(LEN(regexp_extract_all(text,
+      |    '[bcdfghjklmnpqrstvwxyz]*[aeiou]+[bcdfghjklmnpqrstvwxyz]*')) AS INT) AS n_pieces
+      |FROM documents
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws"),
+          regexp_count(col("text"), lit("[a-z]+")).cast("int").as("n_alpha"),
+          regexp_count(col("text"),
+            lit("[bcdfghjklmnpqrstvwxyz]*[aeiou]+[bcdfghjklmnpqrstvwxyz]*"))
+            .cast("int").as("n_pieces"))
+        .orderBy(asc_nulls_last("doc_id")))
+
+  /** k13 — true rolling (polynomial) hash over the token stream:
+    * h = fold(h·31 + (ascii(t)·131 + len(t))) mod 1e9+7 — order-sensitive
+    * (unlike k10's canonical set fingerprint), pure integer arithmetic so
+    * bit-identical across engines, and computed per-row with a fold HOF:
+    * no shuffle at all. */
+  val k13: Q = Q(
+    "k13_rolling_hash",
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(STRING_SPLIT(text, ' '),
+      |        t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
+      |    (h, v) -> (h * 31 + v) % 1000000007) AS rhash
+      |FROM documents
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          aggregate(
+            transform(split(col("text"), " "),
+                      t => (ascii(t) * 131 + length(t)).cast("bigint")),
+            lit(0L),
+            (h, v) => (h * 31 + v) % 1000000007L).as("rhash"))
+        .orderBy(asc_nulls_last("doc_id")))
+
+  def ops: Vector[Q] = Vector(k01, k02, k03, k04, k05, k06, k07, k08, k09, k10, k11, k12, k13)
 }

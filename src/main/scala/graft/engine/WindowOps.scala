@@ -180,5 +180,25 @@ object WindowOps {
         .orderBy(asc_nulls_last("o_custkey"), asc_nulls_last("rn"))
     })
 
-  def ops: Vector[Q] = Vector(e01, e02, e03, e04, e05, e06, e07, e08)
+  /** e09 — nth_value with the full-partition frame: the 2nd-earliest order
+    * key per customer (null for single-order customers). */
+  val e09: Q = Q(
+    "e09_win_nth_value",
+    """SELECT o_custkey, o_orderkey,
+      |  NTH_VALUE(o_orderkey, 2) OVER wful AS second_ok
+      |FROM orders
+      |WINDOW wful AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val wful = Window.partitionBy("o_custkey")
+        .orderBy(asc("o_orderdate"), asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+                nth_value(col("o_orderkey"), 2).over(wful).as("second_ok"))
+        .orderBy(asc_nulls_last("o_custkey"), asc_nulls_last("o_orderkey"))
+    })
+
+  def ops: Vector[Q] = Vector(e01, e02, e03, e04, e05, e06, e07, e08, e09)
 }
