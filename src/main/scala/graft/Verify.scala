@@ -22,6 +22,24 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Oracle SQL is authored with bare table names for readability; rewrite
+    // them to absolute parquet paths for THIS run's sfDir so the SQL is
+    // runnable in ANY DuckDB context — with or without pre-registered views
+    // (TESTDATA.md documents only 8 of the 10 tables, so relying on the
+    // driver to register `documents`/`embeddings` views would silently fail
+    // 25+ queries). Word-boundary replace is safe: no oracle query qualifies
+    // columns by raw table name, and column names never contain a bare table
+    // name (underscores are word chars).
+    // name, and column names never contain a bare table name. Quote-aware:
+    // odd segments of a split on ' are string literals and left untouched
+    // (a01 labels rows with the table names themselves).
+    def resolve(sql: String): String =
+      sql.split("'", -1).zipWithIndex.map { case (seg, i) =>
+        if (i % 2 != 0) seg
+        else graft.engine.Tables.names.foldLeft(seg) { (acc, n) =>
+          acc.replaceAll("\\b" + n + "\\b", s"'$sfDir/$n.parquet'")
+        }
+      }.mkString("'")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -35,7 +53,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(resolve(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
