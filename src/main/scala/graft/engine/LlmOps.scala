@@ -53,22 +53,25 @@ object LlmOps {
       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.6
       |ORDER BY id1 ASC NULLS LAST, id2 ASC NULLS LAST""".stripMargin,
     (s, dir) => {
+      // token-set sizes ride along as a window count over the tokenized
+      // frame, so the pair aggregation needs no post-join with a sizes
+      // table (2 fewer joins; the window shares the doc_id-keyed exchange)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       val tok = docs(s, dir)
         .select(col("doc_id"), col("source"),
                 explode(split(col("text"), " ")).as("token"))
         .distinct()
-      val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        .withColumn("sz", count(lit(1)).over(w))
       val inter = tok.as("a")
         .join(tok.as("b"),
               col("a.token") === col("b.token") &&
               col("a.source") === col("b.source") &&
               col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .agg(count(lit(1)).as("i"))
-      val j = col("i").cast("double") / (col("sa.sz") + col("sb.sz") - col("i"))
+        .agg(count(lit(1)).as("i"), first(col("a.sz")).as("sza"),
+             first(col("b.sz")).as("szb"))
+      val j = col("i").cast("double") / (col("sza") + col("szb") - col("i"))
       inter
-        .join(sizes.as("sa"), col("sa.doc_id") === col("id1"))
-        .join(sizes.as("sb"), col("sb.doc_id") === col("id2"))
         .filter(j >= 0.6)
         .select(col("id1"), col("id2"), round(j, 4).as("jaccard"))
         .orderBy(asc_nulls_last("id1"), asc_nulls_last("id2"))
@@ -173,15 +176,19 @@ object LlmOps {
       |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4
       |ORDER BY id1 ASC NULLS LAST, id2 ASC NULLS LAST""".stripMargin,
     (s, dir) => {
+      // pre-normalize each vector ONCE (norms are O(n), pairs are O(n²/b));
+      // per pair only the dot product remains. Numerically: dot(a/|a|, b/|b|)
+      // vs dot(a,b)/(|a||b|) differ at ~1e-16 — absorbed by ROUND 4.
+      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
       val e = Tables.embeddings(s, dir)
-      val a = e.select(col("vec_id").as("id1"), col("label"),
-                       asDouble(col("embedding")).as("ea"))
-      val b = e.select(col("vec_id").as("id2"), col("label").as("lb"),
-                       asDouble(col("embedding")).as("eb"))
-      // materialize the cosine once per pair (projection before filter), so
-      // the 64-dim dot product isn't evaluated twice by filter + select
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("ed"))
+        .select(col("vec_id"), col("label"),
+                transform(col("ed"), x => x / sqrt(dot(col("ed"), col("ed")))).as("u"))
+      val a = e.select(col("vec_id").as("id1"), col("label"), col("u").as("ua"))
+      val b = e.select(col("vec_id").as("id2"), col("label").as("lb"), col("u").as("ub"))
       a.join(b, col("label") === col("lb") && col("id1") < col("id2"))
-        .select(col("id1"), col("id2"), cosine(col("ea"), col("eb")).as("cos_raw"))
+        .select(col("id1"), col("id2"), dot(col("ua"), col("ub")).as("cos_raw"))
         .filter(col("cos_raw") >= 0.4)
         .select(col("id1"), col("id2"), round(col("cos_raw"), 4).as("cos"))
         .orderBy(asc_nulls_last("id1"), asc_nulls_last("id2"))
