@@ -1,0 +1,72 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic deduplication operators for training-data pipelines, over
+  * arbitrary DataFrames. Exact forms here; sub-quadratic approximate forms
+  * in `graft.operators` (MinHashLSH, SimHash).
+  */
+object Dedup {
+
+  /** Exact row dedup on a projection. */
+  def exactRows(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*).distinct()
+
+  /** Exact content dedup by digest: one group per distinct content, with the
+    * minimal id as keeper and the copy count. */
+  def exactByDigest(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol)).as("h"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Exact token-set Jaccard near-dup pairs within a blocking key.
+    * Inverted-index self-join: cost Σ_token df(token)² per block — use a
+    * selective blocking column; the unblocked 100 TB path is MinHashLSH. */
+  def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, threshold: Double,
+                        sep: String = " "): DataFrame = {
+    val w = Window.partitionBy("__id")
+    val tok = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
+                        explode(split(col(textCol), sep)).as("__tok"))
+      .distinct()
+      .withColumn("__sz", count(lit(1)).over(w))
+    val inter = tok.as("a")
+      .join(tok.as("b"),
+            col("a.__tok") === col("b.__tok") && col("a.__blk") === col("b.__blk") &&
+            col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id1"), col("b.__id").as("id2"))
+      .agg(count(lit(1)).as("i"), first(col("a.__sz")).as("sza"),
+           first(col("b.__sz")).as("szb"))
+    val j = col("i").cast("double") / (col("sza") + col("szb") - col("i"))
+    inter.filter(j >= threshold)
+      .select(col("id1"), col("id2"), j.as("jaccard"))
+  }
+
+  /** Word n-gram (shingle) Jaccard pairs — shingles are far more selective
+    * than tokens, so this is the exact-dedup shape that survives scale-up. */
+  def shingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                          blockCol: String, n: Int, threshold: Double): DataFrame = {
+    require(n >= 2)
+    val w = Window.partitionBy("__id")
+    val slots = (0 until n).map(k => s"element_at(__t, g + $k)").mkString(", ")
+    val base = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
+                         split(col(textCol), " ").as("__t"))
+      .filter(size(col("__t")) >= n)
+    val sh = base.select(col("__id"), col("__blk"),
+        explode(expr(s"transform(sequence(1, size(__t) - ${n - 1}), " +
+                     s"g -> concat_ws(' ', $slots))")).as("__sh"))
+      .distinct()
+      .withColumn("__sz", count(lit(1)).over(w))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+            col("a.__sh") === col("b.__sh") && col("a.__blk") === col("b.__blk") &&
+            col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id1"), col("b.__id").as("id2"))
+      .agg(count(lit(1)).as("i"), first(col("a.__sz")).as("sza"),
+           first(col("b.__sz")).as("szb"))
+    val j = col("i").cast("double") / (col("sza") + col("szb") - col("i"))
+    inter.filter(j >= threshold)
+      .select(col("id1"), col("id2"), j.as("jaccard"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generic embedding-similarity operators over a float/double array column.
+  * Exact (brute-force) forms here; the LSH-bucketed scale path is
+  * `graft.operators.Ann`.
+  */
+object Similarity {
+
+  private[api] def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  /** Widen a float array to double (float32 math differs across engines). */
+  def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Unit-normalize a double array column (norms once, O(rows)). */
+  def normalize(c: Column): Column =
+    transform(c, x => x / sqrt(dot(c, c)))
+
+  /** L2 norm of a (float or double) array column. */
+  def l2Norm(c: Column): Column =
+    sqrt(aggregate(transform(c, x => x.cast("double") * x.cast("double")),
+                   lit(0.0), (acc, v) => acc + v))
+
+  /** Exact top-k cosine neighbors of one probe vector. The probe side is a
+    * 1-row broadcast under every corpus partition; TakeOrderedAndProject
+    * keeps the global top-k without a full sort. */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+                 probeId: Long, k: Int): DataFrame = {
+    val unit = df.select(col(idCol).as("__id"), normalize(asDouble(col(vecCol))).as("__u"))
+    val probe = unit.filter(col("__id") === probeId).select(col("__u").as("__p"))
+    unit.filter(col("__id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("__id").as(idCol), dot(col("__u"), col("__p")).as("cos"))
+      .orderBy(desc("cos"), asc(idCol))
+      .limit(k)
+  }
+
+  /** Exact cosine near-dup pairs within a blocking key (vectors pre-unit-
+    * normalized so each pair computes one dot product). */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  blockCol: String, threshold: Double): DataFrame = {
+    val unit = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
+                         normalize(asDouble(col(vecCol))).as("__u"))
+    val a = unit.select(col("__id").as("id1"), col("__blk"), col("__u").as("__ua"))
+    val b = unit.select(col("__id").as("id2"), col("__blk").as("__blk2"),
+                        col("__u").as("__ub"))
+    a.join(b, col("__blk") === col("__blk2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), dot(col("__ua"), col("__ub")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

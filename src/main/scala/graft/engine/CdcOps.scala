@@ -20,18 +20,16 @@ object CdcOps {
     """SELECT COUNT(*) AS n, MAX(ts) AS max_ts FROM events
       |WHERE ts > TIMESTAMP '2024-01-15 00:00:00'""".stripMargin,
     (s, dir) =>
-      Tables.events(s, dir)
-        .filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp"))
+      graft.api.Replication.incrementalSlice(
+        Tables.events(s, dir), "ts", lit("2024-01-15 00:00:00").cast("timestamp"))
         .agg(count(lit(1)).as("n"), max(col("ts")).as("max_ts")))
 
-  private def latestPerKey(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
-    Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
-              col("value"), row_number().over(w).as("rn"))
-      .filter(col("rn") === 1)
-      .drop("rn")
-  }
+  private def latestPerKey(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.api.Replication.latestPerKey(
+      Tables.events(s, dir)
+        .select("user_id", "event_id", "ts", "event_type", "value"),
+      keyCols = Seq("user_id"),
+      orderCols = Seq(desc("ts"), desc("event_id")))
 
   private val latestSql =
     """SELECT user_id, event_id, ts, event_type, value FROM (
@@ -67,14 +65,13 @@ object CdcOps {
       |FROM events
       |WHERE event_type IN ('signup', 'purchase')
       |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin,
-    (s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
-      Tables.events(s, dir)
-        .filter(col("event_type").isin("signup", "purchase"))
-        .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
-                lead(col("ts"), 1).over(w).as("valid_to"))
-        .orderBy(asc_nulls_last("user_id"), asc_nulls_last("event_id"))
-    })
+    (s, dir) =>
+      graft.api.Replication.scd2(
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("signup", "purchase")),
+        keyCols = Seq("user_id"), tsCol = "ts", tieBreak = Seq(asc("event_id")))
+        .select("user_id", "event_id", "valid_from", "valid_to")
+        .orderBy(asc_nulls_last("user_id"), asc_nulls_last("event_id")))
 
   /** i05 — full-row dedup of a projection (at-least-once replay dedup). */
   val i05: Q = Q(
@@ -95,9 +92,8 @@ object CdcOps {
        |FROM events GROUP BY 1
        |ORDER BY d ASC NULLS LAST""".stripMargin,
     (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(date_trunc("day", col("ts")).as("d"))
-        .agg(count(lit(1)).as("n"), Determinism.dsum(col("value")).as("sum_value"))
+      graft.api.Replication.partitionStats(Tables.events(s, dir), "ts", "day", "value")
+        .withColumnRenamed("part", "d")
         .orderBy(asc_nulls_last("d")))
 
   def ops: Vector[Q] = Vector(i01, i02, i03, i04, i05, i06)

@@ -27,9 +27,7 @@ object LlmOps {
       |FROM documents GROUP BY 1
       |ORDER BY h ASC NULLS LAST""".stripMargin,
     (s, dir) =>
-      docs(s, dir)
-        .groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      graft.api.Dedup.exactByDigest(docs(s, dir), "doc_id", "text")
         .orderBy(asc_nulls_last("h")))
 
   /** k02 — exact token-set Jaccard near-dup pairs within a source block. */
@@ -52,30 +50,10 @@ object LlmOps {
       |JOIN sizes sb ON sb.doc_id = id2
       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.6
       |ORDER BY id1 ASC NULLS LAST, id2 ASC NULLS LAST""".stripMargin,
-    (s, dir) => {
-      // token-set sizes ride along as a window count over the tokenized
-      // frame, so the pair aggregation needs no post-join with a sizes
-      // table (2 fewer joins; the window shares the doc_id-keyed exchange)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-      val tok = docs(s, dir)
-        .select(col("doc_id"), col("source"),
-                explode(split(col("text"), " ")).as("token"))
-        .distinct()
-        .withColumn("sz", count(lit(1)).over(w))
-      val inter = tok.as("a")
-        .join(tok.as("b"),
-              col("a.token") === col("b.token") &&
-              col("a.source") === col("b.source") &&
-              col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .agg(count(lit(1)).as("i"), first(col("a.sz")).as("sza"),
-             first(col("b.sz")).as("szb"))
-      val j = col("i").cast("double") / (col("sza") + col("szb") - col("i"))
-      inter
-        .filter(j >= 0.6)
-        .select(col("id1"), col("id2"), round(j, 4).as("jaccard"))
-        .orderBy(asc_nulls_last("id1"), asc_nulls_last("id2"))
-    })
+    (s, dir) =>
+      graft.api.Dedup.tokenJaccardPairs(docs(s, dir), "doc_id", "text", "source", 0.6)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(asc_nulls_last("id1"), asc_nulls_last("id2")))
 
   /** Cosine similarity between two double-array columns, composed from HOFs —
     * zero custom code, fully codegen-compatible. */
@@ -175,24 +153,14 @@ object LlmOps {
       |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
       |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4
       |ORDER BY id1 ASC NULLS LAST, id2 ASC NULLS LAST""".stripMargin,
-    (s, dir) => {
-      // pre-normalize each vector ONCE (norms are O(n), pairs are O(n²/b));
-      // per pair only the dot product remains. Numerically: dot(a/|a|, b/|b|)
-      // vs dot(a,b)/(|a||b|) differ at ~1e-16 — absorbed by ROUND 4.
-      def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("ed"))
-        .select(col("vec_id"), col("label"),
-                transform(col("ed"), x => x / sqrt(dot(col("ed"), col("ed")))).as("u"))
-      val a = e.select(col("vec_id").as("id1"), col("label"), col("u").as("ua"))
-      val b = e.select(col("vec_id").as("id2"), col("label").as("lb"), col("u").as("ub"))
-      a.join(b, col("label") === col("lb") && col("id1") < col("id2"))
-        .select(col("id1"), col("id2"), dot(col("ua"), col("ub")).as("cos_raw"))
-        .filter(col("cos_raw") >= 0.4)
-        .select(col("id1"), col("id2"), round(col("cos_raw"), 4).as("cos"))
-        .orderBy(asc_nulls_last("id1"), asc_nulls_last("id2"))
-    })
+    (s, dir) =>
+      // vectors are pre-unit-normalized inside cosinePairs (norms O(n),
+      // pairs O(n²/block)); dot(a/|a|, b/|b|) vs dot/(|a||b|) differ at
+      // ~1e-16 — absorbed by ROUND 4
+      graft.api.Similarity.cosinePairs(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label", 0.4)
+        .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+        .orderBy(asc_nulls_last("id1"), asc_nulls_last("id2")))
 
   /** k08 — n-gram (word 3-gram shingle) Jaccard near-dup within source block.
     * Shingles are selective, so the inverted-index self-join stays bounded —
@@ -219,33 +187,11 @@ object LlmOps {
       |JOIN sizes sb ON sb.doc_id = id2
       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
       |ORDER BY id1 ASC NULLS LAST, id2 ASC NULLS LAST""".stripMargin,
-    (s, dir) => {
-      val base = docs(s, dir)
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= 3)
-      val sh = base
-        .select(col("doc_id"), col("source"),
-                explode(expr(
-                  "transform(sequence(1, size(t) - 2), " +
-                  "g -> concat(element_at(t, g), ' ', element_at(t, g + 1), ' ', element_at(t, g + 2)))"
-                )).as("shingle"))
-        .distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = sh.as("a")
-        .join(sh.as("b"),
-              col("a.shingle") === col("b.shingle") &&
-              col("a.source") === col("b.source") &&
-              col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .agg(count(lit(1)).as("i"))
-      val j = col("i").cast("double") / (col("sa.sz") + col("sb.sz") - col("i"))
-      inter
-        .join(sizes.as("sa"), col("sa.doc_id") === col("id1"))
-        .join(sizes.as("sb"), col("sb.doc_id") === col("id2"))
-        .filter(j >= 0.5)
-        .select(col("id1"), col("id2"), round(j, 4).as("jaccard"))
-        .orderBy(asc_nulls_last("id1"), asc_nulls_last("id2"))
-    })
+    (s, dir) =>
+      graft.api.Dedup.shingleJaccardPairs(docs(s, dir), "doc_id", "text", "source",
+                                          n = 3, threshold = 0.5)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(asc_nulls_last("id1"), asc_nulls_last("id2")))
 
   private val stopwords = Seq("a", "the", "of", "and", "to", "value", "data")
 
@@ -296,7 +242,7 @@ object LlmOps {
     (s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
-                md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("fp"))
+                graft.api.TextAnalysis.setFingerprint(col("text")).as("fp"))
         .orderBy(asc_nulls_last("doc_id")))
 
   private val markers: Map[String, Seq[String]] = Map(
@@ -316,15 +262,9 @@ object LlmOps {
            }.mkString(",\n       |  ")}
        |FROM documents
        |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
-    (s, dir) => {
-      val toks = array_distinct(split(col("text"), " "))
-      val scoreCols = markers.toSeq.sortBy(_._1).map { case (k, ws) =>
-        size(array_intersect(toks, array(ws.map(lit): _*))).as(s"score_$k")
-      }
-      docs(s, dir)
-        .select(col("doc_id") +: scoreCols: _*)
-        .orderBy(asc_nulls_last("doc_id"))
-    })
+    (s, dir) =>
+      graft.api.TextAnalysis.markerScores(docs(s, dir), "doc_id", "text", markers)
+        .orderBy(asc_nulls_last("doc_id")))
 
   /** k12 — token counting three ways: whitespace split, alpha-word regex,
     * and a BPE-ish vowel-centered piece regex (the task brief's "whitespace
@@ -339,14 +279,7 @@ object LlmOps {
       |FROM documents
       |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
     (s, dir) =>
-      docs(s, dir)
-        .select(
-          col("doc_id"),
-          size(split(col("text"), " ")).as("n_ws"),
-          regexp_count(col("text"), lit("[a-z]+")).cast("int").as("n_alpha"),
-          regexp_count(col("text"),
-            lit("[bcdfghjklmnpqrstvwxyz]*[aeiou]+[bcdfghjklmnpqrstvwxyz]*"))
-            .cast("int").as("n_pieces"))
+      graft.api.TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")
         .orderBy(asc_nulls_last("doc_id")))
 
   /** k13 — true rolling (polynomial) hash over the token stream:
@@ -366,13 +299,8 @@ object LlmOps {
       |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
     (s, dir) =>
       docs(s, dir)
-        .select(
-          col("doc_id"),
-          aggregate(
-            transform(split(col("text"), " "),
-                      t => (ascii(t) * 131 + length(t)).cast("bigint")),
-            lit(0L),
-            (h, v) => (h * 31 + v) % 1000000007L).as("rhash"))
+        .select(col("doc_id"),
+                graft.api.TextAnalysis.rollingHash(col("text")).as("rhash"))
         .orderBy(asc_nulls_last("doc_id")))
 
   def ops: Vector[Q] = Vector(k01, k02, k03, k04, k05, k06, k07, k08, k09, k10, k11, k12, k13)

@@ -69,11 +69,7 @@ object StreamBatchOps {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id ASC NULLS LAST, s_start ASC NULLS LAST""".stripMargin,
     (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("user_id"), col("session_window.start").as("s_start"),
-                col("session_window.end").as("s_end"), col("n_events"))
+      graft.api.Windows.sessionize(Tables.events(s, dir), "ts", "user_id", "30 minutes")
         .orderBy(asc_nulls_last("user_id"), asc_nulls_last("s_start")))
 
   def ops: Vector[Q] = Vector(j01, j02, j03)

@@ -170,15 +170,12 @@ object WindowOps {
       |  FROM orders) t
       |WHERE rn <= 3
       |ORDER BY o_custkey ASC NULLS LAST, rn ASC NULLS LAST""".stripMargin,
-    (s, dir) => {
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
-      Tables.orders(s, dir)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-                row_number().over(w).as("rn"))
-        .filter(col("rn") <= 3)
-        .orderBy(asc_nulls_last("o_custkey"), asc_nulls_last("rn"))
-    })
+    (s, dir) =>
+      graft.api.Windows.topKPerGroup(
+        Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
+        partitionCols = Seq("o_custkey"),
+        orderCols = Seq(desc("o_totalprice"), asc("o_orderkey")), k = 3)
+        .orderBy(asc_nulls_last("o_custkey"), asc_nulls_last("rn")))
 
   /** e09 — nth_value with the full-partition frame: the 2nd-earliest order
     * key per customer (null for single-order customers). */

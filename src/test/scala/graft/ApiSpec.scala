@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api._
+
+/** The generic `graft.api` surface on arbitrary (non-fixture) frames —
+  * proves the operators aren't bound to the fixture schemas. (Equivalence
+  * with the oracle-checked queries is enforced by the engine ops delegating
+  * to these functions.) */
+class ApiSpec extends SparkSpec {
+
+  private def sdf = {
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      (1L, "k1", 10L, "a"), (2L, "k1", 20L, "b"), (3L, "k2", 5L, "c"),
+      (4L, "k1", 20L, "d") // same version as row 2, higher id
+    ).toDF("id", "key", "ver", "payload")
+  }
+
+  test("Replication.latestPerKey on an arbitrary schema") {
+    val latest = Replication.latestPerKey(sdf, Seq("key"), Seq(desc("ver"), desc("id")))
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[String]("payload")).toMap
+    assert(latest == Map("k1" -> "d", "k2" -> "c"))
+  }
+
+  test("Replication.effectiveState drops tombstoned keys") {
+    val eff = Replication.effectiveState(sdf, Seq("key"), Seq(desc("ver"), desc("id")),
+      isTombstone = col("payload") === "d")
+      .collect().map(_.getAs[String]("key")).toSet
+    assert(eff == Set("k2"))
+  }
+
+  test("Replication.scd2 builds adjacent intervals") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "u", 100L), (2L, "u", 200L), (3L, "v", 150L))
+      .toDF("id", "key", "ts")
+    val out = Replication.scd2(df, Seq("key"), "ts")
+      .select("id", "valid_from", "valid_to")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(out == Set((1L, 100L, Some(200L)), (2L, 200L, None), (3L, 150L, None)))
+  }
+
+  test("Dedup.tokenJaccardPairs finds the planted near-dup") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta", "s1"),
+      (2L, "alpha beta gamma epsilon", "s1"), // jaccard 3/5 = 0.6
+      (3L, "zeta eta theta", "s1"),
+      (4L, "alpha beta gamma delta", "s2")    // dup of 1 but other block
+    ).toDF("id", "body", "src")
+    val pairs = Dedup.tokenJaccardPairs(df, "id", "body", "src", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs == Set((1L, 2L, 0.6)))
+  }
+
+  test("Dedup.shingleJaccardPairs with n=2 on synthetic docs") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "a b c d", "s"), // shingles: "a b","b c","c d"
+      (2L, "a b c e", "s")  // shingles: "a b","b c","c e" → 2/4 = 0.5
+    ).toDF("id", "body", "src")
+    val pairs = Dedup.shingleJaccardPairs(df, "id", "body", "src", n = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs == Set((1L, 2L, 0.5)))
+  }
+
+  test("Similarity.cosineTopK orders by true cosine") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.5f))
+    ).toDF("vid", "vec")
+    val top = Similarity.cosineTopK(df, "vid", "vec", probeId = 0, k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 3L))
+  }
+
+  test("TextAnalysis: rolling hash is order-sensitive, fingerprint is not") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "x y z"), (2L, "z y x")).toDF("id", "body")
+    val fp = df.select(TextAnalysis.setFingerprint(col("body"))).collect().map(_.getString(0))
+    assert(fp(0) == fp(1))
+    val rh = df.select(TextAnalysis.rollingHash(col("body"))).collect().map(_.getLong(0))
+    assert(rh(0) != rh(1))
+  }
+
+  test("Windows.topKPerGroup caps each group") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1 to 20).map(i => (i.toLong, s"g${i % 2}", i * 1.0)).toDF("id", "g", "v")
+    val top = Windows.topKPerGroup(df, Seq("g"), Seq(desc("v"), asc("id")), k = 3)
+    assert(top.count() == 6)
+    assert(top.groupBy("g").count().collect().forall(_.getLong(1) == 3))
+  }
+}
