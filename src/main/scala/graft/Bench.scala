@@ -8,6 +8,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // metadata-only count/min/max from parquet footers where exact
+      .config("spark.sql.parquet.aggregatePushDown", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen warm-up so the first query isn't overcharged

@@ -9,8 +9,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Codegen'd native dot product (single loop, no per-row allocation) —
+    * see graft.functions.DotProductExpression for why not the HOF form. */
   private[api] def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.DotProductExpression(
+        org.apache.spark.sql.graftbridge.Bridge.expression(x),
+        org.apache.spark.sql.graftbridge.Bridge.expression(y)))
 
   /** Widen a float array to double (float32 math differs across engines). */
   def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
@@ -39,11 +44,18 @@ object Similarity {
   }
 
   /** Exact cosine near-dup pairs within a blocking key (vectors pre-unit-
-    * normalized so each pair computes one dot product). */
+    * normalized so each pair computes one dot product).
+    *
+    * The repartition on the block key is load-bearing twice over: it
+    * co-partitions the self-join, AND it is an Exchange barrier that stops
+    * CollapseProject from inlining the normalization expression into the
+    * per-pair dot product (which would re-normalize both vectors for every
+    * pair — measured 3.5× slower at sf0.1). */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   blockCol: String, threshold: Double): DataFrame = {
     val unit = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
                          normalize(asDouble(col(vecCol))).as("__u"))
+      .repartition(col("__blk"))
     val a = unit.select(col("__id").as("id1"), col("__blk"), col("__u").as("__ua"))
     val b = unit.select(col("__id").as("id2"), col("__blk").as("__blk2"),
                         col("__u").as("__ub"))

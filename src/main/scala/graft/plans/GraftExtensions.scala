@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.ChargeExpression
+import graft.functions.{ChargeExpression, DotProductExpression}
 
 /** Engine extension point (SURVEY §4 "custom code actually needed" item 2).
   *
@@ -25,6 +25,13 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.catalyst.expressions.Cast(
             c, org.apache.spark.sql.types.DoubleType))
         ChargeExpression(p, d, t)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpression].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot(array<double>, array<double>)")
+        DotProductExpression(children(0), children(1))
       }))
   }
 }
