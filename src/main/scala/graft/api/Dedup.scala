@@ -1,7 +1,6 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Generic deduplication operators for training-data pipelines, over
@@ -26,11 +25,17 @@ object Dedup {
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, threshold: Double,
                         sep: String = " "): DataFrame = {
-    val w = Window.partitionBy("__id")
+    // dedup tokens per-row with array_distinct (no shuffle), carry the set
+    // size through the explode — the only shuffles left are the inverted-
+    // index join and the pair aggregation
+    // the repartition is the materialization point: it pre-shuffles on the
+    // join keys (so the self-join adds no further exchange) and both join
+    // sides reuse ONE computation of the tokenization via ReuseExchange
     val tok = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
-                        explode(split(col(textCol), sep)).as("__tok"))
-      .distinct()
-      .withColumn("__sz", count(lit(1)).over(w))
+                        array_distinct(split(col(textCol), sep)).as("__ts"))
+      .select(col("__id"), col("__blk"), size(col("__ts")).as("__sz"),
+              explode(col("__ts")).as("__tok"))
+      .repartition(col("__tok"), col("__blk"))
     val inter = tok.as("a")
       .join(tok.as("b"),
             col("a.__tok") === col("b.__tok") && col("a.__blk") === col("b.__blk") &&
@@ -48,11 +53,16 @@ object Dedup {
   def shingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           blockCol: String, n: Int, threshold: Double): DataFrame = {
     require(n >= 2)
-    val w = Window.partitionBy("__id")
     val slots = (0 until n).map(k => s"element_at(__t, g + $k)").mkString(", ")
     val base = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
                          split(col(textCol), " ").as("__t"))
       .filter(size(col("__t")) >= n)
+    // explode → distinct-aggregate → window count. Measured best shape at
+    // sf0.1 (3.1 s vs 15 s for array_distinct+repartition): shingles are
+    // nearly unique per doc, so the join groups are tiny and the dominant
+    // cost is the shingling expression itself — the distinct aggregate is
+    // the materialization both self-join sides reuse, so shingling runs once
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__id")
     val sh = base.select(col("__id"), col("__blk"),
         explode(expr(s"transform(sequence(1, size(__t) - ${n - 1}), " +
                      s"g -> concat_ws(' ', $slots))")).as("__sh"))
