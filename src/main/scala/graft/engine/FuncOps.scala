@@ -237,5 +237,20 @@ object FuncOps {
                 sha2(col("text"), 256).as("h_sha"))
         .orderBy(asc_nulls_last("doc_id")))
 
-  def ops: Vector[Q] = Vector(h01, h02, h03, h04, h05, h06, h07, h08, h09, h10, h11)
+  /** h12 — MySQL GROUP_CONCAT analog: comma-joined sorted supplier names
+    * per nation (sort_array before the join makes the string deterministic —
+    * Spark's collect_list order is not). */
+  val h12: Q = Q(
+    "h12_group_concat",
+    """SELECT s_nationkey,
+      |  array_to_string(list_sort(array_agg(s_name)), ',') AS names_csv
+      |FROM supplier GROUP BY s_nationkey
+      |ORDER BY s_nationkey ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.supplier(s, dir)
+        .groupBy("s_nationkey")
+        .agg(concat_ws(",", sort_array(collect_list(col("s_name")))).as("names_csv"))
+        .orderBy(asc_nulls_last("s_nationkey")))
+
+  def ops: Vector[Q] = Vector(h01, h02, h03, h04, h05, h06, h07, h08, h09, h10, h11, h12)
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.connectors.{CdcEvent, ClickHouseDdl, JdbcSourceConfig, Sinks}
+import org.apache.spark.sql.types._
+
+/** SURVEY §5.5 property tests — pure laws (no Spark job per case, so
+  * thousands of generated cases stay cheap). The Spark-level layout-
+  * invariance laws live in DeterminismSpec.
+  */
+object GraftProperties extends Properties("graft") {
+
+  private val genEvent: Gen[CdcEvent] = for {
+    key <- Gen.choose(0L, 5L)
+    pos <- Gen.choose(0L, 1000L)
+    ts <- Gen.choose(0L, 100L)
+    op <- Gen.oneOf("c", "u", "d")
+  } yield CdcEvent(key, pos, ts, op, s"p$pos")
+
+  /** The CDC winner rule is a total order: independent of arrival order. */
+  property("cdc winner is arrival-order independent") =
+    forAll(Gen.listOfN(20, genEvent)) { events =>
+      def winner(es: Seq[CdcEvent]): Map[Long, CdcEvent] =
+        es.groupBy(_.key).view.mapValues(_.maxBy(e => (e.tsMicros, e.position))).toMap
+      // positions are unique per log in reality; keep ties possible here and
+      // compare only on the (ts, position) winner key, which IS the rule
+      val a = winner(events).view.mapValues(e => (e.tsMicros, e.position)).toMap
+      val b = winner(events.reverse).view.mapValues(e => (e.tsMicros, e.position)).toMap
+      a == b
+    }
+
+  private val genDataType: Gen[DataType] = {
+    val prim = Gen.oneOf[DataType](BooleanType, ByteType, ShortType, IntegerType,
+      LongType, FloatType, DoubleType, StringType, BinaryType, DateType,
+      TimestampType, DecimalType(18, 4))
+    Gen.sized { _ =>
+      Gen.frequency(
+        8 -> prim,
+        1 -> prim.map(ArrayType(_)),
+        1 -> Gen.zip(prim, prim).map { case (k, v) => MapType(k, v) })
+    }
+  }
+
+  /** The §1.2 type matrix is total over supported types and never emits
+    * Nullable(Array/Map). */
+  property("ClickHouse type mapping is total and nullability-legal") =
+    forAll(genDataType, Gen.oneOf(true, false)) { (dt, nullable) =>
+      val rendered = ClickHouseDdl.field(StructField("c", dt, nullable))
+      rendered.nonEmpty &&
+        !(rendered.startsWith("Nullable(Array") || rendered.startsWith("Nullable(Map"))
+    }
+
+  /** Backoff schedules are monotone non-decreasing and capped. */
+  property("sink backoff monotone and capped") =
+    forAll(Gen.choose(0, 10), Gen.choose(1L, 60000L)) { (retries, base) =>
+      val s = Sinks.ClickHouseWriteConfig("u", "t", maxRetries = retries,
+        retryBackoffMs = base).backoffSchedule
+      s.length == retries &&
+        s.zip(s.drop(1)).forall { case (a, b) => a <= b } &&
+        s.forall(_ <= math.max(30000L, base))
+    }
+
+  /** Partitioned JDBC configs always carry complete bound information. */
+  property("jdbc options complete iff partitioned") =
+    forAll(Gen.option(Gen.choose(0L, 100L)), Gen.choose(1, 64)) { (lower, nPart) =>
+      lower match {
+        case Some(l) =>
+          val o = JdbcSourceConfig("jdbc:mysql://h/db", "t",
+            partitionColumn = Some("id"), lowerBound = Some(l),
+            upperBound = Some(l + 10), numPartitions = nPart).options
+          o.contains("partitionColumn") && o("numPartitions") == nPart.toString
+        case None =>
+          val o = JdbcSourceConfig("jdbc:mysql://h/db", "t").options
+          !o.contains("partitionColumn")
+      }
+    }
+
+  /** Salt values from any row land in [0, n). */
+  property("crc32-based salt stays in range") =
+    forAll(Gen.choose(1, 64), Gen.alphaNumStr) { (n, s) =>
+      val crc = new java.util.zip.CRC32()
+      crc.update(s.getBytes("UTF-8"))
+      val salt = java.lang.Math.floorMod(crc.getValue, n.toLong)
+      salt >= 0 && salt < n
+    }
+}
