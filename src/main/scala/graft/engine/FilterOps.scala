@@ -90,5 +90,27 @@ object FilterOps {
         .agg(count(lit(1)).as("n"), Determinism.dsum(col("o_totalprice")).as("total"))
         .orderBy(asc_nulls_last("band")))
 
-  def ops: Vector[Q] = Vector(b01, b02, b03, b04)
+  /** b05 — uncorrelated scalar subquery in a predicate: orders priced above
+    * 1.5× the mean (threshold via exact decimal sum so both engines filter
+    * on the bit-identical constant; a double AVG would drift in low bits and
+    * could flip boundary rows). Declared through the SQL entry point (EP2)
+    * to exercise Catalyst's scalar-subquery planning. */
+  val b05: Q = Q(
+    "b05_scalar_subquery",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice >
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+      |          / COUNT(*) * 1.5 FROM orders)
+      |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice >
+          |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+          |          / COUNT(*) * 1.5 FROM orders)
+          |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin)
+    })
+
+  def ops: Vector[Q] = Vector(b01, b02, b03, b04, b05)
 }
