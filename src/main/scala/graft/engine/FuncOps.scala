@@ -252,5 +252,29 @@ object FuncOps {
         .agg(concat_ws(",", sort_array(collect_list(col("s_name")))).as("names_csv"))
         .orderBy(asc_nulls_last("s_nationkey")))
 
-  def ops: Vector[Q] = Vector(h01, h02, h03, h04, h05, h06, h07, h08, h09, h10, h11, h12)
+  /** h13 — nested types (§1.2 capability tier): construct a struct and a map
+    * from scalar columns, extract fields back out. DuckDB map extraction
+    * yields a LIST → scalarize with [1]. */
+  val h13: Q = Q(
+    "h13_nested_types",
+    """SELECT o_orderkey,
+      |  {'k': o_orderkey, 'p': o_totalprice} AS s,
+      |  struct_extract({'k': o_orderkey, 'p': o_totalprice}, 'p') AS sp,
+      |  MAP(['lo', 'hi'], [LEAST(o_totalprice, 100000.0), GREATEST(o_totalprice, 100000.0)]) AS m,
+      |  MAP(['lo', 'hi'], [LEAST(o_totalprice, 100000.0), GREATEST(o_totalprice, 100000.0)])['lo'][1] AS mlo
+      |FROM orders
+      |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val st = struct(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      val m = map(
+        lit("lo"), least(col("o_totalprice"), lit(100000.0)),
+        lit("hi"), greatest(col("o_totalprice"), lit(100000.0)))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), st.as("s"), st.getField("p").as("sp"),
+                m.as("m"), element_at(m, "lo").as("mlo"))
+        .orderBy(asc_nulls_last("o_orderkey"))
+    })
+
+  def ops: Vector[Q] = Vector(h01, h02, h03, h04, h05, h06, h07, h08, h09, h10,
+                              h11, h12, h13)
 }
