@@ -60,6 +60,22 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval join: each left event enriched with right events
+    * for the same key whose timestamp falls within [left.ts − window,
+    * left.ts] — the streaming analog of the c11 as-of join. Both sides carry
+    * watermarks so the join state is bounded: right rows older than the
+    * interval get evicted once the watermark passes. NOTE the global
+    * watermark is the MIN across both inputs — state is only bounded while
+    * BOTH sources keep advancing (verified empirically: a stalled right
+    * stream pins the watermark and late rows keep joining). Columns: left
+    * must have (user_id, ts, …), right pre-renamed to (r_user, r_ts, …). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   window_ : String = "1 hour",
+                   lateness: String = "10 minutes"): DataFrame =
+    left.withWatermark("ts", lateness)
+      .join(right.withWatermark("r_ts", lateness),
+            expr(s"user_id = r_user AND r_ts <= ts AND r_ts >= ts - interval $window_"))
+
   /** Exactly-once-effective sink: foreachBatch + idempotent per-batch
     * parquet commit (a replayed batchId overwrites its own directory, so
     * at-least-once delivery collapses to exactly-once output — the same

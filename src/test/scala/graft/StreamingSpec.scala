@@ -101,6 +101,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join enriches within the window only") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val signups = MemoryStream[Ev]
+    val joined = StreamOps.intervalJoin(
+      purchases.toDF(),
+      signups.toDF().select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+                            col("ts").as("r_ts")),
+      window_ = "1 hour")
+    val q = joined.select(col("event_id"), col("r_id")).writeStream
+      .format("memory").queryName("ij_t").outputMode(OutputMode.Append).start()
+    try {
+      signups.addData(Ev(100, 1, ts(0), 0), Ev(101, 1, ts(200), 0), Ev(102, 2, ts(5), 0))
+      purchases.addData(Ev(1, 1, ts(30), 1.0))   // within 1h of signup 100 only
+      purchases.addData(Ev(2, 1, ts(230), 1.0))  // within 1h of signup 101 only
+      purchases.addData(Ev(3, 2, ts(300), 1.0))  // signup 102 is 295min earlier → no match
+      q.processAllAvailable()
+      val pairs = spark.table("ij_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 100L), (2L, 101L)))
+    } finally q.stop()
+  }
+
   test("file-source streaming: readStream tails a directory of parquet files") {
     val sp = spark
     import sp.implicits._
