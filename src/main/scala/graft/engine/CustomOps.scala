@@ -48,14 +48,16 @@ object CustomOps {
     """SELECT l_orderkey, l_linenumber,
       |  ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge
       |FROM lineitem
-      |ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST""".stripMargin,
+      |ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST,
+      |         charge ASC NULLS LAST""".stripMargin,
     (s, dir) => {
       val charge = udf((p: Double, d: Double, t: Double) => p * (1 - d) * (1 + t))
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
                 round(charge(col("l_extendedprice"), col("l_discount"), col("l_tax")), 6)
                   .as("charge"))
-        .orderBy(asc_nulls_last("l_orderkey"), asc_nulls_last("l_linenumber"))
+        .orderBy(asc_nulls_last("l_orderkey"), asc_nulls_last("l_linenumber"),
+                 asc_nulls_last("charge"))
     })
 
   /** l02 — discount-weighted average price per returnflag via Aggregator/udaf. */

@@ -18,14 +18,16 @@ object FilterOps {
       |  ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue,
       |  CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor
       |FROM lineitem
-      |ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST""".stripMargin,
+      |ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST,
+      |         revenue ASC NULLS LAST, qty_floor ASC NULLS LAST""".stripMargin,
     (s, dir) =>
       Tables.lineitem(s, dir)
         .select(
           col("l_orderkey"), col("l_linenumber"),
           round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
           floor(col("l_quantity")).cast("bigint").as("qty_floor"))
-        .orderBy(asc_nulls_last("l_orderkey"), asc_nulls_last("l_linenumber")))
+        .orderBy(asc_nulls_last("l_orderkey"), asc_nulls_last("l_linenumber"),
+                 asc_nulls_last("revenue"), asc_nulls_last("qty_floor")))
 
   /** b02 — compound predicate: AND/OR/NOT + IN + BETWEEN + LIKE over P⋈L. */
   val b02: Q = Q(
@@ -35,7 +37,8 @@ object FilterOps {
       |WHERE (p_type LIKE 'PROMO%' OR p_type IN ('ECONOMY', 'SMALL'))
       |  AND l_quantity BETWEEN 10 AND 20
       |  AND NOT (l_returnflag = 'A')
-      |ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST""".stripMargin,
+      |ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST,
+      |         p_partkey ASC NULLS LAST, l_quantity ASC NULLS LAST""".stripMargin,
     (s, dir) =>
       Tables.lineitem(s, dir)
         .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
@@ -43,7 +46,8 @@ object FilterOps {
                 col("l_quantity").between(10, 20) &&
                 !(col("l_returnflag") === "A"))
         .select("l_orderkey", "l_linenumber", "p_partkey", "p_type", "l_quantity")
-        .orderBy(asc_nulls_last("l_orderkey"), asc_nulls_last("l_linenumber")))
+        .orderBy(asc_nulls_last("l_orderkey"), asc_nulls_last("l_linenumber"),
+                 asc_nulls_last("p_partkey"), asc_nulls_last("l_quantity")))
 
   /** b03 — 3-valued logic: NULLIF-created nulls, IS [NOT] NULL, null-safe equality. */
   val b03: Q = Q(

@@ -120,7 +120,9 @@ object FuncOps {
       |  ROUND(POWER(l_quantity, 2), 4) AS pow_q,
       |  l_orderkey % 7 AS mod7
       |FROM lineitem
-      |ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST""".stripMargin,
+      |ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST,
+      |         abs_p ASC NULLS LAST, ceil_d ASC NULLS LAST, floor_t ASC NULLS LAST,
+      |         sqrt_q ASC NULLS LAST""".stripMargin,
     (s, dir) =>
       Tables.lineitem(s, dir)
         .select(
@@ -134,7 +136,9 @@ object FuncOps {
           round(exp(col("l_discount")), 4).as("exp_d"),
           round(pow(col("l_quantity"), 2), 4).as("pow_q"),
           (col("l_orderkey") % 7).as("mod7"))
-        .orderBy(asc_nulls_last("l_orderkey"), asc_nulls_last("l_linenumber")))
+        .orderBy(asc_nulls_last("l_orderkey"), asc_nulls_last("l_linenumber"),
+                 asc_nulls_last("abs_p"), asc_nulls_last("ceil_d"),
+                 asc_nulls_last("floor_t"), asc_nulls_last("sqrt_q")))
 
   /** h07 — array ops on embeddings: size, 1-based element_at, slice,
     * per-element arithmetic via HOF transform. float32 widened to DOUBLE

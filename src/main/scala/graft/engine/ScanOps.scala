@@ -24,16 +24,21 @@ object ScanOps {
         .reduce(_ unionAll _)
         .orderBy(asc_nulls_last("tbl")))
 
-  /** a02 — column pruning: 3 of 11 lineitem columns, first 100 by unique key. */
+  /** a02 — column pruning: 3 of 11 lineitem columns, first 100 rows.
+    * NOTE (l_orderkey, l_linenumber) is NOT unique in the fixtures — the
+    * ORDER BY covers every output column so ties are identical rows and the
+    * LIMIT cut is deterministic on both engines. */
   val a02: Q = Q(
     "a02_scan_project",
     """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-      |ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST
+      |ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST,
+      |         l_quantity ASC NULLS LAST
       |LIMIT 100""".stripMargin,
     (s, dir) =>
       Tables.lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy(asc_nulls_last("l_orderkey"), asc_nulls_last("l_linenumber"))
+        .orderBy(asc_nulls_last("l_orderkey"), asc_nulls_last("l_linenumber"),
+                 asc_nulls_last("l_quantity"))
         .limit(100))
 
   /** a03 — predicate pushdown: one month of shipments, selective columns.
@@ -43,13 +48,15 @@ object ScanOps {
     """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
       |  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
-      |ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST""".stripMargin,
+      |ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST,
+      |         l_shipdate ASC NULLS LAST, l_quantity ASC NULLS LAST""".stripMargin,
     (s, dir) =>
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
                 col("l_shipdate") <  lit("1997-04-01").cast("timestamp"))
         .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
-        .orderBy(asc_nulls_last("l_orderkey"), asc_nulls_last("l_linenumber")))
+        .orderBy(asc_nulls_last("l_orderkey"), asc_nulls_last("l_linenumber"),
+                 asc_nulls_last("l_shipdate"), asc_nulls_last("l_quantity")))
 
   def ops: Vector[Q] = Vector(a01, a02, a03)
 }
