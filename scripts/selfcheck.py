@@ -45,6 +45,30 @@ def main():
             if sorted(mcols) != sorted(tcols):
                 print(f"{name}: FAIL columns {sorted(mcols)} vs {sorted(tcols)}")
                 n_bad += 1; continue
+            # driver loads both sides into pandas and row-sorts before hashing:
+            # nested output columns are unsortable there -> hard FAIL here too
+            mtypes = dict(zip(mcols, [str(t) for t in mine_rel.types]))
+            ttypes = dict(zip(tcols, [str(t) for t in theirs_rel.types]))
+            nested = [c for c in mcols
+                      if any(k in mtypes[c] or k in ttypes.get(c, "")
+                             for k in ("[]", "STRUCT", "MAP", "LIST"))]
+            if nested:
+                print(f"{name}: FAIL nested output column(s) {nested} "
+                      "(driver row-sort cannot order these)")
+                n_bad += 1; continue
+            # dtype drift (e.g. DuckDB SUM(int)->HUGEINT vs Spark LONG) hashes
+            # differently driver-side even when values are equal. The int
+            # family int8..int64 is pandas-normalized by the driver (e01/e02/
+            # e08 hash-matched r1 with INTEGER-vs-BIGINT), so same-family
+            # widths are fine; HUGEINT is NOT (d12 failed r1 on it).
+            INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+            def kind(t):
+                return "INT" if t in INTS else t
+            drift = {c: (mtypes[c], ttypes[c]) for c in mcols
+                     if kind(mtypes[c]) != kind(ttypes[c])}
+            if drift:
+                print(f"{name}: FAIL dtype drift {drift}")
+                n_bad += 1; continue
             # driver sorts columns by name before hashing values
             mine = con.sql("SELECT " + ", ".join(f'"{c}"' for c in sorted(mcols))
                            + f" FROM '{out}/{name}/*.parquet'").fetchall()

@@ -192,27 +192,29 @@ object AggOps {
 
   /** d11 — deterministic list aggregation: sorted supplier names per nation
     * (Spark collect_list order is nondeterministic → sort_array; SURVEY §2
-    * rule 4). */
+    * rule 4). Output serialized to a scalar string: the driver's row-sort
+    * can't order array columns, so the list is joined with '|'. */
   val d11: Q = Q(
     "d11_agg_collect_sorted",
-    """SELECT s_nationkey, LIST_SORT(ARRAY_AGG(s_name)) AS names
+    """SELECT s_nationkey,
+      |  ARRAY_TO_STRING(LIST_SORT(ARRAY_AGG(s_name)), '|') AS names
       |FROM supplier GROUP BY s_nationkey
       |ORDER BY s_nationkey ASC NULLS LAST""".stripMargin,
     (s, dir) =>
       Tables.supplier(s, dir)
         .groupBy("s_nationkey")
-        .agg(sort_array(collect_list(col("s_name"))).as("names"))
+        .agg(array_join(sort_array(collect_list(col("s_name"))), "|").as("names"))
         .orderBy(asc_nulls_last("s_nationkey")))
 
   /** d12 — manual pivot via conditional aggregation: per-user event-type counts. */
   val d12: Q = Q(
     "d12_agg_cond_pivot",
     """SELECT user_id,
-      |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-      |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-      |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-      |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
       |FROM events GROUP BY user_id
       |ORDER BY user_id ASC NULLS LAST""".stripMargin,
     (s, dir) => {

@@ -141,25 +141,31 @@ object FuncOps {
                  asc_nulls_last("floor_t"), asc_nulls_last("sqrt_q")))
 
   /** h07 — array ops on embeddings: size, 1-based element_at, slice,
-    * per-element arithmetic via HOF transform. float32 widened to DOUBLE
-    * before math on both engines (FIXTURES.md). */
+    * per-element arithmetic via HOF transform, then posexplode back to
+    * scalar rows (the driver's row-sort can't order array columns, so the
+    * transformed slice is emitted one element per row; ×2 on a float32
+    * widened to DOUBLE is exact, no rounding needed). */
   val h07: Q = Q(
     "h07_array_ops",
-    """SELECT vec_id,
-      |  CAST(LEN(embedding) AS INT) AS dim,
-      |  CAST(embedding[1] AS DOUBLE) AS first_el,
-      |  LIST_TRANSFORM(embedding[1:8], x -> CAST(x AS DOUBLE) * 2) AS doubled
-      |FROM embeddings
-      |ORDER BY vec_id ASC NULLS LAST""".stripMargin,
+    """SELECT vec_id, dim, first_el, CAST(u.pos AS INT) AS pos, u.el AS doubled
+      |FROM (
+      |  SELECT vec_id,
+      |    CAST(LEN(embedding) AS INT) AS dim,
+      |    CAST(embedding[1] AS DOUBLE) AS first_el,
+      |    UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, 8),
+      |      g -> {'pos': g - 1, 'el': CAST(embedding[g] AS DOUBLE) * 2})) AS u
+      |  FROM embeddings)
+      |ORDER BY vec_id ASC NULLS LAST, pos ASC NULLS LAST""".stripMargin,
     (s, dir) =>
       Tables.embeddings(s, dir)
         .select(
           col("vec_id"),
           size(col("embedding")).as("dim"),
           element_at(col("embedding"), 1).cast("double").as("first_el"),
-          transform(slice(col("embedding"), 1, 8),
-                    x => x.cast("double") * 2).as("doubled"))
-        .orderBy(asc_nulls_last("vec_id")))
+          posexplode(transform(slice(col("embedding"), 1, 8),
+                               x => x.cast("double") * 2)))
+        .withColumnRenamed("col", "doubled")
+        .orderBy(asc_nulls_last("vec_id"), asc_nulls_last("pos")))
 
   /** h08 — JSON extraction from event props, grouped stats. */
   val h08: Q = Q(
@@ -257,15 +263,16 @@ object FuncOps {
         .orderBy(asc_nulls_last("s_nationkey")))
 
   /** h13 — nested types (§1.2 capability tier): construct a struct and a map
-    * from scalar columns, extract fields back out. DuckDB map extraction
-    * yields a LIST → scalarize with [1]. */
+    * from scalar columns, extract fields back out. Only the extracted
+    * SCALARS are emitted (the driver's row-sort can't order struct/map
+    * columns); the construction + extraction round-trip is still the thing
+    * under test. DuckDB map extraction yields a LIST → scalarize with [1]. */
   val h13: Q = Q(
     "h13_nested_types",
     """SELECT o_orderkey,
-      |  {'k': o_orderkey, 'p': o_totalprice} AS s,
       |  struct_extract({'k': o_orderkey, 'p': o_totalprice}, 'p') AS sp,
-      |  MAP(['lo', 'hi'], [LEAST(o_totalprice, 100000.0), GREATEST(o_totalprice, 100000.0)]) AS m,
-      |  MAP(['lo', 'hi'], [LEAST(o_totalprice, 100000.0), GREATEST(o_totalprice, 100000.0)])['lo'][1] AS mlo
+      |  MAP(['lo', 'hi'], [LEAST(o_totalprice, 100000.0), GREATEST(o_totalprice, 100000.0)])['lo'][1] AS mlo,
+      |  MAP(['lo', 'hi'], [LEAST(o_totalprice, 100000.0), GREATEST(o_totalprice, 100000.0)])['hi'][1] AS mhi
       |FROM orders
       |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
     (s, dir) => {
@@ -274,8 +281,8 @@ object FuncOps {
         lit("lo"), least(col("o_totalprice"), lit(100000.0)),
         lit("hi"), greatest(col("o_totalprice"), lit(100000.0)))
       Tables.orders(s, dir)
-        .select(col("o_orderkey"), st.as("s"), st.getField("p").as("sp"),
-                m.as("m"), element_at(m, "lo").as("mlo"))
+        .select(col("o_orderkey"), st.getField("p").as("sp"),
+                element_at(m, "lo").as("mlo"), element_at(m, "hi").as("mhi"))
         .orderBy(asc_nulls_last("o_orderkey"))
     })
 
