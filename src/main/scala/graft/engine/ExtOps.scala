@@ -1,0 +1,398 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 extension block: subquery predicates, remaining aggregate
+  * families, IGNORE NULLS windows, datetime/bitwise/string-distance
+  * scalars, snapshot diff, gap-fill, and the LSH/IVF scale paths
+  * re-expressed as deterministic, DuckDB-checkable queries.
+  *
+  * Scale notes (the 100 TB posture, SURVEY §4):
+  *  - b06–b08 are planned by Catalyst as semi/anti joins — no driver-side
+  *    subquery evaluation, and the inner side broadcasts when small.
+  *  - k14/k15 are the REAL sub-quadratic near-dup path: per-doc MinHash
+  *    signatures (one shuffle), then candidate pairs only where a banded
+  *    signature collides inside a `source` block — never the all-pairs join.
+  *  - k16 is the IVF assignment step: corpus × small-centroid-set is a
+  *    broadcast nested loop, then one shuffle for cluster stats.
+  *  - j04 joins a tiny generated dimension (hours) to pre-aggregated
+  *    counts — the fact side is reduced before the join, so the join input
+  *    is |buckets|, not |events|.
+  */
+object ExtOps {
+
+  /** b06 — IN (subquery) predicate → left-semi join under Catalyst.
+    * Declared through the SQL entry point (EP2) to exercise the
+    * subquery-rewrite rules rather than a hand-built semi join (c06). */
+  val b06: Q = Q(
+    "b06_in_subquery",
+    """SELECT o_orderkey, o_custkey FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT o_orderkey, o_custkey FROM orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin)
+    })
+
+  /** b07 — correlated EXISTS → left-semi join with the correlation as the
+    * join key plus the extra predicate pushed into the inner scan. */
+  val b07: Q = Q(
+    "b07_exists_correlated",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+      |ORDER BY c_custkey ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+          |ORDER BY c_custkey ASC NULLS LAST""".stripMargin)
+    })
+
+  /** b08 — correlated NOT EXISTS → left-anti join. */
+  val b08: Q = Q(
+    "b08_not_exists_correlated",
+    """SELECT c_custkey FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT c_custkey FROM customer c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o
+          |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          |ORDER BY c_custkey ASC NULLS LAST""".stripMargin)
+    })
+
+  /** d14 — boolean aggregates (every/any). */
+  val d14: Q = Q(
+    "d14_agg_bool",
+    """SELECT s_nationkey, BOOL_AND(s_acctbal > 0) AS all_pos,
+      |  BOOL_OR(s_acctbal > 9000) AS any_big
+      |FROM supplier GROUP BY s_nationkey
+      |ORDER BY s_nationkey ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.supplier(s, dir)
+        .groupBy("s_nationkey")
+        .agg(bool_and(col("s_acctbal") > 0).as("all_pos"),
+             bool_or(col("s_acctbal") > 9000).as("any_big"))
+        .orderBy(asc_nulls_last("s_nationkey")))
+
+  /** d15 — bitwise aggregates over the group (AND/OR/XOR fold). */
+  val d15: Q = Q(
+    "d15_agg_bitagg",
+    """SELECT l_returnflag,
+      |  CAST(BIT_AND(l_linenumber) AS INT) AS b_and,
+      |  CAST(BIT_OR(l_linenumber) AS INT) AS b_or,
+      |  CAST(BIT_XOR(l_linenumber) AS INT) AS b_xor
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(expr("bit_and(l_linenumber)").as("b_and"),
+             expr("bit_or(l_linenumber)").as("b_or"),
+             expr("bit_xor(l_linenumber)").as("b_xor"))
+        .orderBy(asc_nulls_last("l_returnflag")))
+
+  /** d16 — argmin/argmax (max_by/min_by vs DuckDB arg_max/arg_min). The
+    * ordering value is the UNIQUE key c_custkey so ties cannot occur
+    * (SURVEY §2 rule 1 applied to arg aggregates). */
+  val d16: Q = Q(
+    "d16_agg_argminmax",
+    """SELECT c_mktsegment, ARG_MAX(c_name, c_custkey) AS newest,
+      |  ARG_MIN(c_name, c_custkey) AS oldest
+      |FROM customer GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy("c_mktsegment")
+        .agg(max_by(col("c_name"), col("c_custkey")).as("newest"),
+             min_by(col("c_name"), col("c_custkey")).as("oldest"))
+        .orderBy(asc_nulls_last("c_mktsegment")))
+
+  /** d17 — exact median (interpolating 0.5-percentile; same recipe as the
+    * hash-matched d10: round(…, 4) on the interpolated double). */
+  val d17: Q = Q(
+    "d17_agg_median",
+    """SELECT o_orderstatus, ROUND(CAST(MEDIAN(o_totalprice) AS DOUBLE), 4) AS med
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(round(median(col("o_totalprice")), 4).as("med"))
+        .orderBy(asc_nulls_last("o_orderstatus")))
+
+  /** e10 — IGNORE NULLS window navigation: last non-null carried forward
+    * (classic gap-fill / last-observation per key). */
+  val e10: Q = Q(
+    "e10_win_ignore_nulls",
+    """SELECT event_id, user_id,
+      |  LAST_VALUE(pv IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY event_id ASC NULLS LAST
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+      |FROM (SELECT event_id, user_id,
+      |        CASE WHEN event_type = 'purchase' THEN value END AS pv FROM events)
+      |ORDER BY event_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(asc_nulls_last("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("pv", when(col("event_type") === "purchase", col("value")))
+        .select(col("event_id"), col("user_id"),
+                last(col("pv"), ignoreNulls = true).over(w).as("last_purchase"))
+        .orderBy(asc_nulls_last("event_id"))
+    })
+
+  /** f04 — fixed-width histogram via floor division (DuckDB 1.0 has no
+    * width_bucket); bucket math is exact in both engines. */
+  val f04: Q = Q(
+    "f04_histogram",
+    s"""SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket, COUNT(*) AS n,
+       |  ${Determinism.dsumSql("o_totalprice")} AS total
+       |FROM orders GROUP BY bucket
+       |ORDER BY bucket ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), Determinism.dsum(col("o_totalprice")).as("total"))
+        .orderBy(asc_nulls_last("bucket")))
+
+  /** h14 — datetime arithmetic: interval add, day diff, end-of-month,
+    * day-of-year. */
+  val h14: Q = Q(
+    "h14_datetime_arith",
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS plus30,
+      |  CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_y2k,
+      |  LAST_DAY(CAST(o_orderdate AS DATE)) AS eom,
+      |  CAST(DAYOFYEAR(o_orderdate) AS INT) AS doy
+      |FROM orders
+      |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL '30' DAY")).as("plus30"),
+          datediff(to_date(lit("2000-01-01")), to_date(col("o_orderdate"))).as("days_to_y2k"),
+          last_day(col("o_orderdate")).as("eom"),
+          dayofyear(col("o_orderdate")).as("doy"))
+        .orderBy(asc_nulls_last("o_orderkey")))
+
+  /** h15 — bitwise scalar ops. (l_orderkey, l_linenumber) is NOT unique
+    * (FIXTURES.md) but every output column is a function of those two, so
+    * ordering by all columns makes ties identical rows — total order. */
+  val h15: Q = Q(
+    "h15_bitwise",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_orderkey & 255 AS BIGINT) AS b_and,
+      |  CAST(l_orderkey | 15 AS BIGINT) AS b_or,
+      |  CAST(XOR(l_orderkey, CAST(l_linenumber AS BIGINT)) AS BIGINT) AS b_xor,
+      |  CAST(l_orderkey << 2 AS BIGINT) AS shl,
+      |  CAST(l_orderkey >> 1 AS BIGINT) AS shr,
+      |  CAST(BIT_COUNT(l_orderkey) AS INT) AS nbits
+      |FROM lineitem
+      |ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST,
+      |  b_and ASC NULLS LAST, b_or ASC NULLS LAST, b_xor ASC NULLS LAST,
+      |  shl ASC NULLS LAST, shr ASC NULLS LAST, nbits ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_orderkey").bitwiseAND(lit(255L)).as("b_and"),
+          col("l_orderkey").bitwiseOR(lit(15L)).as("b_or"),
+          col("l_orderkey").bitwiseXOR(col("l_linenumber").cast("long")).as("b_xor"),
+          shiftleft(col("l_orderkey"), 2).as("shl"),
+          shiftright(col("l_orderkey"), 1).as("shr"),
+          bit_count(col("l_orderkey")).as("nbits"))
+        .orderBy(asc_nulls_last("l_orderkey"), asc_nulls_last("l_linenumber"),
+                 asc_nulls_last("b_and"), asc_nulls_last("b_or"),
+                 asc_nulls_last("b_xor"), asc_nulls_last("shl"),
+                 asc_nulls_last("shr"), asc_nulls_last("nbits")))
+
+  /** h16 — string edit distance (levenshtein), identical in both engines. */
+  val h16: Q = Q(
+    "h16_str_distance",
+    """SELECT p_partkey, p_type, CAST(LEVENSHTEIN(p_type, 'STANDARD') AS INT) AS lev
+      |FROM part
+      |ORDER BY p_partkey ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_type"),
+                levenshtein(col("p_type"), lit("STANDARD")).as("lev"))
+        .orderBy(asc_nulls_last("p_partkey")))
+
+  /** i07 — snapshot diff: two simulated snapshots of `orders` full-outer
+    * joined on the key, rows classified added/deleted/changed/same. The
+    * 100 TB shape: co-partitioned sort-merge join on the primary key. */
+  val i07: Q = Q(
+    "i07_snapshot_diff",
+    """WITH a AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+      |b AS (SELECT o_orderkey,
+      |        CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+      |             ELSE o_totalprice END AS o_totalprice
+      |      FROM orders WHERE o_orderkey % 5 <> 1)
+      |SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+      |            WHEN b.o_orderkey IS NULL THEN 'deleted'
+      |            WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+      |            ELSE 'same' END AS op,
+      |       COUNT(*) AS n
+      |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+      |GROUP BY op ORDER BY op ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val b = o.filter(col("o_orderkey") % 5 =!= 1)
+        .select(col("o_orderkey"),
+                when(col("o_orderstatus") === "O", col("o_totalprice") * 1.1)
+                  .otherwise(col("o_totalprice")).as("o_totalprice"))
+      a.as("a").join(b.as("b"), col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+        .select(
+          when(col("a.o_orderkey").isNull, "added")
+            .when(col("b.o_orderkey").isNull, "deleted")
+            .when(col("a.o_totalprice") =!= col("b.o_totalprice"), "changed")
+            .otherwise("same").as("op"))
+        .groupBy("op").agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_last("op"))
+    })
+
+  /** j04 — gap-filled hourly counts: generated hour dimension LEFT JOIN
+    * pre-aggregated buckets (fact side reduced before the join; the tiny
+    * dimension broadcasts). */
+  val j04: Q = Q(
+    "j04_gapfill",
+    """WITH hours AS (
+      |  SELECT UNNEST(GENERATE_SERIES(TIMESTAMP '2024-01-01 00:00:00',
+      |                                TIMESTAMP '2024-01-29 23:00:00',
+      |                                INTERVAL 1 HOUR)) AS h),
+      |c AS (SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS h, COUNT(*) AS n
+      |      FROM events GROUP BY 1)
+      |SELECT hours.h AS h, COALESCE(c.n, 0) AS n
+      |FROM hours LEFT JOIN c ON hours.h = c.h
+      |ORDER BY h ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val hours = s.range(1).select(
+        explode(expr(
+          "sequence(TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-29 23:00:00', INTERVAL 1 HOUR)"))
+          .as("h"))
+      val counts = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      hours.join(counts, Seq("h"), "left")
+        .select(col("h"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(asc_nulls_last("h"))
+    })
+
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+              explode(split(col("text"), " ")).as("t"))
+
+  private def minhash(band: Int): Column =
+    min(md5(concat(lit(s"$band:"), col("t"))))
+
+  /** k14 — deterministic MinHash signatures: 4 independent hash functions
+    * (salted md5), min over the token set. One shuffle (groupBy doc);
+    * at 100 TB this is the signature stage of MinHashLSH — cost is linear
+    * in total tokens, and md5 is identical across engines so the oracle
+    * checks exact values, not just shape. */
+  val k14: Q = Q(
+    "k14_minhash_sig",
+    """SELECT doc_id,
+      |  MIN(MD5('0:' || t)) AS h0, MIN(MD5('1:' || t)) AS h1,
+      |  MIN(MD5('2:' || t)) AS h2, MIN(MD5('3:' || t)) AS h3
+      |FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+      |GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      tokens(s, dir)
+        .groupBy("doc_id")
+        .agg(minhash(0).as("h0"), minhash(1).as("h1"),
+             minhash(2).as("h2"), minhash(3).as("h3"))
+        .orderBy(asc_nulls_last("doc_id")))
+
+  /** k15 — LSH candidate generation: docs collide when one banded signature
+    * (AND of 4 min-hashes) matches inside a `source` block. Equi-join on
+    * (band, source) — this is the sub-quadratic path that replaces k02's
+    * exact all-pairs join at scale. */
+  val k15: Q = Q(
+    "k15_lsh_candidates",
+    """WITH sig AS (
+      |  SELECT doc_id, source,
+      |    MIN(MD5('0:' || t)) || MIN(MD5('1:' || t)) ||
+      |    MIN(MD5('2:' || t)) || MIN(MD5('3:' || t)) AS band
+      |  FROM (SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+      |  GROUP BY doc_id, source)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM sig a JOIN sig b
+      |  ON a.band = b.band AND a.source = b.source AND a.doc_id < b.doc_id
+      |ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val sig = tokens(s, dir)
+        .groupBy("doc_id", "source")
+        .agg(concat(minhash(0), minhash(1), minhash(2), minhash(3)).as("band"))
+      sig.as("a").join(
+          sig.as("b"),
+          col("a.band") === col("b.band") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .orderBy(asc_nulls_last("id_a"), asc_nulls_last("id_b"))
+    })
+
+  /** k16 — IVF assignment: every vector assigned to its most-similar
+    * centroid (vec_id < 8 as fixed centroids), then per-cluster stats.
+    * Corpus × centroids is a broadcast nested loop; ties broken by cid so
+    * the argmax is total. This is the coarse-quantizer step of IVF ANN. */
+  val k16: Q = Q(
+    "k16_ivf_assign",
+    s"""WITH v AS (SELECT vec_id,
+       |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT v.vec_id, cent.cid,
+       |    ROUND(LIST_COSINE_SIMILARITY(v.e, cent.ce), 6) AS sim
+       |  FROM v CROSS JOIN cent),
+       |assign AS (
+       |  SELECT vec_id, cid, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC NULLS LAST, cid ASC NULLS LAST) AS rn
+       |  FROM scored)
+       |SELECT cid, COUNT(*) AS n_members,
+       |  ${Determinism.dsumSql("sim")} AS sum_sim
+       |FROM assign WHERE rn = 1
+       |GROUP BY cid ORDER BY cid ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      def dot(x: Column, y: Column): Column =
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      val cent = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("e").as("ce"))
+      val sim = dot(col("e"), col("ce")) /
+        (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("ce"), col("ce"))))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(desc_nulls_last("sim"), asc_nulls_last("cid"))
+      v.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"), round(sim, 6).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"), Determinism.dsum(col("sim")).as("sum_sim"))
+        .orderBy(asc_nulls_last("cid"))
+    })
+
+  def ops: Vector[Q] = Vector(b06, b07, b08, d14, d15, d16, d17, e10, f04,
+                              h14, h15, h16, i07, j04, k14, k15, k16)
+}

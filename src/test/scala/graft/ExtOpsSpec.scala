@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.ExtOps
+
+/** Value-level checks for the round-2 extension block (ExtOps) on fixture +
+  * synthetic data. The cross-engine hash check is selfcheck.py/t2; these pin
+  * the semantics that DuckDB can't distinguish (e.g. WHICH rows an LSH
+  * candidate set must contain). */
+class ExtOpsSpec extends SparkSpec {
+
+  test("e10 carries the last non-null purchase value forward per user") {
+    val rows = ExtOps.e10.fn(spark, sf0001)
+      .filter(col("user_id") === 0)
+      .orderBy("event_id")
+      .collect()
+    // once a purchase is seen, last_purchase is never null again and only
+    // changes on purchase events
+    var seen: Option[Double] = None
+    val events = graft.engine.Tables.events(spark, sf0001)
+      .filter(col("user_id") === 0)
+      .select("event_id", "event_type", "value")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    rows.foreach { r =>
+      val (typ, v) = events(r.getLong(0))
+      if (typ == "purchase") seen = Some(v)
+      assert(Option(r.get(2)).map(_.asInstanceOf[Double]) == seen,
+             s"event ${r.getLong(0)}: expected $seen")
+    }
+  }
+
+  test("i07 classifies every order exactly once and finds all four classes") {
+    val m = ExtOps.i07.fn(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet == Set("added", "deleted", "changed", "same"))
+    val o = graft.engine.Tables.orders(spark, sf0001)
+    val nA = o.filter(col("o_orderkey") % 3 =!= 0).count()
+    val nB = o.filter(col("o_orderkey") % 5 =!= 1).count()
+    val nBoth = o.filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 5 =!= 1).count()
+    assert(m("added") == nB - nBoth)
+    assert(m("deleted") == nA - nBoth)
+    assert(m("changed") + m("same") == nBoth)
+  }
+
+  test("k14/k15: token-set-identical docs collide on every band") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s1"),
+      (2L, "gamma beta alpha alpha", "s1"), // same token SET as 1
+      (3L, "zeta eta theta", "s1"),
+      (4L, "alpha beta gamma", "s2")        // identical but different block
+    ).toDF("doc_id", "text", "source")
+    docs.createOrReplaceTempView("ext_docs")
+    // run the same signature shape as k14 against the synthetic frame
+    val sig = docs
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "source")
+      .agg(concat(
+        min(md5(concat(lit("0:"), col("t")))), min(md5(concat(lit("1:"), col("t")))),
+        min(md5(concat(lit("2:"), col("t")))), min(md5(concat(lit("3:"), col("t"))))).as("band"))
+    val pairs = sig.as("a").join(sig.as("b"),
+        col("a.band") === col("b.band") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // 4 blocked away by source, 3 disjoint
+  }
+
+  test("k16: a vector equal to a centroid assigns to it with sim 1.0") {
+    val out = ExtOps.k16.fn(spark, sf0001).collect()
+    assert(out.map(_.getLong(0)).toSeq == (0L to 7L), "8 centroids, ordered")
+    // every centroid is its own nearest centroid -> contributes sim 1.0;
+    // all members sum >= 1.0 and cluster sizes total the corpus
+    assert(out.map(_.getLong(1)).sum ==
+      graft.engine.Tables.embeddings(spark, sf0001).count())
+    out.foreach(r => assert(r.getDouble(2) >= 1.0 - 1e-6))
+  }
+
+  test("h15 bitwise values match reference semantics") {
+    val r = ExtOps.h15.fn(spark, sf0001)
+      .filter(col("l_orderkey") === 7 && col("l_linenumber") === 1)
+      .collect().head
+    assert(r.getLong(2) == (7L & 255))
+    assert(r.getLong(3) == (7L | 15))
+    assert(r.getLong(4) == (7L ^ 1L))
+    assert(r.getLong(5) == (7L << 2))
+    assert(r.getLong(6) == (7L >> 1))
+    assert(r.getInt(7) == java.lang.Long.bitCount(7L))
+  }
+
+  test("d16 arg aggregates pick the extreme-key rows") {
+    val c = graft.engine.Tables.customer(spark, sf0001)
+    val expect = c.orderBy(desc("c_custkey")).limit(1)
+      .select("c_mktsegment", "c_name").collect().head
+    val got = ExtOps.d16.fn(spark, sf0001)
+      .filter(col("c_mktsegment") === expect.getString(0)).collect().head
+    assert(got.getString(1) == expect.getString(1))
+  }
+}
