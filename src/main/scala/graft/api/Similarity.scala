@@ -20,9 +20,14 @@ object Similarity {
   /** Widen a float array to double (float32 math differs across engines). */
   def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Unit-normalize a double array column (norms once, O(rows)). */
+  /** Unit-normalize a float/double array column → ARRAY<DOUBLE>. Native
+    * one-pass expression (see UnitVectorExpression: the HOF form re-computes
+    * the norm per element and breaks whole-stage codegen). Absorbs the
+    * float→double widening, so callers pass the raw column. */
   def normalize(c: Column): Column =
-    transform(c, x => x / sqrt(dot(c, c)))
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.UnitVectorExpression(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c)))
 
   /** L2 norm of a (float or double) array column. */
   def l2Norm(c: Column): Column =
@@ -34,7 +39,7 @@ object Similarity {
     * keeps the global top-k without a full sort. */
   def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
                  probeId: Long, k: Int): DataFrame = {
-    val unit = df.select(col(idCol).as("__id"), normalize(asDouble(col(vecCol))).as("__u"))
+    val unit = df.select(col(idCol).as("__id"), normalize(col(vecCol)).as("__u"))
     val probe = unit.filter(col("__id") === probeId).select(col("__u").as("__p"))
     unit.filter(col("__id") =!= probeId)
       .crossJoin(broadcast(probe))
@@ -54,7 +59,7 @@ object Similarity {
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   blockCol: String, threshold: Double): DataFrame = {
     val unit = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
-                         normalize(asDouble(col(vecCol))).as("__u"))
+                         normalize(col(vecCol)).as("__u"))
       .repartition(col("__blk"))
     val a = unit.select(col("__id").as("id1"), col("__blk"), col("__u").as("__ua"))
     val b = unit.select(col("__id").as("id2"), col("__blk").as("__blk2"),
@@ -62,5 +67,30 @@ object Similarity {
     a.join(b, col("__blk") === col("__blk2") && col("id1") < col("id2"))
       .select(col("id1"), col("id2"), dot(col("__ua"), col("__ub")).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** IVF coarse quantizer: cosine of every corpus vector against every
+    * centroid — corpus × small-centroid-set as a broadcast nested loop,
+    * one codegen'd dot per pair. Returns (idCol, cidCol, "cos").
+    *
+    * Both sides are unit-normalized once (O(rows)); with `barrier = true`
+    * the corpus side gets the same CollapseProject Exchange barrier as
+    * [[cosinePairs]] (without it the normalization re-runs per centroid
+    * pair). The barrier is a full corpus shuffle — worth it when the
+    * centroid set is large (≫ the ~8 re-norms a small set costs), not for a
+    * handful of centroids. At 100 TB the centroid set stays a few thousand
+    * rows — always broadcastable — and the output feeds a per-vector argmax
+    * (window or max_by on (cos, cid)). */
+  def scoreAgainstCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                            centroids: DataFrame, cidCol: String,
+                            cvecCol: String, barrier: Boolean = true): DataFrame = {
+    val normed = corpus
+      .select(col(idCol).as("__id"), normalize(col(vecCol)).as("__u"))
+    val unit = if (barrier) normed.repartition(col("__id")) else normed
+    val cent = centroids
+      .select(col(cidCol).as("__cid"), normalize(col(cvecCol)).as("__c"))
+    unit.crossJoin(broadcast(cent))
+      .select(col("__id").as(idCol), col("__cid").as(cidCol),
+              dot(col("__u"), col("__c")).as("cos"))
   }
 }

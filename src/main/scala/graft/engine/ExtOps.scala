@@ -374,18 +374,17 @@ object ExtOps {
        |FROM assign WHERE rn = 1
        |GROUP BY cid ORDER BY cid ASC NULLS LAST""".stripMargin,
     (s, dir) => {
-      def dot(x: Column, y: Column): Column =
-        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-      val v = Tables.embeddings(s, dir)
-        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-      val cent = v.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("e").as("ce"))
-      val sim = dot(col("e"), col("ce")) /
-        (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("ce"), col("ce"))))
+      // dot(a/|a|, b/|b|) vs the oracle's dot/(|a||b|) differ at ~1e-16 —
+      // absorbed by ROUND 6 (same argument as k07 at ROUND 4)
+      val e = Tables.embeddings(s, dir)
+      val scored = graft.api.Similarity.scoreAgainstCentroids(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("embedding")),
+        "cid", "embedding", barrier = false)
       val w = Window.partitionBy("vec_id")
         .orderBy(desc_nulls_last("sim"), asc_nulls_last("cid"))
-      v.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("cid"), round(sim, 6).as("sim"))
+      scored
+        .select(col("vec_id"), col("cid"), round(col("cos"), 6).as("sim"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .groupBy("cid")

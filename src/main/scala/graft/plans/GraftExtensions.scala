@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ChargeExpression, DotProductExpression}
+import graft.functions.{ChargeExpression, DotProductExpression, UnitVectorExpression}
 
 /** Engine extension point (SURVEY §4 "custom code actually needed" item 2).
   *
@@ -32,6 +32,13 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_dot(array<double>, array<double>)")
         DotProductExpression(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_unit"),
+      new ExpressionInfo(classOf[UnitVectorExpression].getName, "graft_unit"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_unit(array<float|double>)")
+        UnitVectorExpression(children.head)
       }))
   }
 }

@@ -104,4 +104,25 @@ class ScaleOpsSpec extends SparkSpec {
         |FROM l_charge_t""".stripMargin).collect().head.getDouble(0)
     assert(diff == 0.0)
   }
+
+  test("graft_unit native expression ≡ HOF normalize, bit-exact (and codegen-safe)") {
+    val e = Tables.embeddings(spark, sf0001).limit(200)
+    e.createOrReplaceTempView("e_unit_t")
+    // HOF reference: cast to double, divide each element by the dot-norm
+    val diff = spark.sql(
+      """SELECT max(abs_diff) AS d FROM (
+        |  SELECT aggregate(zip_with(
+        |      graft_unit(embedding),
+        |      transform(transform(embedding, x -> CAST(x AS DOUBLE)),
+        |        x -> x / sqrt(aggregate(transform(transform(embedding, y -> CAST(y AS DOUBLE)),
+        |                                          y -> y * y), 0D, (a, v) -> a + v))),
+        |      (p, q) -> abs(p - q)), 0D, (a, v) -> greatest(a, v)) AS abs_diff
+        |  FROM e_unit_t)""".stripMargin).collect().head.getDouble(0)
+    assert(diff == 0.0, s"graft_unit drifted from HOF normalize by $diff")
+    // unit property: |v|₂ = 1 within float64 rounding
+    val norms = spark.sql(
+      """SELECT max(abs(sqrt(graft_dot(graft_unit(embedding), graft_unit(embedding))) - 1.0)) AS d
+        |FROM e_unit_t""".stripMargin).collect().head.getDouble(0)
+    assert(norms < 1e-12)
+  }
 }
