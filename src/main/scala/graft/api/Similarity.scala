@@ -11,7 +11,7 @@ object Similarity {
 
   /** Codegen'd native dot product (single loop, no per-row allocation) —
     * see graft.functions.DotProductExpression for why not the HOF form. */
-  private[api] def dot(x: Column, y: Column): Column =
+  def dot(x: Column, y: Column): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(
       graft.functions.DotProductExpression(
         org.apache.spark.sql.graftbridge.Bridge.expression(x),

@@ -340,14 +340,25 @@ object ExtOps {
       |  ON a.band = b.band AND a.source = b.source AND a.doc_id < b.doc_id
       |ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""".stripMargin,
     (s, dir) => {
+      // group-and-emit instead of a self-join: the signature stage (the
+      // expensive part — full token explode) runs ONCE, then one shuffle on
+      // (band, source) collects each bucket and emits its i<j pairs via
+      // HOFs. A self-join would recompute the signatures for both sides
+      // (Catalyst can't reuse alias-renumbered subplans). Bucket sizes are
+      // LSH-parameter-bounded (max 134 at sf0.1), so the per-bucket pair
+      // list stays small.
       val sig = tokens(s, dir)
         .groupBy("doc_id", "source")
         .agg(concat(minhash(0), minhash(1), minhash(2), minhash(3)).as("band"))
-      sig.as("a").join(
-          sig.as("b"),
-          col("a.band") === col("b.band") && col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val ids = col("ids")
+      val pairs = flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), size(ids)),
+                  y => struct(x.as("id_a"), y.as("id_b")))))
+      sig.groupBy("band", "source")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(ids) > 1)
+        .select(explode(pairs).as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
         .orderBy(asc_nulls_last("id_a"), asc_nulls_last("id_b"))
     })
 

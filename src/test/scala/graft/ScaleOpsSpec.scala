@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.engine.{LlmOps, Tables}
-import graft.operators.{Ann, MinHashDedup, SimHashDedup, Multimodal}
+import graft.operators.{Ann, Ivf, MinHashDedup, SimHashDedup, Multimodal}
 
 /** Approximate/scale-path operators vs their exact Tier-1 counterparts
   * (SURVEY §2.2: approx sketches, MinHashLSH, ANN, multimodal). */
@@ -103,6 +103,29 @@ class ScaleOpsSpec extends SparkSpec {
         |        - l_extendedprice * (1 - l_discount) * (1 + l_tax))) AS d
         |FROM l_charge_t""".stripMargin).collect().head.getDouble(0)
     assert(diff == 0.0)
+  }
+
+  test("IVF: nprobe = |centroids| degrades to the exact brute force") {
+    val e = Tables.embeddings(spark, sf0001)
+    val cents = Ivf.firstKCentroids(e, 8)
+    val exact = Ann.topKExact(e, probeId = 0, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val all = Ivf.topKApprox(e, cents, probeId = 0, k = 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(all == exact, s"nprobe=all must equal brute force: $all vs $exact")
+  }
+
+  test("IVF: partial probe keeps useful recall and never exceeds exact") {
+    val e = Tables.embeddings(spark, sf0001)
+    val cents = Ivf.firstKCentroids(e, 8)
+    val exact = Ann.topKExact(e, probeId = 0, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Ivf.topKApprox(e, cents, probeId = 0, k = 10, nprobe = 3)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"nprobe=3/8 recall $recall")
+    // sanity: assignment partitions the corpus exactly once
+    assert(Ivf.assign(e, cents).count() == e.count())
   }
 
   test("graft_unit native expression ≡ HOF normalize, bit-exact (and codegen-safe)") {
