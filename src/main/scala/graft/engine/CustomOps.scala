@@ -97,5 +97,63 @@ object CustomOps {
         .orderBy(asc_nulls_last("doc_id"), asc_nulls_last("bigram"))
     })
 
-  def ops: Vector[Q] = Vector(l01, l02, l03)
+  /** l04 — typed Dataset.map with tuple Encoders (the Dataset[T] face of
+    * the custom-execution surface; object (de)serialization happens per row
+    * — keep off hot paths, which is why the engine's own operators stay in
+    * the Column DSL). Rounded at 6 for the same 2dp×2dp-exactness reason
+    * as l01. */
+  val l04: Q = Q(
+    "l04_typed_map",
+    """SELECT l_orderkey, l_linenumber,
+      |  ROUND(l_extendedprice * (1 - l_discount), 6) AS net
+      |FROM lineitem
+      |ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST,
+      |         net ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+                col("l_extendedprice"), col("l_discount"))
+        .as[(Long, Int, Double, Double)]
+        .map { case (k, ln, p, d) => (k, ln, p * (1 - d)) }
+        .toDF("l_orderkey", "l_linenumber", "net")
+        .withColumn("net", round(col("net"), 6))
+        .orderBy(asc_nulls_last("l_orderkey"), asc_nulls_last("l_linenumber"),
+                 asc_nulls_last("net"))
+    })
+
+  /** l05 — typed KeyValueGroupedDataset.flatMapGroups: per-user event deltas
+    * with an in-group sort (groups are per-user and bounded — ~70 rows at
+    * sf0.1; for unbounded groups the window form (e03/e04) is the right
+    * tool, this exists to exercise the typed group-iterator surface the
+    * streaming state operators build on). */
+  val l05: Q = Q(
+    "l05_typed_flatmapgroups",
+    """SELECT user_id, event_id,
+      |  CAST(ROW_NUMBER() OVER w AS INT) AS seq_idx,
+      |  value - COALESCE(LAG(value) OVER w, value) AS delta
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id ASC NULLS LAST)
+      |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val sp = s
+      import sp.implicits._
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (uid: Long, it: Iterator[(Long, Long, Double)]) =>
+          val arr = it.toArray.sortBy(_._2)
+          arr.indices.iterator.map { i =>
+            val (_, eid, v) = arr(i)
+            val delta = if (i == 0) 0.0 else v - arr(i - 1)._3
+            (uid, eid, i + 1, delta)
+          }
+        }
+        .toDF("user_id", "event_id", "seq_idx", "delta")
+        .orderBy(asc_nulls_last("user_id"), asc_nulls_last("event_id"))
+    })
+
+  def ops: Vector[Q] = Vector(l01, l02, l03, l04, l05)
 }

@@ -296,6 +296,45 @@ object ExtOps {
         .orderBy(asc_nulls_last("h"))
     })
 
+  /** d18 — predicate-counting aggregate (count_if). */
+  val d18: Q = Q(
+    "d18_agg_countif",
+    """SELECT event_type, CAST(COUNT_IF(value > 50) AS BIGINT) AS n_big, COUNT(*) AS n
+      |FROM events GROUP BY event_type
+      |ORDER BY event_type ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(expr("count_if(value > 50)").as("n_big"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_last("event_type")))
+
+  /** h17 — second string-function matrix: translate/repeat/reverse/
+    * position/left/right + regexp_extract_all (serialized, rule 6). */
+  val h17: Q = Q(
+    "h17_str_funcs2",
+    """SELECT c_custkey,
+      |  TRANSLATE(c_name, '#', '-') AS tr,
+      |  REPEAT(c_mktsegment, 2) AS rep,
+      |  REVERSE(c_name) AS rev,
+      |  CAST(STRPOS(c_name, '1') AS INT) AS pos1,
+      |  LEFT(c_name, 5) AS l5,
+      |  RIGHT(c_name, 3) AS r3,
+      |  ARRAY_TO_STRING(REGEXP_EXTRACT_ALL(c_name, '[0-9]+'), ',') AS nums
+      |FROM customer
+      |ORDER BY c_custkey ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey"),
+          translate(col("c_name"), "#", "-").as("tr"),
+          repeat(col("c_mktsegment"), 2).as("rep"),
+          reverse(col("c_name")).as("rev"),
+          instr(col("c_name"), "1").as("pos1"),
+          expr("left(c_name, 5)").as("l5"),
+          expr("right(c_name, 3)").as("r3"),
+          array_join(expr("regexp_extract_all(c_name, '[0-9]+', 0)"), ",").as("nums"))
+        .orderBy(asc_nulls_last("c_custkey")))
+
   private def tokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
@@ -403,6 +442,6 @@ object ExtOps {
         .orderBy(asc_nulls_last("cid"))
     })
 
-  def ops: Vector[Q] = Vector(b06, b07, b08, d14, d15, d16, d17, e10, f04,
-                              h14, h15, h16, i07, j04, k14, k15, k16)
+  def ops: Vector[Q] = Vector(b06, b07, b08, d14, d15, d16, d17, d18, e10,
+                              f04, h14, h15, h16, h17, i07, j04, k14, k15, k16)
 }
