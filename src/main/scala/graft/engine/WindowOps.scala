@@ -33,7 +33,12 @@ object WindowOps {
         .orderBy(asc_nulls_last("o_orderpriority"), asc_nulls_last("rn"))
     })
 
-  /** e02 — distribution functions over customer balances (global window). */
+  /** e02 — distribution functions over customer balances. The global window
+    * (no PARTITION BY) is the semantics, and WindowExec moves everything to
+    * ONE partition — fine for a dimension table, never for a fact table. The
+    * 100 TB path for global ntile/percent_rank over facts is two-pass:
+    * approx/exact quantile cutpoints first (d10's percentile machinery),
+    * then a map-side bucket lookup join — no single-partition shuffle. */
   val e02: Q = Q(
     "e02_win_dist",
     """SELECT c_custkey,

@@ -26,15 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  /** Deterministic centroid set: the K lowest-id vectors. */
-  def firstKCentroids(embeddings: DataFrame, k: Int): DataFrame = {
-    val w = Window.orderBy(asc_nulls_last("vec_id"))
-    // rank-limit instead of limit() so the frame stays deterministic under
-    // any partitioning
-    embeddings.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
+  /** Deterministic centroid set: the K lowest-id vectors. Sorted limit →
+    * TakeOrderedAndProject (per-partition top-K then merge of K×partitions
+    * rows) — never a global-window single-partition shuffle. */
+  def firstKCentroids(embeddings: DataFrame, k: Int): DataFrame =
+    embeddings
+      .orderBy(asc_nulls_last("vec_id"))
+      .limit(k)
       .select(col("vec_id").as("cid"), col("embedding"))
-  }
 
   /** One row per corpus vector: (vec_id, cid, cos) of its nearest centroid
     * (cosine, ties broken by cid). */

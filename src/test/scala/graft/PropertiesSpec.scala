@@ -84,4 +84,27 @@ object GraftProperties extends Properties("graft") {
       val salt = java.lang.Math.floorMod(crc.getValue, n.toLong)
       salt >= 0 && salt < n
     }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** k14/k15's algebra: a salted-md5 min-hash is a pure function of the
+    * token SET — invariant under permutation and duplication. (This is what
+    * makes the Spark min() aggregate correct without a DISTINCT pass.) */
+  property("minhash band signature is permutation- and multiplicity-invariant") =
+    forAll(Gen.nonEmptyListOf(Gen.identifier), Gen.choose(0, 3)) { (tokens, band) =>
+      def sig(ts: Seq[String]): String = ts.map(t => md5hex(s"$band:$t")).min
+      sig(tokens) == sig(tokens.reverse ++ tokens)
+    }
+
+  /** k16/Ivf's argmax rule (ORDER BY sim DESC, cid ASC, row_number()=1) is a
+    * total order: the winner never depends on arrival order, even with
+    * duplicate similarity values. */
+  property("ivf centroid argmax is arrival-order independent") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 7L), Gen.choose(0, 100)))) { scored =>
+      def win(xs: Seq[(Long, Int)]): (Long, Int) =
+        xs.minBy { case (cid, sim) => (-sim, cid) }
+      win(scored) == win(scored.reverse)
+    }
 }
