@@ -75,6 +75,65 @@ object ExtOps {
           |ORDER BY c_custkey ASC NULLS LAST""".stripMargin)
     })
 
+  /** b09 — recursive CTE (Spark 4 WITH RECURSIVE, probe-verified): longest
+    * run of consecutive event_ids per user. Anchor = run heads (no
+    * predecessor), recursive step follows event_id + 1 within the user.
+    * Recursion depth = max run length (short on an interleaved stream), so
+    * each iteration is one small equi-join — scale-safe. */
+  val b09: Q = Q(
+    "b09_recursive_cte",
+    """WITH RECURSIVE runs AS (
+      |  SELECT user_id, event_id AS head, event_id AS tail, 1 AS len
+      |  FROM events e
+      |  WHERE NOT EXISTS (SELECT 1 FROM events p
+      |                    WHERE p.user_id = e.user_id AND p.event_id = e.event_id - 1)
+      |  UNION ALL
+      |  SELECT r.user_id, r.head, n.event_id, r.len + 1
+      |  FROM runs r JOIN events n
+      |    ON n.user_id = r.user_id AND n.event_id = r.tail + 1)
+      |SELECT user_id, CAST(MAX(len) AS INT) AS max_run, COUNT(*) AS n_segments
+      |FROM runs GROUP BY user_id
+      |ORDER BY user_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql(
+        """WITH RECURSIVE runs AS (
+          |  SELECT user_id, event_id AS head, event_id AS tail, 1 AS len
+          |  FROM events e
+          |  WHERE NOT EXISTS (SELECT 1 FROM events p
+          |                    WHERE p.user_id = e.user_id AND p.event_id = e.event_id - 1)
+          |  UNION ALL
+          |  SELECT r.user_id, r.head, n.event_id, r.len + 1
+          |  FROM runs r JOIN events n
+          |    ON n.user_id = r.user_id AND n.event_id = r.tail + 1)
+          |SELECT user_id, CAST(MAX(len) AS INT) AS max_run, COUNT(*) AS n_segments
+          |FROM runs GROUP BY user_id
+          |ORDER BY user_id ASC NULLS LAST""".stripMargin)
+    })
+
+  /** d19 — unpivot/melt: three lineitem measures to long form. Measure
+    * labels keep the source column names so Spark's native unpivot needs no
+    * relabeling; (okey, lineno) is not unique so the ORDER BY covers all
+    * four output columns. */
+  val d19: Q = Q(
+    "d19_unpivot_melt",
+    """SELECT l_orderkey, l_linenumber, measure, value FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+      |ORDER BY l_orderkey ASC NULLS LAST, l_linenumber ASC NULLS LAST,
+      |         measure ASC NULLS LAST, value ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .orderBy(asc_nulls_last("l_orderkey"), asc_nulls_last("l_linenumber"),
+                 asc_nulls_last("measure"), asc_nulls_last("value")))
+
   /** d14 — boolean aggregates (every/any). */
   val d14: Q = Q(
     "d14_agg_bool",
@@ -442,6 +501,7 @@ object ExtOps {
         .orderBy(asc_nulls_last("cid"))
     })
 
-  def ops: Vector[Q] = Vector(b06, b07, b08, d14, d15, d16, d17, d18, e10,
-                              f04, h14, h15, h16, h17, i07, j04, k14, k15, k16)
+  def ops: Vector[Q] = Vector(b06, b07, b08, b09, d14, d15, d16, d17, d18,
+                              d19, e10, f04, h14, h15, h16, h17, i07, j04,
+                              k14, k15, k16)
 }
