@@ -501,7 +501,34 @@ object ExtOps {
         .orderBy(asc_nulls_last("cid"))
     })
 
+  /** k17 — deterministic train/val/test split by content-hash bucketing:
+    * the first md5 hex digit of the key partitions ~13/16, 1/16, 2/16.
+    * Hash-based assignment is the pipeline-correct way to split — stable
+    * under reruns, re-shards, and corpus growth (a row's split never
+    * changes), unlike TABLESAMPLE/rand(). Zero shuffle until the audit agg. */
+  val k17: Q = Q(
+    "k17_hash_split",
+    """SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM (SELECT doc_id,
+      |        CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
+      |             WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) = 'd' THEN 'val'
+      |             ELSE 'test' END AS split
+      |      FROM documents)
+      |GROUP BY split
+      |ORDER BY split ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+                when(h1 <= "c", "train").when(h1 === "d", "val")
+                  .otherwise("test").as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+             max(col("doc_id")).as("max_id"))
+        .orderBy(asc_nulls_last("split"))
+    })
+
   def ops: Vector[Q] = Vector(b06, b07, b08, b09, d14, d15, d16, d17, d18,
                               d19, e10, f04, h14, h15, h16, h17, i07, j04,
-                              k14, k15, k16)
+                              k14, k15, k16, k17)
 }

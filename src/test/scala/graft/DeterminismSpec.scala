@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import graft.engine.{AggOps, CdcOps, LlmOps, StreamBatchOps, Tables}
+import graft.engine.{AggOps, CdcOps, ExtOps, LlmOps, StreamBatchOps, Tables}
 
 /** SURVEY §5.5 property-style laws: results must be invariant to physical
   * layout (partitioning, row order) — the property that makes every operator
@@ -51,5 +51,26 @@ class DeterminismSpec extends SparkSpec {
     shuffled.cache().count()
     val again = rows(StreamBatchOps.j03.fn(spark, sf0001))
     assert(base == again)
+  }
+
+  test("k14 minhash signatures are run-to-run stable") {
+    // the min() aggregate must not depend on partial-aggregation merge order
+    assert(rows(ExtOps.k14.fn(spark, sf0001)) == rows(ExtOps.k14.fn(spark, sf0001)))
+  }
+
+  test("k15 LSH candidates are symmetric-closed and id-ordered") {
+    val pairs = rows(ExtOps.k15.fn(spark, sf0001))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.distinct.size == pairs.size, "no duplicate candidate pairs")
+  }
+
+  test("k17 hash split is exhaustive, disjoint, and rerun-stable") {
+    val out = rows(ExtOps.k17.fn(spark, sf0001))
+    assert(out.map(_.getString(0)).sorted == Seq("test", "train", "val"))
+    assert(out.map(_.getLong(1)).sum ==
+      Tables.documents(spark, sf0001).count())
+    assert(out == rows(ExtOps.k17.fn(spark, sf0001)))
   }
 }
