@@ -501,6 +501,75 @@ object ExtOps {
         .orderBy(asc_nulls_last("cid"))
     })
 
+  /** SimHash machinery shared by k18/k19 [public: Charikar'02]: a 16-bit
+    * signature where bit i is the sign of Σ_tokens (±1), +1 iff the top bit
+    * of the i-th hex digit of md5(token) is set. Pure integer arithmetic on
+    * an identical-across-engines digest — no rounding anywhere. */
+  private val simhashSqlTerms: String = (0 until 16).map { i =>
+    s"(CASE WHEN SUM(CASE WHEN SUBSTR(MD5(t), ${i + 1}, 1) >= '8' THEN 1 ELSE -1 END) >= 0 THEN ${1 << i} ELSE 0 END)"
+  }.mkString("\n      + ")
+
+  private def simhashSigCol: Column = (0 until 16).map { i =>
+    when(sum(when(substring(md5(col("t")), i + 1, 1) >= "8", 1).otherwise(-1)) >= 0,
+         lit(1 << i)).otherwise(lit(0))
+  }.reduce(_ + _)
+
+  /** k18 — SimHash signatures per document (over the DISTINCT token set,
+    * same semantics as the Tier-2 graft.operators.SimHashDedup). One
+    * explode + one shuffle — linear at any scale. */
+  val k18: Q = Q(
+    "k18_simhash_sig",
+    s"""SELECT doc_id, CAST($simhashSqlTerms AS INT) AS sig
+       |FROM (SELECT DISTINCT doc_id, t FROM
+       |  (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents))
+       |GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+        .groupBy("doc_id")
+        .agg(simhashSigCol.cast("int").as("sig"))
+        .orderBy(asc_nulls_last("doc_id")))
+
+  /** k19 — SimHash near-dup pairs: Hamming(sig_a, sig_b) ≤ 2 within a
+    * `source` block. Same group-and-emit shape as k15 (signatures computed
+    * once; blocks are collected and i<j pairs emitted via HOFs — pair
+    * arithmetic is just XOR + popcount on ints). The oracle states the
+    * equivalent self-join. At 100 TB the block would be a signature-prefix
+    * band, not a 250-doc source. */
+  val k19: Q = Q(
+    "k19_simhash_neardup",
+    s"""WITH sig AS (
+       |  SELECT doc_id, source, CAST($simhashSqlTerms AS INT) AS sig
+       |  FROM (SELECT DISTINCT doc_id, source, t FROM
+       |    (SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents))
+       |  GROUP BY doc_id, source)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(BIT_COUNT(XOR(a.sig, b.sig)) AS INT) AS hamming
+       |FROM sig a JOIN sig b
+       |  ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE BIT_COUNT(XOR(a.sig, b.sig)) <= 2
+       |ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val sig = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+                explode(array_distinct(split(col("text"), " "))).as("t"))
+        .groupBy("doc_id", "source")
+        .agg(simhashSigCol.cast("int").as("sig"))
+      val xs = col("xs")
+      val pairs = flatten(transform(xs, (x, i) =>
+        transform(slice(xs, i + lit(2), size(xs)), y =>
+          struct(x.getField("doc_id").as("id_a"),
+                 y.getField("doc_id").as("id_b"),
+                 bit_count(x.getField("sig").bitwiseXOR(y.getField("sig")))
+                   .as("hamming")))))
+      sig.groupBy("source")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("xs"))
+        .select(explode(pairs).as("p"))
+        .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+        .filter(col("hamming") <= 2)
+        .orderBy(asc_nulls_last("id_a"), asc_nulls_last("id_b"))
+    })
+
   /** k17 — deterministic train/val/test split by content-hash bucketing:
     * the first md5 hex digit of the key partitions ~13/16, 1/16, 2/16.
     * Hash-based assignment is the pipeline-correct way to split — stable
@@ -530,5 +599,5 @@ object ExtOps {
 
   def ops: Vector[Q] = Vector(b06, b07, b08, b09, d14, d15, d16, d17, d18,
                               d19, e10, f04, h14, h15, h16, h17, i07, j04,
-                              k14, k15, k16, k17)
+                              k14, k15, k16, k17, k18, k19)
 }
