@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import graft.connectors.CdcEvent
 
 /** SURVEY §2.2 streaming surface — true unbounded execution.
@@ -58,6 +59,40 @@ object StreamOps {
           state.update(newest)
           if (changed && newest.op != "d") Iterator.single(newest) else Iterator.empty
       }
+  }
+
+  /** The same latest-per-key state machine on Spark 4's transformWithState
+    * API (the successor to flatMapGroupsWithState: named state variables,
+    * TTL, timers; requires the RocksDB state store provider). Kept
+    * behaviorally identical to [[latestPerKeyStream]] — the StreamingSpec
+    * drives both through the same scenario. */
+  final class LatestPerKeyProcessor
+      extends StatefulProcessor[Long, CdcEvent, CdcEvent] {
+    @transient private var latest: ValueState[CdcEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[CdcEvent](
+        "latest", Encoders.product[CdcEvent], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[CdcEvent],
+                                 timerValues: TimerValues): Iterator[CdcEvent] = {
+      val prev = Option(latest.get())
+      val newest = (prev.iterator ++ rows).maxBy(e => (e.tsMicros, e.position))
+      val changed = prev.forall(p =>
+        (newest.tsMicros, newest.position) != (p.tsMicros, p.position))
+      latest.update(newest)
+      if (changed && newest.op != "d") Iterator.single(newest) else Iterator.empty
+    }
+  }
+
+  /** latestPerKeyStream via transformWithState (needs
+    * `spark.sql.streaming.stateStore.providerClass` = RocksDB provider). */
+  def latestPerKeyTws(events: Dataset[CdcEvent])(implicit s: SparkSession): Dataset[CdcEvent] = {
+    import s.implicits._
+    events
+      .groupByKey(_.key)
+      .transformWithState(new LatestPerKeyProcessor,
+                          TimeMode.None(), OutputMode.Append())
   }
 
   /** Stream-stream interval join: each left event enriched with right events

@@ -80,6 +80,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState latest-per-key matches the flatMapGroupsWithState semantics") {
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[CdcEvent]
+    val q = StreamOps.latestPerKeyTws(in.toDS()).writeStream
+      .format("memory").queryName("tws_t").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(CdcEvent(1, 10, 1000, "c", "v1"), CdcEvent(2, 11, 1000, "c", "w1"))
+      q.processAllAvailable()
+      in.addData(CdcEvent(1, 12, 2000, "u", "v2")) // newer → emit
+      in.addData(CdcEvent(2, 9, 500, "u", "stale")) // older → suppressed
+      in.addData(CdcEvent(3, 13, 3000, "c", "x1"))  // separate batch: emit
+      q.processAllAvailable()
+      in.addData(CdcEvent(3, 14, 4000, "d", "gone")) // tombstone: suppressed
+      q.processAllAvailable()
+      val emitted = spark.table("tws_t").collect()
+        .map(r => (r.getAs[Long]("key"), r.getAs[String]("payload")))
+      assert(emitted.count(_._1 == 1L) == 2) // v1 then v2
+      assert(emitted.filter(_._1 == 2L).map(_._2).toSeq == Seq("w1"))
+      // key 3: create emitted, tombstone suppressed
+      assert(emitted.filter(_._1 == 3L).map(_._2).toSeq == Seq("x1"))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful latest-per-key upsert emits only effective changes") {
     val sp = spark
     import sp.implicits._
