@@ -17,9 +17,10 @@ import org.apache.spark.sql.SparkSession
   *    get explicit `broadcast()` hints at call sites (c02, j04, k16…), and
   *    at 100 TB a mis-estimated broadcast is an OOM — prefer explicit hints
   *    over raising the threshold.
-  *  - parquet aggregate pushdown: COUNT/MIN/MAX answered from footers when
-  *    no filter/grouping needs row data (exact, value-safe — verified
-  *    against the oracle in round 1).
+  *  - parquet aggregate pushdown: set for forward-compatibility, but NOTE
+  *    it is inert on the default V1 parquet path (verified by plan
+  *    inspection: no `PushedAggregation` even for COUNT(*)); kept because
+  *    it is harmless and applies if a deployment opts into the V2 reader.
   *  - UTC session timezone: the engine contract (SURVEY §2 rule 3); a
   *    cluster whose default TZ differs would silently shift every
   *    date_trunc/window boundary.
