@@ -7,6 +7,28 @@ import graft.connectors._
   * (SURVEY §2.2 rows 1–5). */
 class ConnectorsSpec extends SparkSpec {
 
+  test("JSON ingestion splits well-formed vs quarantined without losing rows") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    val df = Seq(
+      (1L, """{"k": 7}"""),
+      (2L, """{"k": "not-an-int"}"""),  // type mismatch -> corrupt
+      (3L, """{broken"""),              // malformed -> corrupt
+      (4L, """{"k": 42}""")
+    ).toDF("id", "payload")
+    val parsed = graft.connectors.JsonIngest.parse(df, "payload", schema)
+    val good = graft.connectors.JsonIngest.wellFormed(parsed)
+    val bad = graft.connectors.JsonIngest.quarantine(parsed, "payload")
+    assert(good.count() + bad.count() == 4, "no row may disappear")
+    assert(good.select("parsed.k").collect().map(_.getInt(0)).sorted.toSeq == Seq(7, 42))
+    val q = bad.select("id", "quarantined_payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(q.keySet == Set(2L, 3L))
+    assert(q(3L) == """{broken""", "raw payload preserved for replay")
+  }
+
   test("JDBC snapshot options: partitioned read plan") {
     val cfg = JdbcSourceConfig(
       url = "jdbc:mysql://db:3306/shop", table = "orders", user = "u",
