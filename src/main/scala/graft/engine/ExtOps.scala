@@ -134,6 +134,60 @@ object ExtOps {
         .orderBy(asc_nulls_last("l_orderkey"), asc_nulls_last("l_linenumber"),
                  asc_nulls_last("measure"), asc_nulls_last("value")))
 
+  /** c13 — LATERAL join: per-nation top-2 suppliers via a correlated
+    * ordered-limit subquery (the per-row-subquery face of e08's windowed
+    * top-k; Catalyst plans it as a lateral join with the limit pushed into
+    * the inner side). */
+  val c13: Q = Q(
+    "c13_lateral_topk",
+    """SELECT n.n_nationkey, t.s_suppkey, t.s_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT s_suppkey, s_acctbal FROM supplier s
+      |  WHERE s.s_nationkey = n.n_nationkey
+      |  ORDER BY s_acctbal DESC NULLS LAST, s_suppkey ASC NULLS LAST LIMIT 2) t
+      |ORDER BY n_nationkey ASC NULLS LAST, s_suppkey ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("nation")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+      s.sql(
+        """SELECT n.n_nationkey, t.s_suppkey, t.s_acctbal
+          |FROM nation n, LATERAL (
+          |  SELECT s_suppkey, s_acctbal FROM supplier s
+          |  WHERE s.s_nationkey = n.n_nationkey
+          |  ORDER BY s_acctbal DESC NULLS LAST, s_suppkey ASC NULLS LAST LIMIT 2) t
+          |ORDER BY n_nationkey ASC NULLS LAST, s_suppkey ASC NULLS LAST""".stripMargin)
+    })
+
+  /** g05 — INTERSECT ALL: bag semantics (multiplicity = min of the two
+    * sides), vs g03's distinct INTERSECT. */
+  val g05: Q = Q(
+    "g05_intersect_all",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .intersectAll(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy(asc_nulls_last("o_custkey"))
+    })
+
+  /** g06 — EXCEPT ALL: bag difference (multiplicity = left − right, floor
+    * 0), vs g04's distinct EXCEPT. */
+  val g06: Q = Q(
+    "g06_except_all",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT ALL
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .exceptAll(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy(asc_nulls_last("o_custkey"))
+    })
+
   /** d14 — boolean aggregates (every/any). */
   val d14: Q = Q(
     "d14_agg_bool",
@@ -597,7 +651,7 @@ object ExtOps {
         .orderBy(asc_nulls_last("split"))
     })
 
-  def ops: Vector[Q] = Vector(b06, b07, b08, b09, d14, d15, d16, d17, d18,
-                              d19, e10, f04, h14, h15, h16, h17, i07, j04,
-                              k14, k15, k16, k17, k18, k19)
+  def ops: Vector[Q] = Vector(b06, b07, b08, b09, c13, d14, d15, d16, d17,
+                              d18, d19, e10, f04, g05, g06, h14, h15, h16,
+                              h17, i07, j04, k14, k15, k16, k17, k18, k19)
 }
