@@ -40,4 +40,23 @@ object Bucketing {
     df.collect() // force execution so AQE finalizes the plan
     df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
   }
+
+  /** Write `df` hive-partitioned by `partCol` — the time-partitioning lever
+    * for append-mostly fact tables (events by day/month): a filter on the
+    * partition column prunes directories at planning time, so an
+    * incremental read touches only the new partitions regardless of table
+    * size. Pair with [[writeBucketed]]-style bucket columns for the
+    * join-key dimension; partition for pruning, bucket for co-location. */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+
+  /** Number of files the scan of `df` actually read after partition-filter
+    * pruning (the scan's own numFiles metric, populated at execution). */
+  def filesRead(df: DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics.get("numFiles").map(_.value).getOrElse(0L)
+    }.sum
+  }
 }

@@ -37,4 +37,20 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_customer")
     }
   }
+
+  test("time-partitioned layout prunes to only the filtered partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_parts").toString
+    val ev = Tables.events(spark, sf0001)
+      .withColumn("day", to_date(col("ts")))
+    Bucketing.writePartitioned(ev, s"$dir/events", "day")
+    val all = spark.read.parquet(s"$dir/events")
+    val totalFiles = Bucketing.filesRead(all)
+    val oneDay = all.filter(col("day") === "2024-01-05")
+    val prunedFiles = Bucketing.filesRead(oneDay)
+    assert(oneDay.count() ==
+      ev.filter(col("day") === "2024-01-05").count())
+    assert(prunedFiles > 0, "filtered day must exist in the fixture")
+    assert(prunedFiles < totalFiles / 5,
+           s"pruning must skip most partitions: read $prunedFiles of $totalFiles files")
+  }
 }
