@@ -36,10 +36,17 @@ object Dedup {
       .select(col("__id"), col("__blk"), size(col("__ts")).as("__sz"),
               explode(col("__ts")).as("__tok"))
       .repartition(col("__tok"), col("__blk"))
+    // length filter [public: PPJoin/prefix-filtering literature]: J(A,B) ≥ t
+    // requires min(|A|,|B|) ≥ t·max(|A|,|B|) — semantics-preserving pruning
+    // applied inside the join, before the pair-count aggregation ever sees
+    // the row (the epsilon keeps exact-boundary pairs despite float t·max)
+    val lenOk =
+      col("a.__sz") >= col("b.__sz") * threshold - 1e-9 &&
+      col("b.__sz") >= col("a.__sz") * threshold - 1e-9
     val inter = tok.as("a")
       .join(tok.as("b"),
             col("a.__tok") === col("b.__tok") && col("a.__blk") === col("b.__blk") &&
-            col("a.__id") < col("b.__id"))
+            col("a.__id") < col("b.__id") && lenOk)
       .groupBy(col("a.__id").as("id1"), col("b.__id").as("id2"))
       .agg(count(lit(1)).as("i"), first(col("a.__sz")).as("sza"),
            first(col("b.__sz")).as("szb"))
@@ -68,10 +75,14 @@ object Dedup {
                      s"g -> concat_ws(' ', $slots))")).as("__sh"))
       .distinct()
       .withColumn("__sz", count(lit(1)).over(w))
+    // same length filter as tokenJaccardPairs: J ≥ t ⟹ min ≥ t·max
+    val lenOk =
+      col("a.__sz") >= col("b.__sz") * threshold - 1e-9 &&
+      col("b.__sz") >= col("a.__sz") * threshold - 1e-9
     val inter = sh.as("a")
       .join(sh.as("b"),
             col("a.__sh") === col("b.__sh") && col("a.__blk") === col("b.__blk") &&
-            col("a.__id") < col("b.__id"))
+            col("a.__id") < col("b.__id") && lenOk)
       .groupBy(col("a.__id").as("id1"), col("b.__id").as("id2"))
       .agg(count(lit(1)).as("i"), first(col("a.__sz")).as("sza"),
            first(col("b.__sz")).as("szb"))
