@@ -555,6 +555,26 @@ object ExtOps {
         .orderBy(asc_nulls_last("cid"))
     })
 
+  /** h18 — formatting: C-style printf (identical across engines) and date
+    * formatting, where the PATTERN LANGUAGES differ (Java `yyyy-MM-dd` vs
+    * C `%Y-%m-%d`) but the rendered values must not. */
+  val h18: Q = Q(
+    "h18_format",
+    """SELECT o_orderkey,
+      |  PRINTF('%08d|%s', o_orderkey, o_orderstatus) AS tag,
+      |  STRFTIME(o_orderdate, '%Y-%m-%d') AS d,
+      |  STRFTIME(o_orderdate, '%Y/%m') AS ym
+      |FROM orders
+      |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          format_string("%08d|%s", col("o_orderkey"), col("o_orderstatus")).as("tag"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          date_format(col("o_orderdate"), "yyyy/MM").as("ym"))
+        .orderBy(asc_nulls_last("o_orderkey")))
+
   /** SimHash machinery shared by k18/k19 [public: Charikar'02]: a 16-bit
     * signature where bit i is the sign of Σ_tokens (±1), +1 iff the top bit
     * of the i-th hex digit of md5(token) is set. Pure integer arithmetic on
@@ -653,5 +673,5 @@ object ExtOps {
 
   def ops: Vector[Q] = Vector(b06, b07, b08, b09, c13, d14, d15, d16, d17,
                               d18, d19, e10, f04, g05, g06, h14, h15, h16,
-                              h17, i07, j04, k14, k15, k16, k17, k18, k19)
+                              h17, h18, i07, j04, k14, k15, k16, k17, k18, k19)
 }
