@@ -51,10 +51,18 @@ object Bucketing {
     df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
 
   /** Number of files the scan of `df` actually read after partition-filter
-    * pruning (the scan's own numFiles metric, populated at execution). */
+    * pruning (the scan's own numFiles metric, populated at execution).
+    * AQE wraps executed plans in AdaptiveSparkPlanExec — which is itself a
+    * leaf of the outer plan — so scans are collected from the finalized
+    * inner plan, not the wrapper. */
   def filesRead(df: DataFrame): Long = {
     df.collect()
-    df.queryExecution.executedPlan.collectLeaves().collect {
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collectLeaves().collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec =>
         s.metrics.get("numFiles").map(_.value).getOrElse(0L)
     }.sum

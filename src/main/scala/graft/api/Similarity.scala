@@ -38,12 +38,17 @@ object Similarity {
     * 1-row broadcast under every corpus partition; TakeOrderedAndProject
     * keeps the global top-k without a full sort. */
   def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
-                 probeId: Long, k: Int): DataFrame = {
+                 probeId: Long, k: Int, roundTo: Int = -1): DataFrame = {
     val unit = df.select(col(idCol).as("__id"), normalize(col(vecCol)).as("__u"))
     val probe = unit.filter(col("__id") === probeId).select(col("__u").as("__p"))
+    val raw = dot(col("__u"), col("__p"))
+    // roundTo >= 0 rounds BEFORE the order-by so ties at the rounded
+    // precision break by id — required when an oracle compares rounded
+    // values (the raw-cos order can differ inside a rounding bucket).
+    val cos = if (roundTo >= 0) round(raw, roundTo) else raw
     unit.filter(col("__id") =!= probeId)
       .crossJoin(broadcast(probe))
-      .select(col("__id").as(idCol), dot(col("__u"), col("__p")).as("cos"))
+      .select(col("__id").as(idCol), cos.as("cos"))
       .orderBy(desc("cos"), asc(idCol))
       .limit(k)
   }

@@ -497,20 +497,15 @@ object ExtOps {
       // (band, source) collects each bucket and emits its i<j pairs via
       // HOFs. A self-join would recompute the signatures for both sides
       // (Catalyst can't reuse alias-renumbered subplans). Bucket sizes are
-      // LSH-parameter-bounded (max 134 at sf0.1), so the per-bucket pair
-      // list stays small.
+      // LSH-parameter-bounded under normal data (max 134 at sf0.1), and the
+      // GroupEmit cap bounds the degenerate case (a mass-duplicated corpus
+      // collapsing one band) — see GroupEmit.boundedPairs.
       val sig = tokens(s, dir)
         .groupBy("doc_id", "source")
         .agg(concat(minhash(0), minhash(1), minhash(2), minhash(3)).as("band"))
-      val ids = col("ids")
-      val pairs = flatten(transform(ids, (x, i) =>
-        transform(slice(ids, i + lit(2), size(ids)),
-                  y => struct(x.as("id_a"), y.as("id_b")))))
-      sig.groupBy("band", "source")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(ids) > 1)
-        .select(explode(pairs).as("p"))
-        .select(col("p.id_a"), col("p.id_b"))
+      graft.operators.GroupEmit.boundedPairs(
+          sig, Seq("band", "source"), struct(col("doc_id")))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .orderBy(asc_nulls_last("id_a"), asc_nulls_last("id_b"))
     })
 
@@ -538,20 +533,28 @@ object ExtOps {
        |GROUP BY cid ORDER BY cid ASC NULLS LAST""".stripMargin,
     (s, dir) => {
       // dot(a/|a|, b/|b|) vs the oracle's dot/(|a||b|) differ at ~1e-16 —
-      // absorbed by ROUND 6 (same argument as k07 at ROUND 4)
+      // absorbed by ROUND 6 (same argument as k07 at ROUND 4). Residual
+      // hazard: a raw value straddling a 6-dp rounding boundary could round
+      // differently per engine and flip the winner; the cid tie-break makes
+      // the argmax total for equal ROUNDED sims, so only a boundary-
+      // straddling pair of DISTINCT raw values can diverge (latent, same
+      // class as the documented ROUND-4 hazard).
+      //
+      // Argmax is max(struct(sim, -cid)) in one hash aggregate (partial agg
+      // reduces 8 scored rows to 1 per vec_id before the shuffle) — the
+      // row_number window this replaced sorted the full scored set.
       val e = Tables.embeddings(s, dir)
       val scored = graft.api.Similarity.scoreAgainstCentroids(
         e, "vec_id", "embedding",
         e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("embedding")),
         "cid", "embedding", barrier = false)
-      val w = Window.partitionBy("vec_id")
-        .orderBy(desc_nulls_last("sim"), asc_nulls_last("cid"))
       scored
         .select(col("vec_id"), col("cid"), round(col("cos"), 6).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .groupBy("cid")
-        .agg(count(lit(1)).as("n_members"), Determinism.dsum(col("sim")).as("sum_sim"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("sim"), (-col("cid")).as("negcid"), col("cid"))).as("best"))
+        .groupBy(col("best.cid").as("cid"))
+        .agg(count(lit(1)).as("n_members"),
+             Determinism.dsum(col("best.sim")).as("sum_sim"))
         .orderBy(asc_nulls_last("cid"))
     })
 
@@ -605,11 +608,16 @@ object ExtOps {
         .orderBy(asc_nulls_last("doc_id")))
 
   /** k19 — SimHash near-dup pairs: Hamming(sig_a, sig_b) ≤ 2 within a
-    * `source` block. Same group-and-emit shape as k15 (signatures computed
-    * once; blocks are collected and i<j pairs emitted via HOFs — pair
-    * arithmetic is just XOR + popcount on ints). The oracle states the
-    * equivalent self-join. At 100 TB the block would be a signature-prefix
-    * band, not a 250-doc source. */
+    * `source` block. The oracle states it as a source-blocked self-join;
+    * the plan banding-buckets instead: 4 bands of 4 bits on the 16-bit
+    * signature — 2 differing bits touch at most 2 bands, so every pair at
+    * Hamming ≤ 2 shares at least 2 intact bands and is caught by a
+    * single-band collision (recall-complete), then the exact Hamming filter
+    * restores precision and `distinct` collapses multi-band hits. Bucket
+    * key is (source, band#, 4-bit value): bucket size is band-bounded —
+    * ~|source|/16 expected — never whole-source, and the GroupEmit cap
+    * bounds even an adversarial single-signature corpus. Same shape as the
+    * Tier-2 SimHashDedup.candidatePairs (64-bit/15-bit bands). */
   val k19: Q = Q(
     "k19_simhash_neardup",
     s"""WITH sig AS (
@@ -629,18 +637,20 @@ object ExtOps {
                 explode(array_distinct(split(col("text"), " "))).as("t"))
         .groupBy("doc_id", "source")
         .agg(simhashSigCol.cast("int").as("sig"))
-      val xs = col("xs")
-      val pairs = flatten(transform(xs, (x, i) =>
-        transform(slice(xs, i + lit(2), size(xs)), y =>
-          struct(x.getField("doc_id").as("id_a"),
-                 y.getField("doc_id").as("id_b"),
-                 bit_count(x.getField("sig").bitwiseXOR(y.getField("sig")))
-                   .as("hamming")))))
-      sig.groupBy("source")
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("xs"))
-        .select(explode(pairs).as("p"))
-        .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      val banded = sig.select(
+          col("source"),
+          explode(expr("transform(sequence(0, 3), b -> " +
+            "named_struct('band', b, 'bkey', shiftright(sig, b * 4) & 15))")).as("bk"),
+          struct(col("doc_id"), col("sig")).as("p"))
+        .select(col("source"), col("bk.band").as("band"),
+                col("bk.bkey").as("bkey"), col("p"))
+      graft.operators.GroupEmit.boundedPairs(
+          banded, Seq("source", "band", "bkey"), col("p"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+                bit_count(col("x.sig").bitwiseXOR(col("y.sig")))
+                  .cast("int").as("hamming"))
         .filter(col("hamming") <= 2)
+        .distinct()
         .orderBy(asc_nulls_last("id_a"), asc_nulls_last("id_b"))
     })
 

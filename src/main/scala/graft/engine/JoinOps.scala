@@ -1,5 +1,6 @@
 package graft.engine
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Determinism._
 
@@ -8,10 +9,10 @@ import graft.engine.Determinism._
   * Scale posture: equi-joins are left to Catalyst's JoinSelection — dims under
   * `autoBroadcastJoinThreshold` broadcast automatically, and c02 hints
   * `broadcast()` explicitly so the L⋈dims chain never shuffles the fact table.
-  * The two genuinely non-equi operators (c09 theta, c11 as-of) keep their
-  * build side tiny (supplier / per-user signups) so BroadcastNestedLoop stays
-  * bounded; the 100 TB path for c11 is a range-bucketed join (see
-  * `graft.plans` notes) — semantics pinned here.
+  * The one genuinely non-equi operator (c09 theta) keeps its build side tiny
+  * (supplier) so BroadcastNestedLoop stays bounded; c11's as-of is not a join
+  * at all but a running window over the union of both event streams — linear
+  * per user at any scale.
   */
 object JoinOps {
 
@@ -188,8 +189,14 @@ object JoinOps {
         .orderBy(asc_nulls_last("n_name")))
 
   /** c11 — as-of join: for each purchase event, the latest signup ts ≤ it for
-    * the same user. Emulated as range-join + max; at 100 TB this becomes a
-    * bucketed window over union'd streams (semantics identical). */
+    * the same user. Implemented as a window over the UNION of both event
+    * streams — one shuffle on user_id, linear per-user work. The naive
+    * range-join + max materializes |purchases_u| × |signups_u| rows per
+    * user (quadratic in per-user activity: one power user at 100× data
+    * skews a single key); here each row is touched once and the running
+    * `last(signup_ts) IGNORE NULLS` carries the as-of value forward.
+    * Within a tie on ts the signup sorts first (kind 0 < 1), so a signup
+    * at exactly p.ts is visible — matching the oracle's `g.ts <= p.ts`. */
   val c11: Q = Q(
     "c11_join_asof",
     """SELECT p.event_id, p.user_id, p.ts,
@@ -201,13 +208,25 @@ object JoinOps {
       |ORDER BY p.event_id ASC NULLS LAST""".stripMargin,
     (s, dir) => {
       val e = Tables.events(s, dir)
-      val p = e.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts")
-      val g = e.filter(col("event_type") === "signup")
-        .select(col("user_id").as("g_uid"), col("ts").as("g_ts"))
-      p.join(g, col("user_id") === col("g_uid") && col("g_ts") <= col("ts"), "left")
-        .groupBy("event_id", "user_id", "ts")
-        .agg(max(col("g_ts")).as("signup_ts"))
+      val idType = e.schema("event_id").dataType
+      val tsType = e.schema("ts").dataType
+      val signups = e.filter(col("event_type") === "signup")
+        .select(lit(null).cast(idType).as("event_id"), col("user_id"),
+                col("ts"), col("ts").as("s_ts"), lit(0).as("kind"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+                lit(null).cast(tsType).as("s_ts"), lit(1).as("kind"))
+      // ts asc puts any null-ts rows first (nulls-first), where no non-null
+      // signup can precede them — their signup_ts stays null like the
+      // oracle's `g.ts <= NULL` (never true). ROWS frame: ascending ts means
+      // the last non-null s_ts seen IS the max signup ts ≤ current ts.
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("kind").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      signups.unionByName(purchases)
+        .withColumn("signup_ts", last(col("s_ts"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select("event_id", "user_id", "ts", "signup_ts")
         .orderBy(asc_nulls_last("event_id"))
     })
 

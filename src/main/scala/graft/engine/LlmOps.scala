@@ -55,19 +55,11 @@ object LlmOps {
         .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(asc_nulls_last("id1"), asc_nulls_last("id2")))
 
-  /** Cosine similarity between two double-array columns, composed from HOFs —
-    * zero custom code, fully codegen-compatible. */
-  private def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
-    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
-
-  private def asDouble(c: org.apache.spark.sql.Column) =
-    transform(c, x => x.cast("double"))
-
-  /** k03 — top-10 cosine neighbors of probe vector vec_id=0 (brute force,
-    * probe broadcast under every partition of the corpus). */
+  /** k03 — top-10 cosine neighbors of probe vector vec_id=0, on the native
+    * `graft_unit`/dot path (api.Similarity.cosineTopK): normalize once,
+    * one codegen'd dot per row, TakeOrderedAndProject for the global top-k.
+    * dot(a/|a|, b/|b|) vs the oracle's dot/(|a||b|) differ at ~1e-16,
+    * absorbed by ROUND 4 (the k07 argument). */
   val k03: Q = Q(
     "k03_sim_topk_cosine",
     """SELECT vec_id,
@@ -79,17 +71,10 @@ object LlmOps {
       |WHERE vec_id <> 0
       |ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS LAST
       |LIMIT 10""".stripMargin,
-    (s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val probe = e.filter(col("vec_id") === 0)
-        .select(asDouble(col("embedding")).as("p"))
-      e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(probe))
-        .select(col("vec_id"),
-                round(cosine(asDouble(col("embedding")), col("p")), 4).as("cos"))
-        .orderBy(desc_nulls_last("cos"), asc_nulls_last("vec_id"))
-        .limit(10)
-    })
+    (s, dir) =>
+      graft.api.Similarity.cosineTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        probeId = 0L, k = 10, roundTo = 4))
 
   /** k04 — per-language doc counts, avg token count, avg chars. */
   val k04: Q = Q(
@@ -121,9 +106,7 @@ object LlmOps {
     (s, dir) =>
       Tables.embeddings(s, dir)
         .select(col("vec_id"),
-                round(sqrt(aggregate(
-                  transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-                  lit(0.0), (acc, v) => acc + v)), 4).as("l2"))
+                round(graft.api.Similarity.l2Norm(col("embedding")), 4).as("l2"))
         .orderBy(desc_nulls_last("l2"), asc_nulls_last("vec_id"))
         .limit(10))
 

@@ -68,15 +68,16 @@ final case class UnitVectorExpression(child: Expression)
       val s = ctx.freshName("s")
       val arr = ctx.freshName("arr")
       val norm = ctx.freshName("norm")
+      val v = ctx.freshName("v")
       val get = if (elemIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       s"""
          |int $n = $a.numElements();
          |double[] $arr = new double[$n];
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double v = $a.isNullAt($i) ? 0.0 : $get;
-         |  $arr[$i] = v;
-         |  $s += v * v;
+         |  double $v = $a.isNullAt($i) ? 0.0 : $get;
+         |  $arr[$i] = $v;
+         |  $s += $v * $v;
          |}
          |double $norm = java.lang.Math.sqrt($s);
          |for (int $i = 0; $i < $n; $i++) { $arr[$i] /= $norm; }

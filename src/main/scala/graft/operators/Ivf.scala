@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbors [public: Jégou et al.,
@@ -13,7 +12,7 @@ import org.apache.spark.sql.functions._
   * The declared, oracle-checked face of the assignment step is
   * `k16_ivf_assign` (ExtOps); this operator adds the query path. At 100 TB:
   *  - centroids stay a few-thousand-row broadcast;
-  *  - `assign` is one broadcast nested loop + a window argmax — and the
+  *  - `assign` is one broadcast nested loop + a hash-aggregate argmax — and the
   *    assignment would be written out partitioned BY cid (`partitionBy`),
   *    so a probe reads only nprobe partitions (partition pruning does the
   *    cluster restriction at the storage layer);
@@ -36,16 +35,17 @@ object Ivf {
       .select(col("vec_id").as("cid"), col("embedding"))
 
   /** One row per corpus vector: (vec_id, cid, cos) of its nearest centroid
-    * (cosine, ties broken by cid). */
+    * (cosine, ties broken by lowest cid). Argmax as `max(struct(cos, -cid))`
+    * — a hash aggregate whose partial side reduces K scored rows to 1 per
+    * vec_id before the shuffle, vs the sort + full-set shuffle a row_number
+    * window would cost. */
   def assign(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val scored = graft.api.Similarity.scoreAgainstCentroids(
       embeddings, "vec_id", "embedding", centroids, "cid", "embedding",
       barrier = false)
-    val w = Window.partitionBy("vec_id")
-      .orderBy(desc_nulls_last("cos"), asc_nulls_last("cid"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    scored.groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("cid")).as("negcid"), col("cid"))).as("__b"))
+      .select(col("vec_id"), col("__b.cid").as("cid"), col("__b.cos").as("cos"))
   }
 
   /** Top-k cosine neighbors of `probeId`, scanning only the nprobe nearest

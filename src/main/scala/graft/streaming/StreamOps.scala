@@ -65,14 +65,20 @@ object StreamOps {
     * API (the successor to flatMapGroupsWithState: named state variables,
     * TTL, timers; requires the RocksDB state store provider). Kept
     * behaviorally identical to [[latestPerKeyStream]] — the StreamingSpec
-    * drives both through the same scenario. */
-  final class LatestPerKeyProcessor
+    * drives both through the same scenario.
+    *
+    * `ttl` bounds state for long-running CDC streams with churn: without it,
+    * tombstoned ('d') keys park a ValueState entry forever. Production
+    * deployments should pass a TTL at least as long as the source's maximum
+    * replay window (an expired key that reappears is re-created, which is
+    * correct for upsert semantics); the NONE default keeps tests exact. */
+  final class LatestPerKeyProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, CdcEvent, CdcEvent] {
     @transient private var latest: ValueState[CdcEvent] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       latest = getHandle.getValueState[CdcEvent](
-        "latest", Encoders.product[CdcEvent], TTLConfig.NONE)
+        "latest", Encoders.product[CdcEvent], ttl)
 
     override def handleInputRows(key: Long, rows: Iterator[CdcEvent],
                                  timerValues: TimerValues): Iterator[CdcEvent] = {
@@ -86,13 +92,18 @@ object StreamOps {
   }
 
   /** latestPerKeyStream via transformWithState (needs
-    * `spark.sql.streaming.stateStore.providerClass` = RocksDB provider). */
-  def latestPerKeyTws(events: Dataset[CdcEvent])(implicit s: SparkSession): Dataset[CdcEvent] = {
+    * `spark.sql.streaming.stateStore.providerClass` = RocksDB provider).
+    * A non-NONE `ttl` requires processing-time semantics, so TimeMode
+    * follows the TTL choice. */
+  def latestPerKeyTws(events: Dataset[CdcEvent], ttl: TTLConfig = TTLConfig.NONE)
+                     (implicit s: SparkSession): Dataset[CdcEvent] = {
     import s.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     events
       .groupByKey(_.key)
-      .transformWithState(new LatestPerKeyProcessor,
-                          TimeMode.None(), OutputMode.Append())
+      .transformWithState(new LatestPerKeyProcessor(ttl),
+                          timeMode, OutputMode.Append())
   }
 
   /** Stream-stream interval join: each left event enriched with right events

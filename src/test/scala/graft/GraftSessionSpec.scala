@@ -10,13 +10,25 @@ class GraftSessionSpec extends SparkSpec {
   test("builder applies the 100 TB posture confs") {
     // inspect the builder's effect through a config probe: options set on
     // the builder surface in the session conf once applied. The shared test
-    // session already exists, so assert on the conf snapshot the builder
-    // would install via its option map — cheapest is to build against the
-    // existing session and read back the stable, session-scoped confs.
-    val s = GraftSession.builder("graft-test-probe", Some("local[2]")).getOrCreate()
-    assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
-    assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
-    assert(s.conf.get("spark.sql.parquet.aggregatePushDown") == "true")
+    // session already exists, so getOrCreate() returns it with the builder's
+    // option map applied to its runtime conf (NOTE: withExtensions is a
+    // no-op on an existing session — extension wiring is exercised by
+    // SparkSpec's own registration, not this test). Snapshot and restore
+    // every touched conf so this test cannot order-couple with others.
+    val touched = Seq("spark.sql.session.timeZone", "spark.sql.adaptive.enabled",
+                      "spark.sql.parquet.aggregatePushDown")
+    val before = touched.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      val s = GraftSession.builder("graft-test-probe", Some("local[2]")).getOrCreate()
+      assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+      assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+      assert(s.conf.get("spark.sql.parquet.aggregatePushDown") == "true")
+    } finally {
+      before.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
   }
 
   test("all three native functions resolve through the SQL entry point") {
