@@ -631,28 +631,38 @@ object ExtOps {
        |  ON a.source = b.source AND a.doc_id < b.doc_id
        |WHERE BIT_COUNT(XOR(a.sig, b.sig)) <= 2
        |ORDER BY id_a ASC NULLS LAST, id_b ASC NULLS LAST""".stripMargin,
-    (s, dir) => {
-      val sig = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"),
-                explode(array_distinct(split(col("text"), " "))).as("t"))
-        .groupBy("doc_id", "source")
-        .agg(simhashSigCol.cast("int").as("sig"))
-      val banded = sig.select(
-          col("source"),
-          explode(expr("transform(sequence(0, 3), b -> " +
-            "named_struct('band', b, 'bkey', shiftright(sig, b * 4) & 15))")).as("bk"),
-          struct(col("doc_id"), col("sig")).as("p"))
-        .select(col("source"), col("bk.band").as("band"),
-                col("bk.bkey").as("bkey"), col("p"))
+    (s, dir) =>
       graft.operators.GroupEmit.boundedPairs(
-          banded, Seq("source", "band", "bkey"), col("p"))
+          k19Banded(s, dir), Seq("source", "band", "bkey"), col("p"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
                 bit_count(col("x.sig").bitwiseXOR(col("y.sig")))
                   .cast("int").as("hamming"))
         .filter(col("hamming") <= 2)
         .distinct()
-        .orderBy(asc_nulls_last("id_a"), asc_nulls_last("id_b"))
-    })
+        .orderBy(asc_nulls_last("id_a"), asc_nulls_last("id_b")))
+
+  /** k19's banding stage: one row per (doc, band) with the 4-bit bucket key
+    * and the (doc_id, sig) payload. */
+  private def k19Banded(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+              explode(array_distinct(split(col("text"), " "))).as("t"))
+      .groupBy("doc_id", "source")
+      .agg(simhashSigCol.cast("int").as("sig"))
+      .select(
+        col("source"),
+        explode(expr("transform(sequence(0, 3), b -> " +
+          "named_struct('band', b, 'bkey', shiftright(sig, b * 4) & 15))")).as("bk"),
+        struct(col("doc_id"), col("sig")).as("p"))
+      .select(col("source"), col("bk.band").as("band"),
+              col("bk.bkey").as("bkey"), col("p"))
+
+  /** Bucket-size histogram (source, band, bkey) → n of the REAL k19 banding
+    * key — the band-boundedness proof asserted in ScaleOpsSpec. */
+  def k19BucketSizes(s: SparkSession, dir: String): DataFrame =
+    k19Banded(s, dir)
+      .groupBy("source", "band", "bkey")
+      .agg(count(lit(1)).as("n"))
 
   /** k17 — deterministic train/val/test split by content-hash bucketing:
     * the first md5 hex digit of the key partitions ~13/16, 1/16, 2/16.

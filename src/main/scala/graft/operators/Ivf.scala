@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
   *  - recall/latency trade via nprobe; nprobe = |centroids| degrades to
   *    exact brute force (pinned by the spec).
   *
-  * Centroid choice here is "first K vectors" for determinism — a k-means
-  * refinement would slot in without changing any signature (centroids is
-  * just a DataFrame).
+  * Centroid init is "first K vectors" for determinism; [[Ivf.kmeansCentroids]]
+  * refines them with fixed-count Lloyd rounds (no RNG) — centroids stay a
+  * plain DataFrame, so trained and naive sets are interchangeable.
   */
 object Ivf {
 
@@ -46,6 +46,40 @@ object Ivf {
     scored.groupBy("vec_id")
       .agg(max(struct(col("cos"), (-col("cid")).as("negcid"), col("cid"))).as("__b"))
       .select(col("vec_id"), col("__b.cid").as("cid"), col("__b.cos").as("cos"))
+  }
+
+  /** Deterministic Lloyd refinement of [[firstKCentroids]]: `iters` rounds
+    * of assign → per-cluster element-wise mean. No RNG anywhere — init is
+    * the firstK set and the iteration count is fixed, so reruns agree (up
+    * to float-sum ordering at ~1e-15, which feeds recall tests, never the
+    * oracle: k16 pins its own fixed centroids).
+    *
+    * Centroids live DRIVER-side between rounds (K × dim doubles — the
+    * canonical iterative-k-means shape, same as Spark MLlib's own KMeans):
+    * the corpus never leaves the executors, each round is one distributed
+    * assign + one aggregation, and re-creating the small centroid frame per
+    * round truncates the lineage so round i+1 does not recompute rounds
+    * 1..i. Empty clusters keep their previous centroid. At 100 TB the
+    * driver holds a few thousand × dim doubles — trivial. */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    var cent: Seq[(Long, Seq[Double])] = firstKCentroids(embeddings, k)
+      .select(col("cid"), graft.api.Similarity.asDouble(col("embedding")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    for (_ <- 0 until iters) {
+      val means = assign(embeddings, cent.toDF("cid", "embedding"))
+        .join(embeddings, "vec_id")
+        .select(col("cid"),
+                posexplode(graft.api.Similarity.asDouble(col("embedding"))))
+        .groupBy("cid", "pos").agg(avg("col").as("v"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+                       x => x.getField("v")).as("e"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+      cent = cent.map { case (cid, e) => (cid, means.getOrElse(cid, e)) }
+    }
+    cent.toDF("cid", "embedding")
   }
 
   /** Top-k cosine neighbors of `probeId`, scanning only the nprobe nearest
