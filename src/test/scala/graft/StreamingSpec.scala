@@ -116,6 +116,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming simhash60 is bit-identical to the batch SimHashDedup fingerprints") {
+    import graft.engine.Tables
+    import graft.operators.SimHashDedup
+    import graft.streaming.StreamingNearDedup
+    // the anchor that ties the streaming operator's semantics to the
+    // oracle-checked batch truth: same md5/vote/bit pipeline, two engines
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val batch = SimHashDedup.fingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, text) =>
+      assert(StreamingNearDedup.simhash60(text) == batch(id),
+        s"doc $id: streaming sig != batch sig")
+    }
+  }
+
+  test("streaming near-dedup flags re-ingested near-dups across micro-batches") {
+    import graft.streaming.StreamingNearDedup
+    import graft.streaming.StreamingNearDedup.{DocIn, DupHit}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[DocIn]
+    val q = StreamingNearDedup.dedupStream(in.toDS(), maxHamming = 6).writeStream
+      .format("memory").queryName("neardup_t").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        DocIn(1, "the quick brown fox jumps over the lazy dog"),
+        DocIn(2, "completely unrelated corpus text about spark shuffles and parquet"))
+      q.processAllAvailable()
+      // same token set as doc 1, reordered → Hamming 0 against the corpus
+      in.addData(
+        DocIn(3, "lazy dog the quick brown fox jumps over"),
+        DocIn(4, "yet another disjoint document mentioning clickhouse replication"))
+      q.processAllAvailable()
+      val hits = spark.table("neardup_t").as[DupHit].collect()
+        .map(h => (h.doc_id, h.dup_of, h.hamming)).toSet
+      assert(hits.contains((3L, 1L, 0)),
+        s"re-ingested near-dup must be flagged against the accumulated corpus: $hits")
+      assert(!hits.exists(h => h._1 == 2L || h._1 == 4L),
+        s"distinct docs must pass clean: $hits")
+      // a doc never dups against itself, and earlier docs are never re-flagged
+      assert(!hits.exists(h => h._1 == h._2) && !hits.exists(_._1 == 1L))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful latest-per-key upsert emits only effective changes") {
     val sp = spark
     import sp.implicits._
