@@ -1,6 +1,7 @@
 package graft.connectors
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Binlog-style CDC envelope and its pure collapse semantics
   * (SURVEY §2.2 "Binlog CDC ingestion"). [public: MySQL ROW binlog format;
@@ -39,4 +40,55 @@ object CdcCollapse {
   /** Full upsert collapse: the effective table state after replaying the log. */
   def effectiveState(events: Dataset[CdcEvent])(implicit s: SparkSession): Dataset[CdcEvent] =
     applyTombstones(latestPerKey(events))
+}
+
+/** Schema-change (DDL) events from the binlog — the recurring replicator
+  * pain point row envelopes don't cover: an upstream ALTER TABLE must reach
+  * the sink BEFORE the first row event written against the new schema, or
+  * the insert fails. Events arrive structured (the Debezium-style envelope
+  * ships parsed schema changes; we do not re-parse MySQL DDL text) and are
+  * mapped through the same §1.2 type matrix as CREATE (ClickHouseDdl.field),
+  * so CREATE and ALTER can never disagree on a type. [public: Debezium
+  * schema-change topic shape; ClickHouse ALTER TABLE docs]
+  */
+sealed trait DdlEvent { def table: String }
+/** Column added upstream; `after` preserves MySQL column order (CH honors
+  * AFTER too — keeping physical order aligned keeps INSERT-by-position
+  * tooling working). */
+final case class AddColumn(table: String, column: StructField,
+                           after: Option[String] = None) extends DdlEvent
+final case class DropColumn(table: String, name: String) extends DdlEvent
+/** Type/nullability change. MySQL widenings (INT→BIGINT, VARCHAR(n)→TEXT)
+  * map to in-place CH MODIFYs; narrowing is the operator's responsibility
+  * upstream. */
+final case class ModifyColumn(table: String, column: StructField) extends DdlEvent
+final case class RenameColumn(table: String, from: String, to: String) extends DdlEvent
+
+object DdlPropagate {
+
+  /** Render the ClickHouse ALTER statement for one upstream DDL event. */
+  def toClickHouseSql(e: DdlEvent): String = e match {
+    case AddColumn(t, f, after) =>
+      s"ALTER TABLE `$t` ADD COLUMN `${f.name}` ${ClickHouseDdl.field(f)}" +
+        after.map(a => s" AFTER `$a`").getOrElse("")
+    case DropColumn(t, n)    => s"ALTER TABLE `$t` DROP COLUMN `$n`"
+    case ModifyColumn(t, f)  =>
+      s"ALTER TABLE `$t` MODIFY COLUMN `${f.name}` ${ClickHouseDdl.field(f)}"
+    case RenameColumn(t, a, b) => s"ALTER TABLE `$t` RENAME COLUMN `$a` TO `$b`"
+  }
+
+  /** Apply the same event to the Spark-side schema, so the ingest frame and
+    * the sink DDL advance in lockstep (the invariant a replicator needs:
+    * one event, two synchronized views of the schema). */
+  def applyToSchema(schema: StructType, e: DdlEvent): StructType = e match {
+    case AddColumn(_, f, after) =>
+      val idx = after.map(a => schema.fieldIndex(a) + 1).getOrElse(schema.length)
+      StructType((schema.fields.take(idx) :+ f) ++ schema.fields.drop(idx))
+    case DropColumn(_, n) =>
+      StructType(schema.fields.filterNot(_.name == n))
+    case ModifyColumn(_, f) =>
+      StructType(schema.fields.map(x => if (x.name == f.name) f else x))
+    case RenameColumn(_, a, b) =>
+      StructType(schema.fields.map(x => if (x.name == a) x.copy(name = b) else x))
+  }
 }

@@ -102,6 +102,47 @@ class ConnectorsSpec extends SparkSpec {
       == "INSERT INTO `events_latest` (`user_id`, `ts`, `event_type`, `value`) VALUES")
   }
 
+  test("CDC DDL events: golden ClickHouse ALTER statements via the type matrix") {
+    val add = AddColumn("orders", StructField("o_note", StringType, nullable = true),
+                        after = Some("o_comment"))
+    assert(DdlPropagate.toClickHouseSql(add) ==
+      "ALTER TABLE `orders` ADD COLUMN `o_note` Nullable(String) AFTER `o_comment`")
+    assert(DdlPropagate.toClickHouseSql(DropColumn("orders", "o_note")) ==
+      "ALTER TABLE `orders` DROP COLUMN `o_note`")
+    // MySQL INT -> BIGINT widening propagates as a CH MODIFY through the
+    // SAME mapping CREATE used (Int64, not a re-derived type)
+    assert(DdlPropagate.toClickHouseSql(
+      ModifyColumn("orders", StructField("o_qty", LongType, nullable = false))) ==
+      "ALTER TABLE `orders` MODIFY COLUMN `o_qty` Int64")
+    assert(DdlPropagate.toClickHouseSql(RenameColumn("orders", "o_note", "o_memo")) ==
+      "ALTER TABLE `orders` RENAME COLUMN `o_note` TO `o_memo`")
+    // arrays stay bare (CH forbids Nullable(Array)) — matrix rule reused
+    assert(DdlPropagate.toClickHouseSql(AddColumn("embeddings",
+      StructField("v", ArrayType(FloatType), nullable = true))) ==
+      "ALTER TABLE `embeddings` ADD COLUMN `v` Array(Float32)")
+  }
+
+  test("CDC DDL events: Spark-side schema advances in lockstep with the sink") {
+    val s0 = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("ts", TimestampType)))
+    val s1 = DdlPropagate.applyToSchema(s0,
+      AddColumn("t", StructField("note", StringType), after = Some("name")))
+    assert(s1.fieldNames.toSeq == Seq("id", "name", "note", "ts"))
+    val s2 = DdlPropagate.applyToSchema(s1, RenameColumn("t", "note", "memo"))
+    assert(s2.fieldNames.toSeq == Seq("id", "name", "memo", "ts"))
+    val s3 = DdlPropagate.applyToSchema(s2,
+      ModifyColumn("t", StructField("memo", StringType, nullable = false)))
+    assert(!s3("memo").nullable)
+    val s4 = DdlPropagate.applyToSchema(s3, DropColumn("t", "memo"))
+    assert(s4.fieldNames.toSeq == Seq("id", "name", "ts"))
+    // a replayed CREATE after the ALTER chain matches the altered schema:
+    // the invariant that lets a restarted replicator re-derive sink DDL
+    val ddl = ClickHouseDdl.createTable("t", s4, ClickHouseDdl.MergeTree, Seq("id"))
+    assert(ddl.contains("`id` Int64") && !ddl.contains("memo"))
+  }
+
   test("ClickHouse write config: capped exponential backoff") {
     val cfg = Sinks.ClickHouseWriteConfig("jdbc:ch://ch:8123/g", "t",
       maxRetries = 6, retryBackoffMs = 1000)

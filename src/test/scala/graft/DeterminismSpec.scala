@@ -73,4 +73,34 @@ class DeterminismSpec extends SparkSpec {
       Tables.documents(spark, sf0001).count())
     assert(out == rows(ExtOps.k17.fn(spark, sf0001)))
   }
+
+  test("sampled declared queries are invariant under shuffle-partition perturbation") {
+    // the oracle only proves each query right at ONE partition count; this
+    // sweep guards the whole surface against partial-aggregation merge-order
+    // bugs (float sums, first/last without total order) that surface only
+    // when the physical layout changes. One query per family, biased toward
+    // the shapes where merge order can bite (stats, percentiles, windows,
+    // group-and-emit, argmax).
+    val sampled = Seq(
+      "d02_agg_group_q1", "d09_agg_stats", "d10_agg_percentile",
+      "c11_join_asof", "e04_win_running", "g02_union_distinct",
+      "h11_hash_funcs", "i04_scd2", "k14_minhash_sig", "k15_lsh_candidates",
+      "k16_ivf_assign", "k19_simhash_neardup")
+    val qs = graft.SparkEntry.queries
+    sampled.foreach(n => assert(qs.contains(n), s"$n not declared"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val counts = Seq("1", "7", prev)
+    try {
+      // multiset compare (sorted row strings): the declared ORDER BY keys
+      // are total for the oracle's hash but this test must not depend on it
+      val runs = counts.map { n =>
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        sampled.map(name =>
+          name -> qs(name)(spark, sf0001).collect().map(_.toString).sorted.toSeq).toMap
+      }
+      for (name <- sampled; i <- 1 until runs.size)
+        assert(runs.head(name) == runs(i)(name),
+          s"$name diverged at shuffle.partitions=${counts(i)}")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
