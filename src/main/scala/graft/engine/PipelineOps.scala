@@ -1,0 +1,135 @@
+package graft.engine
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 extension block: corpus-statistics and end-to-end shard-prep
+  * operators a training-data pipeline runs between ingest and export.
+  *
+  * Scale posture:
+  *  - k20: tf and df are both partial-aggregating hash aggs over the token
+  *    explode; the tf⋈df equi-join shuffles vocabulary-sized sides (never
+  *    the corpus); the per-doc top-k window partitions by doc_id — at 100 TB
+  *    every stage is linear in total tokens and the window state is one
+  *    doc's term list.
+  *  - k21: one hash agg + TakeOrderedAndProject (global top-k without a
+  *    total sort).
+  *  - k22: quality filter (per-row expression) → exact-dedup keeper agg
+  *    (digest+id shuffle only) → hash-split audit — the composed
+  *    k09→k01→k17 pipeline as ONE declared query, proving the pieces
+  *    compose without driver-side glue. Only IEEE +,*,/ arithmetic feeds
+  *    the quality threshold, so the filter decision is bit-identical
+  *    across engines (no transcendentals — unlike the documented ROUND
+  *    hazards in k16/k20).
+  */
+object PipelineOps {
+
+  private def tokens(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+
+  /** k20 — per-doc top-3 terms by tf-idf (idf = ln(N/df)). The natural log
+    * is the one transcendental: both engines evaluate IEEE `ln` on the same
+    * double, and ROUND 4 + term tie-break absorbs the ≤1-ulp divergence
+    * (same accepted hazard class as k16's cosine rounding). */
+  val k20: Q = Q(
+    "k20_tfidf_topterms",
+    """WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents),
+      |tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |df AS (SELECT t, COUNT(DISTINCT doc_id) AS d FROM tok GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS nn FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.t,
+      |    ROUND(tf.c * LN(CAST(nn AS DOUBLE) / d), 4) AS tfidf
+      |  FROM tf JOIN df ON tf.t = df.t CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, t, tfidf,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY tfidf DESC NULLS LAST, t ASC NULLS LAST) AS rn
+      |  FROM scored)
+      |SELECT doc_id, t AS term, tfidf, CAST(rn AS INT) AS rn
+      |FROM ranked WHERE rn <= 3
+      |ORDER BY doc_id ASC NULLS LAST, rn ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val tok = tokens(s, dir)
+      val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      // tf already holds one row per (doc, term): df is a count over it —
+      // no COUNT(DISTINCT) shuffle-amplification
+      val df = tf.groupBy("t").agg(count(lit(1)).as("d"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("nn"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(desc_nulls_last("tfidf"), asc_nulls_last("t"))
+      tf.join(df, "t")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("t"),
+                round(col("c") * log(col("nn").cast("double") / col("d")), 4)
+                  .as("tfidf"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("t").as("term"), col("tfidf"), col("rn"))
+        .orderBy(asc_nulls_last("doc_id"), asc_nulls_last("rn"))
+    })
+
+  /** k21 — vocabulary head: global top-20 tokens by occurrence count with
+    * document frequency (the seed statistic for BPE/vocab construction). */
+  val k21: Q = Q(
+    "k21_vocab_topk",
+    """SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+      |GROUP BY 1
+      |ORDER BY n DESC NULLS LAST, token ASC NULLS LAST
+      |LIMIT 20""".stripMargin,
+    (s, dir) =>
+      tokens(s, dir)
+        .groupBy("t")
+        .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("n_docs"))
+        .select(col("t").as("token"), col("n"), col("n_docs"))
+        .orderBy(desc_nulls_last("n"), asc_nulls_last("token"))
+        .limit(20))
+
+  /** k22 — end-to-end shard prep as one query: k09's quality gate → k01's
+    * exact-dedup keeper rule (min doc_id per text digest) → k17's
+    * content-hash split, audited per split. The composition test: the
+    * pipeline pieces chain inside one Catalyst plan with no driver glue. */
+  val k22: Q = Q(
+    "k22_pipeline_shard",
+    """WITH q AS (SELECT doc_id, text,
+      |    LEAST(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) / 100, 1.0) * 0.5
+      |  + LEAST(CAST(n_chars AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')) / 7, 1.0) * 0.5
+      |    AS quality
+      |  FROM documents),
+      |keep AS (SELECT MIN(doc_id) AS doc_id FROM q
+      |         WHERE quality >= 0.5 GROUP BY MD5(text)),
+      |shard AS (SELECT d.doc_id,
+      |    CASE WHEN SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
+      |         WHEN SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 1) = 'd' THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents d JOIN keep ON d.doc_id = keep.doc_id)
+      |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM shard GROUP BY split
+      |ORDER BY split ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val nTok = size(split(col("text"), " "))
+      val quality = least(nTok.cast("double") / 100, lit(1.0)) * 0.5 +
+        least(col("n_chars").cast("double") / nTok / 7, lit(1.0)) * 0.5
+      val keep = d.filter(quality >= 0.5)
+        .groupBy(md5(col("text")))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      d.join(keep, "doc_id")
+        .select(
+          when(h1 <= "c", "train").when(h1 === "d", "val")
+            .otherwise("test").as("split"),
+          nTok.cast("bigint").as("n_tokens"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(asc_nulls_last("split"))
+    })
+
+  def ops: Vector[Q] = Vector(k20, k21, k22)
+}
