@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.engine.{ExtOps, JoinOps}
+
+/** Physical-plan regression guards for the round-3 plan rewrites: the
+  * correctness oracle can't see plan shape, so the scale properties the
+  * rewrites bought are pinned here (the same style as BucketingSpec's
+  * no-Exchange assertion).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect() // force execution so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("c11 as-of: no join anywhere in the physical plan") {
+    // the quadratic range-join + per-key max is gone; the as-of value rides
+    // a running window over the union of both event streams
+    val p = executedPlan(JoinOps.c11.fn(spark, sf0001))
+    assert(!p.contains("Join"), s"c11 must be join-free:\n$p")
+    assert(p.contains("Window"), "c11 should carry the running as-of window")
+  }
+
+  test("k16 argmax: hash aggregate, no ranking window") {
+    // max(struct(sim, -cid)) partial-aggregates 8 scored rows to 1 per
+    // vec_id before the shuffle; a row_number window would sort the full
+    // scored set instead
+    val p = executedPlan(ExtOps.k16.fn(spark, sf0001))
+    assert(!p.contains("Window"), s"k16 must not plan a window:\n$p")
+    assert(p.contains("HashAggregate"), s"k16 argmax should hash-aggregate:\n$p")
+  }
+
+  test("k19: one emission per pair without a distinct exchange") {
+    // the first-colliding-band rule dedups multi-band hits as a per-row
+    // predicate; pairs must be unique with no Aggregate-for-distinct over
+    // the candidate stream
+    val df = ExtOps.k19.fn(spark, sf0001)
+    val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.distinct.length == pairs.length,
+      "first-colliding-band rule must emit each pair exactly once")
+  }
+}
