@@ -153,6 +153,23 @@ class ScaleOpsSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("IVF: cid-partitioned layout prunes a probe to its nprobe clusters at the storage layer") {
+    import graft.api.Bucketing
+    val e = Tables.embeddings(spark, sf0001)
+    val cents = Ivf.firstKCentroids(e, 8)
+    // the 100 TB deployment shape: the assignment is WRITTEN partitioned by
+    // cid, so a probe's nprobe-cluster restriction is directory pruning —
+    // the scan never touches the other clusters' bytes
+    val dir = java.nio.file.Files.createTempDirectory("ivf_part").toString
+    Bucketing.writePartitioned(Ivf.assign(e, cents), dir, "cid")
+    val all = Bucketing.filesRead(spark.read.parquet(dir))
+    val probed = Bucketing.filesRead(
+      spark.read.parquet(dir).filter(col("cid").isin(2L, 5L)))
+    assert(all >= 8, s"expected >=8 cluster partitions, read $all files")
+    assert(probed * 4 <= all,
+      s"nprobe=2 of 8 clusters must read ~1/4 of the files: $probed of $all")
+  }
+
   test("GroupEmit: exact i<j pairs below the cap, identical to the naive shape") {
     val s = spark
     import s.implicits._
