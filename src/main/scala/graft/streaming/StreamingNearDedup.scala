@@ -101,4 +101,61 @@ object StreamingNearDedup {
       .transformWithState(new Processor(maxHamming, ttl), timeMode,
                           OutputMode.Append())
   }
+
+  // ---- MinHash twin (the k14/k15 signature family, streamed) ----
+
+  final case class MinHashHit(doc_id: Long, dup_of: Long)
+
+  /** The k14/k15 MinHash band of a document, executor-side: for each of the
+    * 4 salted hash functions, min over the token set of md5("salt:token") —
+    * string-min over hex, EXACTLY the Spark `min(md5(...))` aggregate and
+    * the DuckDB `MIN(MD5('salt:'||t))`, so the streaming band key equals the
+    * batch k15 band (asserted in StreamingSpec). */
+  def minhashBand(text: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(salt: Int, t: String): String =
+      md.digest(s"$salt:$t".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    val tokens = text.split(" ")
+    (0 until 4).map(salt => tokens.iterator.map(h(salt, _)).min).mkString
+  }
+
+  /** Per-band-bucket membership state: an incoming doc whose banded MinHash
+    * signature was seen before is a near-dup candidate of every earlier
+    * holder (estimated Jaccard ≥ the band's LSH threshold). */
+  final class MinHashProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[String, (String, Long), MinHashHit] {
+    @transient private var seen: ListState[java.lang.Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[java.lang.Long](
+        "seen", Encoders.LONG, ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+                                 timerValues: TimerValues): Iterator[MinHashHit] = {
+      val out = Seq.newBuilder[MinHashHit]
+      rows.foreach { case (_, id) =>
+        seen.get().foreach { prev =>
+          if (prev != id) out += MinHashHit(id, prev)
+        }
+        seen.appendValue(id)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Streaming k15: flag docs whose MinHash band collides with any earlier
+    * doc. Pairs with the batch k15 candidate generator the way
+    * [[dedupStream]] pairs with k19. */
+  def minhashDedupStream(docs: Dataset[DocIn], ttl: TTLConfig = TTLConfig.NONE)
+                        (implicit s: SparkSession): Dataset[MinHashHit] = {
+    import s.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    docs
+      .map(d => (minhashBand(d.text), d.doc_id))
+      .groupByKey(_._1)
+      .transformWithState(new MinHashProcessor(ttl), timeMode,
+                          OutputMode.Append())
+  }
 }

@@ -173,6 +173,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming minhashBand is value-identical to the batch k15 band") {
+    import graft.engine.Tables
+    import graft.streaming.StreamingNearDedup
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val batch = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id")
+      .agg(concat((0 until 4).map(i =>
+        min(md5(concat(lit(s"$i:"), col("t"))))): _*).as("band"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    texts.foreach { case (id, text) =>
+      assert(StreamingNearDedup.minhashBand(text) == batch(id),
+        s"doc $id: streaming band != batch band")
+    }
+  }
+
+  test("streaming minhash dedup flags band collisions across micro-batches") {
+    import graft.streaming.StreamingNearDedup
+    import graft.streaming.StreamingNearDedup.{DocIn, MinHashHit}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[DocIn]
+    val q = StreamingNearDedup.minhashDedupStream(in.toDS()).writeStream
+      .format("memory").queryName("mh_dedup_t").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        DocIn(1, "the quick brown fox jumps over the lazy dog"),
+        DocIn(2, "completely unrelated corpus text about spark shuffles"))
+      q.processAllAvailable()
+      // identical token SET (minhash is set-invariant) → same band
+      in.addData(DocIn(3, "dog lazy the over jumps fox brown quick the"))
+      q.processAllAvailable()
+      val hits = spark.table("mh_dedup_t").as[MinHashHit].collect()
+        .map(h => (h.doc_id, h.dup_of)).toSet
+      assert(hits == Set((3L, 1L)), s"expected exactly the re-ingest hit: $hits")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful latest-per-key upsert emits only effective changes") {
     val sp = spark
     import sp.implicits._
