@@ -53,13 +53,15 @@ object PipelineOps {
     (s, dir) => {
       val tok = tokens(s, dir)
       val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-      // tf already holds one row per (doc, term): df is a count over it —
-      // no COUNT(DISTINCT) shuffle-amplification
-      val df = tf.groupBy("t").agg(count(lit(1)).as("d"))
+      // df as a window count over tf, NOT a tf⋈(tf groupBy t) self-join:
+      // tf referenced twice defeats exchange reuse (column pruning makes
+      // the two aggregate subtrees differ), so the join shape re-scans and
+      // re-explodes the corpus — the window computes df in the same pass
+      // (one scan; plan verified single-Scan in PlanShapeSpec)
       val n = Tables.documents(s, dir).agg(count(lit(1)).as("nn"))
       val w = Window.partitionBy("doc_id")
         .orderBy(desc_nulls_last("tfidf"), asc_nulls_last("t"))
-      tf.join(df, "t")
+      tf.withColumn("d", count(lit(1)).over(Window.partitionBy("t")))
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("t"),
                 round(col("c") * log(col("nn").cast("double") / col("d")), 4)

@@ -32,6 +32,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"k16 argmax should hash-aggregate:\n$p")
   }
 
+  test("k20: the token explode runs once (df via window, not a self-join)") {
+    // AdaptiveSparkPlan.toString prints final AND initial plans — count
+    // nodes in the final section only
+    val p = executedPlan(graft.engine.PipelineOps.k20.fn(spark, sf0001))
+      .split("== Initial Plan ==").head
+    val explodes = "\\bGenerate\\b".r.findAllIn(p).length
+    assert(explodes == 1,
+      s"tf-idf must explode the corpus exactly once, found $explodes:\n$p")
+  }
+
   test("k19: one emission per pair without a distinct exchange") {
     // the first-colliding-band rule dedups multi-band hits as a per-row
     // predicate; pairs must be unique with no Aggregate-for-distinct over
