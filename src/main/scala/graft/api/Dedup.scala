@@ -55,6 +55,72 @@ object Dedup {
       .select(col("id1"), col("id2"), j.as("jaccard"))
   }
 
+  /** EXACT token-Jaccard pairs with PPJoin-style prefix filtering [public:
+    * Chaudhuri et al. ICDE'06 SSJoin; Xiao et al. WWW'08 PPJoin] — the
+    * exact join that survives scale-up, where [[tokenJaccardPairs]] indexes
+    * EVERY token and pays Σ_token df(token)².
+    *
+    * Order all tokens by ascending document frequency (rarest first, ties
+    * by token string — any shared total order works; df-ascending minimizes
+    * candidate collisions). If J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, and two
+    * sorted sets with intersection ≥ α must each hold a common token in
+    * their (size − α + 1)-prefixes — so indexing only each doc's prefix
+    * finds every qualifying pair, and the inverted-index cost drops to
+    * Σ_{prefix tokens} df² over the RAREST ~(1−t) fraction of each doc.
+    * Candidates are then verified exactly on the full token arrays
+    * (array_intersect), so results are identical to the naive join —
+    * asserted in ApiSpec.
+    *
+    * MEASURED (sf0.1, local[32], graft.TimePpjoin): both paths emit the
+    * same 353,929 pairs; naive 2.5 s, prefix 5.9 s. The fixture is
+    * adversarial for prefix filtering — over half of all within-block
+    * pairs genuinely qualify at t=0.6, so candidate pruning is nil and the
+    * extra stages (df ranking, verify join) are pure overhead. The
+    * crossover is the duplicate RATE: on a production corpus (dups a few
+    * percent, df² cost dominated by common tokens that never survive a
+    * prefix) this shape wins by orders of magnitude, which is why it is
+    * the library's exact-at-scale path while [[tokenJaccardPairs]] remains
+    * the right choice for small, dup-dense blocks.
+    *
+    * The ceil epsilon keeps the prefix conservative (≥ the theoretical
+    * length) under float t·|A|, never shorter — pruning stays
+    * semantics-preserving at exact-boundary sizes. */
+  def tokenJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                              blockCol: String, threshold: Double,
+                              sep: String = " "): DataFrame = {
+    val docs = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
+                         array_distinct(split(col(textCol), sep)).as("__ts"))
+      .withColumn("__sz", size(col("__ts")))
+    val tok = docs.select(col("__id"), col("__blk"), col("__sz"),
+                          explode(col("__ts")).as("__tok"))
+    val dfreq = tok.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val prefLen = col("__sz") - ceil(lit(threshold) * col("__sz") - 1e-9) + 1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(col("__df"), col("__tok"))
+    val pref = tok.join(dfreq, "__tok")
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= prefLen)
+    val lenOk =
+      col("a.__sz") >= col("b.__sz") * threshold - 1e-9 &&
+      col("b.__sz") >= col("a.__sz") * threshold - 1e-9
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+            col("a.__tok") === col("b.__tok") && col("a.__blk") === col("b.__blk") &&
+            col("a.__id") < col("b.__id") && lenOk)
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"))
+      .distinct()
+    val sets = docs.select(col("__id"), col("__ts"), col("__sz"))
+    val verified = cand
+      .join(sets.select(col("__id").as("id1"), col("__ts").as("__tsa"),
+                        col("__sz").as("sza")), "id1")
+      .join(sets.select(col("__id").as("id2"), col("__ts").as("__tsb"),
+                        col("__sz").as("szb")), "id2")
+      .withColumn("i", size(array_intersect(col("__tsa"), col("__tsb"))))
+    val j = col("i").cast("double") / (col("sza") + col("szb") - col("i"))
+    verified.filter(j >= threshold)
+      .select(col("id1"), col("id2"), j.as("jaccard"))
+  }
+
   /** Word n-gram (shingle) Jaccard pairs — shingles are far more selective
     * than tokens, so this is the exact-dedup shape that survives scale-up. */
   def shingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,

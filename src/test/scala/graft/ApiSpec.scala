@@ -56,6 +56,48 @@ class ApiSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 0.6)))
   }
 
+  test("Dedup.tokenJaccardPairsPrefix is exactly tokenJaccardPairs on the fixture") {
+    import graft.engine.Tables
+    val docs = Tables.documents(spark, sf0001)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+                 math.round(r.getDouble(2) * 1e9))).toSet
+    val naive = key(Dedup.tokenJaccardPairs(docs, "doc_id", "text", "source", 0.6))
+    val ppjoin = key(Dedup.tokenJaccardPairsPrefix(docs, "doc_id", "text", "source", 0.6))
+    assert(naive.nonEmpty)
+    assert(ppjoin == naive,
+      s"prefix filtering must be lossless: ${(naive -- ppjoin).size} missed, " +
+        s"${(ppjoin -- naive).size} extra")
+  }
+
+  test("Dedup.tokenJaccardPairsPrefix is lossless on a sparse corpus where prefixes prune") {
+    // the fixture is dup-dense (pruning is nil there); this corpus is the
+    // opposite regime — mostly-unique docs sharing only stopword-like
+    // common tokens, which sort LAST in the df-ascending order and never
+    // enter a prefix. A pruning bug (prefix too short) would MISS the
+    // planted pair here and nowhere else.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val common = Seq("the", "a", "of")
+    val base = (1 to 300).map { i =>
+      val uniq = Seq.fill(20)(s"w${rnd.nextInt(100000)}_$i")
+      (i.toLong, (uniq ++ common).mkString(" "), "s")
+    }
+    // planted near-dup of doc 1 (same token set, reordered)
+    val planted = {
+      val t = base.head._2.split(" ")
+      (9999L, rnd.shuffle(t.toSeq).mkString(" "), "s")
+    }
+    val df = (base :+ planted).toDF("id", "body", "src")
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = key(Dedup.tokenJaccardPairs(df, "id", "body", "src", 0.6))
+    val ppjoin = key(Dedup.tokenJaccardPairsPrefix(df, "id", "body", "src", 0.6))
+    assert(naive.contains((1L, 9999L)))
+    assert(ppjoin == naive, s"missed: ${naive -- ppjoin}, extra: ${ppjoin -- naive}")
+  }
+
   test("Dedup.shingleJaccardPairs with n=2 on synthetic docs") {
     val sp = spark
     import sp.implicits._
