@@ -43,9 +43,15 @@ object StreamOps {
               col("session_window.end").as("s_end"), col("n_events"))
 
   /** Stateful latest-per-key upsert over a CDC stream: emits the new
-    * effective row whenever a key's latest event changes; tombstoned keys
-    * emit nothing further. The state machine mirrors CdcCollapse exactly. */
-  def latestPerKeyStream(events: Dataset[CdcEvent])(implicit s: SparkSession): Dataset[CdcEvent] = {
+    * effective row whenever a key's latest event changes. By default
+    * tombstoned keys emit nothing further (a pure upsert view); with
+    * `emitTombstones` the winning delete event itself is emitted so a
+    * downstream sink can collapse the key away (the shape a replicator
+    * needs — see graft.connectors.Replicator, whose materialized-state
+    * invariant depends on deletes reaching the sink). The state machine
+    * mirrors CdcCollapse exactly. */
+  def latestPerKeyStream(events: Dataset[CdcEvent], emitTombstones: Boolean = false)
+                        (implicit s: SparkSession): Dataset[CdcEvent] = {
     import s.implicits._
     events
       .groupByKey(_.key)
@@ -57,7 +63,8 @@ object StreamOps {
           val changed = state.getOption.forall(prev =>
             (newest.tsMicros, newest.position) != (prev.tsMicros, prev.position))
           state.update(newest)
-          if (changed && newest.op != "d") Iterator.single(newest) else Iterator.empty
+          if (changed && (emitTombstones || newest.op != "d")) Iterator.single(newest)
+          else Iterator.empty
       }
   }
 
@@ -127,9 +134,11 @@ object StreamOps {
     * at-least-once delivery collapses to exactly-once output — the same
     * contract a ReplacingMergeTree insert gives the ClickHouse sink). */
   def startParquetUpsertSink(df: DataFrame, outDir: String,
-                             checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                             checkpointDir: String,
+                             mode: OutputMode = OutputMode.Update)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
-      .outputMode(OutputMode.Update)
+      .outputMode(mode)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")

@@ -143,6 +143,45 @@ class ConnectorsSpec extends SparkSpec {
     assert(ddl.contains("`id` Int64") && !ddl.contains("memo"))
   }
 
+  test("Replicator invariant: snapshot + tail materializes exactly the log replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("repl_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("repl_ck").toString
+    val seed = Replicator.snapshotEvents(
+      Seq((1L, "a1"), (2L, "b1"), (3L, "c1")).toDS()).collect().toSeq
+    val tail = Seq(
+      CdcEvent(2, 10, 1000, "u", "b2"), // update wins over seed
+      CdcEvent(3, 11, 1100, "d", ""),   // delete must reach the sink
+      CdcEvent(4, 12, 1200, "c", "d1")) // key born after the snapshot
+    val stale = CdcEvent(2, 9, 900, "u", "stale") // late event: no effect
+    val in = MemoryStream[CdcEvent]
+    val q = Replicator.start(in.toDS(), outDir, ckDir)
+    try {
+      in.addData(seed: _*)
+      q.processAllAvailable()
+      in.addData(tail: _*)
+      q.processAllAvailable()
+      in.addData(stale)
+      q.processAllAvailable()
+    } finally q.stop()
+    val mat = Replicator.materializedState(outDir).collect()
+      .map(e => e.key -> e.payload).toMap
+    val replay = graft.connectors.CdcCollapse.effectiveState(
+      (seed ++ tail :+ stale).toDS())
+      .collect().map(e => e.key -> e.payload).toMap
+    assert(mat == replay, s"sink state $mat != log replay $replay")
+    assert(mat == Map(1L -> "a1", 2L -> "b2", 4L -> "d1"),
+      "update applied, delete collapsed, post-snapshot key present")
+    val ddl = Replicator.bootstrapDdl("sink_t",
+      org.apache.spark.sql.Encoders.product[CdcEvent].schema, Seq("key"))
+    assert(ddl.contains("ENGINE = ReplacingMergeTree(tsMicros)"))
+    assert(ddl.contains("`key` Int64"))
+  }
+
   test("ClickHouse write config: capped exponential backoff") {
     val cfg = Sinks.ClickHouseWriteConfig("jdbc:ch://ch:8123/g", "t",
       maxRetries = 6, retryBackoffMs = 1000)
