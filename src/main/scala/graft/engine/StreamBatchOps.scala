@@ -72,5 +72,100 @@ object StreamBatchOps {
       graft.api.Windows.sessionize(Tables.events(s, dir), "ts", "user_id", "30 minutes")
         .orderBy(asc_nulls_last("user_id"), asc_nulls_last("s_start")))
 
-  def ops: Vector[Q] = Vector(j01, j02, j03)
+  /** j05 — windowFunnel analog [public: ClickHouse windowFunnel]: deepest
+    * step of signup → view → purchase each user reaches, every step inside
+    * 6 hours of the FIRST signup, steps strictly ordered in time. Three
+    * unbounded per-user window minima chain the step timestamps (l2 depends
+    * on l1, l3 on l2 — per-user constants, so the three Window stages share
+    * ONE user_id shuffle), then a per-user max picks the level. Linear per
+    * user at any scale — the CH semantics without CH's state machine. */
+  val j05: Q = Q(
+    "j05_window_funnel",
+    """WITH w1 AS (
+      |  SELECT user_id, ts, event_type,
+      |    MIN(CASE WHEN event_type = 'signup' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS l1
+      |  FROM events),
+      |w2 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'view' AND ts > l1
+      |                      AND ts <= l1 + INTERVAL 6 HOUR THEN ts END)
+      |      OVER (PARTITION BY user_id) AS l2
+      |  FROM w1),
+      |w3 AS (
+      |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > l2
+      |                      AND ts <= l1 + INTERVAL 6 HOUR THEN ts END)
+      |      OVER (PARTITION BY user_id) AS l3
+      |  FROM w2),
+      |lv AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN l3 IS NOT NULL THEN 3 WHEN l2 IS NOT NULL THEN 2
+      |             WHEN l1 IS NOT NULL THEN 1 ELSE 0 END) AS funnel_level
+      |  FROM w3 GROUP BY user_id)
+      |SELECT funnel_level, CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM lv GROUP BY funnel_level
+      |ORDER BY funnel_level ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val wu = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      Tables.events(s, dir)
+        .withColumn("l1",
+          min(when(col("event_type") === "signup", col("ts"))).over(wu))
+        .withColumn("l2",
+          min(when(col("event_type") === "view" && col("ts") > col("l1") &&
+                   col("ts") <= col("l1") + expr("INTERVAL 6 HOUR"),
+                   col("ts"))).over(wu))
+        .withColumn("l3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("l2") &&
+                   col("ts") <= col("l1") + expr("INTERVAL 6 HOUR"),
+                   col("ts"))).over(wu))
+        .groupBy("user_id")
+        .agg(max(when(col("l3").isNotNull, 3).when(col("l2").isNotNull, 2)
+                   .when(col("l1").isNotNull, 1).otherwise(0)).as("funnel_level"))
+        .groupBy("funnel_level")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(asc_nulls_last("funnel_level"))
+    })
+
+  /** j06 — retention analog [public: ClickHouse retention]: per user, was
+    * there ANY activity in weeks 0/1/2 after the first signup; aggregated
+    * to cohort counts. One per-user window min + one conditional agg —
+    * one shuffle. */
+  val j06: Q = Q(
+    "j06_retention",
+    """WITH w AS (
+      |  SELECT user_id, ts,
+      |    MIN(CASE WHEN event_type = 'signup' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS l1
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN ts >= l1 AND ts < l1 + INTERVAL 7 DAY
+      |             THEN 1 ELSE 0 END) AS w0,
+      |    MAX(CASE WHEN ts >= l1 + INTERVAL 7 DAY AND ts < l1 + INTERVAL 14 DAY
+      |             THEN 1 ELSE 0 END) AS w1,
+      |    MAX(CASE WHEN ts >= l1 + INTERVAL 14 DAY AND ts < l1 + INTERVAL 21 DAY
+      |             THEN 1 ELSE 0 END) AS w2
+      |  FROM w WHERE l1 IS NOT NULL GROUP BY user_id)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(w0) AS BIGINT) AS wk0,
+      |  CAST(SUM(w1) AS BIGINT) AS wk1,
+      |  CAST(SUM(w2) AS BIGINT) AS wk2
+      |FROM u""".stripMargin,
+    (s, dir) => {
+      val wu = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      def inWeek(k: Int) =
+        col("ts") >= col("l1") + expr(s"INTERVAL ${k * 7} DAY") &&
+        col("ts") < col("l1") + expr(s"INTERVAL ${(k + 1) * 7} DAY")
+      Tables.events(s, dir)
+        .withColumn("l1",
+          min(when(col("event_type") === "signup", col("ts"))).over(wu))
+        .filter(col("l1").isNotNull)
+        .groupBy("user_id")
+        .agg(max(when(inWeek(0), 1).otherwise(0)).as("w0"),
+             max(when(inWeek(1), 1).otherwise(0)).as("w1"),
+             max(when(inWeek(2), 1).otherwise(0)).as("w2"))
+        .agg(count(lit(1)).as("n_users"), sum(col("w0")).as("wk0"),
+             sum(col("w1")).as("wk1"), sum(col("w2")).as("wk2"))
+    })
+
+  def ops: Vector[Q] = Vector(j01, j02, j03, j05, j06)
 }
