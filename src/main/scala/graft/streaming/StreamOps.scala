@@ -79,7 +79,8 @@ object StreamOps {
     * deployments should pass a TTL at least as long as the source's maximum
     * replay window (an expired key that reappears is re-created, which is
     * correct for upsert semantics); the NONE default keeps tests exact. */
-  final class LatestPerKeyProcessor(ttl: TTLConfig = TTLConfig.NONE)
+  final class LatestPerKeyProcessor(ttl: TTLConfig = TTLConfig.NONE,
+                                    emitTombstones: Boolean = false)
       extends StatefulProcessor[Long, CdcEvent, CdcEvent] {
     @transient private var latest: ValueState[CdcEvent] = _
 
@@ -94,7 +95,8 @@ object StreamOps {
       val changed = prev.forall(p =>
         (newest.tsMicros, newest.position) != (p.tsMicros, p.position))
       latest.update(newest)
-      if (changed && newest.op != "d") Iterator.single(newest) else Iterator.empty
+      if (changed && (emitTombstones || newest.op != "d")) Iterator.single(newest)
+      else Iterator.empty
     }
   }
 
@@ -102,14 +104,15 @@ object StreamOps {
     * `spark.sql.streaming.stateStore.providerClass` = RocksDB provider).
     * A non-NONE `ttl` requires processing-time semantics, so TimeMode
     * follows the TTL choice. */
-  def latestPerKeyTws(events: Dataset[CdcEvent], ttl: TTLConfig = TTLConfig.NONE)
+  def latestPerKeyTws(events: Dataset[CdcEvent], ttl: TTLConfig = TTLConfig.NONE,
+                      emitTombstones: Boolean = false)
                      (implicit s: SparkSession): Dataset[CdcEvent] = {
     import s.implicits._
     val timeMode =
       if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     events
       .groupByKey(_.key)
-      .transformWithState(new LatestPerKeyProcessor(ttl),
+      .transformWithState(new LatestPerKeyProcessor(ttl, emitTombstones),
                           timeMode, OutputMode.Append())
   }
 

@@ -182,6 +182,43 @@ class ConnectorsSpec extends SparkSpec {
     assert(ddl.contains("`key` Int64"))
   }
 
+  test("dirty CDC ingest end-to-end: corrupt lines quarantine, clean lines replicate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    // the full ingest chain a real tail runs: raw binlog-consumer JSON →
+    // PERMISSIVE parse with dead-letter split → typed CdcEvent → replicator.
+    // Corrupt payloads must neither kill the pipeline nor leak into state.
+    val schema = org.apache.spark.sql.Encoders.product[CdcEvent].schema
+    def js(e: CdcEvent) =
+      s"""{"key":${e.key},"position":${e.position},"tsMicros":${e.tsMicros},""" +
+        s""""op":"${e.op}","payload":"${e.payload}"}"""
+    val good = Seq(
+      CdcEvent(1, 1, 100, "c", "a1"), CdcEvent(2, 2, 200, "c", "b1"),
+      CdcEvent(1, 3, 300, "u", "a2"), CdcEvent(2, 4, 400, "d", ""))
+    val lines = (good.map(js) ++ Seq(
+      """{"key": broken json""",            // malformed
+      """{"key":"oops","position":false}""" // type mismatch
+    )).zipWithIndex.map { case (l, i) => (i.toLong, l) }
+    val parsed = JsonIngest.parse(lines.toDF("line_no", "payload"), "payload", schema)
+    assert(JsonIngest.quarantine(parsed, "payload").count() == 2)
+    val clean = JsonIngest.wellFormed(parsed).select("parsed.*").as[CdcEvent]
+    assert(clean.count() == good.size)
+    val outDir = java.nio.file.Files.createTempDirectory("dirty_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("dirty_ck").toString
+    val in = MemoryStream[CdcEvent]
+    val q = Replicator.start(in.toDS(), outDir, ckDir)
+    try {
+      in.addData(clean.collect().toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val mat = Replicator.materializedState(outDir).collect()
+      .map(e => e.key -> e.payload).toMap
+    assert(mat == Map(1L -> "a2"), "update applied, tombstoned key gone, corrupt rows absent")
+  }
+
   test("ClickHouse write config: capped exponential backoff") {
     val cfg = Sinks.ClickHouseWriteConfig("jdbc:ch://ch:8123/g", "t",
       maxRetries = 6, retryBackoffMs = 1000)

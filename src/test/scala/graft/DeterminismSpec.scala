@@ -85,7 +85,8 @@ class DeterminismSpec extends SparkSpec {
       "d02_agg_group_q1", "d09_agg_stats", "d10_agg_percentile",
       "c11_join_asof", "e04_win_running", "g02_union_distinct",
       "h11_hash_funcs", "i04_scd2", "k14_minhash_sig", "k15_lsh_candidates",
-      "k16_ivf_assign", "k19_simhash_neardup")
+      "k16_ivf_assign", "k19_simhash_neardup", "k20_tfidf_topterms",
+      "j05_window_funnel")
     val qs = graft.SparkEntry.queries
     sampled.foreach(n => assert(qs.contains(n), s"$n not declared"))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
