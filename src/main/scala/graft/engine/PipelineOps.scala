@@ -133,5 +133,29 @@ object PipelineOps {
         .orderBy(asc_nulls_last("split"))
     })
 
-  def ops: Vector[Q] = Vector(k20, k21, k22)
+  /** d20 — regression aggregates per group: slope/intercept/R²/correlation
+    * of extendedprice on quantity. Same determinism class as d09's
+    * stddev/var: both engines run double partial sums whose merge-order
+    * noise sits at ~1e-12 relative — ROUND 4 over O(1..1e4) magnitudes
+    * absorbs it. */
+  val d20: Q = Q(
+    "d20_regr_stats",
+    """SELECT l_returnflag,
+      |  ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+      |  ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS icept,
+      |  ROUND(REGR_R2(l_extendedprice, l_quantity), 4) AS r2,
+      |  ROUND(CORR(l_extendedprice, l_quantity), 4) AS corr
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+             round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"),
+             round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"),
+             round(corr(col("l_extendedprice"), col("l_quantity")), 4).as("corr"))
+        .orderBy(asc_nulls_last("l_returnflag")))
+
+  def ops: Vector[Q] = Vector(k20, k21, k22, d20)
 }
