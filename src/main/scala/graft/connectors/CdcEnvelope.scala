@@ -79,16 +79,31 @@ object DdlPropagate {
 
   /** Apply the same event to the Spark-side schema, so the ingest frame and
     * the sink DDL advance in lockstep (the invariant a replicator needs:
-    * one event, two synchronized views of the schema). */
-  def applyToSchema(schema: StructType, e: DdlEvent): StructType = e match {
-    case AddColumn(_, f, after) =>
-      val idx = after.map(a => schema.fieldIndex(a) + 1).getOrElse(schema.length)
-      StructType((schema.fields.take(idx) :+ f) ++ schema.fields.drop(idx))
-    case DropColumn(_, n) =>
-      StructType(schema.fields.filterNot(_.name == n))
-    case ModifyColumn(_, f) =>
-      StructType(schema.fields.map(x => if (x.name == f.name) f else x))
-    case RenameColumn(_, a, b) =>
-      StructType(schema.fields.map(x => if (x.name == a) x.copy(name = b) else x))
+    * one event, two synchronized views of the schema).
+    *
+    * Events naming a column the schema doesn't have FAIL (like AddColumn's
+    * `after` lookup already did): a silent no-op here while
+    * [[toClickHouseSql]] still renders the ALTER is exactly the
+    * schema-drift this function exists to prevent — a replayed or
+    * out-of-order DDL stream must surface on the Spark side, not diverge. */
+  def applyToSchema(schema: StructType, e: DdlEvent): StructType = {
+    def require_(name: String): Unit =
+      if (!schema.fieldNames.contains(name))
+        throw new IllegalArgumentException(
+          s"DDL event $e names column `$name` absent from ${schema.fieldNames.mkString(",")}")
+    e match {
+      case AddColumn(_, f, after) =>
+        val idx = after.map(a => schema.fieldIndex(a) + 1).getOrElse(schema.length)
+        StructType((schema.fields.take(idx) :+ f) ++ schema.fields.drop(idx))
+      case DropColumn(_, n) =>
+        require_(n)
+        StructType(schema.fields.filterNot(_.name == n))
+      case ModifyColumn(_, f) =>
+        require_(f.name)
+        StructType(schema.fields.map(x => if (x.name == f.name) f else x))
+      case RenameColumn(_, a, b) =>
+        require_(a)
+        StructType(schema.fields.map(x => if (x.name == a) x.copy(name = b) else x))
+    }
   }
 }

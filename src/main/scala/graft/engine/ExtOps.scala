@@ -613,8 +613,9 @@ object ExtOps {
     * signature — 2 differing bits touch at most 2 bands, so every pair at
     * Hamming ≤ 2 shares at least 2 intact bands and is caught by a
     * single-band collision (recall-complete), then the exact Hamming filter
-    * restores precision and the first-colliding-band rule (not a distinct —
-    * zero extra shuffle) collapses multi-band hits. Bucket
+    * restores precision and a candidate-sized distinct collapses
+    * multi-band hits (robust to GroupEmit's star degradation, where a
+    * colliding band does not necessarily emit the pair). Bucket
     * key is (source, band#, 4-bit value): bucket size is band-bounded —
     * ~|source|/16 expected — never whole-source, and the GroupEmit cap
     * bounds even an adversarial single-signature corpus. Same shape as the
@@ -635,22 +636,22 @@ object ExtOps {
     (s, dir) =>
       graft.operators.GroupEmit.boundedPairs(
           k19Banded(s, dir), Seq("source", "band", "bkey"), col("p"))
-        // first-colliding-band rule instead of a distinct(): a pair keeps
-        // only the emission from its LOWEST colliding band (both sigs are
-        // in hand, so "would band b' < band also have emitted this pair?"
-        // is a per-row predicate) — multi-band dedup with zero extra
-        // shuffle where distinct() paid a full one.
-        .filter(expr("x.band = 0 OR NOT exists(sequence(0, x.band - 1), " +
-          "bp -> (shiftright(x.sig, bp * 4) & 15) = (shiftright(y.sig, bp * 4) & 15))"))
+        // multi-band dedup MUST be a distinct(), not the classic
+        // first-colliding-band rule: that rule assumes "band b' collides ⇒
+        // band b' emitted this pair", which GroupEmit's star degradation
+        // breaks — an over-cap bucket emits only (min, member) pairs, so a
+        // pair colliding there is NOT emitted there, and suppressing its
+        // emission from a later small band would drop it entirely (found
+        // in review; the shuffle distinct pays for is candidate-sized).
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
                 bit_count(col("x.sig").bitwiseXOR(col("y.sig")))
                   .cast("int").as("hamming"))
         .filter(col("hamming") <= 2)
+        .distinct()
         .orderBy(asc_nulls_last("id_a"), asc_nulls_last("id_b")))
 
   /** k19's banding stage: one row per (doc, band) with the 4-bit bucket key
-    * and a (doc_id, sig, band) payload — `band` rides in the payload so the
-    * pair emission can apply the first-colliding-band rule. */
+    * and the (doc_id, sig) payload. */
   private def k19Banded(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
@@ -661,11 +662,9 @@ object ExtOps {
         col("source"),
         explode(expr("transform(sequence(0, 3), b -> " +
           "named_struct('band', b, 'bkey', shiftright(sig, b * 4) & 15))")).as("bk"),
-        col("doc_id"), col("sig"))
+        struct(col("doc_id"), col("sig")).as("p"))
       .select(col("source"), col("bk.band").as("band"),
-              col("bk.bkey").as("bkey"),
-              struct(col("doc_id"), col("sig"),
-                     col("bk.band").as("band")).as("p"))
+              col("bk.bkey").as("bkey"), col("p"))
 
   /** Bucket-size histogram (source, band, bkey) → n of the REAL k19 banding
     * key — the band-boundedness proof asserted in ScaleOpsSpec. */

@@ -226,6 +226,12 @@ object JoinOps {
       signups.unionByName(purchases)
         .withColumn("signup_ts", last(col("s_ts"), ignoreNulls = true).over(w))
         .filter(col("kind") === 1)
+        // NULL-key parity with the correlated subquery: g.user_id =
+        // p.user_id never matches a NULL key, but partitionBy groups all
+        // NULL user_ids together — mask their as-of value back to NULL
+        .withColumn("signup_ts",
+          when(col("user_id").isNull, lit(null).cast(tsType))
+            .otherwise(col("signup_ts")))
         .select("event_id", "user_id", "ts", "signup_ts")
         .orderBy(asc_nulls_last("event_id"))
     })

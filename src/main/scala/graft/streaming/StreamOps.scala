@@ -16,6 +16,12 @@ import graft.connectors.CdcEvent
   */
 object StreamOps {
 
+  /** TTL requires processing-time semantics; NONE runs timeless. Shared by
+    * every stateful operator in this package so time policy cannot drift
+    * per-operator. */
+  private[streaming] def timeModeFor(ttl: TTLConfig): TimeMode =
+    if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+
   /** Tumbling-window counts+sums with a watermark: late rows beyond
     * `lateness` are dropped once the watermark passes the window end. */
   def tumblingAgg(events: DataFrame, lateness: String = "10 minutes",
@@ -108,12 +114,10 @@ object StreamOps {
                       emitTombstones: Boolean = false)
                      (implicit s: SparkSession): Dataset[CdcEvent] = {
     import s.implicits._
-    val timeMode =
-      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     events
       .groupByKey(_.key)
       .transformWithState(new LatestPerKeyProcessor(ttl, emitTombstones),
-                          timeMode, OutputMode.Append())
+                          timeModeFor(ttl), OutputMode.Append())
   }
 
   /** Stream-stream interval join: each left event enriched with right events

@@ -37,6 +37,11 @@ object StreamingNearDedup {
   final case class SeenSig(doc_id: Long, sig: Long)
   final case class DupHit(doc_id: Long, dup_of: Long, hamming: Int)
 
+  private def hexMd5(md: java.security.MessageDigest, s: String): String =
+    md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+
+  private def timeModeFor(ttl: TTLConfig) = StreamOps.timeModeFor(ttl)
+
   /** 60-bit SimHash of the DISTINCT token set — the executor-side scalar
     * twin of SimHashDedup.fingerprints (md5 first 15 hex chars → 60-bit
     * int, ±1 vote per bit, bit set on positive vote). */
@@ -44,9 +49,7 @@ object StreamingNearDedup {
     val md = java.security.MessageDigest.getInstance("MD5")
     val votes = new Array[Int](60)
     text.split(" ").distinct.foreach { t =>
-      val hex = md.digest(t.getBytes("UTF-8"))
-        .map(b => f"${b & 0xff}%02x").mkString.substring(0, 15)
-      val h = java.lang.Long.parseLong(hex, 16)
+      val h = java.lang.Long.parseLong(hexMd5(md, t).substring(0, 15), 16)
       var b = 0
       while (b < 60) { votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1); b += 1 }
     }
@@ -73,12 +76,19 @@ object StreamingNearDedup {
                                  timerValues: TimerValues): Iterator[DupHit] = {
       val out = Seq.newBuilder[DupHit]
       rows.foreach { r =>
-        seen.get().foreach { p =>
-          val d = java.lang.Long.bitCount(p.sig ^ r.sig)
-          if (d <= maxHamming && p.doc_id != r.doc_id)
-            out += DupHit(r.doc_id, p.doc_id, d)
+        // replay-idempotent (at-least-once sources re-deliver): a doc_id
+        // already in this bucket neither re-emits its hits nor appends a
+        // duplicate state entry — otherwise every replay would double all
+        // future DupHits for this doc and grow state without bound.
+        // Materializing the bucket is fine: its size is LSH-bounded.
+        val entries = seen.get().toSeq
+        if (!entries.exists(_.doc_id == r.doc_id)) {
+          entries.foreach { p =>
+            val d = java.lang.Long.bitCount(p.sig ^ r.sig)
+            if (d <= maxHamming) out += DupHit(r.doc_id, p.doc_id, d)
+          }
+          seen.appendValue(SeenSig(r.doc_id, r.sig))
         }
-        seen.appendValue(SeenSig(r.doc_id, r.sig))
       }
       out.result().iterator
     }
@@ -90,15 +100,13 @@ object StreamingNearDedup {
                   ttl: TTLConfig = TTLConfig.NONE)
                  (implicit s: SparkSession): Dataset[DupHit] = {
     import s.implicits._
-    val timeMode =
-      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     docs
       .flatMap { d =>
         val sig = simhash60(d.text)
         bands(sig).map { case (b, k) => BandedSig(b, k, d.doc_id, sig) }
       }
       .groupByKey(bs => (bs.band, bs.bkey))
-      .transformWithState(new Processor(maxHamming, ttl), timeMode,
+      .transformWithState(new Processor(maxHamming, ttl), timeModeFor(ttl),
                           OutputMode.Append())
   }
 
@@ -113,11 +121,9 @@ object StreamingNearDedup {
     * batch k15 band (asserted in StreamingSpec). */
   def minhashBand(text: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    def h(salt: Int, t: String): String =
-      md.digest(s"$salt:$t".getBytes("UTF-8"))
-        .map(b => f"${b & 0xff}%02x").mkString
     val tokens = text.split(" ")
-    (0 until 4).map(salt => tokens.iterator.map(h(salt, _)).min).mkString
+    (0 until 4).map(salt =>
+      tokens.iterator.map(t => hexMd5(md, s"$salt:$t")).min).mkString
   }
 
   /** Per-band-bucket membership state: an incoming doc whose banded MinHash
@@ -135,10 +141,13 @@ object StreamingNearDedup {
                                  timerValues: TimerValues): Iterator[MinHashHit] = {
       val out = Seq.newBuilder[MinHashHit]
       rows.foreach { case (_, id) =>
-        seen.get().foreach { prev =>
-          if (prev != id) out += MinHashHit(id, prev)
+        // same replay-idempotence as Processor: re-delivered ids neither
+        // re-emit nor duplicate state
+        val entries = seen.get().toSeq
+        if (!entries.contains(id)) {
+          entries.foreach(prev => out += MinHashHit(id, prev))
+          seen.appendValue(id)
         }
-        seen.appendValue(id)
       }
       out.result().iterator
     }
@@ -150,12 +159,10 @@ object StreamingNearDedup {
   def minhashDedupStream(docs: Dataset[DocIn], ttl: TTLConfig = TTLConfig.NONE)
                         (implicit s: SparkSession): Dataset[MinHashHit] = {
     import s.implicits._
-    val timeMode =
-      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     docs
       .map(d => (minhashBand(d.text), d.doc_id))
       .groupByKey(_._1)
-      .transformWithState(new MinHashProcessor(ttl), timeMode,
+      .transformWithState(new MinHashProcessor(ttl), timeModeFor(ttl),
                           OutputMode.Append())
   }
 }

@@ -137,6 +137,18 @@ class ConnectorsSpec extends SparkSpec {
     assert(!s3("memo").nullable)
     val s4 = DdlPropagate.applyToSchema(s3, DropColumn("t", "memo"))
     assert(s4.fieldNames.toSeq == Seq("id", "name", "ts"))
+    // a replayed / out-of-order event naming a missing column must FAIL on
+    // the Spark side, not silently no-op while the sink ALTER still renders
+    intercept[IllegalArgumentException] {
+      DdlPropagate.applyToSchema(s4, RenameColumn("t", "memo", "memo2"))
+    }
+    intercept[IllegalArgumentException] {
+      DdlPropagate.applyToSchema(s4, DropColumn("t", "memo"))
+    }
+    intercept[IllegalArgumentException] {
+      DdlPropagate.applyToSchema(s4,
+        ModifyColumn("t", StructField("memo", StringType)))
+    }
     // a replayed CREATE after the ALTER chain matches the altered schema:
     // the invariant that lets a restarted replicator re-derive sink DDL
     val ddl = ClickHouseDdl.createTable("t", s4, ClickHouseDdl.MergeTree, Seq("id"))

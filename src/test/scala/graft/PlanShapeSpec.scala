@@ -42,14 +42,14 @@ class PlanShapeSpec extends SparkSpec {
       s"tf-idf must explode the corpus exactly once, found $explodes:\n$p")
   }
 
-  test("k19: one emission per pair without a distinct exchange") {
-    // the first-colliding-band rule dedups multi-band hits as a per-row
-    // predicate; pairs must be unique with no Aggregate-for-distinct over
-    // the candidate stream
+  test("k19: each near-dup pair appears exactly once") {
+    // multi-band collisions are collapsed by a candidate-sized distinct
+    // (NOT the first-colliding-band rule, which silently drops pairs when
+    // an earlier band's bucket was star-degraded by the GroupEmit cap)
     val df = ExtOps.k19.fn(spark, sf0001)
     val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.nonEmpty)
     assert(pairs.distinct.length == pairs.length,
-      "first-colliding-band rule must emit each pair exactly once")
+      "multi-band hits must collapse to one row per pair")
   }
 }

@@ -173,6 +173,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dedup is replay-idempotent (at-least-once delivery)") {
+    import graft.streaming.StreamingNearDedup
+    import graft.streaming.StreamingNearDedup.{DocIn, DupHit}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[DocIn]
+    val q = StreamingNearDedup.dedupStream(in.toDS(), maxHamming = 6).writeStream
+      .format("memory").queryName("replay_t").outputMode(OutputMode.Append).start()
+    try {
+      val d1 = DocIn(1, "alpha beta gamma delta epsilon zeta")
+      in.addData(d1)
+      q.processAllAvailable()
+      in.addData(d1) // replayed delivery: must neither emit nor duplicate state
+      q.processAllAvailable()
+      // identical token set → collides with doc 1 in all 4 bands: exactly
+      // 4 hit rows if state holds ONE entry for doc 1, 8 if the replay
+      // duplicated it
+      in.addData(DocIn(2, "zeta epsilon delta gamma beta alpha"))
+      q.processAllAvailable()
+      val hits = spark.table("replay_t").as[DupHit].collect()
+      assert(!hits.exists(_.doc_id == 1L), s"replay must not re-emit: ${hits.toSeq}")
+      assert(hits.count(h => h.doc_id == 2L && h.dup_of == 1L) == 4,
+        s"duplicated state would double the per-band hits: ${hits.toSeq}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming minhashBand is value-identical to the batch k15 band") {
     import graft.engine.Tables
     import graft.streaming.StreamingNearDedup
