@@ -93,11 +93,15 @@ object Dedup {
       .withColumn("__sz", size(col("__ts")))
     val tok = docs.select(col("__id"), col("__blk"), col("__sz"),
                           explode(col("__ts")).as("__tok"))
-    val dfreq = tok.groupBy("__tok").agg(count(lit(1)).as("__df"))
     val prefLen = col("__sz") - ceil(lit(threshold) * col("__sz") - 1e-9) + 1
+    // document frequency as a window count, NOT tok ⋈ tok.groupBy(__tok):
+    // referencing tok twice defeats exchange reuse (the aggregate subtree
+    // differs under pruning), re-scanning and re-exploding the corpus —
+    // the same single-pass shape k20 uses
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy("__tok")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__id").orderBy(col("__df"), col("__tok"))
-    val pref = tok.join(dfreq, "__tok")
+    val pref = tok.withColumn("__df", count(lit(1)).over(wdf))
       .withColumn("__rnk", row_number().over(w))
       .filter(col("__rnk") <= prefLen)
     val lenOk =
