@@ -1,6 +1,5 @@
 package graft.engine
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Determinism._
 
@@ -188,15 +187,11 @@ object JoinOps {
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(asc_nulls_last("n_name")))
 
-  /** c11 — as-of join: for each purchase event, the latest signup ts ≤ it for
-    * the same user. Implemented as a window over the UNION of both event
-    * streams — one shuffle on user_id, linear per-user work. The naive
-    * range-join + max materializes |purchases_u| × |signups_u| rows per
-    * user (quadratic in per-user activity: one power user at 100× data
-    * skews a single key); here each row is touched once and the running
-    * `last(signup_ts) IGNORE NULLS` carries the as-of value forward.
-    * Within a tie on ts the signup sorts first (kind 0 < 1), so a signup
-    * at exactly p.ts is visible — matching the oracle's `g.ts <= p.ts`. */
+  /** c11 — as-of join: for each purchase event, the latest signup ts ≤ it
+    * for the same user. Delegates to the generic `Windows.asOf` operator
+    * (window over the UNION of both streams — one shuffle on user_id,
+    * linear per user; see its scaladoc for the tie/NULL semantics, which
+    * match this oracle's correlated subquery exactly). */
   val c11: Q = Q(
     "c11_join_asof",
     """SELECT p.event_id, p.user_id, p.ts,
@@ -208,31 +203,13 @@ object JoinOps {
       |ORDER BY p.event_id ASC NULLS LAST""".stripMargin,
     (s, dir) => {
       val e = Tables.events(s, dir)
-      val idType = e.schema("event_id").dataType
-      val tsType = e.schema("ts").dataType
-      val signups = e.filter(col("event_type") === "signup")
-        .select(lit(null).cast(idType).as("event_id"), col("user_id"),
-                col("ts"), col("ts").as("s_ts"), lit(0).as("kind"))
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"),
-                lit(null).cast(tsType).as("s_ts"), lit(1).as("kind"))
-      // ts asc puts any null-ts rows first (nulls-first), where no non-null
-      // signup can precede them — their signup_ts stays null like the
-      // oracle's `g.ts <= NULL` (never true). ROWS frame: ascending ts means
-      // the last non-null s_ts seen IS the max signup ts ≤ current ts.
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").asc, col("kind").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      signups.unionByName(purchases)
-        .withColumn("signup_ts", last(col("s_ts"), ignoreNulls = true).over(w))
-        .filter(col("kind") === 1)
-        // NULL-key parity with the correlated subquery: g.user_id =
-        // p.user_id never matches a NULL key, but partitionBy groups all
-        // NULL user_ids together — mask their as-of value back to NULL
-        .withColumn("signup_ts",
-          when(col("user_id").isNull, lit(null).cast(tsType))
-            .otherwise(col("signup_ts")))
-        .select("event_id", "user_id", "ts", "signup_ts")
+      graft.api.Windows.asOf(
+          left = e.filter(col("event_type") === "signup")
+            .select("user_id", "ts"),
+          right = e.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          keyCol = "user_id", tsCol = "ts", valueCol = "ts",
+          outCol = "signup_ts")
         .orderBy(asc_nulls_last("event_id"))
     })
 

@@ -132,6 +132,32 @@ class ApiSpec extends SparkSpec {
     assert(rh(0) != rh(1))
   }
 
+  test("Windows.asOf: backward inclusive, NULL keys never match, keys without left rows get NULL") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1704067200000L + m * 60000L)
+    val quotes = Seq(
+      (Some(1L), ts(10), 100.0),
+      (Some(1L), ts(20), 110.0),
+      (Some(2L), ts(5), 50.0),
+      (None: Option[Long], ts(1), 999.0) // NULL-key left row: must never match
+    ).toDF("k", "ts", "px")
+    val trades = Seq(
+      (Some(1L), ts(15), "t1"),  // after first quote → 100.0
+      (Some(1L), ts(20), "t2"),  // AT the second quote's ts → inclusive → 110.0
+      (Some(1L), ts(9), "t3"),   // before any quote → NULL
+      (Some(2L), ts(6), "t4"),   // → 50.0
+      (Some(3L), ts(7), "t5"),   // key with no quotes → NULL
+      (None: Option[Long], ts(30), "t6") // NULL-key trade → NULL despite NULL-key quote
+    ).toDF("k", "ts", "tag")
+    val out = Windows.asOf(quotes, trades, "k", "ts", "px", "asof_px")
+      .collect().map(r => r.getString(2) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out == Map(
+      "t1" -> Some(100.0), "t2" -> Some(110.0), "t3" -> None,
+      "t4" -> Some(50.0), "t5" -> None, "t6" -> None))
+  }
+
   test("Windows.topKPerGroup caps each group") {
     val sp = spark
     import sp.implicits._
