@@ -140,9 +140,14 @@ object JoinOps {
         .select("r_name", "p_type", "n_parts")
         .orderBy(asc_nulls_last("r_name"), asc_nulls_last("p_type")))
 
-  /** c09 — theta (band) join: per-supplier count of customers with a larger
-    * account balance. Non-equi → BroadcastNestedLoopJoin with the 100-row
-    * supplier side broadcast. */
+  /** c09 — theta (band) join as order statistics: per-supplier count of
+    * customers with a strictly larger account balance. The raw non-equi
+    * LEFT JOIN plans as a BroadcastNestedLoopJoin that must build the
+    * CUSTOMER side (the only buildable side of a left-outer join) — the
+    * fact table, which OOMs executors at 100×. `Windows.rankAgainst`
+    * computes the identical counts with a range-partitioned two-pass
+    * prefix sum: no nested loop, no broadcast of the fact side
+    * (pinned join-shape-free in PlanShapeSpec). */
   val c09: Q = Q(
     "c09_join_theta",
     """SELECT s_suppkey, COUNT(c_custkey) AS n_richer
@@ -150,10 +155,11 @@ object JoinOps {
       |GROUP BY s_suppkey
       |ORDER BY s_suppkey ASC NULLS LAST""".stripMargin,
     (s, dir) =>
-      Tables.supplier(s, dir)
-        .join(Tables.customer(s, dir), col("c_acctbal") > col("s_acctbal"), "left")
-        .groupBy("s_suppkey")
-        .agg(count(col("c_custkey")).as("n_richer"))
+      graft.api.Windows.rankAgainst(
+          probes = Tables.supplier(s, dir).select("s_suppkey", "s_acctbal"),
+          values = Tables.customer(s, dir).filter(col("c_custkey").isNotNull),
+          probeCol = "s_acctbal", valueCol = "c_acctbal", outCol = "n_richer")
+        .select("s_suppkey", "n_richer")
         .orderBy(asc_nulls_last("s_suppkey")))
 
   /** c10 — TPC-H Q5 shape: 6-way join, revenue per nation, one region+year.

@@ -42,6 +42,29 @@ class ApiSpec extends SparkSpec {
     assert(out == Set((1L, 100L, Some(200L)), (2L, 200L, None), (3L, 150L, None)))
   }
 
+  test("Windows.rankAgainst matches the non-equi join on an arbitrary schema") {
+    val sp = spark
+    import sp.implicits._
+    // probes: includes a NULL probe (→ 0), a probe equal to a population
+    // value (strict: must not count it), and a probe above everything (→ 0)
+    val probes = Seq((1L, Some(5.0)), (2L, Some(20.0)), (3L, None),
+                     (4L, Some(100.0)), (5L, Some(0.0)))
+      .toDF("pid", "score")
+    // population: includes NULLs (never counted) and a tie at 20.0
+    val pop = Seq(Some(10.0), Some(20.0), Some(20.0), Some(30.0), None, Some(1.0))
+      .toDF("v")
+    val got = Windows.rankAgainst(probes, pop, "score", "v", "n_gt")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // oracle by hand: >5 → {10,20,20,30}=4; >20 → {30}=1 (strict, ties out);
+    // NULL → 0; >100 → 0; >0 → {10,20,20,30,1}=5
+    assert(got == Map(1L -> 4L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 5L))
+    // cross-check vs the join it replaces
+    val joined = probes.join(pop, col("v") > col("score"), "left")
+      .groupBy("pid").agg(count(col("v")).as("n_gt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == joined)
+  }
+
   test("Dedup.tokenJaccardPairs finds the planted near-dup") {
     val sp = spark
     import sp.implicits._

@@ -23,6 +23,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), "c11 should carry the running as-of window")
   }
 
+  test("c09 theta join: no nested-loop join, no cartesian, fact side never broadcast") {
+    // the raw non-equi LEFT JOIN would plan as BroadcastNestedLoopJoin
+    // building the customer (fact) side — OOM at 100×. The rankAgainst
+    // rewrite's only join is the broadcast of the #partitions-row offset
+    // table.
+    val p = executedPlan(JoinOps.c09.fn(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"c09 must not plan a nested-loop join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"c09 must not plan a cartesian:\n$p")
+    assert(p.contains("Window"), "c09 should carry the prefix-sum window")
+  }
+
   test("k16 argmax: hash aggregate, no ranking window") {
     // max(struct(sim, -cid)) partial-aggregates 8 scored rows to 1 per
     // vec_id before the shuffle; a row_number window would sort the full
