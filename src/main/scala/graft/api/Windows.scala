@@ -7,40 +7,80 @@ import org.apache.spark.sql.functions._
 /** Generic windowed-analytics helpers. */
 object Windows {
 
-  /** As-of join: each `right` row enriched with the latest `left` value at
-    * or before its timestamp, per key — backward as-of, the
-    * trades-get-latest-quote / purchases-get-latest-signup operator.
+  /** As-of join: each `right` row enriched with the `left` value nearest
+    * its timestamp per key — `mode` picks the direction:
+    *   - `"backward"` (default): latest left value at or before the right
+    *     ts (trades-get-latest-quote / purchases-get-latest-signup);
+    *   - `"forward"`: earliest left value at or after the right ts
+    *     (next-snapshot attach);
+    *   - `"nearest"`: whichever of the two has the smaller absolute ts
+    *     gap; an exact tie resolves backward.
     *
-    * NOT a range join: the naive join + per-key max materializes
+    * NOT a range join: the naive join + per-key extremum materializes
     * |left_k| × |right_k| rows per key (quadratic in per-key activity —
     * one hot key at 100× data skews a single task). Here both inputs are
-    * UNIONed and a running `last(value) IGNORE NULLS` window carries the
-    * as-of value forward: one shuffle on the key, linear per-key work,
-    * WindowExec's spillable buffer. Ties at equal ts resolve
-    * left-before-right (a left row AT the right row's ts is visible —
-    * standard `asof backward` inclusive semantics). NULL keys never match
-    * (join parity), and NULL-ts left rows contribute nothing.
+    * UNIONed and a running `last(struct(ts, value)) IGNORE NULLS` window
+    * carries the as-of (ts, value) pair forward (and, for
+    * forward/nearest, a mirror window over the reversed order carries it
+    * backward): one shuffle on the key, linear per-key work, WindowExec's
+    * spillable buffer. Ties at equal ts resolve left-visible-to-right
+    * (a left row AT the right row's ts matches in every mode — standard
+    * inclusive semantics). NULL keys never match (join parity); NULL-ts
+    * left rows contribute nothing (filtered before the union, so they
+    * cannot sort ahead of the partition and leak a value); NULL-ts right
+    * rows get NULL; NULL-`valueCol` left rows contribute nothing
+    * (`IGNORE NULLS` parity with the correlated-subquery oracle). Among
+    * several left rows at one (key, ts), the greatest `valueCol` wins —
+    * the window order tiebreaks on the value, so the pick is total, not
+    * physical-row-order dependent (requires an orderable `valueCol`).
     *
     * Returns `right`'s columns plus `outCol` (left's `valueCol` type). */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-           valueCol: String, outCol: String = "asof_value"): DataFrame = {
+           valueCol: String, outCol: String = "asof_value",
+           mode: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(mode),
+            s"asOf mode must be backward|forward|nearest, got $mode")
     val vType = left.schema(valueCol).dataType
-    val rowT = struct(right.columns.map(col): _*)
+    val lvType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_t", left.schema(tsCol).dataType),
+      org.apache.spark.sql.types.StructField("_v", vType)))
+    val rowType = org.apache.spark.sql.types.StructType(right.schema.fields)
+    val l = left.filter(col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).as("__t"),
+              when(col(valueCol).isNotNull,
+                   struct(col(tsCol).as("_t"), col(valueCol).as("_v"))).as("__lv"),
+              lit(0).as("__kind"),
+              lit(null).cast(rowType).as("__row"))
     val r = right.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
-                         lit(null).cast(vType).as("__v"), lit(1).as("__kind"),
-                         rowT.as("__row"))
-    val l = left.select(col(keyCol).as("__k"), col(tsCol).as("__t"),
-                        col(valueCol).as("__v"), lit(0).as("__kind"),
-                        lit(null).cast(r.schema("__row").dataType).as("__row"))
-    val w = Window.partitionBy("__k")
-      .orderBy(col("__t").asc, col("__kind").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r)
-      .withColumn("__asof", last(col("__v"), ignoreNulls = true).over(w))
-      .filter(col("__kind") === 1)
+                         lit(null).cast(lvType).as("__lv"),
+                         lit(1).as("__kind"),
+                         struct(right.columns.map(col): _*).as("__row"))
+    def running(o: Column*) = last(col("__lv"), ignoreNulls = true).over(
+      Window.partitionBy("__k").orderBy(o: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    // kind asc keeps a left row at the right row's ts inside the frame in
+    // both directions; __lv last tiebreaks equal-ts left rows totally.
+    val bw = running(col("__t").asc_nulls_first, col("__kind").asc, col("__lv").asc)
+    val fw = running(col("__t").desc_nulls_last, col("__kind").asc, col("__lv").asc)
+    val u = l.unionByName(r)
+    val scored = mode match {
+      case "backward" => u.withColumn("__pick", bw)
+      case "forward"  => u.withColumn("__pick", fw)
+      case "nearest"  =>
+        // tie → backward: chosen when its gap is <= the forward gap
+        u.withColumn("__b", bw).withColumn("__f", fw)
+          .withColumn("__pick",
+            when(col("__f").isNull, col("__b"))
+              .when(col("__b").isNull, col("__f"))
+              .when(col("__t") - col("__b._t") <= col("__f._t") - col("__t"),
+                    col("__b"))
+              .otherwise(col("__f")))
+    }
+    scored.filter(col("__kind") === 1)
       .select(right.columns.map(c => col(s"__row.$c").as(c)) :+
-              when(col("__k").isNull, lit(null).cast(vType))
-                .otherwise(col("__asof")).as(outCol): _*)
+              when(col("__k").isNull || col("__t").isNull,
+                   lit(null).cast(vType))
+                .otherwise(col("__pick._v")).as(outCol): _*)
   }
 
   /** Order-statistics rank against a population: each `probes` row enriched

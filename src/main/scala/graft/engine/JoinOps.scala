@@ -8,10 +8,11 @@ import graft.engine.Determinism._
   * Scale posture: equi-joins are left to Catalyst's JoinSelection — dims under
   * `autoBroadcastJoinThreshold` broadcast automatically, and c02 hints
   * `broadcast()` explicitly so the L⋈dims chain never shuffles the fact table.
-  * The one genuinely non-equi operator (c09 theta) keeps its build side tiny
-  * (supplier) so BroadcastNestedLoop stays bounded; c11's as-of is not a join
-  * at all but a running window over the union of both event streams — linear
-  * per user at any scale.
+  * The one genuinely non-equi operator (c09 theta) is not planned as a join
+  * at all: `Windows.rankAgainst` turns it into a range-partitioned prefix
+  * sum (no nested loop, no fact-side broadcast). Likewise c11/c14/c15's
+  * as-of variants are running windows over the union of both event
+  * streams — linear per user at any scale.
   */
 object JoinOps {
 
@@ -219,6 +220,57 @@ object JoinOps {
         .orderBy(asc_nulls_last("event_id"))
     })
 
+  /** c14 — forward as-of join: for each purchase, the EARLIEST signup ts at
+    * or after it for the same user (`Windows.asOf` mode="forward" — the
+    * mirror window of c11's backward mode, same union+running-window plan). */
+  val c14: Q = Q(
+    "c14_join_asof_fwd",
+    """SELECT p.event_id, p.user_id, p.ts,
+      |  (SELECT MIN(g.ts) FROM events g
+      |   WHERE g.user_id = p.user_id AND g.event_type = 'signup'
+      |     AND g.ts >= p.ts) AS next_signup_ts
+      |FROM events p
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY p.event_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.api.Windows.asOf(
+          left = e.filter(col("event_type") === "signup")
+            .select("user_id", "ts"),
+          right = e.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          keyCol = "user_id", tsCol = "ts", valueCol = "ts",
+          outCol = "next_signup_ts", mode = "forward")
+        .orderBy(asc_nulls_last("event_id"))
+    })
+
+  /** c15 — nearest as-of join: the signup ts with the smallest absolute gap
+    * to each purchase, tie → backward (`Windows.asOf` mode="nearest"; the
+    * oracle mirrors the tie rule with a gap-then-direction ORDER BY). */
+  val c15: Q = Q(
+    "c15_join_asof_near",
+    """SELECT p.event_id, p.user_id, p.ts,
+      |  (SELECT g.ts FROM events g
+      |   WHERE g.user_id = p.user_id AND g.event_type = 'signup'
+      |   ORDER BY CASE WHEN g.ts <= p.ts THEN p.ts - g.ts
+      |                 ELSE g.ts - p.ts END ASC,
+      |            CASE WHEN g.ts <= p.ts THEN 0 ELSE 1 END ASC
+      |   LIMIT 1) AS near_signup_ts
+      |FROM events p
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY p.event_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.api.Windows.asOf(
+          left = e.filter(col("event_type") === "signup")
+            .select("user_id", "ts"),
+          right = e.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          keyCol = "user_id", tsCol = "ts", valueCol = "ts",
+          outCol = "near_signup_ts", mode = "nearest")
+        .orderBy(asc_nulls_last("event_id"))
+    })
+
   /** c12 — self-join on a sequential key: consecutive-event pairs per user. */
   val c12: Q = Q(
     "c12_join_self_seq",
@@ -238,5 +290,6 @@ object JoinOps {
         .orderBy(asc_nulls_last("id1"))
     })
 
-  def ops: Vector[Q] = Vector(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c11, c12)
+  def ops: Vector[Q] = Vector(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10,
+                              c11, c12, c14, c15)
 }

@@ -181,6 +181,66 @@ class ApiSpec extends SparkSpec {
       "t4" -> Some(50.0), "t5" -> None, "t6" -> None))
   }
 
+  test("Windows.asOf: NULL-ts left rows leak nothing; equal-ts left rows pick the greatest value") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1704067200000L + m * 60000L)
+    val quotes = Seq(
+      // NULL-ts left row with a real value: ascending sort would put it
+      // FIRST in the key partition — it must contribute nothing (the
+      // pre-union filter), not become every early trade's as-of value
+      (1L, None: Option[Timestamp], 666.0),
+      (1L, Some(ts(10)), 100.0),
+      // two quotes at one ts with different values: the pick must be the
+      // documented greatest-value rule, not physical row order
+      (1L, Some(ts(20)), 111.0),
+      (1L, Some(ts(20)), 110.0)
+    ).toDF("k", "ts", "px")
+    val trades = Seq(
+      (1L, Some(ts(5)), "early"),            // only NULL-ts quote "precedes" → NULL
+      (1L, Some(ts(25)), "late"),            // tie group → 111.0
+      (1L, None: Option[Timestamp], "nullts") // NULL-ts trade → NULL in every mode
+    ).toDF("k", "ts", "tag")
+    for (mode <- Seq("backward", "forward", "nearest")) {
+      val out = Windows.asOf(quotes, trades, "k", "ts", "px", "px", mode)
+        .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+      assert(out("nullts").isEmpty, s"mode=$mode NULL-ts right row must get NULL")
+      mode match {
+        case "backward" =>
+          assert(out == Map("early" -> None, "late" -> Some(111.0), "nullts" -> None))
+        case "forward" =>
+          assert(out == Map("early" -> Some(100.0), "late" -> None, "nullts" -> None))
+        case "nearest" =>
+          assert(out == Map("early" -> Some(100.0), "late" -> Some(111.0),
+                            "nullts" -> None))
+      }
+    }
+  }
+
+  test("Windows.asOf forward/nearest: direction and the nearest tie → backward") {
+    val s = spark
+    import s.implicits._
+    val quotes = Seq((1L, 10L, 100.0), (1L, 30L, 300.0))
+      .toDF("k", "ts", "px")
+    val trades = Seq(
+      (1L, 20L, "mid"),   // gap 10 both ways → tie → backward → 100.0
+      (1L, 24L, "near30"),// forward gap 6 < backward gap 14 → 300.0
+      (1L, 12L, "near10"),// backward gap 2 < forward gap 18 → 100.0
+      (1L, 30L, "at30"),  // inclusive both directions; backward wins tie → 300.0
+      (1L, 35L, "after")  // nothing forward → backward → 300.0
+    ).toDF("k", "ts", "tag")
+    val near = Windows.asOf(quotes, trades, "k", "ts", "px", "px", "nearest")
+      .collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
+    assert(near == Map("mid" -> 100.0, "near30" -> 300.0, "near10" -> 100.0,
+                       "at30" -> 300.0, "after" -> 300.0))
+    val fwd = Windows.asOf(quotes, trades, "k", "ts", "px", "px", "forward")
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(fwd == Map("mid" -> Some(300.0), "near30" -> Some(300.0),
+                      "near10" -> Some(300.0), "at30" -> Some(300.0),
+                      "after" -> None))
+  }
+
   test("Windows.topKPerGroup caps each group") {
     val sp = spark
     import sp.implicits._
