@@ -65,11 +65,17 @@ object Replicator {
       org.apache.spark.sql.streaming.OutputMode.Append())
 
   /** Replay the sink's batch outputs into the current effective state —
-    * the query-time collapse ClickHouse FINAL performs. */
+    * the query-time collapse ClickHouse FINAL performs. A replica with no
+    * committed batch yet is an EMPTY state, not an AnalysisException (the
+    * parquet glob matches nothing before the first micro-batch lands). */
   def materializedState(outDir: String)
                        (implicit s: SparkSession): Dataset[CdcEvent] = {
     import s.implicits._
-    CdcCollapse.effectiveState(
-      s.read.parquet(s"$outDir/batch_*").as[CdcEvent])
+    val batches = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+    if (batches.isEmpty) s.emptyDataset[CdcEvent]
+    else CdcCollapse.effectiveState(
+      s.read.parquet(batches.map(_.getPath).toIndexedSeq: _*).as[CdcEvent])
   }
 }

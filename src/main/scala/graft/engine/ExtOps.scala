@@ -673,6 +673,18 @@ object ExtOps {
       .groupBy("source", "band", "bkey")
       .agg(count(lit(1)).as("n"))
 
+  /** Bucket-size histogram (band, source) → n of the REAL k15 LSH bucket
+    * key (the same signature stage the declared query feeds to GroupEmit) —
+    * lets ScaleOpsSpec assert every fixture bucket sits under the GroupEmit
+    * cap, so a cap-induced star degradation (which silently diverges from
+    * the exact oracle) would surface as a named assertion. */
+  def k15BucketSizes(s: SparkSession, dir: String): DataFrame =
+    tokens(s, dir)
+      .groupBy("doc_id", "source")
+      .agg(concat(minhash(0), minhash(1), minhash(2), minhash(3)).as("band"))
+      .groupBy("band", "source")
+      .agg(count(lit(1)).as("n"))
+
   /** k17 — deterministic train/val/test split by content-hash bucketing:
     * the first md5 hex digit of the key partitions ~13/16, 1/16, 2/16.
     * Hash-based assignment is the pipeline-correct way to split — stable

@@ -32,10 +32,15 @@ import org.apache.spark.sql.functions._
   */
 object GroupEmit {
 
+  /** Default star-degradation threshold. Oracle-checked callers (k15/k19)
+    * rely on every fixture bucket sitting BELOW this — ScaleOpsSpec asserts
+    * that headroom against the real bucket histograms at the largest sf. */
+  val DefaultCap = 1000
+
   /** All i<j payload pairs per bucket, star-degraded above `cap` rows.
     * Returns columns `x`, `y` (payload structs). */
   def boundedPairs(df: DataFrame, bucketCols: Seq[String], payload: Column,
-                   cap: Int = 1000): DataFrame = {
+                   cap: Int = DefaultCap): DataFrame = {
     val keys = bucketCols.map(col)
     val w = Window.partitionBy(keys: _*)
     val t = df.select(keys :+ payload.as("__p"): _*)

@@ -194,6 +194,17 @@ class ConnectorsSpec extends SparkSpec {
     assert(ddl.contains("`key` Int64"))
   }
 
+  test("Replicator.materializedState of a replica with no committed batch is empty") {
+    implicit val s = spark
+    // before the first micro-batch lands, the batch_* glob matches nothing —
+    // that is an empty replica, not an AnalysisException
+    val freshDir = java.nio.file.Files.createTempDirectory("repl_empty").toString
+    assert(Replicator.materializedState(freshDir).collect().isEmpty)
+    // and a dir that does not exist at all behaves the same (listFiles null)
+    assert(Replicator.materializedState(freshDir + "/never_created")
+      .collect().isEmpty)
+  }
+
   test("dirty CDC ingest end-to-end: corrupt lines quarantine, clean lines replicate") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val sp = spark

@@ -252,6 +252,23 @@ class ScaleOpsSpec extends SparkSpec {
       s"banding should spread blocks: avg bucket $bandAvg vs avg source $sourceAvg")
   }
 
+  test("k15/k19 fixture buckets sit under the GroupEmit cap at the largest sf") {
+    // k15/k19 are EXACT oracle-checked queries riding GroupEmit: a bucket
+    // over the cap would silently star-degrade and diverge from the oracle
+    // as an unexplained hash mismatch. Pin the headroom by name instead —
+    // against the real plans' bucket histograms at the largest tested sf.
+    val sf01 = "/root/testdata/sf0.1"
+    val k19Max = graft.engine.ExtOps.k19BucketSizes(spark, sf01)
+      .agg(max("n")).collect().head.getLong(0)
+    val k15Max = graft.engine.ExtOps.k15BucketSizes(spark, sf01)
+      .agg(max("n")).collect().head.getLong(0)
+    assert(k19Max < GroupEmit.DefaultCap,
+      s"k19 max bucket $k19Max reached the GroupEmit cap ${GroupEmit.DefaultCap}: " +
+        "the declared query would silently drop non-witness pairs")
+    assert(k15Max < GroupEmit.DefaultCap,
+      s"k15 max bucket $k15Max reached the GroupEmit cap ${GroupEmit.DefaultCap}")
+  }
+
   test("graft_unit native expression ≡ HOF normalize, bit-exact (and codegen-safe)") {
     val e = Tables.embeddings(spark, sf0001).limit(200)
     e.createOrReplaceTempView("e_unit_t")
