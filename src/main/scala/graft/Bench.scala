@@ -1,9 +1,24 @@
 package graft
 
+/** Driver-run benchmark: every declared query timed at SPARK_GRAFT_SF_DIR.
+  *
+  * Timings are per-query MEDIANS over `SPARK_GRAFT_BENCH_RUNS` (default 3)
+  * full passes of the query set — single-run totals on this box swing ±20%
+  * (BASELINE.md r3: identical code measured 46.9–57.4 s across seven runs),
+  * so a one-shot total is the weakest number in the repo and the 2× gate
+  * compares medians instead. Passes run back-to-back over the whole set
+  * (not per-query loops) so each pass is comparable to a historical
+  * single-run total; `raw_totals` carries the per-pass sums for the
+  * append-only BASELINE.md record.
+  *
+  * Output contract (one JSON line on stdout): `metric/value/unit/queries/sf`
+  * as always — `value` = sum of per-query medians, `queries` = medians —
+  * plus `runs` and `raw_totals`. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = GraftSession
       .builder("graft-bench", Some(s"local[$cpus]"), Some(cpus.toInt))
       .config("spark.ui.enabled", "false")
@@ -15,20 +30,30 @@ object Bench {
     graft.engine.Tables.names.foreach { n =>
       graft.engine.Tables.table(spark, sfDir, n).schema
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          // keep the one-line JSON contract on stdout; diagnostics to stderr
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1L
-      }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes: Seq[Map[String, Double]] = (1 to runs).map { _ =>
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            // keep the one-line JSON contract on stdout; diagnostics to stderr
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1L
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    val medians = names.map { case (n, _) => n -> median(passes.map(_(n))) }
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = medians.map(_._2).sum
+    val raw = passes.map(_.values.sum).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"raw_totals":$raw}""")
     spark.stop()
   }
 }

@@ -82,6 +82,155 @@ object Ivf {
     cent.toDF("cid", "embedding")
   }
 
+  // ---------------------------------------------------------------- PQ ---
+  // Product quantization on top of the coarse quantizer [public: Jégou,
+  // Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+  // TPAMI 2011]. At 100 TB the IVF shortlist's full-vector fetch dominates
+  // probe cost (nprobe clusters × 256B+ per vector); PQ stores an M-byte
+  // code per vector instead, scores the probed clusters from codes alone
+  // (asymmetric distance: probe stays a full vector, corpus is quantized),
+  // and fetches full vectors only for the top-`shortlist` survivors'
+  // exact re-rank. Training/encoding is deterministic Lloyd — no RNG, same
+  // contract as [[kmeansCentroids]].
+
+  /** Slices of the UNIT-normalized vectors: (vec_id, m, sv ARRAY<DOUBLE>,
+    * ssq). PQ here approximates the dot of unit vectors (cosine), so
+    * normalization happens before slicing on both train and encode paths. */
+  private def pqSlices(embeddings: DataFrame, m: Int): DataFrame = {
+    val dim = embeddings.select(size(col("embedding")).as("d")).head.getAs[Int]("d")
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    embeddings
+      .select(col("vec_id"),
+              graft.api.Similarity.normalize(col("embedding")).as("__u"))
+      .select(col("vec_id"),
+              posexplode(transform(sequence(lit(0), lit(m - 1)),
+                i => slice(col("__u"), i * lit(sub) + 1, lit(sub)))))
+      .select(col("vec_id"), col("pos").as("m"), col("col").as("sv"))
+      .withColumn("ssq", graft.api.Similarity.dot(col("sv"), col("sv")))
+  }
+
+  /** Per-(vector, subspace) nearest codeword by squared L2 (the PQ training
+    * objective — NOT cosine: subvector magnitudes carry signal). One
+    * broadcast of the M×ksub codebook, argmin as `min(struct(d2, code))` —
+    * the same partial-agg-before-shuffle shape as [[assign]]. */
+  private def pqAssign(sl: DataFrame, cb: DataFrame): DataFrame =
+    sl.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("code"),
+              (col("ssq") + col("csq") -
+               lit(2.0) * graft.api.Similarity.dot(col("sv"), col("cent"))).as("d2"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("code"))).as("__b"))
+      .select(col("vec_id"), col("m"), col("__b.code").as("code"))
+
+  private def withCsq(cb: DataFrame): DataFrame =
+    cb.withColumn("csq", graft.api.Similarity.dot(col("cent"), col("cent")))
+
+  /** Train per-subspace codebooks: returns (m, code, cent ARRAY<DOUBLE>).
+    * Init is the slices of the `ksub` lowest-id vectors (deterministic, the
+    * firstK convention); `iters` Lloyd rounds refine all M subspaces in one
+    * distributed assign + one aggregation per round, with the codebook —
+    * M × ksub × (dim/M) doubles — living driver-side between rounds exactly
+    * like [[kmeansCentroids]]. Empty codes keep their previous codeword. */
+  def pqCodebooks(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
+                  iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val sl = pqSlices(embeddings, m)
+    val initIds = embeddings.orderBy(asc_nulls_last("vec_id")).limit(ksub)
+      .select("vec_id")
+    val idToCode = initIds.collect().map(_.getLong(0)).sorted.zipWithIndex.toMap
+    var cb: Seq[(Int, Int, Seq[Double])] =
+      sl.join(broadcast(initIds), "vec_id").select("vec_id", "m", "sv")
+        .collect()
+        .map(r => (r.getInt(1), idToCode(r.getLong(0)), r.getSeq[Double](2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    for (_ <- 0 until iters) {
+      val means = pqAssign(sl, withCsq(cb.toDF("m", "code", "cent")))
+        .join(sl.select("vec_id", "m", "sv"), Seq("vec_id", "m"))
+        .select(col("m"), col("code"), posexplode(col("sv")))
+        .groupBy("m", "code", "pos").agg(avg("col").as("v"))
+        .groupBy("m", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+                       x => x.getField("v")).as("cent"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2))).toMap
+      cb = cb.map { case (mm, c, e) => (mm, c, means.getOrElse((mm, c), e)) }
+    }
+    cb.toDF("m", "code", "cent")
+  }
+
+  /** Encode the corpus: (vec_id, codes ARRAY<INT> of length M) — the M-byte
+    * PQ representation that replaces the full vector in probe scans. */
+  def pqEncode(embeddings: DataFrame, codebooks: DataFrame, m: Int): DataFrame =
+    pqAssign(pqSlices(embeddings, m), withCsq(codebooks))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+                     x => x.getField("code")).as("codes"))
+
+  /** Top-k by IVF + PQ-ADC + exact re-rank: restrict to the probe's
+    * `nprobe` clusters via `assignments` (at 100 TB: the cid-partitioned
+    * stored table — partition pruning does the restriction), score those
+    * clusters from `codes` ALONE against the probe's per-subspace lookup
+    * table (the full `embedding` column is never read in this stage), then
+    * fetch full vectors for only the top-`shortlist` ADC survivors and
+    * re-rank them by exact cosine. Returns (vec_id, cos) like
+    * [[topKApprox]]. */
+  def topKPqAdc(embeddings: DataFrame, centroids: DataFrame,
+                codebooks: DataFrame, codes: DataFrame,
+                assignments: DataFrame, probeId: Long, k: Int = 10,
+                nprobe: Int = 2, shortlist: Int = 100): DataFrame = {
+    val probeRow = embeddings.filter(col("vec_id") === probeId)
+    val q = probeRow
+      .select(graft.api.Similarity.normalize(col("embedding")).as("__u"))
+      .head.getSeq[Double](0)
+    val cbRows = codebooks.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2))).toMap
+    val mCount = cbRows.keys.map(_._1).max + 1
+    val sub = q.length / mCount
+    // ADC lookup table, computed once driver-side: table(m)(code) =
+    // dot(q_m, codeword) — M × ksub multiplies, embedded as a literal so
+    // the scoring stage is a single codegen'd projection over the codes
+    val table: Column = array((0 until mCount).map { mm =>
+      val qm = q.slice(mm * sub, (mm + 1) * sub)
+      array((0 until cbRows.keys.map(_._2).max + 1).map { c =>
+        lit(cbRows.get((mm, c))
+          .map(cw => qm.zip(cw).map { case (a, b) => a * b }.sum)
+          .getOrElse(0.0))
+      }: _*)
+    }: _*)
+    val probeClusters = graft.api.Similarity.scoreAgainstCentroids(
+        probeRow, "vec_id", "embedding", centroids, "cid", "embedding",
+        barrier = false)
+      .orderBy(desc_nulls_last("cos"), asc_nulls_last("cid"))
+      .limit(nprobe)
+      .select(col("cid"))
+    val adcTop = assignments
+      .join(broadcast(probeClusters), "cid")
+      .filter(col("vec_id") =!= probeId)
+      .select("vec_id")
+      .join(codes, "vec_id")
+      .select(col("vec_id"),
+              aggregate(sequence(lit(0), lit(mCount - 1)), lit(0.0),
+                (acc, i) => acc + element_at(element_at(table, i + lit(1)),
+                                             element_at(col("codes"), i + lit(1))
+                                               + lit(1))).as("adc"))
+      .orderBy(desc_nulls_last("adc"), asc_nulls_last("vec_id"))
+      .limit(shortlist)
+      .select("vec_id")
+    val probe = probeRow.select(
+      graft.api.Similarity.normalize(col("embedding")).as("__p"))
+    adcTop
+      .join(embeddings, "vec_id")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+              round(graft.api.Similarity.dot(
+                graft.api.Similarity.normalize(col("embedding")),
+                col("__p")), 6).as("cos"))
+      .orderBy(desc_nulls_last("cos"), asc_nulls_last("vec_id"))
+      .limit(k)
+  }
+
   /** Top-k cosine neighbors of `probeId`, scanning only the nprobe nearest
     * clusters. Returns (vec_id, cos) desc — compare with Ann.topKExact. */
   def topKApprox(embeddings: DataFrame, centroids: DataFrame, probeId: Long,

@@ -153,6 +153,55 @@ class ScaleOpsSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("PQ-ADC over IVF: recall >= full-vector IVF at the same nprobe, probe scan bytes shrink") {
+    val e = Tables.embeddings(spark, sf001).cache()
+    val cents = Ivf.firstKCentroids(e, 8)
+    val cb = Ivf.pqCodebooks(e, m = 8, ksub = 16, iters = 2)
+    val codes = Ivf.pqEncode(e, cb, m = 8).cache()
+    val assignments = Ivf.assign(e, cents).select("vec_id", "cid").cache()
+    // recall@10 vs exact brute force, averaged over probes: the PQ path
+    // (ADC from codes + exact re-rank of the shortlist) must not lose
+    // recall vs the full-vector in-cluster scan at the same nprobe — the
+    // shortlist (100) dwarfs k (10), so ADC only has to keep the true
+    // top-10 inside its top-100
+    val probes = (0L until 20L).map(_ * 17L)
+    val (rIvf, rPq) = probes.map { p =>
+      val exact = Ann.topKExact(e, probeId = p, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      val ivf = Ivf.topKApprox(e, cents, probeId = p, k = 10, nprobe = 2)
+        .collect().map(_.getLong(0)).toSet
+      val pq = Ivf.topKPqAdc(e, cents, cb, codes, assignments, probeId = p,
+                             k = 10, nprobe = 2, shortlist = 100)
+        .collect().map(_.getLong(0)).toSet
+      (exact.count(ivf.contains).toDouble / exact.size,
+       exact.count(pq.contains).toDouble / exact.size)
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2)) match {
+      case (i, p) => (i / probes.size, p / probes.size)
+    }
+    assert(rPq >= rIvf - 1e-9,
+      s"PQ+re-rank recall $rPq must not lose to full-vector IVF recall $rIvf")
+    // the 100 TB payoff, measured at the storage layer: per probed cluster,
+    // the ADC stage reads M-int codes instead of 64-float vectors — write
+    // both layouts cid-partitioned and compare the BYTES under the probed
+    // partitions (the same directory-pruning argument as the test below)
+    import graft.api.Bucketing
+    val codesDir = java.nio.file.Files.createTempDirectory("pq_codes").toString
+    val vecsDir = java.nio.file.Files.createTempDirectory("pq_vecs").toString
+    Bucketing.writePartitioned(codes.join(assignments, "vec_id"), codesDir, "cid")
+    Bucketing.writePartitioned(e.join(assignments, "vec_id"), vecsDir, "cid")
+    def bytesUnder(dir: String, cids: Seq[Int]): Long = cids.map { c =>
+      Option(new java.io.File(s"$dir/cid=$c").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+        .map(_.length).sum
+    }.sum
+    val probed = Seq(2, 5)
+    val (cBytes, vBytes) = (bytesUnder(codesDir, probed), bytesUnder(vecsDir, probed))
+    assert(cBytes > 0 && vBytes > 0)
+    assert(cBytes * 4 <= vBytes,
+      s"PQ probe scan must read <=1/4 the bytes: codes $cBytes vs vectors $vBytes")
+    codes.unpersist(); assignments.unpersist(); e.unpersist()
+  }
+
   test("IVF: cid-partitioned layout prunes a probe to its nprobe clusters at the storage layer") {
     import graft.api.Bucketing
     val e = Tables.embeddings(spark, sf0001)
