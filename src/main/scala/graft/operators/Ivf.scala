@@ -62,11 +62,20 @@ object Ivf {
     * 1..i. Empty clusters keep their previous centroid. At 100 TB the
     * driver holds a few thousand × dim doubles — trivial. */
   def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int = 3): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    var cent: Seq[(Long, Seq[Double])] = firstKCentroids(embeddings, k)
+    val init: Seq[(Long, Seq[Double])] = firstKCentroids(embeddings, k)
       .select(col("cid"), graft.api.Similarity.asDouble(col("embedding")).as("e"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    lloyd(embeddings, init, iters)
+  }
+
+  /** The shared Lloyd loop: fixed-count assign → per-cluster mean rounds
+    * from any initial centroid set (see [[kmeansCentroids]]' scaladoc for
+    * the driver-side-centroids scale argument). */
+  private def lloyd(embeddings: DataFrame, init: Seq[(Long, Seq[Double])],
+                    iters: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    var cent = init
     for (_ <- 0 until iters) {
       val means = assign(embeddings, cent.toDF("cid", "embedding"))
         .join(embeddings, "vec_id")
@@ -80,6 +89,80 @@ object Ivf {
       cent = cent.map { case (cid, e) => (cid, means.getOrElse(cid, e)) }
     }
     cent.toDF("cid", "embedding")
+  }
+
+  /** k-means‖ oversampled seeding [public: Bahmani et al., "Scalable
+    * k-means++", VLDB 2012], fully deterministic: the Bernoulli draw uses
+    * a salted `xxhash64(vec_id, round)` uniform (no RNG on executors —
+    * Ann's seeded-literal convention), each round samples points with
+    * probability ∝ their distance-squared to the current candidate set
+    * (d² = 2(1−cos) on unit vectors), candidates are weighted by corpus
+    * mass and reduced to k by weighted farthest-point on the driver
+    * (candidate count is O(rounds · oversample · k) — tiny), then the
+    * shared [[lloyd]] loop refines. firstK seeding caps recall when the
+    * K lowest-id vectors cluster together; k-means‖ spreads the seed mass
+    * like kmeans++ in O(rounds) passes instead of k. */
+  def kmeansParCentroids(embeddings: DataFrame, k: Int, rounds: Int = 3,
+                         oversample: Double = 2.0, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val unit = embeddings.select(
+      col("vec_id"), graft.api.Similarity.normalize(col("embedding")).as("embedding"))
+    var cand: Seq[(Long, Seq[Double])] = unit.orderBy(asc_nulls_last("vec_id"))
+      .limit(1).collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    for (r <- 1 to rounds) {
+      val scored = assign(unit, cand.toDF("cid", "embedding"))
+        .select(col("vec_id"), (lit(2.0) - lit(2.0) * col("cos")).as("d2"))
+      val phi = scored.agg(sum("d2")).collect().head.getDouble(0)
+      if (phi > 0) {
+        val prob = least(lit(1.0), lit(oversample * k) * col("d2") / lit(phi))
+        val unif = pmod(xxhash64(col("vec_id"), lit(r)), lit(1000000L))
+          .cast("double") / lit(1e6)
+        val picked = scored.filter(unif < prob).select("vec_id")
+          .join(unit, "vec_id")
+          .collect().map(rr => (rr.getLong(0), rr.getSeq[Double](1)))
+        cand = (cand ++ picked).distinctBy(_._1)
+      }
+    }
+    val weight = assign(unit, cand.toDF("cid", "embedding"))
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+    val byId = cand.toMap
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      2.0 - 2.0 * a.zip(b).map { case (x, y) => x * y }.sum
+    var chosen = Vector(cand.maxBy(c => (weight(c._1), -c._1))._1)
+    while (chosen.size < math.min(k, cand.size)) {
+      val next = cand.filterNot(c => chosen.contains(c._1))
+        .maxBy { c =>
+          (weight(c._1) * chosen.map(id => d2(byId(id), c._2)).min, -c._1)
+        }
+      chosen :+= next._1
+    }
+    // recluster the weighted candidates into k (the paper's reduction step,
+    // not bare farthest-point — farthest-point alone seeds outliers that
+    // grab little mass): driver-side weighted Lloyd over the candidate set,
+    // initialized at the farthest-point picks. All O(|cand|·k) per round.
+    var seeds: Seq[Seq[Double]] = chosen.sorted.map(byId)
+    for (_ <- 0 until 5) {
+      val assigned = cand.map { case (id, v) =>
+        (seeds.zipWithIndex.minBy { case (s, i) => (d2(s, v), i) }._2, id, v)
+      }
+      seeds = seeds.zipWithIndex.map { case (old, i) =>
+        val members = assigned.filter(_._1 == i)
+        if (members.isEmpty) old
+        else {
+          val w = members.map(m => weight(m._2).toDouble)
+          val tot = w.sum
+          if (tot == 0) old
+          else old.indices.map(d =>
+            members.zip(w).map { case ((_, _, v), wt) => v(d) * wt }.sum / tot)
+        }
+      }
+    }
+    val init = seeds.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    lloyd(embeddings, init, iters)
   }
 
   // ---------------------------------------------------------------- PQ ---
