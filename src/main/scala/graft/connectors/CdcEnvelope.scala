@@ -20,6 +20,21 @@ final case class CdcEvent(
     op: String, // "c" | "u" | "d"
     payload: String)
 
+/** A [[CdcEvent]] tagged with its source table: the whole-schema binlog is
+  * ONE totally-ordered log whose row events interleave across tables
+  * (`position` stays the global offset), which is why multi-table
+  * replication is one stream fanned out by table, not N independent
+  * streams — see [[SchemaReplicator]]. */
+final case class TableCdcEvent(
+    table: String,
+    key: Long,
+    position: Long,
+    tsMicros: Long,
+    op: String,
+    payload: String) {
+  def untagged: CdcEvent = CdcEvent(key, position, tsMicros, op, payload)
+}
+
 object CdcCollapse {
 
   /** Latest event per key by (tsMicros, position) — ReplacingMergeTree FINAL. */

@@ -194,6 +194,71 @@ class ConnectorsSpec extends SparkSpec {
     assert(ddl.contains("`key` Int64"))
   }
 
+  test("SchemaReplicator: two interleaved tables through one stream, per-table invariant holds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("schema_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("schema_ck").toString
+    // a nothing-committed-yet replica is empty and resumes from position 0
+    assert(SchemaReplicator.materializedState(outDir, "users").collect().isEmpty)
+    assert(SchemaReplicator.committedPosition(outDir) == 0L)
+    val seed =
+      SchemaReplicator.snapshotEvents("users",
+        Seq((1L, "u1"), (2L, "u2")).toDS()).collect().toSeq ++
+      SchemaReplicator.snapshotEvents("orders",
+        Seq((1L, "o1"), (3L, "o3")).toDS()).collect().toSeq
+    // ONE log, positions interleaving across tables; same key (1) lives in
+    // both tables and must never cross-contaminate
+    val tail = Seq(
+      TableCdcEvent("users", 2, 10, 1000, "u", "u2b"),   // update users.2
+      TableCdcEvent("orders", 1, 11, 1100, "d", ""),     // delete orders.1
+      TableCdcEvent("users", 4, 12, 1200, "c", "u4"),    // post-snapshot key
+      TableCdcEvent("orders", 3, 13, 1300, "u", "o3b"),  // update orders.3
+      TableCdcEvent("users", 1, 9, 900, "u", "u1b"))     // any binlog event beats the pos-0 seed
+    val in = MemoryStream[TableCdcEvent]
+    val q = SchemaReplicator.start(in.toDS(), outDir, ckDir)
+    try {
+      in.addData(seed: _*)
+      q.processAllAvailable()
+      in.addData(tail: _*)
+      q.processAllAvailable()
+      // a batch where nothing changes commits EMPTY (no partition dirs) —
+      // reading the replica must survive it
+      in.addData(TableCdcEvent("users", 2, 8, 800, "u", "older"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // per-table invariant: materialized ≡ that table's log replay
+    val log = (seed ++ tail :+ TableCdcEvent("users", 2, 8, 800, "u", "older")).toDS()
+    for (t <- Seq("users", "orders")) {
+      val mat = SchemaReplicator.materializedState(outDir, t)
+        .collect().map(e => e.key -> e.payload).toMap
+      val replay = CdcCollapse.effectiveState(
+          log.filter(_.table == t).map(_.untagged))
+        .collect().map(e => e.key -> e.payload).toMap
+      assert(mat == replay, s"table $t: sink $mat != log replay $replay")
+    }
+    assert(SchemaReplicator.materializedState(outDir, "users")
+      .collect().map(e => e.key -> e.payload).toMap ==
+      Map(1L -> "u1b", 2L -> "u2b", 4L -> "u4"),
+      "users: update applied, post-snapshot key present, binlog event beats seed")
+    assert(SchemaReplicator.materializedState(outDir, "orders")
+      .collect().map(e => e.key -> e.payload).toMap == Map(3L -> "o3b"),
+      "orders: delete collapsed, update applied, users events never leaked")
+    // the shared resume watermark is the schema-wide max committed position
+    assert(SchemaReplicator.committedPosition(outDir) == 13L)
+    // per-table DDL bootstrap through the shared type matrix
+    val ddl = SchemaReplicator.bootstrapDdl(Map(
+      "users" -> (org.apache.spark.sql.Encoders.product[CdcEvent].schema, Seq("key")),
+      "orders" -> (org.apache.spark.sql.Encoders.product[CdcEvent].schema, Seq("key"))))
+    assert(ddl.keySet == Set("users", "orders"))
+    assert(ddl("users").contains("CREATE TABLE users") ||
+           ddl("users").contains("users"))
+    assert(ddl.values.forall(_.contains("ENGINE = ReplacingMergeTree(tsMicros)")))
+  }
+
   test("Replicator.materializedState of a replica with no committed batch is empty") {
     implicit val s = spark
     // before the first micro-batch lands, the batch_* glob matches nothing —
