@@ -351,4 +351,60 @@ class StreamingSpec extends SparkSpec {
       assert(spark.read.parquet(batches.head.getPath).count() == 2)
     } finally q.stop()
   }
+
+  test("streaming PPJoin flags exact dups cross-batch and equals the batch exact join") {
+    import graft.streaming.StreamingPpJoin
+    import graft.streaming.StreamingPpJoin.{PpDoc, PpHit}
+    import graft.engine.Tables
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val t = 0.6
+    // the real fixture corpus, streamed in doc_id order across 3 micro-batches
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "source").collect()
+      .map(r => PpDoc(r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_.doc_id)
+    val in = MemoryStream[PpDoc]
+    val q = StreamingPpJoin.dedupStream(in.toDS(), threshold = t).writeStream
+      .format("memory").queryName("ppjoin_t").outputMode(OutputMode.Append).start()
+    try {
+      val third = (docs.length + 2) / 3
+      docs.grouped(third).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      // replayed delivery (at-least-once): must add nothing
+      in.addData(docs.head)
+      q.processAllAvailable()
+      // one hit may arrive per shared prefix token — dedup to pairs, then
+      // compare UNORDERED pairs + jaccard against the oracle-anchored batch
+      // exact join over the same corpus and blocking
+      val flagged = spark.table("ppjoin_t").as[PpHit].collect()
+        .map(h => (math.min(h.doc_id, h.dup_of), math.max(h.doc_id, h.dup_of),
+                   math.round(h.jaccard * 1e9)))
+        .toSet
+      val batch = graft.api.Dedup.tokenJaccardPairs(
+          Tables.documents(spark, sf0001), "doc_id", "text", "source", t)
+        .collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+                   math.max(r.getLong(0), r.getLong(1)),
+                   math.round(r.getDouble(2) * 1e9)))
+        .toSet
+      assert(batch.nonEmpty, "fixture must contain exact near-dups")
+      assert(flagged == batch,
+        s"streaming PPJoin must equal the batch exact join: " +
+          s"missed ${(batch -- flagged).take(5)}, extra ${(flagged -- batch).take(5)}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
