@@ -79,6 +79,40 @@ final case class DropColumn(table: String, name: String) extends DdlEvent
 final case class ModifyColumn(table: String, column: StructField) extends DdlEvent
 final case class RenameColumn(table: String, from: String, to: String) extends DdlEvent
 
+/** Wire form of a [[DdlEvent]] as it arrives on the schema-change stream
+  * (Debezium-style parsed record, one JSON line per change). Decoding is
+  * two-stage dead-lettering, proven in ConnectorsSpec's quarantine chain:
+  * malformed JSON dead-letters at [[JsonIngest.parse]] (syntactic), and a
+  * record that parses but carries an unknown kind / unparsable type /
+  * missing operand dead-letters at [[DdlWire.decode]] (semantic) — a bad
+  * schema change must never half-apply to one side of the replica. */
+final case class DdlWire(position: Long, kind: String, table: String,
+                         name: String, sparkType: Option[String],
+                         after: Option[String], to: Option[String])
+
+object DdlWire {
+
+  /** Decode one syntactically-valid wire record; Left(reason) routes to
+    * the dead-letter queue. Added columns arrive nullable (§1.2: post-JDBC
+    * everything is nullable). */
+  def decode(w: DdlWire): Either[String, DdlEvent] = {
+    def typed: Either[String, org.apache.spark.sql.types.DataType] =
+      w.sparkType.toRight(s"DDL `${w.kind}` missing sparkType").flatMap { t =>
+        try Right(org.apache.spark.sql.types.DataType.fromDDL(t))
+        catch { case e: Exception => Left(s"unparsable type `$t`") }
+      }
+    w.kind match {
+      case "add" => typed.map(t =>
+        AddColumn(w.table, StructField(w.name, t), w.after))
+      case "drop" => Right(DropColumn(w.table, w.name))
+      case "modify" => typed.map(t => ModifyColumn(w.table, StructField(w.name, t)))
+      case "rename" => w.to.toRight(s"DDL rename of `${w.name}` missing `to`")
+        .map(t => RenameColumn(w.table, w.name, t))
+      case k => Left(s"unknown DDL kind `$k`")
+    }
+  }
+}
+
 object DdlPropagate {
 
   /** Render the ClickHouse ALTER statement for one upstream DDL event. */

@@ -69,7 +69,7 @@ object Ann {
             col("vec_id") =!= probeId)
       .select(col("vec_id"), round(cosine(col("embedding"), col("p_emb")), 6).as("cos"))
       .groupBy("vec_id").agg(max("cos").as("cos")) // dedup multi-band collisions
-      .orderBy(desc("cos"), asc("vec_id"))
+      .orderBy(desc_nulls_last("cos"), asc_nulls_last("vec_id"))
       .limit(k)
   }
 
@@ -80,7 +80,7 @@ object Ann {
     embeddings.filter(col("vec_id") =!= probeId)
       .crossJoin(broadcast(probe))
       .select(col("vec_id"), round(cosine(col("embedding"), col("p_emb")), 6).as("cos"))
-      .orderBy(desc("cos"), asc("vec_id"))
+      .orderBy(desc_nulls_last("cos"), asc_nulls_last("vec_id"))
       .limit(k)
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.ml.feature.{CountVectorizer, MinHashLSH, RegexTokenizer}
-import org.apache.spark.ml.linalg.SparseVector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,12 +22,22 @@ object MinHashDedup {
     val tokenized = new RegexTokenizer()
       .setInputCol("text").setOutputCol("tokens").setPattern(" ")
       .transform(docs.select("doc_id", "text"))
-    val vectorized = new CountVectorizer()
+    val cv = new CountVectorizer()
       .setInputCol("tokens").setOutputCol("features").setBinary(true)
       .fit(tokenized)
-      .transform(tokenized)
-      // MinHashLSH requires ≥1 non-zero entry
-      .filter(udf((v: SparseVector) => v.numNonzeros > 0).apply(col("features")))
+    // MinHashLSH requires ≥1 non-zero entry. With an untruncated vocabulary
+    // every token is in-vocab, so `tokens nonempty ⟺ features non-zero` and
+    // the check is a plain codegen'd Column (a vector UDF would break the
+    // stage; vector_to_array would densify to |vocab| per row). A corpus
+    // whose vocabulary overflows the CountVectorizer cap breaks that
+    // equivalence (an all-OOV doc would zero-vector through the filter), so
+    // fail loudly instead of silently diverging — pre-prune the vocabulary
+    // upstream if a 100 TB corpus ever trips this.
+    require(cv.vocabulary.length < (1 << 18),
+      s"vocabulary hit the CountVectorizer cap (${cv.vocabulary.length}): " +
+        "the empty-vector filter is only sound on an untruncated vocabulary")
+    val vectorized = cv.transform(tokenized)
+      .filter(size(col("tokens")) > 0)
     val lsh = new MinHashLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(seed)

@@ -307,6 +307,42 @@ class ConnectorsSpec extends SparkSpec {
     assert(mat == Map(1L -> "a2"), "update applied, tombstoned key gone, corrupt rows absent")
   }
 
+  test("DDL round-trip through the quarantine: malformed dead-letters, well-formed alters both sides") {
+    val sp = spark
+    import sp.implicits._
+    // the schema-change stream, dirty: two good events, one malformed JSON
+    // (syntactic dead-letter), one unknown kind and one unparsable type
+    // (semantic dead-letters) — nothing may half-apply
+    val lines = Seq(
+      """{"position":1,"kind":"add","table":"t","name":"email","sparkType":"STRING"}""",
+      """{"position":2,"kind":"""",  // malformed JSON
+      """{"position":3,"kind":"truncate","table":"t","name":"x"}""", // unknown kind
+      """{"position":4,"kind":"modify","table":"t","name":"email","sparkType":"VARCHAR(-1)"}""", // bad type
+      """{"position":5,"kind":"rename","table":"t","name":"email","to":"contact_email"}"""
+    ).zipWithIndex.map { case (l, i) => (i.toLong, l) }
+    val wireSchema = org.apache.spark.sql.Encoders.product[DdlWire].schema
+    val parsed = JsonIngest.parse(lines.toDF("line_no", "payload"), "payload", wireSchema)
+    assert(JsonIngest.quarantine(parsed, "payload").count() == 1,
+      "exactly the malformed JSON line dead-letters syntactically")
+    val wires = JsonIngest.wellFormed(parsed).select("parsed.*").as[DdlWire]
+      .collect().sortBy(_.position)
+    val (bad, good) = wires.map(w => w -> DdlWire.decode(w)).partition(_._2.isLeft)
+    assert(bad.map(_._1.position).toSeq == Seq(3L, 4L),
+      s"unknown kind and bad type dead-letter semantically: ${bad.toSeq}")
+    // the survivors apply IN POSITION ORDER to both sides in lockstep
+    var schema = org.apache.spark.sql.types.StructType(Seq(
+      StructField("key", org.apache.spark.sql.types.LongType)))
+    val alters = good.map(_._2.toOption.get).map { e =>
+      schema = DdlPropagate.applyToSchema(schema, e)
+      DdlPropagate.toClickHouseSql(e)
+    }
+    assert(alters.toSeq == Seq(
+      "ALTER TABLE `t` ADD COLUMN `email` Nullable(String)",
+      "ALTER TABLE `t` RENAME COLUMN `email` TO `contact_email`"))
+    assert(schema.fieldNames.toSeq == Seq("key", "contact_email"),
+      "Spark-side schema advanced in lockstep with the sink ALTERs")
+  }
+
   test("ClickHouse write config: capped exponential backoff") {
     val cfg = Sinks.ClickHouseWriteConfig("jdbc:ch://ch:8123/g", "t",
       maxRetries = 6, retryBackoffMs = 1000)
