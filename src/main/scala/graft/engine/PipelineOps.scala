@@ -157,5 +157,95 @@ object PipelineOps {
              round(corr(col("l_extendedprice"), col("l_quantity")), 4).as("corr"))
         .orderBy(asc_nulls_last("l_returnflag")))
 
-  def ops: Vector[Q] = Vector(k20, k21, k22, d20)
+  /** The k02 edge set (exact token Jaccard ≥ 0.6 within a source block) as
+    * an oracle CTE prefix — k23/k24 consume the SAME pairs the oracle
+    * already hash-checks through k02, so their cluster/contamination
+    * semantics sit on verified ground. */
+  private val pairCte =
+    """tok AS (
+      |  SELECT DISTINCT doc_id, source, token FROM
+      |    (SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      |     FROM documents)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+      |  FROM tok a JOIN tok b
+      |    ON a.token = b.token AND a.source = b.source AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pair AS (
+      |  SELECT id1, id2 FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id1
+      |  JOIN sizes sb ON sb.doc_id = id2
+      |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.6)""".stripMargin
+
+  private def jaccardEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.api.Dedup.tokenJaccardPairs(
+      Tables.documents(s, dir), "doc_id", "text", "source", 0.6)
+
+  /** k23 — duplicate-cluster assignment: connected components over the k02
+    * near-dup pairs, each doc labeled with its cluster's smallest doc_id.
+    * The oracle states reachability as a recursive CTE; the plan is
+    * ConnectedComponents' iterative min-label propagation (2 shuffles per
+    * round, rounds = dup-graph diameter ≈ 2-3 — no recursion, no driver
+    * data). This is THE consumer of the near-dup stack: pairs → clusters →
+    * keep one representative. */
+  val k23: Q = Q(
+    "k23_dedup_clusters",
+    s"""WITH RECURSIVE $pairCte,
+       |edge AS (SELECT id1 AS a, id2 AS b FROM pair
+       |         UNION ALL SELECT id2 AS a, id1 AS b FROM pair),
+       |reach(v, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.a, r.label FROM edge e JOIN reach r ON r.v = e.b)
+       |SELECT v AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1
+       |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      graft.operators.ConnectedComponents.assign(
+          Tables.documents(s, dir).select("doc_id"), jaccardEdges(s, dir),
+          "doc_id", "id1", "id2")
+        .select(col("doc_id"), col("component").as("cluster_id"))
+        .orderBy(asc_nulls_last("doc_id")))
+
+  /** k24 — train/eval decontamination: every val/test doc that is a
+    * near-dup (same k02 edge set) of some train doc, with the smallest
+    * contaminating train doc as witness — the leakage check a pipeline
+    * runs after k17's hash split and before export. */
+  val k24: Q = Q(
+    "k24_decontaminate",
+    s"""WITH $pairCte,
+       |s AS (SELECT doc_id,
+       |    CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
+       |         WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) = 'd' THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |edge AS (SELECT id1 AS a, id2 AS b FROM pair
+       |         UNION ALL SELECT id2 AS a, id1 AS b FROM pair)
+       |SELECT e.a AS doc_id, sa.split AS split, MIN(e.b) AS contaminated_by
+       |FROM edge e
+       |JOIN s sa ON sa.doc_id = e.a
+       |JOIN s sb ON sb.doc_id = e.b
+       |WHERE sa.split <> 'train' AND sb.split = 'train'
+       |GROUP BY 1, 2
+       |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val pairs = jaccardEdges(s, dir)
+      val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+        .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val splits = Tables.documents(s, dir).select(
+        col("doc_id"),
+        when(h1 <= "c", "train").when(h1 === "d", "val")
+          .otherwise("test").as("split"))
+      edges
+        .join(splits.select(col("doc_id").as("a"), col("split")), "a")
+        .filter(col("split") =!= "train")
+        .join(splits.filter(col("split") === "train")
+                .select(col("doc_id").as("b")), "b")
+        .groupBy(col("a").as("doc_id"), col("split"))
+        .agg(min(col("b")).as("contaminated_by"))
+        .orderBy(asc_nulls_last("doc_id"))
+    })
+
+  def ops: Vector[Q] = Vector(k20, k21, k22, d20, k23, k24)
 }

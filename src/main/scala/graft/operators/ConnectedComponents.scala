@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the consumer every
+  * near-dup candidate generator (k02/k15/k19, MinHashDedup, SimHashDedup)
+  * feeds: candidate PAIRS become duplicate CLUSTERS, and a pipeline keeps
+  * one representative per cluster. Label = smallest reachable vertex id
+  * (the conventional canonical representative).
+  *
+  * Plan: iterative min-label propagation. Each round every vertex takes
+  * the min of its own label and its neighbors' labels — one equi-join of
+  * the symmetrized edges against the labels plus one min-aggregate, both
+  * hash-partitioned on vertex id, so a round is two shuffles of
+  * |edges| + |vertices| rows and NO driver-side data (the driver sees one
+  * convergence counter per round). Rounds needed = graph diameter in
+  * label-hops; duplicate clusters are near-cliques, so 2-3 rounds
+  * converge. Each round persists its labels and unpersists the previous
+  * round's (lineage stays one round deep — at 100 TB swap the persist for
+  * `checkpoint` on a real cluster for fault-tolerance across a long
+  * chain).
+  *
+  * [public: the label-propagation / alternating small-star formulation of
+  * CC on MapReduce — Kiveris et al., "Connected Components in MapReduce
+  * and Beyond", SoCC'14; this is the plain propagation variant, right for
+  * low-diameter dup graphs.]
+  */
+object ConnectedComponents {
+
+  /** Label every vertex with its component's minimum vertex id.
+    * Returns (`vertexCol`, `component`). Vertices absent from `edges`
+    * keep their own id (singleton clusters). */
+  def assign(vertices: DataFrame, edges: DataFrame, vertexCol: String,
+             srcCol: String, dstCol: String, maxIters: Int = 20): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).as("__v"), col(dstCol).as("__n"))
+      .unionByName(edges.select(col(dstCol).as("__v"), col(srcCol).as("__n")))
+    var labels = vertices.select(col(vertexCol).as("__v"),
+                                 col(vertexCol).as("__label")).persist()
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      // neighbor labels flow along edges; min over {own, neighbors'}
+      val next = sym
+        .join(labels.withColumnRenamed("__v", "__n2"),
+              col("__n") === col("__n2"))
+        .select(col("__v"), col("__label"))
+        .unionByName(labels)
+        .groupBy("__v").agg(min("__label").as("__label"))
+        .persist()
+      val changed = next
+        .join(labels.withColumnRenamed("__label", "__old"), "__v")
+        .filter(col("__label") =!= col("__old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iters += 1
+    }
+    labels.select(col("__v").as(vertexCol), col("__label").as("component"))
+  }
+}

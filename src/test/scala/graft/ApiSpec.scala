@@ -241,6 +241,20 @@ class ApiSpec extends SparkSpec {
                       "after" -> None))
   }
 
+  test("ConnectedComponents labels chains, cliques, and singletons correctly") {
+    val sp = spark
+    import sp.implicits._
+    // component {1,2,3,4} as a CHAIN (worst diameter for propagation),
+    // component {10,11} as one edge, vertex 20 isolated
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((4L, 3L), (3L, 2L), (2L, 1L), (10L, 11L)).toDF("src", "dst")
+    val got = graft.operators.ConnectedComponents
+      .assign(vertices, edges, "id", "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+                      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("Windows.topKPerGroup caps each group") {
     val sp = spark
     import sp.implicits._
