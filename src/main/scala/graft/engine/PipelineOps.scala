@@ -247,5 +247,31 @@ object PipelineOps {
         .orderBy(asc_nulls_last("doc_id"))
     })
 
-  def ops: Vector[Q] = Vector(k20, k21, k22, d20, k23, k24)
+  /** d21 — multi-quantile in one pass (the ClickHouse `quantiles(...)` /
+    * percentile-array shape): exact linear-interpolated quartiles per
+    * group as ONE aggregate buffer (a percentile-ARRAY aggregate, not
+    * three separate sorts), flattened to scalar columns for the driver
+    * compare (rule 6: list outputs don't row-sort). Both engines
+    * interpolate linearly on doubles; ROUND 4 absorbs the float tail
+    * (d10's determinism class). */
+  val d21: Q = Q(
+    "d21_quantiles_multi",
+    """WITH q AS (SELECT l_returnflag,
+      |    QUANTILE_CONT(CAST(l_quantity AS DOUBLE), [0.25, 0.5, 0.75]) AS qs
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, ROUND(qs[1], 4) AS q25, ROUND(qs[2], 4) AS q50,
+      |  ROUND(qs[3], 4) AS q75
+      |FROM q ORDER BY l_returnflag ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity").cast("double"),
+                        array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+        .select(col("l_returnflag"),
+                round(element_at(col("qs"), 1), 4).as("q25"),
+                round(element_at(col("qs"), 2), 4).as("q50"),
+                round(element_at(col("qs"), 3), 4).as("q75"))
+        .orderBy(asc_nulls_last("l_returnflag")))
+
+  def ops: Vector[Q] = Vector(k20, k21, k22, d20, k23, k24, d21)
 }
