@@ -33,11 +33,16 @@ object Windows {
     * several left rows at one (key, ts), the greatest `valueCol` wins —
     * the window order tiebreaks on the value, so the pick is total, not
     * physical-row-order dependent (requires an orderable `valueCol`).
+    * `tolerance` (optional) bounds the match gap — the vendor asof-join
+    * "max lookback" option: a match farther than the bound (in the units
+    * of `tsCol`'s difference type — a long delta, or an INTERVAL for
+    * timestamps) yields NULL instead.
     *
     * Returns `right`'s columns plus `outCol` (left's `valueCol` type). */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
            valueCol: String, outCol: String = "asof_value",
-           mode: String = "backward"): DataFrame = {
+           mode: String = "backward",
+           tolerance: Option[Column] = None): DataFrame = {
     require(Set("backward", "forward", "nearest")(mode),
             s"asOf mode must be backward|forward|nearest, got $mode")
     val vType = left.schema(valueCol).dataType
@@ -76,9 +81,17 @@ object Windows {
                     col("__b"))
               .otherwise(col("__f")))
     }
+    // tolerance (max allowed ts gap, e.g. lit(300L) or an INTERVAL
+    // expression matching the ts type's difference): a match farther than
+    // the bound returns NULL. Uniform post-mask is exact in every mode —
+    // the pick is already the nearest match in its direction(s), so if IT
+    // exceeds the bound, every other candidate does too.
+    val gap = when(col("__pick._t") <= col("__t"), col("__t") - col("__pick._t"))
+      .otherwise(col("__pick._t") - col("__t"))
+    val inTol = tolerance.map(tol => gap <= tol).getOrElse(lit(true))
     scored.filter(col("__kind") === 1)
       .select(right.columns.map(c => col(s"__row.$c").as(c)) :+
-              when(col("__k").isNull || col("__t").isNull,
+              when(col("__k").isNull || col("__t").isNull || !inTol,
                    lit(null).cast(vType))
                 .otherwise(col("__pick._v")).as(outCol): _*)
   }

@@ -271,6 +271,34 @@ object JoinOps {
         .orderBy(asc_nulls_last("event_id"))
     })
 
+  /** c16 — bounded as-of join: c11's backward as-of with a 60-minute
+    * tolerance (the vendor "max lookback" option) — a signup older than
+    * the bound yields NULL. Same union+window plan; the bound is a
+    * post-mask on the picked match (exact: the pick is already the
+    * nearest, so if it exceeds the bound every candidate does). */
+  val c16: Q = Q(
+    "c16_join_asof_tol",
+    """SELECT p.event_id, p.user_id, p.ts,
+      |  (SELECT MAX(g.ts) FROM events g
+      |   WHERE g.user_id = p.user_id AND g.event_type = 'signup'
+      |     AND g.ts <= p.ts
+      |     AND g.ts >= p.ts - INTERVAL 60 MINUTE) AS recent_signup_ts
+      |FROM events p
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY p.event_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.api.Windows.asOf(
+          left = e.filter(col("event_type") === "signup")
+            .select("user_id", "ts"),
+          right = e.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          keyCol = "user_id", tsCol = "ts", valueCol = "ts",
+          outCol = "recent_signup_ts", mode = "backward",
+          tolerance = Some(expr("INTERVAL 60 MINUTES")))
+        .orderBy(asc_nulls_last("event_id"))
+    })
+
   /** c12 — self-join on a sequential key: consecutive-event pairs per user. */
   val c12: Q = Q(
     "c12_join_self_seq",
@@ -291,5 +319,5 @@ object JoinOps {
     })
 
   def ops: Vector[Q] = Vector(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10,
-                              c11, c12, c14, c15)
+                              c11, c12, c14, c15, c16)
 }

@@ -255,6 +255,32 @@ class ApiSpec extends SparkSpec {
                       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("Windows.asOf tolerance bounds the match gap in every mode") {
+    val s = spark
+    import s.implicits._
+    val quotes = Seq((1L, 10L, 100.0), (1L, 50L, 500.0)).toDF("k", "ts", "px")
+    val trades = Seq(
+      (1L, 15L, "close"),  // backward gap 5 ≤ 10 → 100.0
+      (1L, 30L, "far"),    // backward gap 20 > 10 → NULL under tolerance
+      (1L, 45L, "fwd")     // forward gap 5 ≤ 10 → 500.0
+    ).toDF("k", "ts", "tag")
+    def run(mode: String) =
+      Windows.asOf(quotes, trades, "k", "ts", "px", "px", mode,
+                   tolerance = Some(lit(10L)))
+        .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(run("backward") ==
+      Map("close" -> Some(100.0), "far" -> None, "fwd" -> None))
+    assert(run("forward") ==
+      Map("close" -> None, "far" -> None, "fwd" -> Some(500.0)))
+    // nearest at ts=30: both sides 20 away — outside the bound → NULL
+    assert(run("nearest") ==
+      Map("close" -> Some(100.0), "far" -> None, "fwd" -> Some(500.0)))
+    // and without a tolerance the same rows all match
+    val free = Windows.asOf(quotes, trades, "k", "ts", "px", "px", "backward")
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(free("far") == Some(100.0))
+  }
+
   test("Windows.topKPerGroup caps each group") {
     val sp = spark
     import sp.implicits._
