@@ -33,14 +33,18 @@ object ConnectedComponents {
     * keep their own id (singleton clusters). */
   def assign(vertices: DataFrame, edges: DataFrame, vertexCol: String,
              srcCol: String, dstCol: String, maxIters: Int = 20): DataFrame = {
-    // persist the symmetrized edges: every round joins against them, and
-    // the edge producer is typically the expensive part (a near-dup join —
-    // without the persist each round would recompute it from scratch;
-    // measured 18.6 s → 5 s for k23 at sf0.1)
-    val sym = edges
-      .select(col(srcCol).as("__v"), col(dstCol).as("__n"))
-      .unionByName(edges.select(col(dstCol).as("__v"), col(srcCol).as("__n")))
-      .persist()
+    // persist the DIRECTED edges before symmetrizing: every round joins
+    // against them, and the edge producer is typically the expensive part
+    // (a near-dup join). Persisting the union instead would run the
+    // producer once PER UNION BRANCH during materialization (alias
+    // renumbering defeats exchange reuse across the two branches);
+    // persisting the base runs it exactly once and the symmetric view is
+    // two cheap projections of the cache. Measured 18.6 s → 5 s for k23
+    // at sf0.1.
+    val base = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d")).persist()
+    val sym = base
+      .select(col("__s").as("__v"), col("__d").as("__n"))
+      .unionByName(base.select(col("__d").as("__v"), col("__s").as("__n")))
     var cached = vertices.select(col(vertexCol).as("__v"),
                                  col(vertexCol).as("__label")).persist()
     var labels = cached
@@ -67,7 +71,7 @@ object ConnectedComponents {
       converged = changed == 0
       iters += 1
     }
-    sym.unpersist()
+    base.unpersist()
     // the final labels stay persisted: the caller's sort/write reads the
     // materialized rows (|V| rows), never re-runs the iteration chain
     labels.select(col("__v").as(vertexCol), col("__label").as("component"))
