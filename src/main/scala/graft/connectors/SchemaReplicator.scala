@@ -129,6 +129,63 @@ object SchemaReplicator {
     }
   }
 
+  /** Compact the replica's batch history into one consolidated batch — the
+    * ClickHouse merge-parts analog. [[readCommitted]]'s union grows with
+    * batch count, so a long-running replica compacts periodically.
+    *
+    * The compacted batch holds the latest event per (table, key) with
+    * tombstones RETAINED: `materializedState` applies the tombstone drop at
+    * READ time, and a compaction that dropped 'd' rows would let any
+    * earlier event for the key (arriving through an at-least-once replay)
+    * resurrect it. Retaining the tombstone preserves
+    * `effectiveState(compacted) == effectiveState(history)` under any
+    * idempotent replay — asserted in ConnectorsSpec.
+    *
+    * Crash-safe ordering: write the merged batch to a temp dir
+    * (materialized before anything is removed), rename it into the
+    * `batch_` namespace — from that instant reads see old AND new rows,
+    * which latest-per-key collapse makes harmless — then delete the old
+    * batch dirs. A crash at any step leaves a readable replica.
+    *
+    * `committedPosition` may REGRESS across compaction (the globally
+    * max-position event can be superseded within its key by a later-ts
+    * event and thus not retained); resuming from the regressed watermark
+    * re-pulls events the latest-wins collapse already absorbs — safe by
+    * the replicator invariant. */
+  def compact(outDir: String)(implicit s: SparkSession): Unit =
+    readCommitted(outDir) match {
+      case None => ()
+      case Some(df) =>
+        val before = committedBatches(outDir)
+        val latest = df
+          .groupBy(org.apache.spark.sql.functions.col("table"),
+                   org.apache.spark.sql.functions.col("key"))
+          .agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.struct("tsMicros", "position",
+                                                  "op", "payload")).as("__e"))
+          .select(org.apache.spark.sql.functions.col("key"),
+                  org.apache.spark.sql.functions.col("__e.position").as("position"),
+                  org.apache.spark.sql.functions.col("__e.tsMicros").as("tsMicros"),
+                  org.apache.spark.sql.functions.col("__e.op").as("op"),
+                  org.apache.spark.sql.functions.col("__e.payload").as("payload"),
+                  org.apache.spark.sql.functions.col("table"))
+        val tmp = new java.io.File(outDir, ".compact_tmp")
+        latest.write.mode("overwrite").partitionBy("table")
+          .parquet(tmp.getPath)
+        val gen = before.map(b => new java.io.File(b).getName)
+          .flatMap(n => "\\d+".r.findFirstIn(n)).map(_.toLong)
+          .foldLeft(0L)(math.max)
+        // gen+1 so a re-compaction (whose input includes the previous
+        // compacted dir) never renames onto an existing name
+        val target = new java.io.File(outDir, s"batch_${gen + 1}_compacted")
+        require(tmp.renameTo(target), s"compaction rename failed: $tmp -> $target")
+        def rmRec(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec)
+          f.delete(); ()
+        }
+        before.foreach(b => rmRec(new java.io.File(b)))
+    }
+
   /** The schema's single resume watermark: the highest binlog position any
     * committed batch contains, across ALL tables (the log is one sequence,
     * so this is THE offset to restart the source from; 0 = nothing

@@ -249,6 +249,28 @@ class ConnectorsSpec extends SparkSpec {
       "orders: delete collapsed, update applied, users events never leaked")
     // the shared resume watermark is the schema-wide max committed position
     assert(SchemaReplicator.committedPosition(outDir) == 13L)
+    // compaction: many batch dirs → one, with BOTH tables' states and the
+    // watermark preserved, and tombstones RETAINED in the compacted rows
+    // (the read-time collapse needs them to stay delete-proof under replay)
+    val statesBefore = Seq("users", "orders").map(t =>
+      t -> SchemaReplicator.materializedState(outDir, t)
+        .collect().map(e => e.key -> e.payload).toMap).toMap
+    SchemaReplicator.compact(outDir)
+    val dirs = new java.io.File(outDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+    assert(dirs.length == 1, s"expected one compacted batch, got ${dirs.toSeq}")
+    for (t <- Seq("users", "orders"))
+      assert(SchemaReplicator.materializedState(outDir, t)
+        .collect().map(e => e.key -> e.payload).toMap == statesBefore(t),
+        s"compaction must not change $t's effective state")
+    assert(SchemaReplicator.committedPosition(outDir) == 13L)
+    assert(spark.read.parquet(dirs.head.getPath)
+      .where(org.apache.spark.sql.functions.col("op") === "d").count() == 1,
+      "the orders delete tombstone must survive compaction")
+    // and compacting twice is a no-op-shaped fixpoint
+    SchemaReplicator.compact(outDir)
+    assert(SchemaReplicator.materializedState(outDir, "users")
+      .collect().map(e => e.key -> e.payload).toMap == statesBefore("users"))
     // per-table DDL bootstrap through the shared type matrix
     val ddl = SchemaReplicator.bootstrapDdl(Map(
       "users" -> (org.apache.spark.sql.Encoders.product[CdcEvent].schema, Seq("key")),
