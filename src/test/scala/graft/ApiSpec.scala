@@ -65,6 +65,26 @@ class ApiSpec extends SparkSpec {
     assert(got == joined)
   }
 
+  test("Windows.rankAgainst ≡ the non-equi join on seeded random data with ties and NULLs") {
+    val sp = spark
+    import sp.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // values drawn from a SMALL integer domain so ties and probe==value
+      // collisions are common — the strictness edge cases
+      def maybe(): Option[Double] =
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(20).toDouble)
+      val probes = (1L to 50L).map(i => (i, maybe())).toDF("pid", "score")
+      val pop = Seq.fill(200)(maybe()).toDF("v")
+      val got = Windows.rankAgainst(probes, pop, "score", "v", "n_gt")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val joined = probes.join(pop, col("v") > col("score"), "left")
+        .groupBy("pid").agg(count(col("v")).as("n_gt"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == joined, s"seed $seed: rankAgainst diverged from the join")
+    }
+  }
+
   test("Dedup.tokenJaccardPairs finds the planted near-dup") {
     val sp = spark
     import sp.implicits._
