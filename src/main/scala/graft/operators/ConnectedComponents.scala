@@ -16,15 +16,16 @@ import org.apache.spark.sql.functions._
   * |edges| + |vertices| rows and NO driver-side data (the driver sees one
   * convergence counter per round). Rounds needed = graph diameter in
   * label-hops; duplicate clusters are near-cliques, so 2-3 rounds
-  * converge. Each round persists its labels and unpersists the previous
-  * round's (lineage stays one round deep — at 100 TB swap the persist for
-  * `checkpoint` on a real cluster for fault-tolerance across a long
-  * chain).
+  * converge. Each round localCheckpoints its labels (lineage stays one
+  * round deep — at 100 TB swap for reliable `checkpoint` on a real
+  * cluster), and a graph too deep for the round budget FAILS loudly
+  * rather than returning unconverged labels.
   *
-  * [public: the label-propagation / alternating small-star formulation of
-  * CC on MapReduce — Kiveris et al., "Connected Components in MapReduce
-  * and Beyond", SoCC'14; this is the plain propagation variant, right for
-  * low-diameter dup graphs.]
+  * [public: label propagation and the large-star/small-star alternation —
+  * Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14. [[assign]] is the propagation variant, right for low-diameter
+  * dup graphs; [[assignStar]] is the star-contraction variant for
+  * adversarial diameters.]
   */
 object ConnectedComponents {
 
@@ -45,16 +46,20 @@ object ConnectedComponents {
     val sym = base
       .select(col("__s").as("__v"), col("__d").as("__n"))
       .unionByName(base.select(col("__d").as("__v"), col("__s").as("__n")))
-    var cached = vertices.select(col(vertexCol).as("__v"),
-                                 col(vertexCol).as("__label")).persist()
-    var labels = cached
+    var labels = vertices.select(col(vertexCol).as("__v"),
+                                 col(vertexCol).as("__label"))
+      .localCheckpoint()
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
       // neighbor labels flow along edges; min over {own, neighbors'}. The
       // old label rides along so convergence is read off the SAME
       // materialized frame — one action per round, not a second
-      // compare-join job.
+      // compare-join job. localCheckpoint (not persist) TRUNCATES the
+      // lineage: the labels subtree is referenced twice per round, so
+      // without truncation the analyzer walks a tree that doubles every
+      // round. (On a real cluster prefer reliable `checkpoint` —
+      // localCheckpoint does not survive executor loss.)
       val next = sym
         .join(labels.select(col("__v").as("__n2"), col("__label")),
               col("__n") === col("__n2"))
@@ -63,17 +68,107 @@ object ConnectedComponents {
         .groupBy("__v")
         .agg(min("__label").as("__label"),
              min(when(col("__own"), col("__label"))).as("__old"))
-        .persist()
+        .localCheckpoint()
       val changed = next.filter(col("__label") =!= col("__old")).count()
-      cached.unpersist()
-      cached = next
       labels = next.select("__v", "__label")
       converged = changed == 0
       iters += 1
     }
+    // un-converged labels are silently WRONG (a component would report a
+    // non-minimal representative) — fail loudly instead, the same
+    // philosophy as GroupEmit's cap assertion. Graphs deeper than the
+    // round budget belong on [[assignStar]] (O(log² n) rounds).
+    require(converged,
+      s"label propagation did not converge in $maxIters rounds " +
+        "(graph diameter exceeds the budget): raise maxIters or use assignStar")
     base.unpersist()
-    // the final labels stay persisted: the caller's sort/write reads the
-    // materialized rows (|V| rows), never re-runs the iteration chain
+    // the final labels are a localCheckpoint: the caller's sort/write reads
+    // the materialized rows (|V| rows), never re-runs the iteration chain
     labels.select(col("__v").as(vertexCol), col("__label").as("component"))
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction [public: Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14] — the ADVERSARIAL-DIAMETER path.
+    * [[assign]] converges in O(diameter) rounds, which is right for
+    * near-clique duplicate graphs (2-4 rounds) but degrades on long
+    * chains (a 10⁶-hop path needs 10⁶ rounds); star contraction halves
+    * the tree height every alternation, converging in O(log² n) rounds on
+    * ANY graph shape. Per round both operations are one groupBy over the
+    * edge multiset:
+    *   large-star: per node u, every neighbor v > u re-links to
+    *     min(Γ(u) ∪ {u});
+    *   small-star: per node u, every neighbor v ≤ u (and u itself)
+    *     re-links to that same min.
+    * The edge set monotonically contracts toward (v, root) stars; at the
+    * fixpoint each node's minimum neighbor IS its component's minimum.
+    * Equivalence with [[assign]] is pinned in ApiSpec on chain, clique,
+    * and random graphs. Numeric vertex ids required (the star orders ids;
+    * [[assign]] only needs orderable ids). */
+  def assignStar(vertices: DataFrame, edges: DataFrame, vertexCol: String,
+                 srcCol: String, dstCol: String, maxIters: Int = 30): DataFrame = {
+    def symmetric(e: DataFrame): DataFrame =
+      e.select(col("__a").as("__u"), col("__b").as("__n"))
+        .unionByName(e.select(col("__b").as("__u"), col("__a").as("__n")))
+    // large-star: every neighbor v > u re-links to min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame =
+      symmetric(e)
+        .groupBy("__u")
+        .agg(min("__n").as("__mn"), collect_set("__n").as("__ns"))
+        .select(least(col("__mn"), col("__u")).as("__m"), col("__u"),
+                explode(col("__ns")).as("__n"))
+        .filter(col("__n") > col("__u"))
+        .select(col("__n").as("__a"), col("__m").as("__b"))
+        .filter(col("__a") =!= col("__b"))
+        .distinct()
+    // small-star: u and its strictly-smaller neighbors all link to their min
+    def smallStar(e: DataFrame): DataFrame = {
+      val g = symmetric(e)
+        .filter(col("__n") < col("__u"))
+        .groupBy("__u")
+        .agg(min("__n").as("__m"), collect_set("__n").as("__ns"))
+      g.select(col("__u").as("__a"), col("__m").as("__b"))
+        .unionByName(
+          g.select(col("__m"), explode(col("__ns")).as("__n"))
+            .filter(col("__n") =!= col("__m"))
+            .select(col("__n").as("__a"), col("__m").as("__b")))
+        .distinct()
+    }
+    // convergence = unchanged edge multiset, read as (count, hash-sum) —
+    // one cheap aggregate; maxIters backstops the (negligible) collision
+    def sig(e: DataFrame): (Long, String) = {
+      // decimal-routed hash sum: a long sum overflows under ANSI mode
+      val r = e.agg(count(lit(1)).as("c"),
+                    coalesce(sum(xxhash64(col("__a"), col("__b"))
+                                   .cast("decimal(38,0)")),
+                             lit(0).cast("decimal(38,0)")).as("h"))
+        .collect().head
+      (r.getLong(0), r.getDecimal(1).toString)
+    }
+    // localCheckpoint per round: large/small-star each reference their
+    // input twice, so untruncated lineage would double every round (the
+    // same argument as assign's loop)
+    var e = edges
+      .select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .distinct().localCheckpoint()
+    var prevSig = sig(e)
+    var iters = 0
+    var converged = prevSig._1 == 0
+    while (!converged && iters < maxIters) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val s = sig(next)
+      e = next
+      converged = s == prevSig
+      prevSig = s
+      iters += 1
+    }
+    // fixpoint edges are stars (v → component min); roots keep themselves
+    val out = vertices.select(col(vertexCol).as("__v"))
+      .join(e.groupBy("__a").agg(min("__b").as("__r")),
+            col("__v") === col("__a"), "left")
+      .select(col("__v").as(vertexCol),
+              coalesce(col("__r"), col("__v")).as("component"))
+    out
   }
 }

@@ -301,6 +301,46 @@ class ApiSpec extends SparkSpec {
     assert(free("far") == Some(100.0))
   }
 
+  test("ConnectedComponents.assignStar ≡ assign on chains, cliques, and random graphs") {
+    val sp = spark
+    import sp.implicits._
+    def compare(vs: Seq[Long], es: Seq[(Long, Long)], tag: String,
+                plainIters: Int = 20): Unit = {
+      val vertices = vs.toDF("id")
+      val edges = es.toDF("src", "dst")
+      val plain = graft.operators.ConnectedComponents
+        .assign(vertices, edges, "id", "src", "dst", maxIters = plainIters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = graft.operators.ConnectedComponents
+        .assignStar(vertices, edges, "id", "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == plain, s"$tag: star CC diverged from propagation CC")
+    }
+    // long chain — the adversarial-diameter case star contraction exists
+    // for (propagation needs diameter-many rounds; star needs O(log))
+    compare((1L to 40L), (1L until 40L).map(i => (i, i + 1)), "chain-40",
+            plainIters = 45)
+    // and propagation REFUSES to return silently-unconverged labels
+    intercept[IllegalArgumentException] {
+      graft.operators.ConnectedComponents.assign(
+        (1L to 40L).toDF("id"),
+        (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst"),
+        "id", "src", "dst", maxIters = 5).collect()
+    }
+    // clique + isolated vertices
+    compare((1L to 12L),
+            (for (i <- 1L to 8L; j <- (i + 1) to 8L) yield (i, j)), "clique-8")
+    // seeded random graphs (mixed component shapes, self-loops, dup edges)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val vs = (1L to 60L)
+      val es = Seq.fill(70)((rnd.nextInt(60) + 1L, rnd.nextInt(60) + 1L))
+      compare(vs, es, s"random-$seed")
+    }
+    // edgeless graph: everything is its own component
+    compare(Seq(5L, 6L), Seq.empty, "edgeless")
+  }
+
   test("Windows.topKPerGroup caps each group") {
     val sp = spark
     import sp.implicits._
