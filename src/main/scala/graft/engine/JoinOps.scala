@@ -318,6 +318,39 @@ object JoinOps {
         .orderBy(asc_nulls_last("id1"))
     })
 
+  /** c17 — TPC-H Q3 shape: top-10 open orders by pending revenue for one
+    * market segment — the classic filter→3-way-join→agg→top-k composite.
+    * Both date filters reach the scans (pushdown), the dims broadcast
+    * under AQE, and the final top-10 fuses to TakeOrderedAndProject (no
+    * global sort materializes). */
+  val c17: Q = Q(
+    "c17_join_topk_revenue",
+    s"""SELECT l_orderkey, ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |  o_orderdate
+       |FROM customer, orders, lineitem
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+       |  AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC NULLS LAST, o_orderdate ASC NULLS LAST,
+       |  l_orderkey ASC NULLS LAST
+       |LIMIT 10""".stripMargin,
+    (s, dir) => {
+      val cut = lit("1996-03-15").cast("timestamp")
+      Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, dir).filter(col("o_orderdate") < cut),
+              col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir).filter(col("l_shipdate") > cut),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(desc_nulls_last("revenue"), asc_nulls_last("o_orderdate"),
+                 asc_nulls_last("l_orderkey"))
+        .limit(10)
+    })
+
   def ops: Vector[Q] = Vector(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10,
-                              c11, c12, c14, c15, c16)
+                              c11, c12, c14, c15, c16, c17)
 }
