@@ -251,6 +251,101 @@ object Ivf {
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
                      x => x.getField("code")).as("codes"))
 
+  /** Rotate the (unit-normalized) corpus by a dense `r` (row-major d×d):
+    * executor-side matvec with the matrix broadcast once — 4096 doubles at
+    * d=64, trivial at any corpus size. Used by OPQ, where PQ runs on the
+    * rotated space. */
+  def rotate(embeddings: DataFrame, r: Array[Array[Double]]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(r)
+    embeddings
+      .select(col("vec_id"), graft.api.Similarity.normalize(col("embedding")).as("u"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) =>
+        val m = b.value
+        val d = v.length
+        val x = v.toArray
+        val out = new Array[Double](d)
+        var i = 0
+        while (i < d) {
+          val row = m(i); var s = 0.0; var j = 0
+          while (j < d) { s += row(j) * x(j); j += 1 }
+          out(i) = s; i += 1
+        }
+        (id, out.toSeq)
+      }.toDF("vec_id", "embedding")
+  }
+
+  /** OPQ: learn an orthonormal rotation that minimizes PQ quantization
+    * error [public: Ge, He, Ke, Sun, "Optimized Product Quantization",
+    * CVPR 2013 — the non-parametric alternation]. PQ quantizes each
+    * subspace independently, so correlated dimensions waste codebook
+    * entropy; OPQ alternates (1) train/encode PQ in the rotated space with
+    * (2) the orthogonal-Procrustes update R = V·Uᵀ from the SVD of
+    * M = Σ x·ŷᵀ (x original unit vector, ŷ its reconstruction) — the
+    * closed-form rotation maximizing tr(R·M). M is a d×d treeAggregate
+    * (4096 doubles at d=64 — the ONLY driver-side state besides the
+    * codebooks); the SVD is breeze/LAPACK on that d×d, deterministic.
+    * Returns the row-major rotation; run [[pqCodebooks]]/[[pqEncode]]/
+    * [[topKPqAdc]] on [[rotate]]d vectors (probe included). */
+  def opqRotation(embeddings: DataFrame, m: Int = 8, ksub: Int = 16,
+                  iters: Int = 3, pqIters: Int = 2): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = embeddings.select(size(col("embedding")).as("d")).head.getAs[Int]("d")
+    val unit = embeddings
+      .select(col("vec_id"), graft.api.Similarity.normalize(col("embedding")).as("u"))
+    var r: Array[Array[Double]] =
+      Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 0 until iters) {
+      val rotated = rotate(embeddings, r)
+      val cb = pqCodebooks(rotated, m, ksub, pqIters)
+      val cbMap = cb.collect()
+        .map(row => ((row.getInt(0), row.getInt(1)), row.getSeq[Double](2).toArray))
+        .toMap
+      val cbB = spark.sparkContext.broadcast(cbMap)
+      val mCount = m
+      val sub = dim / m
+      // M = Σ x·ŷᵀ over the corpus: x the ORIGINAL unit vector, ŷ the
+      // reconstruction of its rotated image (codewords concatenated)
+      val flat = unit.join(pqEncode(rotated, cb, m), "vec_id")
+        .select(col("u"), col("codes"))
+        .as[(Seq[Double], Seq[Int])]
+        .rdd.treeAggregate(new Array[Double](dim * dim))(
+          seqOp = { (acc, row) =>
+            val (xs, cs) = row
+            val x = xs.toArray
+            val y = new Array[Double](dim)
+            var mm = 0
+            while (mm < mCount) {
+              val cw = cbB.value((mm, cs(mm)))
+              System.arraycopy(cw, 0, y, mm * sub, sub)
+              mm += 1
+            }
+            var i = 0
+            while (i < dim) {
+              val xi = x(i); var j = 0
+              while (j < dim) { acc(i * dim + j) += xi * y(j); j += 1 }
+              i += 1
+            }
+            acc
+          },
+          combOp = { (a, b) =>
+            var i = 0
+            while (i < a.length) { a(i) += b(i); i += 1 }
+            a
+          })
+      val mMat = breeze.linalg.DenseMatrix.tabulate(dim, dim)(
+        (i, j) => flat(i * dim + j))
+      val svd.SVD(u, _, vt) = breeze.linalg.svd(mMat)
+      val rNew = vt.t * u.t // Procrustes argmax of tr(R·M)
+      r = Array.tabulate(dim, dim)((i, j) => rNew(i, j))
+    }
+    r
+  }
+  private val svd = breeze.linalg.svd
+
   /** Top-k by IVF + PQ-ADC + exact re-rank: restrict to the probe's
     * `nprobe` clusters via `assignments` (at 100 TB: the cid-partitioned
     * stored table — partition pruning does the restriction), score those

@@ -37,6 +37,18 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * consumers dedup on (doc_id, dup_of) — the same append-only convention
   * as StreamingNearDedup. Replay-idempotent: a re-delivered doc_id neither
   * re-emits nor duplicates its bucket entry.
+  *
+  * State bound, stated honestly: a bucket holds every accepted doc whose
+  * PREFIX contains that token, so the worst bucket is the in-prefix
+  * document frequency of the commonest token — and the md5 order prunes
+  * common tokens less well than the batch path's df order, so a
+  * boilerplate-heavy stream concentrates state (and per-doc verify work)
+  * in those buckets. This is the exactness price: any cap that dropped
+  * bucket entries would silently un-flag true duplicates (the same
+  * argument as GroupEmit's cap — but there an oracle-checked DEGRADATION
+  * is declared; here the contract is exactness). Deployments bound state
+  * with `ttl` (accepting that expired docs stop matching) or route
+  * boilerplate-heavy streams through StreamingNearDedup first.
   */
 object StreamingPpJoin {
 
