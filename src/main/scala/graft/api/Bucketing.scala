@@ -50,6 +50,57 @@ object Bucketing {
   def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
 
+  /** Z-order (Morton) key over two non-negative integral columns: bits of
+    * `a` and `b` interleaved, low bit of `b` lowest. Sorting by this key
+    * clusters rows so each output file covers a small RECTANGLE of the
+    * (a, b) domain — per-file min/max stats then skip files for range
+    * predicates on EITHER column, where a linear sort only ever skips on
+    * its leading column. [public: Morton order; the same layout trick
+    * Delta/Iceberg OPTIMIZE ZORDER applies.] Pure bitwise Column
+    * expression — codegen'd, no UDF. Callers pre-scale values into
+    * [0, 2^bits) (rank or quantile-bucket first for skewed domains). */
+  def zOrderKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(
+          shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` Z-ordered on (`colA`, `colB`) into `files` parquet files:
+    * range-partition + sort by the interleaved key, so file boundaries cut
+    * the Z-curve into contiguous runs (≈ rectangles). Both columns are
+    * min/max-scaled into the shared [0, 2^bits) range first — WITHOUT
+    * this, a column with a narrower domain contributes nothing to the
+    * high interleaved bits and the layout silently degenerates to a
+    * linear sort on the wider column (measured: 0 of 16 files skippable
+    * on the narrow column). Linear scaling is right for uniform-ish
+    * domains; rank/quantile-bucket heavily skewed columns upstream. The
+    * pruning payoff is proven in BucketingSpec by reading back per-file
+    * min/max of BOTH columns and counting the files a range predicate
+    * could skip. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    files: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    val r = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+                   min(col(colB)).cast("double"), max(col(colB)).cast("double"))
+      .collect().head
+    val top = (1L << bits) - 1
+    def scaled(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0L)
+      else ((c.cast("double") - lit(lo)) * lit(top) / lit(hi - lo)).cast("long")
+    df.withColumn("__z", zOrderKey(scaled(col(colA), r.getDouble(0), r.getDouble(1)),
+                                   scaled(col(colB), r.getDouble(2), r.getDouble(3)),
+                                   bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Number of files the scan of `df` actually read after partition-filter
     * pruning (the scan's own numFiles metric, populated at execution).
     * AQE wraps executed plans in AdaptiveSparkPlanExec — which is itself a

@@ -186,6 +186,27 @@ object SchemaReplicator {
         before.foreach(b => rmRec(new java.io.File(b)))
     }
 
+  /** Point-in-time replica read: one table's effective state as of binlog
+    * position `maxPosition` INCLUSIVE — the collapse of the committed log
+    * prefix. The binlog is a total order, so every prefix is a consistent
+    * snapshot; because batches retain EVENTS (not folded states), PITR is
+    * free until [[compact]] folds history — compaction trades time-travel
+    * depth before its horizon for read cost, the usual log-retention
+    * decision. */
+  def materializedStateAt(outDir: String, table: String, maxPosition: Long)
+                         (implicit s: SparkSession): Dataset[CdcEvent] = {
+    import s.implicits._
+    readCommitted(outDir) match {
+      case None => s.emptyDataset[CdcEvent]
+      case Some(df) =>
+        import org.apache.spark.sql.functions.col
+        CdcCollapse.effectiveState(
+          df.where(col("table") === table && col("position") <= maxPosition)
+            .select("key", "position", "tsMicros", "op", "payload")
+            .as[CdcEvent])
+    }
+  }
+
   /** The schema's single resume watermark: the highest binlog position any
     * committed batch contains, across ALL tables (the log is one sequence,
     * so this is THE offset to restart the source from; 0 = nothing

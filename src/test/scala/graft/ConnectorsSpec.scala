@@ -249,6 +249,15 @@ class ConnectorsSpec extends SparkSpec {
       "orders: delete collapsed, update applied, users events never leaked")
     // the shared resume watermark is the schema-wide max committed position
     assert(SchemaReplicator.committedPosition(outDir) == 13L)
+    // point-in-time reads: every log prefix is a consistent snapshot
+    def usersAt(p: Long) = SchemaReplicator.materializedStateAt(outDir, "users", p)
+      .collect().map(e => e.key -> e.payload).toMap
+    assert(usersAt(0) == Map(1L -> "u1", 2L -> "u2"), "position 0 = the snapshot")
+    assert(usersAt(10) == Map(1L -> "u1b", 2L -> "u2b"),
+      "position 10 sees both updates but not the pos-12 create")
+    assert(SchemaReplicator.materializedStateAt(outDir, "orders", 10)
+      .collect().map(e => e.key -> e.payload).toMap == Map(1L -> "o1", 3L -> "o3"),
+      "position 10 predates the orders delete at 11")
     // compaction: many batch dirs → one, with BOTH tables' states and the
     // watermark preserved, and tombstones RETAINED in the compacted rows
     // (the read-time collapse needs them to stay delete-proof under replay)
