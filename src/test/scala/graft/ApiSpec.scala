@@ -341,6 +341,36 @@ class ApiSpec extends SparkSpec {
     compare(Seq(5L, 6L), Seq.empty, "edgeless")
   }
 
+  test("Publish.writeAuditPublish: failing audit retains staging, passing audit swaps atomically") {
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("wap").toString
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // audit veto: nothing is published, staging retained for inspection
+    val vetoed = Publish.writeAuditPublish(v1, dir, Seq(Publish.minRows(10)))
+    assert(vetoed.isLeft && vetoed.left.exists(_.contains("row count 2")))
+    assert(!new java.io.File(dir, "current").exists(), "no partial publish")
+    assert(new java.io.File(dir, "_staging").exists(), "staging kept for debugging")
+    // clean audit: published and readable
+    val ok = Publish.writeAuditPublish(v1, dir,
+      Seq(Publish.minRows(2), Publish.noNulls("id", "v")))
+    assert(ok.isRight)
+    assert(spark.read.parquet(ok.toOption.get).count() == 2)
+    // re-publish replaces the previous version whole
+    val v2 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val ok2 = Publish.writeAuditPublish(v2, dir, Seq(Publish.minRows(3)))
+    assert(ok2.isRight)
+    assert(spark.read.parquet(s"$dir/current").count() == 3)
+    assert(!new java.io.File(dir, "_retired").exists(), "old version cleaned up")
+    // a NULL smuggled in is vetoed by noNulls
+    val dirty = Seq((1L, Some("a")), (2L, None: Option[String])).toDF("id", "v")
+    val vetoed2 = Publish.writeAuditPublish(dirty, dir, Seq(Publish.noNulls("v")))
+    assert(vetoed2.isLeft && vetoed2.left.exists(_.contains("has 1 NULLs")))
+    assert(spark.read.parquet(s"$dir/current").count() == 3,
+      "the live version survives a failed re-publish")
+  }
+
   test("Windows.topKPerGroup caps each group") {
     val sp = spark
     import sp.implicits._

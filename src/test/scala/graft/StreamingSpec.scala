@@ -352,6 +352,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IVF ingest routes like the batch assign and lands cid-partitioned") {
+    import graft.streaming.StreamingIvf
+    import graft.streaming.StreamingIvf.VecIn
+    import graft.engine.Tables
+    import graft.operators.Ivf
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val e = Tables.embeddings(spark, sf0001)
+    val cents = Ivf.firstKCentroids(e, 8)
+      .select(col("cid"), graft.api.Similarity.asDouble(col("embedding")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val vecs = e.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().map(v => VecIn(v._1, v._2))
+    val outDir = java.nio.file.Files.createTempDirectory("sivf_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("sivf_ck").toString
+    val in = MemoryStream[VecIn]
+    val q = StreamingIvf.start(in.toDS(), cents, outDir, ckDir)
+    try {
+      val (h1, h2) = vecs.splitAt(vecs.length / 2)
+      in.addData(h1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(h2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // the store is cid-partitioned (directory per cluster, across batches)
+    val cidDirs = new java.io.File(outDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid=")).map(_.getName).toSet
+    assert(cidDirs.size > 1, s"expected multiple cluster partitions, got $cidDirs")
+    // and every vector landed under EXACTLY the batch assignment's cluster
+    val stored = spark.read.parquet(outDir)
+      .select(col("vec_id"), col("cid").cast("long")) // partition col infers INT
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Ivf.assign(e, cents.toDF("cid", "embedding"))
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored == batch, "streaming route must equal the batch assignment")
+  }
+
   test("streaming PPJoin flags exact dups cross-batch and equals the batch exact join") {
     import graft.streaming.StreamingPpJoin
     import graft.streaming.StreamingPpJoin.{PpDoc, PpHit}
