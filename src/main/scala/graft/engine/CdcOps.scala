@@ -96,5 +96,36 @@ object CdcOps {
         .withColumnRenamed("part", "d")
         .orderBy(asc_nulls_last("d")))
 
-  def ops: Vector[Q] = Vector(i01, i02, i03, i04, i05, i06)
+  /** i08 — point-in-time state: i02's latest-per-key collapse over a LOG
+    * PREFIX (event_id ≤ cutoff playing the binlog position) — the
+    * declared-query face of `SchemaReplicator.materializedStateAt`: any
+    * prefix of a totally ordered change log is a consistent snapshot, and
+    * PITR is "filter the log, then the SAME collapse", not a second code
+    * path. Cutoff = half the max id so later events verifiably change the
+    * answer. */
+  val i08: Q = Q(
+    "i08_pitr_state",
+    """WITH cut AS (SELECT CAST(FLOOR(MAX(event_id) / 2) AS BIGINT) AS c FROM events)
+      |SELECT user_id, event_id, ts, event_type, value FROM (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE event_id <= (SELECT c FROM cut)) t
+      |WHERE rn = 1
+      |ORDER BY user_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      // FLOOR on both sides: DuckDB ROUNDS on float->int casts where
+      // Spark truncates (max 9999 -> 4999.5 -> 5000 vs 4999)
+      val cut = e.agg(floor(max(col("event_id")) / 2).cast("bigint").as("c"))
+      graft.api.Replication.latestPerKey(
+          e.select("user_id", "event_id", "ts", "event_type", "value")
+            .join(broadcast(cut), col("event_id") <= col("c"))
+            .drop("c"),
+          keyCols = Seq("user_id"),
+          orderCols = Seq(desc("ts"), desc("event_id")))
+        .orderBy(asc_nulls_last("user_id"))
+    })
+
+  def ops: Vector[Q] = Vector(i01, i02, i03, i04, i05, i06, i08)
 }
