@@ -15,6 +15,36 @@ class PlanShapeSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  test("full-surface sweep: no declared query plans an unintended nested-loop or cartesian") {
+    // Every BroadcastNestedLoopJoin in the surface must be a DELIBERATE
+    // tiny-build broadcast; a new query that accidentally plans a
+    // cartesian-shaped join (the c09 class of bug) fails here by name
+    // instead of surfacing as a 100× blowup later. CartesianProduct is
+    // never acceptable.
+    val allowedBnlj = Set(
+      "c08_join_cross",      // declared cross join; grid side is tiny
+      "d08_agg_having",      // 1-row scalar-subquery threshold broadcast
+      "i08_pitr_state",      // 1-row cutoff broadcast, non-equi prefix filter
+      "k03_sim_topk_cosine", // 1-row probe vector broadcast
+      "k16_ivf_assign",      // 8-row centroid set broadcast (IVF coarse scoring)
+      "k20_tfidf_topterms")  // 1-row corpus-count broadcast for idf
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val df = fn(spark, sf0001)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        val bad =
+          (if (p.contains("BroadcastNestedLoopJoin") && !allowedBnlj(name))
+             Seq(s"$name: BroadcastNestedLoopJoin") else Nil) ++
+          (if (p.contains("CartesianProduct")) Seq(s"$name: CartesianProduct")
+           else Nil)
+        bad
+    }
+    assert(offenders.isEmpty,
+      s"unintended join shapes (add to the whitelist ONLY with a tiny-build " +
+        s"justification): ${offenders.mkString("; ")}")
+  }
+
   test("c11 as-of: no join anywhere in the physical plan") {
     // the quadratic range-join + per-key max is gone; the as-of value rides
     // a running window over the union of both event streams
