@@ -125,6 +125,99 @@ object Dedup {
       .select(col("id1"), col("id2"), j.as("jaccard"))
   }
 
+  /** Cheap corpus statistics that drive the exact-dedup path selection in
+    * [[tokenJaccardPairsAuto]].
+    *
+    * `blockDensity` = meanDf / maxBlock, where meanDf is the UNWEIGHTED
+    * mean document frequency over distinct (block, token) groups: "what
+    * fraction of its block does a typical vocabulary entry appear in?"
+    *  - dup-dense corpora (the sf fixtures: measured meanDf/maxBlock =
+    *    19.0/25 ≈ 0.76 at sf0.001 and 187.5/250 ≈ 0.75 at sf0.1, via this
+    *    exact stats job) → documents genuinely overlap, inverted-index
+    *    groups are dense, prefix pruning is nil, and the naive join's
+    *    single agg-shape wins (measured 2.5 s vs 5.9 s at sf0.1).
+    *  - natural corpora (Zipf vocabulary, dup rate a few %) → the vocab
+    *    is dominated by rare tokens, so meanDf ≈ N·L/V ≪ block size and
+    *    density is ≪ 0.05; the Σdf² cost of the naive join is then pure
+    *    stopword blow-up that never survives a prefix, and the PPJoin
+    *    prefix path wins by orders of magnitude.
+    * (The df²-weighted mean is deliberately NOT used: stopwords dominate
+    * Σdf² on exactly the corpora where the prefix path wins, so weighting
+    * by df² misreads Zipf corpora as dense.)
+    *
+    * Under deterministic document hash-sampling (`sampleOneIn` = n keeps
+    * 1/n of docs) both meanDf and maxBlock scale ≈ linearly with the
+    * sample fraction on the dense side, leaving density invariant; on the
+    * sparse side meanDf floors at 1, biasing density upward by at most
+    * n/maxBlock — so keep n ≪ maxBlock·crossover and sampling can only
+    * flip a near-boundary corpus toward the (always-correct) naive path. */
+  final case class CorpusStats(nDocs: Long, maxBlock: Long,
+                               sumDf: Long, sumDf2: Long, nTokenGroups: Long) {
+    /** Unweighted mean document frequency per distinct (block, token). */
+    def meanDf: Double = if (nTokenGroups == 0) 0.0 else sumDf.toDouble / nTokenGroups
+    /** Naive-join candidate token-pair rows per document, Σdf²/nDocs —
+      * diagnostic for the cost the prefix path avoids. */
+    def candPerDoc: Double = if (nDocs == 0) 0.0 else sumDf2.toDouble / nDocs
+    def blockDensity: Double = if (maxBlock == 0) 0.0 else meanDf / maxBlock
+  }
+
+  /** Two bounded aggregation jobs (each collects ONE row — same driver-side
+    * posture as MLlib centroids): per-(block, token) document frequencies
+    * folded to Σdf/Σdf²/group-count, and the max block size. `sampleOneIn`
+    * keeps only documents with xxhash64(id) ≡ 0 (mod n) — deterministic,
+    * and the density ratio tolerates sampling (see [[CorpusStats]]). */
+  def corpusStats(df: DataFrame, idCol: String, textCol: String,
+                  blockCol: String, sep: String = " ",
+                  sampleOneIn: Int = 1): CorpusStats = {
+    require(sampleOneIn >= 1, s"sampleOneIn must be >= 1, got $sampleOneIn")
+    val sampled =
+      if (sampleOneIn == 1) df
+      else df.filter(pmod(xxhash64(col(idCol)), lit(sampleOneIn)) === 0)
+    val dfreq = sampled
+      .select(col(idCol).as("__id"), col(blockCol).as("__blk"),
+              explode(array_distinct(split(col(textCol), sep))).as("__tok"))
+      .groupBy("__blk", "__tok").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(col("df") * col("df")), lit(0L)).as("sum_df2"),
+           coalesce(sum(col("df")), lit(0L)).as("sum_df"),
+           count(lit(1)).as("n_groups"))
+      .collect()(0)
+    val blocks = sampled.groupBy(col(blockCol)).agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L)).as("max_blk"),
+           coalesce(sum(col("n")), lit(0L)).as("n_docs"))
+      .collect()(0)
+    CorpusStats(nDocs = blocks.getLong(1), maxBlock = blocks.getLong(0),
+                sumDf = dfreq.getLong(1), sumDf2 = dfreq.getLong(0),
+                nTokenGroups = dfreq.getLong(2))
+  }
+
+  /** Path decision for [[tokenJaccardPairsAuto]], exposed for tests and for
+    * callers that want to reuse one stats pass across several dedup calls.
+    * Below the crossover the corpus is sparse/Zipf-shaped and the PPJoin
+    * prefix path wins; above it the blocks are dup-dense and the naive
+    * inverted-index join's simpler shape wins (both are EXACT — the choice
+    * affects cost only, never results). */
+  def prefersPrefixPath(stats: CorpusStats, densityCrossover: Double = 0.05): Boolean =
+    stats.blockDensity < densityCrossover
+
+  /** EXACT token-Jaccard pairs with automatic path selection: measures
+    * [[corpusStats]] (two 1-row aggregation jobs) and routes to
+    * [[tokenJaccardPairsPrefix]] on sparse corpora or [[tokenJaccardPairs]]
+    * on dup-dense ones. Results are identical either way (both exact,
+    * equality pinned in ApiSpec) — the selector exists so a 100 TB caller
+    * gets the scale-safe Σ(prefix-df)² plan without knowing to ask for it,
+    * while small dup-dense blocks keep the cheaper naive shape. */
+  def tokenJaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                            blockCol: String, threshold: Double,
+                            sep: String = " ",
+                            densityCrossover: Double = 0.05,
+                            statsSampleOneIn: Int = 1): DataFrame = {
+    val stats = corpusStats(df, idCol, textCol, blockCol, sep, statsSampleOneIn)
+    if (prefersPrefixPath(stats, densityCrossover))
+      tokenJaccardPairsPrefix(df, idCol, textCol, blockCol, threshold, sep)
+    else
+      tokenJaccardPairs(df, idCol, textCol, blockCol, threshold, sep)
+  }
+
   /** Word n-gram (shingle) Jaccard pairs — shingles are far more selective
     * than tokens, so this is the exact-dedup shape that survives scale-up. */
   def shingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -30,7 +30,11 @@ object LlmOps {
       graft.api.Dedup.exactByDigest(docs(s, dir), "doc_id", "text")
         .orderBy(asc_nulls_last("h")))
 
-  /** k02 — exact token-set Jaccard near-dup pairs within a source block. */
+  /** k02 — exact token-set Jaccard near-dup pairs within a source block.
+    * Routed through `Dedup.tokenJaccardPairsAuto`: on the dup-dense fixture
+    * the selector measures block density ≈ 0.5–0.8 and keeps the naive
+    * inverted-index join; on a sparse production corpus it flips to the
+    * PPJoin prefix path automatically (same exact results either way). */
   val k02: Q = Q(
     "k02_near_dedup_jaccard",
     """WITH tok AS (
@@ -51,7 +55,7 @@ object LlmOps {
       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.6
       |ORDER BY id1 ASC NULLS LAST, id2 ASC NULLS LAST""".stripMargin,
     (s, dir) =>
-      graft.api.Dedup.tokenJaccardPairs(docs(s, dir), "doc_id", "text", "source", 0.6)
+      graft.api.Dedup.tokenJaccardPairsAuto(docs(s, dir), "doc_id", "text", "source", 0.6)
         .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(asc_nulls_last("id1"), asc_nulls_last("id2")))
 

@@ -179,7 +179,7 @@ object PipelineOps {
       |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.6)""".stripMargin
 
   private def jaccardEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
-    graft.api.Dedup.tokenJaccardPairs(
+    graft.api.Dedup.tokenJaccardPairsAuto(
       Tables.documents(s, dir), "doc_id", "text", "source", 0.6)
 
   /** k23 — duplicate-cluster assignment: connected components over the k02

@@ -141,6 +141,61 @@ class ApiSpec extends SparkSpec {
     assert(ppjoin == naive, s"missed: ${naive -- ppjoin}, extra: ${ppjoin -- naive}")
   }
 
+  test("Dedup.tokenJaccardPairsAuto selects the naive path on the dup-dense fixture") {
+    import graft.engine.Tables
+    val docs = Tables.documents(spark, sf0001)
+    val stats = Dedup.corpusStats(docs, "doc_id", "text", "source")
+    // measured fixture regime: meanDf ≈ 19 of a 25-doc block (density ≈ 0.76)
+    assert(stats.blockDensity > 0.5,
+      s"fixture should read dup-dense, got density=${stats.blockDensity} ($stats)")
+    assert(!Dedup.prefersPrefixPath(stats))
+    // and the auto entry point returns exactly the naive pairs
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+                 math.round(r.getDouble(2) * 1e9))).toSet
+    val auto = key(Dedup.tokenJaccardPairsAuto(docs, "doc_id", "text", "source", 0.6))
+    val naive = key(Dedup.tokenJaccardPairs(docs, "doc_id", "text", "source", 0.6))
+    assert(auto == naive)
+  }
+
+  test("Dedup.tokenJaccardPairsAuto flips to the prefix path on a sparse corpus") {
+    // same regime as the lossless-prefix test: mostly-unique vocab, a few
+    // stopwords — meanDf ≈ 1, so density ≪ crossover and the selector must
+    // choose the PPJoin path, with results identical to the naive join.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val common = Seq("the", "a", "of")
+    val base = (1 to 200).map { i =>
+      val uniq = Seq.fill(20)(s"w${rnd.nextInt(100000)}_$i")
+      (i.toLong, (uniq ++ common).mkString(" "), "s")
+    }
+    val planted = {
+      val t = base.head._2.split(" ")
+      (9999L, rnd.shuffle(t.toSeq).mkString(" "), "s")
+    }
+    val df = (base :+ planted).toDF("id", "body", "src")
+    val stats = Dedup.corpusStats(df, "id", "body", "src")
+    assert(stats.blockDensity < 0.05,
+      s"sparse corpus should read sparse, got density=${stats.blockDensity} ($stats)")
+    assert(Dedup.prefersPrefixPath(stats))
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = key(Dedup.tokenJaccardPairsAuto(df, "id", "body", "src", 0.6))
+    val naive = key(Dedup.tokenJaccardPairs(df, "id", "body", "src", 0.6))
+    assert(auto.contains((1L, 9999L)))
+    assert(auto == naive, s"missed: ${naive -- auto}, extra: ${auto -- naive}")
+  }
+
+  test("Dedup.corpusStats hash-sampling keeps the fixture on the dense side") {
+    import graft.engine.Tables
+    val docs = Tables.documents(spark, sf0001)
+    val sampled = Dedup.corpusStats(docs, "doc_id", "text", "source", sampleOneIn = 4)
+    assert(sampled.nDocs > 0 && sampled.nDocs < 500)
+    assert(!Dedup.prefersPrefixPath(sampled),
+      s"sampled density=${sampled.blockDensity} ($sampled)")
+  }
+
   test("Dedup.shingleJaccardPairs with n=2 on synthetic docs") {
     val sp = spark
     import sp.implicits._
