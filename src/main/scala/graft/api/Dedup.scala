@@ -211,12 +211,26 @@ object Dedup {
                             sep: String = " ",
                             densityCrossover: Double = 0.05,
                             statsSampleOneIn: Int = 1): DataFrame = {
-    val stats = corpusStats(df, idCol, textCol, blockCol, sep, statsSampleOneIn)
-    if (prefersPrefixPath(stats, densityCrossover))
+    // The DECISION is memoized per canonicalized input plan: several
+    // pipeline stages (pairs → clusters → decontamination) dedup the same
+    // corpus in one session, and the stats job answers the same question
+    // each time. Keyed on the semantic plan hash + the selector inputs;
+    // a plan whose underlying files change mid-session may reuse a stale
+    // decision, which only affects COST (both paths are exact).
+    val key = (df.queryExecution.analyzed.canonicalized.semanticHash(),
+               idCol, textCol, blockCol, sep, densityCrossover, statsSampleOneIn)
+    val usePrefix = pathDecisions.computeIfAbsent(key, _ =>
+      prefersPrefixPath(corpusStats(df, idCol, textCol, blockCol, sep, statsSampleOneIn),
+                        densityCrossover))
+    if (usePrefix)
       tokenJaccardPairsPrefix(df, idCol, textCol, blockCol, threshold, sep)
     else
       tokenJaccardPairs(df, idCol, textCol, blockCol, threshold, sep)
   }
+
+  private val pathDecisions =
+    new java.util.concurrent.ConcurrentHashMap[
+      (Int, String, String, String, String, Double, Int), java.lang.Boolean]()
 
   /** Word n-gram (shingle) Jaccard pairs — shingles are far more selective
     * than tokens, so this is the exact-dedup shape that survives scale-up. */

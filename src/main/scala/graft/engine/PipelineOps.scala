@@ -185,10 +185,13 @@ object PipelineOps {
   /** k23 — duplicate-cluster assignment: connected components over the k02
     * near-dup pairs, each doc labeled with its cluster's smallest doc_id.
     * The oracle states reachability as a recursive CTE; the plan is
-    * ConnectedComponents' iterative min-label propagation (2 shuffles per
-    * round, rounds = dup-graph diameter ≈ 2-3 — no recursion, no driver
-    * data). This is THE consumer of the near-dup stack: pairs → clusters →
-    * keep one representative. */
+    * ConnectedComponents.assignContracted — iterated seed-and-contract
+    * (the sf0.1 dup graph's 354k edges collapse to 827 after one pass and
+    * to zero after two), with the O(log² n) star finisher behind a pass
+    * budget for adversarial shapes. Measured vs the propagation variant
+    * at sf0.1 warm: 2.7 s vs 6.3 s on identical edges. This is THE
+    * consumer of the near-dup stack: pairs → clusters → keep one
+    * representative. */
   val k23: Q = Q(
     "k23_dedup_clusters",
     s"""WITH RECURSIVE $pairCte,
@@ -201,7 +204,7 @@ object PipelineOps {
        |SELECT v AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1
        |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
     (s, dir) =>
-      graft.operators.ConnectedComponents.assign(
+      graft.operators.ConnectedComponents.assignContracted(
           Tables.documents(s, dir).select("doc_id"), jaccardEdges(s, dir),
           "doc_id", "id1", "id2")
         .select(col("doc_id"), col("component").as("cluster_id"))
@@ -253,6 +256,32 @@ object PipelineOps {
         .orderBy(asc_nulls_last("doc_id"))
     })
 
+  /** k25 — duplicate clusters via large-star/small-star contraction: the
+    * SAME reachability oracle as k23, answered by the adversarial-diameter
+    * CC variant (ConnectedComponents.assignStar, O(log² n) rounds on any
+    * graph shape — the path a 100 TB pipeline takes when the dup graph is
+    * not near-clique, e.g. chained template documents). Declaring it
+    * separately oracle-checks the star-contraction algebra end-to-end
+    * instead of only spec-equal to the propagation variant; its rows are
+    * hash-identical to k23's. */
+  val k25: Q = Q(
+    "k25_dedup_clusters_star",
+    s"""WITH RECURSIVE $pairCte,
+       |edge AS (SELECT id1 AS a, id2 AS b FROM pair
+       |         UNION ALL SELECT id2 AS a, id1 AS b FROM pair),
+       |reach(v, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.a, r.label FROM edge e JOIN reach r ON r.v = e.b)
+       |SELECT v AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1
+       |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      graft.operators.ConnectedComponents.assignStar(
+          Tables.documents(s, dir).select("doc_id"), jaccardEdges(s, dir),
+          "doc_id", "id1", "id2")
+        .select(col("doc_id"), col("component").as("cluster_id"))
+        .orderBy(asc_nulls_last("doc_id")))
+
   /** d21 — multi-quantile in one pass (the ClickHouse `quantiles(...)` /
     * percentile-array shape): exact linear-interpolated quartiles per
     * group as ONE aggregate buffer (a percentile-ARRAY aggregate, not
@@ -279,5 +308,5 @@ object PipelineOps {
                 round(element_at(col("qs"), 3), 4).as("q75"))
         .orderBy(asc_nulls_last("l_returnflag")))
 
-  def ops: Vector[Q] = Vector(k20, k21, k22, d20, k23, k24, d21)
+  def ops: Vector[Q] = Vector(k20, k21, k22, d20, k23, k24, d21, k25)
 }

@@ -87,6 +87,101 @@ object ConnectedComponents {
     labels.select(col("__v").as(vertexCol), col("__label").as("component"))
   }
 
+  /** Connected components by iterated seed-and-contract — the fast path
+    * for duplicate graphs, and the shape that wins at any scale where
+    * components are dense (near-cliques). Each pass:
+    *
+    *   1. seed: label(v) = min(Γ(v) ∪ {v}) — ONE groupBy over the
+    *      symmetrized edges, no join (cheaper than a propagation round);
+    *   2. contract: relabel both endpoints of every edge through the seed
+    *      labels and drop loops/dups. label(v) is always in v's component,
+    *      so contraction preserves component structure exactly; on a
+    *      near-clique corpus the 354k-edge sf0.1 dup graph collapses to
+    *      827 inter-star edges in pass 1 and to zero in pass 2. The two
+    *      relabel joins key the shrinking edge side against the label
+    *      frame — broadcastable locally, plain shuffle joins at 100 TB.
+    *      ONE action per pass (the contracted-edge count materializes the
+    *      persisted labels and edges together).
+    *
+    * A pass removes every vertex that has a smaller neighbor, so dense
+    * components collapse immediately, but an adversarial n-chain only
+    * shortens by a constant — after `maxContract` passes any surviving
+    * edges go to the [[assignStar]] finisher (O(log² n) on any shape)
+    * rather than looping O(diameter) times. Final labels compose the
+    * per-pass mappings back down (one small join per pass).
+    *
+    * A component's global minimum M satisfies label(M) = M in every pass,
+    * so it survives contraction as itself and the final labels are
+    * identical to [[assign]]'s — pinned in ApiSpec on chain/clique/random
+    * graphs and by k23's DuckDB oracle. Measured at sf0.1 (warm, edges
+    * persisted): assign 5.0 s, assignStar 3.3 s, this ~2 s. */
+  def assignContracted(vertices: DataFrame, edges: DataFrame, vertexCol: String,
+                       srcCol: String, dstCol: String,
+                       maxContract: Int = 4, maxIters: Int = 30): DataFrame = {
+    // LAZY localCheckpoint throughout the loop: it truncates the logical
+    // plan IMMEDIATELY (each pass references its predecessor several
+    // times — with persist() alone the plan tree quintuples per pass and
+    // plan stringification OOMs), while deferring materialization so each
+    // pass still runs ONE job (the contracted-edge count computes the
+    // labels and edges together). Mapping frames stay pinned until the
+    // composed result is materialized below.
+    var e = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .filter(col("__a") =!= col("__b")).localCheckpoint(false)
+    var nEdges = e.count()
+    var mappings = List.empty[DataFrame] // deepest level first; (__v, __l)
+    var pass = 0
+    while (nEdges > 0 && pass < maxContract) {
+      val sym = e.select(col("__a").as("__v"), col("__b").as("__n"))
+        .unionByName(e.select(col("__b").as("__v"), col("__a").as("__n")))
+      val l = sym.groupBy("__v")
+        .agg(least(min(col("__n")), first(col("__v"))).as("__l"))
+        .localCheckpoint(false)
+      val e2 = e
+        .join(l.select(col("__v").as("__s2"), col("__l").as("__la")),
+              col("__a") === col("__s2"))
+        .join(l.select(col("__v").as("__d2"), col("__l").as("__lb")),
+              col("__b") === col("__d2"))
+        .select(col("__la").as("__a"), col("__lb").as("__b"))
+        .filter(col("__a") =!= col("__b"))
+        .distinct().localCheckpoint(false)
+      e = e2
+      nEdges = e2.count() // materializes l and e2 in one job
+      mappings ::= l
+      pass += 1
+    }
+    // finisher only if contraction didn't drain the graph (adversarial
+    // diameters); its vertex set is exactly the surviving edge endpoints —
+    // everything else resolves through the composed mappings
+    val roots: Option[DataFrame] =
+      if (nEdges == 0) None
+      else Some(assignStar(
+        e.select(col("__a").as("__l"))
+          .unionByName(e.select(col("__b").as("__l"))).distinct(),
+        e, "__l", "__a", "__b", maxIters)
+        .select(col("__l").as("__v"), col("component").as("__c")))
+    // compose top-down: component(level-i vertex) = component(label_i(v)),
+    // vertices absent from the level above are their own roots
+    val composed = mappings.foldLeft(roots) { (cur, m) =>
+      Some(cur match {
+        case None => m.select(col("__v"), col("__l").as("__c"))
+        case Some(c) =>
+          m.join(c.select(col("__v").as("__u"), col("__c")),
+                 col("__l") === col("__u"), "left")
+            .select(col("__v"), coalesce(col("__c"), col("__l")).as("__c"))
+      })
+    }
+    val out = composed match {
+      case None => // edge-free graph: every vertex is a singleton
+        vertices.select(col(vertexCol), col(vertexCol).as("component"))
+      case Some(c) =>
+        vertices.select(col(vertexCol).as("__v0"))
+          .join(c, col("__v0") === col("__v"), "left")
+          .select(col("__v0").as(vertexCol),
+                  coalesce(col("__c"), col("__v0")).as("component"))
+    }
+    out
+  }
+
   /** Connected components by alternating large-star / small-star
     * contraction [public: Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SoCC'14] — the ADVERSARIAL-DIAMETER path.

@@ -370,6 +370,16 @@ class ApiSpec extends SparkSpec {
         .assignStar(vertices, edges, "id", "src", "dst")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(star == plain, s"$tag: star CC diverged from propagation CC")
+      val contracted = graft.operators.ConnectedComponents
+        .assignContracted(vertices, edges, "id", "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(contracted == plain, s"$tag: contracted CC diverged from propagation CC")
+      // and with a 1-pass contract budget, so the assignStar finisher
+      // (not contraction) resolves everything beyond one hop
+      val viaFinisher = graft.operators.ConnectedComponents
+        .assignContracted(vertices, edges, "id", "src", "dst", maxContract = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaFinisher == plain, s"$tag: finisher-path CC diverged")
     }
     // long chain — the adversarial-diameter case star contraction exists
     // for (propagation needs diameter-many rounds; star needs O(log))
