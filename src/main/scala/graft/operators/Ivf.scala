@@ -251,6 +251,89 @@ object Ivf {
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
                      x => x.getField("code")).as("codes"))
 
+  /** Encode the corpus at byte budget: (vec_id, codes BINARY of length M) —
+    * one byte per subspace, the densest PQ storage form. Requires
+    * ksub ≤ 256 (one byte addresses the whole codebook); at M=8 the
+    * per-vector ANN artifact is 8 flat bytes vs the ARRAY<INT> form's
+    * 4-bytes-per-element plus UnsafeArrayData header — the size win is
+    * pinned in ScaleOpsSpec. Packing is the codegen'd
+    * [[graft.functions.PackBytesExpression]]; probe-side scoring reads the
+    * bytes directly ([[topKPqAdcBytes]]) so the int array never
+    * materializes. */
+  def pqEncodeBytes(embeddings: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
+    val ksub = codebooks.agg(max(col("code"))).head.getInt(0) + 1
+    require(ksub <= 256, s"byte-budget PQ needs ksub <= 256, got $ksub")
+    pqEncode(embeddings, codebooks, m)
+      .select(col("vec_id"),
+              org.apache.spark.sql.graftbridge.Bridge.column(
+                graft.functions.PackBytesExpression(
+                  org.apache.spark.sql.graftbridge.Bridge.expression(
+                    col("codes").cast("array<int>")))).as("codes"))
+  }
+
+  /** [[topKPqAdc]] over BINARY byte codes: identical IVF restriction,
+    * shortlist and exact re-rank, but the ADC stage is one codegen'd loop
+    * per row over the M-byte buffer against a FLAT M×ksub lookup-table
+    * literal ([[graft.functions.AdcScoreExpression]]) — no per-row array
+    * allocation and ≤¼ the scanned bytes of the int-codes path. Scores are
+    * bit-identical to [[topKPqAdc]] on the same codebooks (same dots,
+    * reordered only by m — pinned in ScaleOpsSpec). */
+  def topKPqAdcBytes(embeddings: DataFrame, centroids: DataFrame,
+                     codebooks: DataFrame, codes: DataFrame,
+                     assignments: DataFrame, probeId: Long, k: Int = 10,
+                     nprobe: Int = 2, shortlist: Int = 100): DataFrame = {
+    val probeRow = embeddings.filter(col("vec_id") === probeId)
+    val q = probeRow
+      .select(graft.api.Similarity.normalize(col("embedding")).as("__u"))
+      .head.getSeq[Double](0)
+    val cbRows = codebooks.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2))).toMap
+    val mCount = cbRows.keys.map(_._1).max + 1
+    val ksub = cbRows.keys.map(_._2).max + 1
+    require(ksub <= 256, s"byte-budget PQ needs ksub <= 256, got $ksub")
+    val sub = q.length / mCount
+    // flat ADC table literal: entry m*ksub + code = dot(q_m, codeword)
+    val flatTable: Column = array((0 until mCount).flatMap { mm =>
+      val qm = q.slice(mm * sub, (mm + 1) * sub)
+      (0 until ksub).map { c =>
+        lit(cbRows.get((mm, c))
+          .map(cw => qm.zip(cw).map { case (a, b) => a * b }.sum)
+          .getOrElse(0.0))
+      }
+    }: _*)
+    val probeClusters = graft.api.Similarity.scoreAgainstCentroids(
+        probeRow, "vec_id", "embedding", centroids, "cid", "embedding",
+        barrier = false)
+      .orderBy(desc_nulls_last("cos"), asc_nulls_last("cid"))
+      .limit(nprobe)
+      .select(col("cid"))
+    val adcTop = assignments
+      .join(broadcast(probeClusters), "cid")
+      .filter(col("vec_id") =!= probeId)
+      .select("vec_id")
+      .join(codes, "vec_id")
+      .select(col("vec_id"),
+              org.apache.spark.sql.graftbridge.Bridge.column(
+                graft.functions.AdcScoreExpression(
+                  org.apache.spark.sql.graftbridge.Bridge.expression(col("codes")),
+                  org.apache.spark.sql.graftbridge.Bridge.expression(flatTable)))
+                .as("adc"))
+      .orderBy(desc_nulls_last("adc"), asc_nulls_last("vec_id"))
+      .limit(shortlist)
+      .select("vec_id")
+    val probe = probeRow.select(
+      graft.api.Similarity.normalize(col("embedding")).as("__p"))
+    adcTop
+      .join(embeddings, "vec_id")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+              round(graft.api.Similarity.dot(
+                graft.api.Similarity.normalize(col("embedding")),
+                col("__p")), 6).as("cos"))
+      .orderBy(desc_nulls_last("cos"), asc_nulls_last("vec_id"))
+      .limit(k)
+  }
+
   /** Rotate the (unit-normalized) corpus by a dense `r` (row-major d×d):
     * executor-side matvec with the matrix broadcast once — 4096 doubles at
     * d=64, trivial at any corpus size. Used by OPQ, where PQ runs on the

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ChargeExpression, DotProductExpression, UnitVectorExpression}
+import graft.functions.{AdcScoreExpression, ChargeExpression, DotProductExpression, PackBytesExpression, UnitVectorExpression}
 
 /** Engine extension point (SURVEY §4 "custom code actually needed" item 2).
   *
@@ -32,6 +32,20 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_dot(array<double>, array<double>)")
         DotProductExpression(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pack_bytes"),
+      new ExpressionInfo(classOf[PackBytesExpression].getName, "graft_pack_bytes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_pack_bytes(array<int>)")
+        PackBytesExpression(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_adc"),
+      new ExpressionInfo(classOf[AdcScoreExpression].getName, "graft_adc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_adc(binary, array<double>)")
+        AdcScoreExpression(children(0), children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_unit"),

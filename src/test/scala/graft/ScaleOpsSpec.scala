@@ -278,6 +278,67 @@ class ScaleOpsSpec extends SparkSpec {
     codes.unpersist(); assignments.unpersist(); e.unpersist()
   }
 
+  test("byte-budget PQ: BINARY codes return identical top-k, store no more than int codes, <=1/8 vectors") {
+    val e = Tables.embeddings(spark, sf0001).cache()
+    val cents = Ivf.firstKCentroids(e, 8)
+    val cb = Ivf.pqCodebooks(e, m = 8, ksub = 16, iters = 1)
+    val codesInt = Ivf.pqEncode(e, cb, m = 8).cache()
+    val codesBin = Ivf.pqEncodeBytes(e, cb, m = 8).cache()
+    val assignments = Ivf.assign(e, cents).select("vec_id", "cid").cache()
+    // the byte path must be a pure storage change: same ADC dots (reordered
+    // only by m), same shortlist, same re-ranked answer — row-for-row
+    for (p <- Seq(0L, 17L, 340L)) {
+      val a = Ivf.topKPqAdc(e, cents, cb, codesInt, assignments, probeId = p,
+                            k = 10, nprobe = 2, shortlist = 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = Ivf.topKPqAdcBytes(e, cents, cb, codesBin, assignments, probeId = p,
+                                 k = 10, nprobe = 2, shortlist = 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(a == b, s"probe $p: int-codes top-k $a != byte-codes top-k $b")
+    }
+    // storage: binary codes must not exceed the int-array layout and must
+    // undercut the full vectors by >=8x (8 bytes vs 64 doubles per row;
+    // parquet framing keeps it from the raw 64x)
+    val dirB = java.nio.file.Files.createTempDirectory("pqb").toString
+    val dirI = java.nio.file.Files.createTempDirectory("pqi").toString
+    val dirV = java.nio.file.Files.createTempDirectory("pqv").toString
+    codesBin.coalesce(1).write.mode("overwrite").parquet(dirB)
+    codesInt.coalesce(1).write.mode("overwrite").parquet(dirI)
+    e.coalesce(1).write.mode("overwrite").parquet(dirV)
+    def pbytes(d: String): Long =
+      Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val (bB, bI, bV) = (pbytes(dirB), pbytes(dirI), pbytes(dirV))
+    assert(bB > 0 && bI > 0 && bV > 0)
+    assert(bB <= bI, s"binary codes $bB must not exceed int-array codes $bI")
+    assert(bB * 8 <= bV, s"binary codes $bB must be <=1/8 of vectors $bV")
+    codesInt.unpersist(); codesBin.unpersist(); assignments.unpersist(); e.unpersist()
+  }
+
+  test("pack/adc expressions: high codes (>=128) survive byte sign, adc equals the table sum") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    // adversarial codes exercising the signed-byte boundary: 0, 127, 128, 255
+    val df = spark.range(1).select(
+      array(lit(0), lit(127), lit(128), lit(255)).as("codes"))
+    val packed = df.select(
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.PackBytesExpression(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("codes")))).as("b"))
+    val bytes = packed.head.getAs[Array[Byte]]("b")
+    assert(bytes.toSeq == Seq(0.toByte, 127.toByte, (-128).toByte, (-1).toByte))
+    // flat table: 4 subspaces x ksub=256; entry m*256+c = m*1000 + c
+    val table = array((0 until 4).flatMap(m =>
+      (0 until 256).map(c => lit((m * 1000 + c).toDouble))): _*)
+    val adc = packed.select(
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.AdcScoreExpression(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("b")),
+          org.apache.spark.sql.graftbridge.Bridge.expression(table))).as("s"))
+      .head.getDouble(0)
+    assert(adc == (0 + 0) + (1000 + 127) + (2000 + 128) + (3000 + 255),
+      s"adc $adc must index table[m*ksub + (code & 0xFF)]")
+  }
+
   test("IVF: cid-partitioned layout prunes a probe to its nprobe clusters at the storage layer") {
     import graft.api.Bucketing
     val e = Tables.embeddings(spark, sf0001)
