@@ -35,9 +35,20 @@ object Bucketing {
                    key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
+  /** Execute `df` without materializing it on the driver: every partition
+    * is computed (so AQE finalizes the plan and scan metrics populate) but
+    * rows stay on the executors. Runs THE frame's own executedPlan —
+    * `foreachPartition`/`write` would plan a fresh QueryExecution whose
+    * metrics never reach `df.queryExecution`, and `collect()` would pull
+    * the whole result into driver memory just to throw it away. */
+  private def forceExecute(df: DataFrame): Unit = {
+    val rows = df.queryExecution.executedPlan.execute()
+    rows.sparkContext.runJob(rows, (it: Iterator[_]) => { while (it.hasNext) it.next(); () })
+  }
+
   /** True if the executed plan of `df` contains any shuffle Exchange. */
   def hasShuffle(df: DataFrame): Boolean = {
-    df.collect() // force execution so AQE finalizes the plan
+    forceExecute(df) // force execution so AQE finalizes the plan
     df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
   }
 
@@ -101,13 +112,51 @@ object Bucketing {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** [[writeZOrdered]] with EQUAL-FREQUENCY (rank/quantile) pre-scaling —
+    * the fix for skewed domains. Min/max scaling maps VALUES linearly into
+    * [0, 2^bits); when the domain is skewed (most rows tiny, rare huge
+    * outliers — zipfy ids, revenue, follower counts) the dense mass
+    * collapses into a handful of low z-cells and the layout silently
+    * degenerates to a linear sort on the other column. Scaling by RANK
+    * instead assigns each row its approximate quantile bucket, so every
+    * z-cell holds ≈ the same row count no matter how the values are
+    * distributed, and file min/max stats stay tight on BOTH columns
+    * (bucketing is monotone in the value, so clustering by bucket clusters
+    * by value).
+    *
+    * Scale posture: boundaries come from ONE distributed approxQuantile
+    * sketch pass; the driver holds 2^bits−1 doubles per column (bounded,
+    * ≤ 32 KB at the default 12-bit ceiling) broadcast back as an array
+    * literal. The per-row bucket lookup is a codegen'd HOF scan of that
+    * array — O(2^bits) per row, which is why `bits` is capped lower than
+    * [[writeZOrdered]]'s: file-level skipping only needs cell granularity
+    * ≈ a few × the file count, not 2^16. No windows, no global sort. */
+  def writeZOrderedRanked(df: DataFrame, path: String, colA: String, colB: String,
+                          files: Int, bits: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.{col, filter, size, typedLit}
+    require(bits >= 1 && bits <= 12, s"ranked z-order bits must be in [1,12], got $bits")
+    val cells = 1 << bits
+    val probs = (1 until cells).map(_.toDouble / cells).toArray
+    // one sketch pass per column; relativeError keeps buckets ~equal-count
+    def bounds(c: String): Array[Double] =
+      df.stat.approxQuantile(c, probs, 0.25 / cells)
+    def bucketOf(c: org.apache.spark.sql.Column, bs: Array[Double]) =
+      size(filter(typedLit(bs.toSeq), b => b <= c.cast("double"))).cast("long")
+    val (ba, bb) = (bounds(colA), bounds(colB))
+    df.withColumn("__z", zOrderKey(bucketOf(col(colA), ba), bucketOf(col(colB), bb), bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Number of files the scan of `df` actually read after partition-filter
     * pruning (the scan's own numFiles metric, populated at execution).
     * AQE wraps executed plans in AdaptiveSparkPlanExec — which is itself a
     * leaf of the outer plan — so scans are collected from the finalized
     * inner plan, not the wrapper. */
   def filesRead(df: DataFrame): Long = {
-    df.collect()
+    forceExecute(df)
     val plan = df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan

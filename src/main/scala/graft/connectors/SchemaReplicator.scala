@@ -172,6 +172,18 @@ object SchemaReplicator {
         val tmp = new java.io.File(outDir, ".compact_tmp")
         latest.write.mode("overwrite").partitionBy("table")
           .parquet(tmp.getPath)
+        // the time-travel horizon this compaction establishes: every event
+        // at position <= horizon may have been folded away, so PITR below
+        // it is unanswerable. Computed over the PRE-fold history (the
+        // retained max can regress — see committedPosition note) and
+        // stamped as a hidden marker file inside the batch (underscore
+        // prefix: parquet dir scans skip it) BEFORE the rename, so the
+        // marker and the fold become visible atomically together.
+        val horizon = df
+          .agg(org.apache.spark.sql.functions.max("position"))
+          .collect().head.getLong(0)
+        val prior = compactionHorizon(outDir)
+        new java.io.File(tmp, s"_horizon_${math.max(horizon, prior)}").createNewFile()
         val gen = before.map(b => new java.io.File(b).getName)
           .flatMap(n => "\\d+".r.findFirstIn(n)).map(_.toLong)
           .foldLeft(0L)(math.max)
@@ -186,16 +198,41 @@ object SchemaReplicator {
         before.foreach(b => rmRec(new java.io.File(b)))
     }
 
+  /** The replica's compaction horizon: the highest binlog position any
+    * [[compact]] run has folded history up to (0 = never compacted).
+    * Point-in-time reads BELOW the horizon are unanswerable — the events
+    * that distinguish those states were merged away. */
+  def compactionHorizon(outDir: String): Long =
+    committedBatches(outDir).flatMap { b =>
+      Option(new java.io.File(b).listFiles()).getOrElse(Array.empty)
+        .map(_.getName).collect {
+          case n if n.startsWith("_horizon_") => n.stripPrefix("_horizon_").toLong
+        }
+    }.foldLeft(0L)(math.max)
+
   /** Point-in-time replica read: one table's effective state as of binlog
     * position `maxPosition` INCLUSIVE — the collapse of the committed log
     * prefix. The binlog is a total order, so every prefix is a consistent
     * snapshot; because batches retain EVENTS (not folded states), PITR is
     * free until [[compact]] folds history — compaction trades time-travel
     * depth before its horizon for read cost, the usual log-retention
-    * decision. */
+    * decision.
+    *
+    * A read BEHIND the horizon throws rather than answer from folded
+    * history: the compacted batch keeps only the latest event per key, so
+    * filtering it by `position <= maxPosition` would silently DROP every
+    * key whose pre-horizon events were superseded — a state that never
+    * existed. Loud beats plausible-but-wrong (ConnectorsSpec pins both
+    * sides of the boundary). */
   def materializedStateAt(outDir: String, table: String, maxPosition: Long)
                          (implicit s: SparkSession): Dataset[CdcEvent] = {
     import s.implicits._
+    val horizon = compactionHorizon(outDir)
+    if (maxPosition < horizon)
+      throw new IllegalArgumentException(
+        s"point-in-time read at position $maxPosition is behind the compaction " +
+          s"horizon $horizon: that history was folded away; retain more log " +
+          "(compact less often) if you need deeper time travel")
     readCommitted(outDir) match {
       case None => s.emptyDataset[CdcEvent]
       case Some(df) =>

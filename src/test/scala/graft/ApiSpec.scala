@@ -436,6 +436,79 @@ class ApiSpec extends SparkSpec {
       "the live version survives a failed re-publish")
   }
 
+  test("Publish.splitBalance: starved split vetoes, balanced split passes") {
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("wap_split").toString
+    val want = Map("train" -> 0.8, "test" -> 0.2)
+    // balanced: 80/20 over 100 rows
+    val balanced = (0 until 100).map(i => (i.toLong, if (i < 80) "train" else "test"))
+      .toDF("id", "split")
+    val ok = Publish.writeAuditPublish(balanced, dir,
+      Seq(Publish.splitBalance("split", want, tol = 0.05)))
+    assert(ok.isRight, s"balanced split must publish: $ok")
+    // starved: test got 2% instead of 20%
+    val starved = (0 until 100).map(i => (i.toLong, if (i < 98) "train" else "test"))
+      .toDF("id", "split")
+    val veto = Publish.writeAuditPublish(starved, dir,
+      Seq(Publish.splitBalance("split", want, tol = 0.05)))
+    assert(veto.isLeft && veto.left.exists(m => m.contains("share") && m.contains("outside")),
+      s"got $veto")
+    // a split value the contract never declared is itself a veto
+    val rogue = Seq((1L, "train"), (2L, "test"), (3L, "dev")).toDF("id", "split")
+    val veto2 = Publish.writeAuditPublish(rogue, dir,
+      Seq(Publish.splitBalance("split", want, tol = 0.5)))
+    assert(veto2.isLeft && veto2.left.exists(_.contains("unexpected splits dev")))
+    // a declared split that vanished entirely is a veto
+    val gone = Seq((1L, "train"), (2L, "train")).toDF("id", "split")
+    val veto3 = Publish.writeAuditPublish(gone, dir,
+      Seq(Publish.splitBalance("split", want, tol = 0.5)))
+    assert(veto3.isLeft && veto3.left.exists(_.contains("missing splits test")))
+  }
+
+  test("Publish.schemaContract: drop/rename/widen veto, exact schema passes") {
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("wap_schema").toString
+    val contract = Seq("id" -> "bigint", "v" -> "string")
+    val good = Seq((1L, "a")).toDF("id", "v")
+    assert(Publish.writeAuditPublish(good, dir, Seq(Publish.schemaContract(contract))).isRight)
+    // renamed column
+    val renamed = Seq((1L, "a")).toDF("id", "value")
+    val v1 = Publish.writeAuditPublish(renamed, dir, Seq(Publish.schemaContract(contract)))
+    assert(v1.isLeft && v1.left.exists(_.contains("schema contract")))
+    // widened type (int id instead of bigint)
+    val widened = Seq((1, "a")).toDF("id", "v")
+    assert(Publish.writeAuditPublish(widened, dir, Seq(Publish.schemaContract(contract))).isLeft)
+    // extra column smuggled in
+    val extra = Seq((1L, "a", 0.5)).toDF("id", "v", "score")
+    assert(Publish.writeAuditPublish(extra, dir, Seq(Publish.schemaContract(contract))).isLeft)
+    // the live version survived every veto
+    assert(spark.read.parquet(s"$dir/current").count() == 1)
+  }
+
+  test("Publish.distributionDrift: shifted data vetoes, stable data passes, first publish seeds") {
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("wap_drift").toString
+    def docs(scale: Double) =
+      (0 until 1000).map(i => (i.toLong, (i % 100).toDouble * scale)).toDF("id", "len")
+    val drift = Publish.distributionDrift("len", dir, tol = 0.10)
+    // first publish: no reference yet — passes vacuously and seeds
+    assert(Publish.writeAuditPublish(docs(1.0), dir, Seq(drift)).isRight)
+    // same distribution re-published: stable, passes
+    assert(Publish.writeAuditPublish(docs(1.0), dir, Seq(drift)).isRight)
+    // upstream regression halves every length: deciles shift far past tol
+    val veto = Publish.writeAuditPublish(docs(0.5), dir, Seq(drift))
+    assert(veto.isLeft && veto.left.exists(_.contains("distribution drift")), s"got $veto")
+    // the live (undrifted) version is still what readers see
+    val live = spark.read.parquet(s"$dir/current")
+    assert(live.agg(max("len")).head.getDouble(0) == 99.0)
+  }
+
   test("Windows.topKPerGroup caps each group") {
     val sp = spark
     import sp.implicits._

@@ -107,4 +107,48 @@ class BucketingSpec extends SparkSpec {
     assert(zA >= nFiles / 4,
       s"Z-order must keep first-column pruning: $zA of $nFiles skippable")
   }
+
+  test("ranked Z-order: skewed domain prunes like a uniform one (min/max scaling does not)") {
+    import graft.api.Bucketing
+    // 99% of rows live in [0,100); 1% are huge outliers up to ~6.4e9.
+    // Min/max scaling maps the dense mass into z-cell 0 of the skewed
+    // column, so its bits contribute nothing to the interleave; rank
+    // scaling spreads the mass across all cells.
+    val n = 64000L
+    val df = spark.range(n).select(
+      expr("CASE WHEN id % 100 = 0 THEN id * 100000 ELSE id % 100 END").as("skewed"),
+      expr("(id * 2654435761) % 100000").as("uniform"))
+    val nFiles = 16
+    val mmDir = java.nio.file.Files.createTempDirectory("zmm").toString
+    val rkDir = java.nio.file.Files.createTempDirectory("zrk").toString
+    Bucketing.writeZOrdered(df, mmDir, "skewed", "uniform", nFiles)
+    Bucketing.writeZOrderedRanked(df, rkDir, "skewed", "uniform", nFiles)
+    def fileRanges(dir: String): Seq[(Long, Long, Long, Long)] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toIndexedSeq
+        .map { f =>
+          val r = spark.read.parquet(f.getPath)
+            .agg(min("skewed"), max("skewed"),
+                 min("uniform"), max("uniform")).collect().head
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+    def skippable(rs: Seq[(Long, Long, Long, Long)], onA: Boolean,
+                  lo: Long, hi: Long): Int =
+      rs.count { case (amin, amax, bmin, bmax) =>
+        if (onA) amax < lo || amin > hi else bmax < lo || bmin > hi
+      }
+    val (mm, rk) = (fileRanges(mmDir), fileRanges(rkDir))
+    assert(mm.size == nFiles && rk.size == nFiles)
+    // range predicate INSIDE the dense region — where real queries live
+    val (mmSkew, rkSkew) = (skippable(mm, onA = true, 40, 46),
+                            skippable(rk, onA = true, 40, 46))
+    assert(mmSkew <= 1,
+      s"control: min/max scaling collapses the dense mass, ~no files skippable, got $mmSkew")
+    assert(rkSkew >= nFiles / 4,
+      s"rank scaling must make the skewed column prune: $rkSkew of $nFiles")
+    // done-criterion: skewed-column skip ratio ≥ the uniform-column ratio
+    val rkUni = skippable(rk, onA = false, 50000, 56250)
+    assert(rkSkew >= rkUni,
+      s"skewed-column skips ($rkSkew) must be >= uniform-column skips ($rkUni)")
+  }
 }

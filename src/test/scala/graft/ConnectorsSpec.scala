@@ -280,6 +280,21 @@ class ConnectorsSpec extends SparkSpec {
     SchemaReplicator.compact(outDir)
     assert(SchemaReplicator.materializedState(outDir, "users")
       .collect().map(e => e.key -> e.payload).toMap == statesBefore("users"))
+    // i08↔compact interplay: compaction folded history up to position 13,
+    // so the pos-10 point-in-time read that worked above must now REFUSE —
+    // filtering the folded batch by position would fabricate a state that
+    // never existed (e.g. users.2's pre-horizon event u2b was merged away)
+    assert(SchemaReplicator.compactionHorizon(outDir) == 13L,
+      "compaction must record the folded-up-to position")
+    val behind = intercept[IllegalArgumentException] { usersAt(10) }
+    assert(behind.getMessage.contains("behind the compaction horizon 13"),
+      s"PITR behind the horizon must fail loudly, got: ${behind.getMessage}")
+    // at (and beyond) the horizon PITR still answers, and answers exactly
+    assert(usersAt(13) == statesBefore("users"),
+      "PITR at the horizon = the compacted state")
+    assert(SchemaReplicator.materializedStateAt(outDir, "orders", 99)
+      .collect().map(e => e.key -> e.payload).toMap == statesBefore("orders"),
+      "PITR beyond the horizon reads the live state")
     // per-table DDL bootstrap through the shared type matrix
     val ddl = SchemaReplicator.bootstrapDdl(Map(
       "users" -> (org.apache.spark.sql.Encoders.product[CdcEvent].schema, Seq("key")),

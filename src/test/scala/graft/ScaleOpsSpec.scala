@@ -297,14 +297,24 @@ class ScaleOpsSpec extends SparkSpec {
       assert(a == b, s"probe $p: int-codes top-k $a != byte-codes top-k $b")
     }
     // storage: binary codes must not exceed the int-array layout and must
-    // undercut the full vectors by >=8x (8 bytes vs 64 doubles per row;
-    // parquet framing keeps it from the raw 64x)
+    // undercut the full vectors by >=8x (8 bytes vs 64 floats per row).
+    // Encodings are DISABLED for the measurement: at fixture scale parquet
+    // dictionary-encodes the 16-distinct-value int arrays below anything
+    // (a few thousand rows fit one dictionary page), which inverts the
+    // comparison the layout actually makes at 100 TB — raw bytes scanned
+    // and decoded per row once dictionaries stop fitting. Plain encoding
+    // measures that width directly.
     val dirB = java.nio.file.Files.createTempDirectory("pqb").toString
     val dirI = java.nio.file.Files.createTempDirectory("pqi").toString
     val dirV = java.nio.file.Files.createTempDirectory("pqv").toString
-    codesBin.coalesce(1).write.mode("overwrite").parquet(dirB)
-    codesInt.coalesce(1).write.mode("overwrite").parquet(dirI)
-    e.coalesce(1).write.mode("overwrite").parquet(dirV)
+    def writePlain(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.enable.dictionary", "false")
+        .option("compression", "uncompressed")
+        .parquet(dir)
+    writePlain(codesBin, dirB)
+    writePlain(codesInt, dirI)
+    writePlain(e, dirV)
     def pbytes(d: String): Long =
       Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet")).map(_.length).sum

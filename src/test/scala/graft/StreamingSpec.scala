@@ -391,6 +391,74 @@ class StreamingSpec extends SparkSpec {
     assert(stored == batch, "streaming route must equal the batch assignment")
   }
 
+  test("streaming IVF centroid refresh: restart pins the new set, partition consistency holds per version") {
+    import graft.streaming.StreamingIvf
+    import graft.streaming.StreamingIvf.VecIn
+    import graft.engine.Tables
+    import graft.operators.Ivf
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val e = Tables.embeddings(spark, sf0001)
+    val centsV1 = Ivf.firstKCentroids(e, 4)
+      .select(col("cid"), graft.api.Similarity.asDouble(col("embedding")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    // "re-trained" set: more cells AND refined — genuinely different routing
+    val centsV2 = Ivf.kmeansCentroids(e, 8, iters = 2)
+      .select(col("cid"), graft.api.Similarity.asDouble(col("embedding")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val vecs = e.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().map(v => VecIn(v._1, v._2)).sortBy(_.vec_id)
+    val (h1, h2) = vecs.splitAt(vecs.length / 2)
+    val cDir = java.nio.file.Files.createTempDirectory("sivf_cents").toString
+    val outDir = java.nio.file.Files.createTempDirectory("sivf_vout").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("sivf_vck").toString
+
+    // run 1 under published v1
+    assert(StreamingIvf.publishCentroids(centsV1, cDir) == 1)
+    val in1 = MemoryStream[VecIn]
+    val q1 = StreamingIvf.startVersioned(in1.toDS(), cDir, outDir, ckDir)
+    try { in1.addData(h1.toIndexedSeq: _*); q1.processAllAvailable() } finally q1.stop()
+
+    // batch trainer publishes v2; the RESTARTED stream (same checkpoint)
+    // picks it up without any manual rewiring
+    assert(StreamingIvf.publishCentroids(centsV2, cDir) == 2)
+    val in2 = MemoryStream[VecIn]
+    in2.addData(h1.toIndexedSeq: _*) // replay of run 1's offsets range
+    val q2 = StreamingIvf.startVersioned(in2.toDS(), cDir, outDir, ckDir)
+    try { in2.addData(h2.toIndexedSeq: _*); q2.processAllAvailable() } finally q2.stop()
+
+    val stored = spark.read.parquet(outDir)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"),
+              col("cv").cast("int").as("cv"), col("embedding"))
+    // both versions actually landed data
+    val cvs = stored.select("cv").distinct().as[Int].collect().toSet
+    assert(cvs == Set(1, 2), s"expected data under both centroid versions, got $cvs")
+    // PARTITION CONSISTENCY: within each version, every stored cid equals
+    // the batch assignment under THAT version's centroid set — a file is
+    // never routed by one set and filed under another
+    for ((v, cents) <- Seq(1 -> centsV1, 2 -> centsV2)) {
+      val got = stored.filter(col("cv") === v)
+        .select("vec_id", "cid").distinct().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Ivf.assign(e, cents.toDF("cid", "embedding"))
+        .select("vec_id", "cid").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got.foreach { case (id, cid) =>
+        assert(want(id) == cid, s"v$v: vec $id stored under cid $cid, assign says ${want(id)}")
+      }
+    }
+    // cross-version probe: per-version pruned shortlists, exact global rank
+    val probeVec = graft.api.Similarity.asDouble(col("embedding"))
+    val probe = e.filter(col("vec_id") === 0L).select(probeVec).head.getSeq[Double](0)
+    val got = StreamingIvf.topKAcrossVersions(stored, cDir, probe, k = 5, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got.nonEmpty && got.size <= 5)
+    // the probe's own duplicate row (vec 0 itself is in the store) must rank first
+    assert(got.head == 0L, s"self-match must lead the ranking, got $got")
+  }
+
   test("streaming PPJoin flags exact dups cross-batch and equals the batch exact join") {
     import graft.streaming.StreamingPpJoin
     import graft.streaming.StreamingPpJoin.{PpDoc, PpHit}
