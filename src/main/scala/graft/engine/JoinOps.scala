@@ -351,6 +351,43 @@ object JoinOps {
         .limit(10)
     })
 
+  /** c18 — TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    * quarter. Four-table join where Catalyst broadcasts the 25-row nation
+    * side and AQE sizes the customer⋈orders exchange; the final top-20 is
+    * a TakeOrderedAndProject (no global sort). The composite proves the
+    * join+agg+topk stack composes on a star schema — the 100 TB plan is
+    * the same: fact-side filters (quarter, returnflag) reach the scans,
+    * dimensions broadcast. */
+  val c18: Q = Q(
+    "c18_join_q10_returns",
+    s"""SELECT c_custkey, ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |  n_name
+       |FROM customer, orders, lineitem, nation
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+       |GROUP BY c_custkey, n_name
+       |ORDER BY revenue DESC NULLS LAST, c_custkey ASC NULLS LAST
+       |LIMIT 20""".stripMargin,
+    (s, dir) => {
+      val lo = lit("1995-10-01").cast("timestamp")
+      val hi = lit("1996-01-01").cast("timestamp")
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+                .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+              col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+              col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .select("c_custkey", "revenue", "n_name")
+        .orderBy(desc_nulls_last("revenue"), asc_nulls_last("c_custkey"))
+        .limit(20)
+    })
+
   def ops: Vector[Q] = Vector(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10,
-                              c11, c12, c14, c15, c16, c17)
+                              c11, c12, c14, c15, c16, c17, c18)
 }

@@ -308,5 +308,61 @@ object PipelineOps {
                 round(element_at(col("qs"), 3), 4).as("q75"))
         .orderBy(asc_nulls_last("l_returnflag")))
 
-  def ops: Vector[Q] = Vector(k20, k21, k22, d20, k23, k24, d21, k25)
+  /** k26 — corpus-wide top-20 adjacent-token bigrams: the n-gram statistic
+    * feeding tokenizer/vocab decisions (and the building block of n-gram
+    * LM contamination checks). One explode of per-doc adjacent pairs into
+    * a partial-aggregating hash agg, then TakeOrderedAndProject — linear
+    * in total tokens, never corpus²; identical shape to k21's unigram
+    * vocab head. Tie-break (count DESC, bigram ASC) totals the order. */
+  val k26: Q = Q(
+    "k26_top_bigrams",
+    """SELECT bigram, COUNT(*) AS n FROM (
+      |  SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks)),
+      |                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      |  FROM (SELECT STRING_SPLIT(text, ' ') AS toks FROM documents)
+      |)
+      |GROUP BY bigram
+      |ORDER BY n DESC NULLS LAST, bigram ASC NULLS LAST
+      |LIMIT 20""".stripMargin,
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc_nulls_last("n"), asc_nulls_last("bigram"))
+        .limit(20))
+
+  /** k27 — stratified deterministic sampling: per-source sampling rates
+    * driven by a content hash (MD5 of doc_id — the same cross-engine
+    * digest as k17), so the sample is reproducible run-to-run and
+    * rerun-stable under reshuffling. Sources below 'm' keep 4/16 of rows,
+    * the rest 8/16 — the per-stratum rate table a curriculum/mixture
+    * pipeline applies. One scan + per-row hash + small per-source agg; no
+    * shuffle carries more than the kept rows. */
+  val k27: Q = Q(
+    "k27_stratified_sample",
+    """SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM (SELECT source, doc_id,
+      |        SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+      |      FROM documents)
+      |WHERE (source < 'm' AND h <= '3') OR (source >= 'm' AND h <= '7')
+      |GROUP BY source
+      |ORDER BY source ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), h.as("h"))
+        .filter((col("source") < "m" && col("h") <= "3") ||
+                (col("source") >= "m" && col("h") <= "7"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(asc_nulls_last("source"))
+    })
+
+  def ops: Vector[Q] = Vector(k20, k21, k22, d20, k23, k24, d21, k25, k26, k27)
 }

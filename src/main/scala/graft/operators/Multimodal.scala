@@ -1,16 +1,24 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Multimodal columns (SURVEY §2.2; task brief "multimodal columns").
   *
   * Media travels as an opaque `BinaryType` payload plus a typed metadata
   * struct; decode/feature-extraction runs per partition so one task holds at
   * most `maxPartitionBytes` of media at a time — the partitioning, schema,
-  * and batch shape are the real 100 TB design. The actual codec call is
-  * STUBBED (no image/audio libraries in this container): `decodeStub` is a
-  * deterministic fake clearly marked below; swap `realDecode` in production.
+  * and batch shape are the 100 TB design, and the decode boundary is a
+  * per-task `mapPartitions` where codec init amortizes.
+  *
+  * Codec status:
+  *   - IMAGES are decoded for real via `javax.imageio` (PNG/BMP/GIF/JPEG —
+  *     all readers ship in the JDK, no external libraries): dimensions,
+  *     mean luminance, and a Graphics2D resize that re-encodes to PNG.
+  *   - AUDIO (WAV/PCM) is decoded for real via `javax.sound.sampled`
+  *     (also JDK-native): sample rate, channels, frame count, RMS level.
+  *   - VIDEO frame extraction stays a clearly-marked STUB ([[sampleFrames]])
+  *     — the JDK has no video codec and the container has no media libs;
+  *     the row-explode shape (media row → frame rows) is the real part.
   */
 object Multimodal {
 
@@ -19,10 +27,16 @@ object Multimodal {
   final case class MediaFeatures(
       media_id: Long, format: String, n_bytes: Int,
       checksum: Long, brightness: Double)
+  final case class ImageFeatures(
+      media_id: Long, width: Int, height: Int, mean_luma: Double)
+  final case class AudioFeatures(
+      media_id: Long, sample_rate: Double, channels: Int,
+      frames: Long, rms: Double)
 
-  /** STUB — stands in for a real image/audio decode (libs unavailable
-    * offline). Deterministic on the payload bytes so tests are exact:
-    * checksum = sum of unsigned bytes, brightness = mean byte / 255. */
+  /** Payload-level fallback features (no codec): deterministic on the
+    * bytes so tests are exact — checksum = sum of unsigned bytes,
+    * brightness = mean byte / 255. Used where format-agnostic features
+    * are wanted (or the payload's codec is unavailable). */
   def decodeStub(payload: Array[Byte]): (Long, Double) = {
     var sum = 0L
     var i = 0
@@ -30,18 +44,75 @@ object Multimodal {
     (sum, if (payload.isEmpty) 0.0 else sum.toDouble / payload.length / 255.0)
   }
 
-  /** Production seam: replace with the real codec. */
-  def realDecode(payload: Array[Byte]): (Long, Double) =
-    throw new NotImplementedError(
-      "real media decode requires codec libraries absent from this image; " +
-      "wire your codec here — the Spark-side plumbing is decode-agnostic")
+  /** REAL image decode via the JDK's ImageIO: (width, height, mean
+    * luminance in [0,1], Rec.601 weights). Throws on undecodable bytes —
+    * a quarantine split upstream (JsonIngest-style) is the production
+    * posture for dirty media. */
+  def decodeImage(payload: Array[Byte]): (Int, Int, Double) = {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var sum = 0.0
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      sum += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+      i += 1
+    }
+    (w, h, sum / (w.toLong * h * 255.0))
+  }
 
-  /** Per-partition feature extraction: the mapPartitions boundary is where a
-    * real decoder would amortize codec init per task. */
+  /** REAL image resize via Graphics2D (bilinear), re-encoded as PNG bytes
+    * — the transform stage of an image-pipeline: binary in, binary out,
+    * runs wherever the row lives. */
+  def resizeImage(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(src != null, "undecodable image payload")
+    val dst = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                       java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(src, 0, 0, width, height, null)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL WAV/PCM decode via the JDK's javax.sound.sampled: sample rate,
+    * channel count, frame count, and the RMS level of 16-bit samples
+    * normalized to [0,1]. */
+  def decodeWav(payload: Array[Byte]): (Double, Int, Long, Double) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16, s"expected 16-bit PCM, got $fmt")
+      val bytes = in.readAllBytes()
+      val n = bytes.length / 2
+      var sumSq = 0.0
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val s =
+          if (fmt.isBigEndian) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+          else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+        sumSq += s.toDouble * s.toDouble
+        i += 2
+      }
+      val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n) / 32768.0
+      (fmt.getSampleRate.toDouble, fmt.getChannels, in.getFrameLength, rms)
+    } finally in.close()
+  }
+
+  /** Per-partition payload-level features (format-agnostic fallback path;
+    * the mapPartitions boundary is where decoder init amortizes per task). */
   def extractFeatures(media: Dataset[MediaRow])(implicit s: SparkSession): Dataset[MediaFeatures] = {
     import s.implicits._
     media.mapPartitions { rows =>
-      // per-task decoder init would go here
       rows.map { r =>
         val (checksum, brightness) = decodeStub(r.payload)
         MediaFeatures(r.media_id, r.meta.format, r.payload.length, checksum, brightness)
@@ -49,8 +120,45 @@ object Multimodal {
     }
   }
 
-  /** Frame-sample stub: take every `stride`-th byte as a "frame" marker —
-    * exercises the row-explode shape a video frame-sampler produces. */
+  /** Per-partition REAL image feature extraction (ImageIO decode per row,
+    * codec settings initialized once per task). */
+  def imageFeatures(media: Dataset[MediaRow])(implicit s: SparkSession): Dataset[ImageFeatures] = {
+    import s.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // per-task decoder init
+      rows.map { r =>
+        val (w, h, luma) = decodeImage(r.payload)
+        ImageFeatures(r.media_id, w, h, luma)
+      }
+    }
+  }
+
+  /** Per-partition REAL image resize: binary column in, resized-PNG binary
+    * column out — the map stage of a thumbnailing/normalization pipeline. */
+  def resizeImages(media: Dataset[MediaRow], width: Int, height: Int)
+                  (implicit s: SparkSession): Dataset[MediaRow] = {
+    import s.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map(r => r.copy(payload = resizeImage(r.payload, width, height),
+                           meta = MediaMeta("png", width, height)))
+    }
+  }
+
+  /** Per-partition REAL audio feature extraction (WAV via javax.sound). */
+  def audioFeatures(media: Dataset[MediaRow])(implicit s: SparkSession): Dataset[AudioFeatures] = {
+    import s.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, ch, frames, rms) = decodeWav(r.payload)
+        AudioFeatures(r.media_id, rate, ch, frames, rms)
+      }
+    }
+  }
+
+  /** Frame-sample STUB: take every `stride`-th byte as a "frame" marker —
+    * exercises the row-explode shape a video frame-sampler produces. The
+    * JDK has no video codec; this is the one decode left stubbed. */
   def sampleFrames(media: Dataset[MediaRow], stride: Int)(implicit s: SparkSession): DataFrame = {
     import s.implicits._
     media.flatMap { r =>
@@ -65,6 +173,48 @@ object Multimodal {
     spark.range(n).map { i =>
       val bytes = Array.tabulate[Byte](64 + (i % 64).toInt)(j => ((i * 131 + j * 17) % 256).toByte)
       MediaRow(i, bytes, MediaMeta(if (i % 2 == 0) "png" else "wav", 8 + (i % 8).toInt, 8))
+    }
+  }
+
+  /** Deterministic REAL-media corpus: solid-color PNGs encoded with the
+    * JDK's own writer (so decode assertions are exact). */
+  def syntheticPngCorpus(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val (w, h) = (8 + (i % 8).toInt, 6 + (i % 4).toInt)
+      val rgb = (((i * 37) % 256).toInt << 16) | (((i * 59) % 256).toInt << 8) | ((i * 83) % 256).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRow(i, bos.toByteArray, MediaMeta("png", w, h))
+    }
+  }
+
+  /** Deterministic REAL-audio corpus: 16-bit mono WAVs (constant-amplitude
+    * square tones, so the RMS is exactly the amplitude). */
+  def syntheticWavCorpus(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val frames = 400 + (i % 5).toInt * 100
+      val amp = (2000 + (i % 7) * 3000).toInt
+      val pcm = new Array[Byte](frames * 2)
+      var f = 0
+      while (f < frames) {
+        val s = (if ((f / 20) % 2 == 0) amp else -amp).toShort
+        pcm(2 * f) = (s & 0xff).toByte
+        pcm(2 * f + 1) = ((s >> 8) & 0xff).toByte
+        f += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      MediaRow(i, bos.toByteArray, MediaMeta("wav", 0, 0))
     }
   }
 }

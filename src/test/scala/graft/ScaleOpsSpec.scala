@@ -95,6 +95,41 @@ class ScaleOpsSpec extends SparkSpec {
     assert(frames.count() == corpus.collect().map(r => (r.payload.length + 15) / 16).sum)
   }
 
+  test("multimodal: REAL PNG decode, resize, and WAV decode via JDK codecs") {
+    implicit val s = spark
+    // images: solid-color PNGs — dimensions and luminance are exact
+    val imgs = Multimodal.syntheticPngCorpus(spark, 50)
+    val feats = Multimodal.imageFeatures(imgs).collect()
+    assert(feats.length == 50)
+    for (i <- Seq(0L, 7L, 23L, 49L)) {
+      val f = feats.find(_.media_id == i).get
+      assert(f.width == 8 + (i % 8).toInt && f.height == 6 + (i % 4).toInt,
+        s"media $i decoded ${f.width}x${f.height}")
+      val (r, g, b) = ((i * 37) % 256, (i * 59) % 256, (i * 83) % 256)
+      val wantLuma = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+      assert(math.abs(f.mean_luma - wantLuma) < 1e-9,
+        s"media $i luma ${f.mean_luma} vs $wantLuma")
+    }
+    // resize: every payload re-decodes at the target dims, color preserved
+    val resized = Multimodal.resizeImages(imgs, 4, 3)
+    val rf = Multimodal.imageFeatures(resized).collect()
+    assert(rf.forall(f => f.width == 4 && f.height == 3))
+    val luma0 = feats.find(_.media_id == 0).get.mean_luma
+    assert(math.abs(rf.find(_.media_id == 0).get.mean_luma - luma0) < 1e-6,
+      "bilinear resize of a solid color keeps its luminance")
+    // audio: square tones — RMS is exactly amplitude/32768
+    val wavs = Multimodal.syntheticWavCorpus(spark, 20)
+    val af = Multimodal.audioFeatures(wavs).collect()
+    assert(af.length == 20)
+    for (i <- Seq(0L, 6L, 19L)) {
+      val a = af.find(_.media_id == i).get
+      assert(a.sample_rate == 8000.0 && a.channels == 1)
+      assert(a.frames == 400 + (i % 5).toInt * 100, s"media $i frames ${a.frames}")
+      val wantRms = (2000 + (i % 7) * 3000).toDouble / 32768.0
+      assert(math.abs(a.rms - wantRms) < 1e-9, s"media $i rms ${a.rms} vs $wantRms")
+    }
+  }
+
   test("graft_charge native expression ≡ raw arithmetic (and codegen-safe)") {
     val l = Tables.lineitem(spark, sf0001).limit(1000)
     l.createOrReplaceTempView("l_charge_t")
