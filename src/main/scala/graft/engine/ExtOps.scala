@@ -578,6 +578,28 @@ object ExtOps {
           date_format(col("o_orderdate"), "yyyy/MM").as("ym"))
         .orderBy(asc_nulls_last("o_orderkey")))
 
+  /** h19 — binary↔text codecs: base64 and hex over UTF-8 bytes (the
+    * wire-format face of the BinaryType multimodal column — payload
+    * fingerprints and debug dumps use exactly these). Pure byte-level
+    * functions, codegen'd; both engines emit RFC-4648 base64 and
+    * uppercase hex over identical UTF-8 bytes. */
+  val h19: Q = Q(
+    "h19_binary_codecs",
+    """SELECT doc_id,
+      |  TO_BASE64(ENCODE(SUBSTR(text, 1, 16))) AS b64,
+      |  HEX(ENCODE(SUBSTR(text, 1, 8))) AS hx,
+      |  OCTET_LENGTH(ENCODE(text)) AS n_bytes
+      |FROM documents
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          base64(substring(col("text"), 1, 16).cast("binary")).as("b64"),
+          hex(substring(col("text"), 1, 8).cast("binary")).as("hx"),
+          length(col("text").cast("binary")).cast("long").as("n_bytes"))
+        .orderBy(asc_nulls_last("doc_id")))
+
   /** SimHash machinery shared by k18/k19 [public: Charikar'02]: a 16-bit
     * signature where bit i is the sign of Σ_tokens (±1), +1 iff the top bit
     * of the i-th hex digit of md5(token) is set. Pure integer arithmetic on
@@ -714,5 +736,6 @@ object ExtOps {
 
   def ops: Vector[Q] = Vector(b06, b07, b08, b09, c13, d14, d15, d16, d17,
                               d18, d19, e10, f04, g05, g06, h14, h15, h16,
-                              h17, h18, i07, j04, k14, k15, k16, k17, k18, k19)
+                              h17, h18, h19, i07, j04, k14, k15, k16, k17,
+                              k18, k19)
 }

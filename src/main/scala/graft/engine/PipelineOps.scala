@@ -364,5 +364,64 @@ object PipelineOps {
         .orderBy(asc_nulls_last("source"))
     })
 
-  def ops: Vector[Q] = Vector(k20, k21, k22, d20, k23, k24, d21, k25, k26, k27)
+  /** k28 — per-source quota capping: keep each source's 3 highest-token
+    * documents (domain balancing — the anti-over-representation gate a
+    * mixture pipeline applies before packing). Window top-k partitioned by
+    * source: state per group is one source's candidates, never the corpus;
+    * ties totalled by doc_id. Token count is integer arithmetic — no float
+    * hazard in the rank. */
+  val k28: Q = Q(
+    "k28_source_quota",
+    """WITH t AS (SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS ntok
+      |           FROM documents)
+      |SELECT source, doc_id, ntok FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY source ORDER BY ntok DESC, doc_id ASC) AS rn
+      |  FROM t)
+      |WHERE rn <= 3
+      |ORDER BY source ASC NULLS LAST, doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(desc("ntok"), asc("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+                size(split(col("text"), " ")).cast("long").as("ntok"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("source", "doc_id", "ntok")
+        .orderBy(asc_nulls_last("source"), asc_nulls_last("doc_id"))
+    })
+
+  /** k29 — token-budget shard packing: within each source, assign documents
+    * (in doc_id order) to consecutive shards of ≤2000 tokens by the running
+    * token count BEFORE each doc — greedy sequential packing, the shard-prep
+    * step between dedup/quota and export. Pure integer cumsum + integer
+    * division, bit-exact across engines; the window partitions by source so
+    * state is one stratum's running count (the 100 TB shape — a global pack
+    * would single-partition the window). */
+  val k29: Q = Q(
+    "k29_token_budget_pack",
+    """WITH t AS (SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS ntok
+      |           FROM documents)
+      |SELECT doc_id, source,
+      |  (CAST(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id ASC
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) - ntok) // 2000
+      |    AS shard
+      |FROM t
+      |ORDER BY source ASC NULLS LAST, doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val w = Window.partitionBy("source").orderBy(asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+                size(split(col("text"), " ")).cast("long").as("ntok"))
+        .withColumn("cum", sum(col("ntok")).over(w))
+        // integer `div`, not `/`: bit-exact shard ids (no double rounding)
+        .withColumn("shard", expr("(cum - ntok) div 2000"))
+        .select("doc_id", "source", "shard")
+        .orderBy(asc_nulls_last("source"), asc_nulls_last("doc_id"))
+    })
+
+  def ops: Vector[Q] = Vector(k20, k21, k22, d20, k23, k24, d21, k25, k26,
+                              k27, k28, k29)
 }
