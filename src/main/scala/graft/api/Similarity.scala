@@ -34,6 +34,30 @@ object Similarity {
     sqrt(aggregate(transform(c, x => x.cast("double") * x.cast("double")),
                    lit(0.0), (acc, v) => acc + v))
 
+  /** Symmetric per-vector int8 quantization: scale = max|x|/127, codes =
+    * round(x/scale) as `ARRAY<TINYINT>` — 1 byte per dimension plus one
+    * float scale per vector, the standard 4× storage cut for float32
+    * embedding stores (8× vs float64) that keeps cosine ordering nearly
+    * intact (elementwise error ≤ scale/2; recall pinned in ScaleOpsSpec).
+    * Pure codegen'd HOFs — no UDF. Zero vectors quantize to zero codes
+    * (scale clamped away from ÷0). Returns (idCol, `scale`, `q`). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val sc = greatest(
+      array_max(transform(col(vecCol), x => abs(x.cast("double")))),
+      lit(1e-30)) / lit(127.0)
+    df.select(col(idCol), sc.as("scale"), col(vecCol).as("__v"))
+      .select(col(idCol), col("scale"),
+              transform(col("__v"),
+                        x => round(x.cast("double") / col("scale")).cast("byte"))
+                .as("q"))
+  }
+
+  /** Reconstruct approximate double vectors from [[quantizeInt8]] output. */
+  def dequantizeInt8(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol),
+              transform(col("q"), b => b.cast("double") * col("scale"))
+                .as("embedding"))
+
   /** Exact top-k cosine neighbors of one probe vector. The probe side is a
     * 1-row broadcast under every corpus partition; TakeOrderedAndProject
     * keeps the global top-k without a full sort. */

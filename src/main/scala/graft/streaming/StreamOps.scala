@@ -151,4 +151,28 @@ object StreamOps {
         batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
       }
       .start()
+
+  /** Stream–static enrichment with a REFRESHING dimension: join each
+    * micro-batch against the parquet dimension read fresh per batch, so a
+    * dimension republished between batches (the Publish swap, a
+    * nightly-rebuilt lookup) is picked up at the NEXT micro-batch with no
+    * restart — the semantics Spark's plan-time stream-static join cannot
+    * give (it binds the static side's file listing once at query start).
+    * Per-batch semantics stay deterministic: one consistent dimension
+    * version per batch, never mid-batch mixing. Left join — facts with no
+    * dimension row pass through with NULL enrichment (dropping them would
+    * silently lose late-keyed facts). The dimension is a lookup table:
+    * small enough to broadcast per batch; a fact-sized "dimension" belongs
+    * in a stream-stream join instead. */
+  def startEnrichedSink(facts: DataFrame, dimPath: String, key: String,
+                        outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    facts.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val dim = broadcast(batch.sparkSession.read.parquet(dimPath))
+        batch.join(dim, Seq(key), "left")
+          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+      }
+      .start()
 }

@@ -130,6 +130,31 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("int8 embedding quantization: error bounded by scale/2, top-10 cosine overlap >= 0.8") {
+    import graft.api.Similarity
+    val e = Tables.embeddings(spark, sf0001)
+    val q = Similarity.quantizeInt8(e, "vec_id", "embedding")
+    val deq = Similarity.dequantizeInt8(q, "vec_id")
+    // elementwise reconstruction error ≤ scale/2 (round-to-nearest bound)
+    val errOk = e.select(col("vec_id"), graft.api.Similarity.asDouble(col("embedding")).as("x"))
+      .join(deq.withColumnRenamed("embedding", "xq"), "vec_id")
+      .join(q.select("vec_id", "scale"), "vec_id")
+      .select(max(expr(
+        "aggregate(zip_with(x, xq, (a, b) -> abs(a - b)), 0D, (m, v) -> greatest(m, v))")
+        / col("scale")).as("worst"))
+      .head.getDouble(0)
+    assert(errOk <= 0.5 + 1e-9, s"per-element error must be <= scale/2, got $errOk * scale")
+    // ranking survives: top-10 cosine overlap per probe
+    for (p <- Seq(0L, 11L, 123L)) {
+      val exact = Similarity.cosineTopK(e, "vec_id", "embedding", p, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val approx = Similarity.cosineTopK(deq, "vec_id", "embedding", p, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val overlap = exact.intersect(approx).size
+      assert(overlap >= 8, s"probe $p: int8 top-10 overlap $overlap < 8")
+    }
+  }
+
   test("graft_charge native expression ≡ raw arithmetic (and codegen-safe)") {
     val l = Tables.lineitem(spark, sf0001).limit(1000)
     l.createOrReplaceTempView("l_charge_t")

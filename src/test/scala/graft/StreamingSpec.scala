@@ -352,6 +352,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment picks up a republished dimension at the next micro-batch") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("enrich").toString
+    val (dimPath, outDir, ckDir) = (s"$root/dim", s"$root/out", s"$root/ck")
+    Seq((1L, "one_v1"), (2L, "two_v1")).toDF("k", "label")
+      .write.parquet(dimPath)
+    val in = MemoryStream[(Long, Double)]
+    val q = graft.streaming.StreamOps.startEnrichedSink(
+      in.toDF().toDF("k", "v"), dimPath, "k", outDir, ckDir)
+    try {
+      in.addData((1L, 10.0), (2L, 20.0))
+      q.processAllAvailable()
+      val b0 = spark.read.parquet(s"$outDir/batch_0")
+        .select("k", "label").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(b0 == Map(1L -> "one_v1", 2L -> "two_v1"))
+      // dimension republished BETWEEN batches: relabeled + a new key; key 2 dropped
+      Seq((1L, "one_v2"), (3L, "three_v2")).toDF("k", "label")
+        .write.mode("overwrite").parquet(dimPath)
+      in.addData((1L, 11.0), (2L, 21.0), (3L, 31.0))
+      q.processAllAvailable()
+      val b1 = spark.read.parquet(s"$outDir/batch_1")
+        .select("k", "label").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(b1(1L).contains("one_v2"), "refreshed label must be visible next batch")
+      assert(b1(3L).contains("three_v2"), "a key added by the republish must enrich")
+      assert(b1(2L).isEmpty, "a key dropped from the dimension passes through with NULL (left join)")
+    } finally q.stop()
+  }
+
   test("streaming IVF ingest routes like the batch assign and lands cid-partitioned") {
     import graft.streaming.StreamingIvf
     import graft.streaming.StreamingIvf.VecIn
