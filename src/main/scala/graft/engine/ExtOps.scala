@@ -269,6 +269,33 @@ object ExtOps {
         .orderBy(asc_nulls_last("event_id"))
     })
 
+  /** e11 — TIME-interval range frame: per-user trailing-1-hour value sum
+    * at every event (the sliding-window aggregate SQL expresses per ROW,
+    * where j02's tumbling/sliding buckets aggregate per WINDOW). Both
+    * engines order the frame on integer epoch-MICROSECONDS — the fixture
+    * carries sub-second timestamps, and a seconds-truncated order column
+    * would move exact-boundary rows in and out of the frame differently
+    * per engine. Decimal-routed sum (dsum class) keeps the frame total
+    * order-independent. */
+  val e11: Q = Q(
+    "e11_win_time_range",
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+      |    PARTITION BY user_id ORDER BY EPOCH_US(ts) ASC
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS v1h
+      |FROM events
+      |ORDER BY event_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(asc("__us"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, dir)
+        .withColumn("__us", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"),
+                sum(col("value").cast("decimal(18,6)")).over(w)
+                  .cast("double").as("v1h"))
+        .orderBy(asc_nulls_last("event_id"))
+    })
+
   /** f04 — fixed-width histogram via floor division (DuckDB 1.0 has no
     * width_bucket); bucket math is exact in both engines. */
   val f04: Q = Q(
@@ -735,7 +762,7 @@ object ExtOps {
     })
 
   def ops: Vector[Q] = Vector(b06, b07, b08, b09, c13, d14, d15, d16, d17,
-                              d18, d19, e10, f04, g05, g06, h14, h15, h16,
-                              h17, h18, h19, i07, j04, k14, k15, k16, k17,
-                              k18, k19)
+                              d18, d19, e10, e11, f04, g05, g06, h14, h15,
+                              h16, h17, h18, h19, i07, j04, k14, k15, k16,
+                              k17, k18, k19)
 }
