@@ -127,5 +127,33 @@ object CdcOps {
         .orderBy(asc_nulls_last("user_id"))
     })
 
-  def ops: Vector[Q] = Vector(i01, i02, i03, i04, i05, i06, i08)
+  /** i09 — incremental materialized-view maintenance: the log prefix
+    * (event_id ≤ cutoff, as in i08) is the already-materialized base MV
+    * state; the suffix is the next replication batch. The Spark side runs
+    * the genuinely incremental path — aggregate ONLY the delta, merge
+    * partial states by key, finalize — while the oracle recomputes the
+    * aggregate over the whole log, so the hash match IS the
+    * maintenance-invariant proof (incremental ≡ recompute), cross-engine.
+    * ClickHouse MV + SummingMergeTree merge semantics [public]. */
+  val i09: Q = Q(
+    "i09_mv_incremental",
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  ${Determinism.dsumSql("value")} AS sum_value,
+       |  ${Determinism.davgSql("value")} AS avg_value
+       |FROM events GROUP BY 1
+       |ORDER BY event_type ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      import graft.api.Mv
+      val e = Tables.events(s, dir).select("event_id", "event_type", "value")
+      val cut = e.agg(floor(max(col("event_id")) / 2).cast("bigint").as("c"))
+      val base  = e.join(broadcast(cut), col("event_id") <= col("c")).drop("c")
+      val delta = e.join(broadcast(cut), col("event_id") > col("c")).drop("c")
+      val keys = Seq("event_type")
+      val merged = Mv.merge(keys,
+        Mv.aggState(base, keys, "value"),   // persisted MV state in real use
+        Mv.aggState(delta, keys, "value"))  // the only full-batch aggregate
+      Mv.finalizeState(merged, keys).orderBy(asc_nulls_last("event_type"))
+    })
+
+  def ops: Vector[Q] = Vector(i01, i02, i03, i04, i05, i06, i08, i09)
 }
