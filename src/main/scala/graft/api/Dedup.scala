@@ -55,6 +55,36 @@ object Dedup {
       .select(col("id1"), col("id2"), j.as("jaccard"))
   }
 
+  /** Token-set CONTAINMENT pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ t — the
+    * asymmetric complement of Jaccard [public: SSJoin overlap-predicate
+    * family, Chaudhuri et al. ICDE'06]. A 50-token doc fully embedded in a
+    * 5000-token doc scores C = 1.0 but J ≈ 0.01: Jaccard-only dedup never
+    * sees it, and subset/quotation duplication is a distinct real hazard in
+    * training corpora. The Jaccard length filter is NOT valid here (the
+    * size-skewed pair is exactly the target), so the inverted-index join
+    * relies on blocking alone — same Σdf² shape as [[tokenJaccardPairs]];
+    * at 100 TB route candidates through MinHashLSH first and use this
+    * predicate as the verifier. */
+  def tokenContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            blockCol: String, threshold: Double,
+                            sep: String = " "): DataFrame = {
+    val tok = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
+                        array_distinct(split(col(textCol), sep)).as("__ts"))
+      .select(col("__id"), col("__blk"), size(col("__ts")).as("__sz"),
+              explode(col("__ts")).as("__tok"))
+      .repartition(col("__tok"), col("__blk"))
+    val inter = tok.as("a")
+      .join(tok.as("b"),
+            col("a.__tok") === col("b.__tok") && col("a.__blk") === col("b.__blk") &&
+            col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id1"), col("b.__id").as("id2"))
+      .agg(count(lit(1)).as("i"), first(col("a.__sz")).as("sza"),
+           first(col("b.__sz")).as("szb"))
+    val c = col("i").cast("double") / least(col("sza"), col("szb"))
+    inter.filter(c >= threshold - 1e-9)
+      .select(col("id1"), col("id2"), c.as("containment"))
+  }
+
   /** EXACT token-Jaccard pairs with PPJoin-style prefix filtering [public:
     * Chaudhuri et al. ICDE'06 SSJoin; Xiao et al. WWW'08 PPJoin] — the
     * exact join that survives scale-up, where [[tokenJaccardPairs]] indexes

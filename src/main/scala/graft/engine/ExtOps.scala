@@ -627,6 +627,39 @@ object ExtOps {
           length(col("text").cast("binary")).cast("long").as("n_bytes"))
         .orderBy(asc_nulls_last("doc_id")))
 
+  /** h20 — URL function family (ClickHouse's URL functions / Spark
+    * `parse_url` [public: both docs]): host / path / single query-param
+    * extraction. The URL is assembled from fixture columns then parsed
+    * back, so the extraction semantics (not fixture luck) are what's
+    * tested; Spark runs the real `parse_url` expression while the oracle
+    * decomposes with regexes — agreeing answers prove the family's
+    * contract, which is the point of the h-block. Per-row expressions,
+    * map-only at any scale. */
+  val h20: Q = Q(
+    "h20_url_funcs",
+    """SELECT doc_id,
+      |  regexp_extract(u, 'https?://([^/]+)', 1) AS host,
+      |  regexp_extract(u, 'https?://[^/]+([^?#]*)', 1) AS path,
+      |  regexp_extract(u, '[?&]page=([^&#]*)', 1) AS page
+      |FROM (SELECT doc_id,
+      |        'https://' || source || '.example.org/' || lang || '/doc/'
+      |          || doc_id || '?page=' || (doc_id % 7) || '&ref=corpus' AS u
+      |      FROM documents)
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val u = concat(lit("https://"), col("source"), lit(".example.org/"),
+                     col("lang"), lit("/doc/"), col("doc_id").cast("string"),
+                     lit("?page="), pmod(col("doc_id"), lit(7)).cast("string"),
+                     lit("&ref=corpus"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), u.as("u"))
+        .select(col("doc_id"),
+                parse_url(col("u"), lit("HOST")).as("host"),
+                parse_url(col("u"), lit("PATH")).as("path"),
+                parse_url(col("u"), lit("QUERY"), lit("page")).as("page"))
+        .orderBy(asc_nulls_last("doc_id"))
+    })
+
   /** SimHash machinery shared by k18/k19 [public: Charikar'02]: a 16-bit
     * signature where bit i is the sign of Σ_tokens (±1), +1 iff the top bit
     * of the i-th hex digit of md5(token) is set. Pure integer arithmetic on
@@ -763,6 +796,6 @@ object ExtOps {
 
   def ops: Vector[Q] = Vector(b06, b07, b08, b09, c13, d14, d15, d16, d17,
                               d18, d19, e10, e11, f04, g05, g06, h14, h15,
-                              h16, h17, h18, h19, i07, j04, k14, k15, k16,
-                              k17, k18, k19)
+                              h16, h17, h18, h19, h20, i07, j04, k14, k15,
+                              k16, k17, k18, k19)
 }

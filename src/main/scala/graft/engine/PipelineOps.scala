@@ -422,6 +422,95 @@ object PipelineOps {
         .orderBy(asc_nulls_last("source"), asc_nulls_last("doc_id"))
     })
 
+  /** k30 — duplicate-3-gram fraction per document: the within-document
+    * repetition signal of the Gopher/MassiveText quality rules [public:
+    * Rae et al. 2021 §A1.1]. 1 − distinct/total over each doc's adjacent
+    * 3-grams; high values flag degenerate boilerplate/looping text. Pure
+    * per-row array expressions — zero shuffles before the final sort, so
+    * at 100 TB it is a map-only pass. The ratio is one small-int division
+    * + 1−x in doubles, bit-identical cross-engine; ROUND 9 is cosmetic. */
+  val k30: Q = Q(
+    "k30_dup_ngram_fraction",
+    """SELECT doc_id, CAST(LEN(g) AS INT) AS n3,
+      |  ROUND(1.0 - CAST(LEN(list_distinct(g)) AS DOUBLE) / LEN(g), 9) AS dup_frac
+      |FROM (SELECT doc_id,
+      |        LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+      |                       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS g
+      |      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents))
+      |WHERE LEN(g) > 0
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), expr(
+          "transform(sequence(1, size(toks) - 2), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), " +
+            "' ', element_at(toks, i + 2)))").as("g"))
+        .select(col("doc_id"), size(col("g")).as("n3"),
+                round(lit(1.0) - size(array_distinct(col("g"))).cast("double")
+                        / size(col("g")), 9).as("dup_frac"))
+        .orderBy(asc_nulls_last("doc_id")))
+
+  /** k31 — corpus-relative length band: keep documents inside the
+    * [p10, p90] token-count band OF THEIR LANGUAGE (per-language outlier
+    * trimming — absolute length cutoffs misfire across languages with
+    * different tokenization densities). percent_rank is exact rational
+    * (rank−1)/(n−1) with a doc_id tie-break, so the band edge is a total
+    * order, not a float guess. One window per language partition; at
+    * 100 TB swap the exact window for approx per-language quantiles
+    * broadcast back — same predicate, sketch-sized state. */
+  val k31: Q = Q(
+    "k31_length_band_filter",
+    """SELECT lang, doc_id, ntok, ROUND(pr, 9) AS pr FROM (
+      |  SELECT lang, doc_id, ntok,
+      |    PERCENT_RANK() OVER (PARTITION BY lang ORDER BY ntok ASC, doc_id ASC) AS pr
+      |  FROM (SELECT lang, doc_id, LEN(STRING_SPLIT(text, ' ')) AS ntok FROM documents))
+      |WHERE pr >= 0.1 AND pr <= 0.9
+      |ORDER BY lang ASC NULLS LAST, doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val w = Window.partitionBy("lang").orderBy(asc("ntok"), asc("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+                size(split(col("text"), " ")).as("ntok"))
+        .withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= 0.1 && col("pr") <= 0.9)
+        .select(col("lang"), col("doc_id"), col("ntok"),
+                round(col("pr"), 9).as("pr"))
+        .orderBy(asc_nulls_last("lang"), asc_nulls_last("doc_id"))
+    })
+
+  /** k32 — containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ 0.8
+    * within the source block — catches the small-doc-subset-of-big-doc
+    * duplication that k02's Jaccard face is structurally blind to (see
+    * [[graft.api.Dedup.tokenContainmentPairs]] for why no length pruning
+    * applies and for the 100 TB LSH-then-verify routing). */
+  val k32: Q = Q(
+    "k32_containment_neardup",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, source, token FROM
+      |    (SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      |     FROM documents)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+      |  FROM tok a JOIN tok b
+      |    ON a.token = b.token AND a.source = b.source AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id1, id2,
+      |  ROUND(CAST(i AS DOUBLE) / LEAST(sa.sz, sb.sz), 4) AS containment
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id1
+      |JOIN sizes sb ON sb.doc_id = id2
+      |WHERE CAST(i AS DOUBLE) / LEAST(sa.sz, sb.sz) >= 0.8 - 1e-9
+      |ORDER BY id1 ASC NULLS LAST, id2 ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      graft.api.Dedup.tokenContainmentPairs(
+          Tables.documents(s, dir), "doc_id", "text", "source", 0.8)
+        .select(col("id1"), col("id2"),
+                round(col("containment"), 4).as("containment"))
+        .orderBy(asc_nulls_last("id1"), asc_nulls_last("id2")))
+
   def ops: Vector[Q] = Vector(k20, k21, k22, d20, k23, k24, d21, k25, k26,
-                              k27, k28, k29)
+                              k27, k28, k29, k30, k31, k32)
 }

@@ -99,6 +99,24 @@ class ApiSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 0.6)))
   }
 
+  test("Dedup.tokenContainmentPairs finds the embedded doc that Jaccard misses") {
+    val sp = spark
+    import sp.implicits._
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, big, "s1"),
+      (2L, "w1 w2 w3 w4", "s1"),       // C = 1.0, J = 4/40 = 0.1
+      (3L, "w1 w2 w3 q9", "s1"),       // vs 2: C = 3/4; vs 1: C = 3/4 < 0.8
+      (4L, "w1 w2 w3 w4", "s2")        // subset of 1 but other block
+    ).toDF("id", "body", "src")
+    val c = Dedup.tokenContainmentPairs(df, "id", "body", "src", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(c == Set((1L, 2L, 1.0)))
+    val j = Dedup.tokenJaccardPairs(df, "id", "body", "src", 0.8)
+      .collect()
+    assert(j.isEmpty) // the same planted pair is invisible to Jaccard at 0.8
+  }
+
   test("Dedup.tokenJaccardPairsPrefix is exactly tokenJaccardPairs on the fixture") {
     import graft.engine.Tables
     val docs = Tables.documents(spark, sf0001)
