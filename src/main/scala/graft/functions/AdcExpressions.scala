@@ -46,7 +46,7 @@ final case class PackBytesExpression(child: Expression) extends UnaryExpression 
          |int $n = $a.numElements();
          |byte[] $out = new byte[$n];
          |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = $a.isNullAt($i) ? 0 : (byte) ($a.getInt($i) & 0xFF);
+         |  $out[$i] = (byte) ($a.isNullAt($i) ? 0 : ($a.getInt($i) & 0xFF));
          |}
          |${ev.value} = $out;
        """.stripMargin

@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
+
+import scala.collection.mutable.ArrayBuffer
 
 /** Connected components over an undirected edge list — the consumer every
   * near-dup candidate generator (k02/k15/k19, MinHashDedup, SimHashDedup)
@@ -28,6 +31,27 @@ import org.apache.spark.sql.functions._
   * adversarial diameters.]
   */
 object ConnectedComponents {
+
+  /** Unpersist the cached RDDs behind localCheckpoint'ed frames. Every
+    * iterative variant below checkpoints per round; without this the
+    * checkpointed label/edge blocks stay pinned in storage memory for the
+    * session's lifetime — monotone creep in a long-lived session (the
+    * Bench process runs 3 full passes × 2 CC queries and measurably slowed
+    * every later query via GC pressure). Spark exposes no public
+    * un-checkpoint, so this walks the analyzed plan to the LogicalRDD
+    * leaves (the checkpoint cache) and unpersists them directly. */
+  private def free(frames: Iterable[DataFrame]): Unit =
+    frames.foreach(_.queryExecution.analyzed.foreach {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    })
+
+  /** Release the one cached frame an assign / assignContracted / assignStar
+    * result pins
+    * (the materialized final labels, |V| rows). Callers that hold the
+    * result long-term don't need this; call it after the labels are
+    * consumed to leave zero storage residue. */
+  def freeResult(labels: DataFrame): Unit = free(Seq(labels))
 
   /** Label every vertex with its component's minimum vertex id.
     * Returns (`vertexCol`, `component`). Vertices absent from `edges`
@@ -70,6 +94,7 @@ object ConnectedComponents {
              min(when(col("__own"), col("__label"))).as("__old"))
         .localCheckpoint()
       val changed = next.filter(col("__label") =!= col("__old")).count()
+      free(Seq(labels)) // previous round's checkpoint: next is materialized
       labels = next.select("__v", "__label")
       converged = changed == 0
       iters += 1
@@ -82,9 +107,15 @@ object ConnectedComponents {
       s"label propagation did not converge in $maxIters rounds " +
         "(graph diameter exceeds the budget): raise maxIters or use assignStar")
     base.unpersist()
-    // the final labels are a localCheckpoint: the caller's sort/write reads
-    // the materialized rows (|V| rows), never re-runs the iteration chain
-    labels.select(col("__v").as(vertexCol), col("__label").as("component"))
+    // materialize the caller-facing projection and free the loop's final
+    // checkpoint: the caller's sort/write reads the |V| cached rows, never
+    // re-runs the iteration chain, and the only storage residue is this
+    // one small frame (see [[freeResult]])
+    val out = labels
+      .select(col("__v").as(vertexCol), col("__label").as("component"))
+      .localCheckpoint()
+    free(Seq(labels))
+    out
   }
 
   /** Connected components by iterated seed-and-contract — the fast path
@@ -125,8 +156,10 @@ object ConnectedComponents {
     // pass still runs ONE job (the contracted-edge count computes the
     // labels and edges together). Mapping frames stay pinned until the
     // composed result is materialized below.
+    val junk = ArrayBuffer.empty[DataFrame] // all loop checkpoints, freed at the end
     var e = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
       .filter(col("__a") =!= col("__b")).localCheckpoint(false)
+    junk += e
     var nEdges = e.count()
     var mappings = List.empty[DataFrame] // deepest level first; (__v, __l)
     var pass = 0
@@ -146,6 +179,8 @@ object ConnectedComponents {
         .distinct().localCheckpoint(false)
       e = e2
       nEdges = e2.count() // materializes l and e2 in one job
+      junk += l
+      junk += e2
       mappings ::= l
       pass += 1
     }
@@ -159,6 +194,7 @@ object ConnectedComponents {
           .unionByName(e.select(col("__b").as("__l"))).distinct(),
         e, "__l", "__a", "__b", maxIters)
         .select(col("__l").as("__v"), col("component").as("__c")))
+    roots.foreach(junk += _) // the finisher's result is its own checkpoint
     // compose top-down: component(level-i vertex) = component(label_i(v)),
     // vertices absent from the level above are their own roots
     val composed = mappings.foldLeft(roots) { (cur, m) =>
@@ -170,16 +206,21 @@ object ConnectedComponents {
             .select(col("__v"), coalesce(col("__c"), col("__l")).as("__c"))
       })
     }
-    val out = composed match {
+    composed match {
       case None => // edge-free graph: every vertex is a singleton
+        free(junk)
         vertices.select(col(vertexCol), col(vertexCol).as("component"))
       case Some(c) =>
-        vertices.select(col(vertexCol).as("__v0"))
+        // materialize the composed labels, then release every loop
+        // checkpoint: the only storage residue is the |V|-row result
+        val out = vertices.select(col(vertexCol).as("__v0"))
           .join(c, col("__v0") === col("__v"), "left")
           .select(col("__v0").as(vertexCol),
                   coalesce(col("__c"), col("__v0")).as("component"))
+          .localCheckpoint()
+        free(junk)
+        out
     }
-    out
   }
 
   /** Connected components by alternating large-star / small-star
@@ -253,17 +294,22 @@ object ConnectedComponents {
     while (!converged && iters < maxIters) {
       val next = smallStar(largeStar(e)).localCheckpoint()
       val s = sig(next)
+      free(Seq(e)) // previous round's checkpoint: next is materialized
       e = next
       converged = s == prevSig
       prevSig = s
       iters += 1
     }
-    // fixpoint edges are stars (v → component min); roots keep themselves
+    // fixpoint edges are stars (v → component min); roots keep themselves.
+    // Materialize the labels and free the fixpoint edge checkpoint — the
+    // only storage residue is the |V|-row result (see [[freeResult]]).
     val out = vertices.select(col(vertexCol).as("__v"))
       .join(e.groupBy("__a").agg(min("__b").as("__r")),
             col("__v") === col("__a"), "left")
       .select(col("__v").as(vertexCol),
               coalesce(col("__r"), col("__v")).as("component"))
+      .localCheckpoint()
+    free(Seq(e))
     out
   }
 }

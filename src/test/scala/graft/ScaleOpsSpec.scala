@@ -409,6 +409,38 @@ class ScaleOpsSpec extends SparkSpec {
       s"adc $adc must index table[m*ksub + (code & 0xFF)]")
   }
 
+  test("pack/adc codegen actually compiles (no silent interpreted fallback)") {
+    import org.apache.spark.sql.functions.{expr, lit}
+    // With fallback enabled a janino CompileException silently degrades to
+    // interpreted eval and the correctness tests still pass — this pins the
+    // codegen'd path itself (the round-6 pack bug: `a ? 0 : (byte) x` has
+    // Java type int, so the byte[] element assignment never compiled).
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val out = spark.range(3)
+        .selectExpr("graft_pack_bytes(array(int(id), 127, 128, 255)) AS b")
+        // table = 4 subspaces x ksub=256, entry i = double(i):
+        // adc = sum_m (m*256 + code_m)
+        .select(expr(
+          "graft_adc(b, transform(sequence(0, 1023), i -> double(i)))").as("s"),
+                lit(1).as("one"))
+        .collect()
+      assert(out.length == 3)
+      assert(out.zipWithIndex.forall { case (r, id) =>
+        r.getDouble(0) == (0 + id) + (256 + 127) + (512 + 128) + (768 + 255)
+      })
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      prevFactory match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("IVF: cid-partitioned layout prunes a probe to its nprobe clusters at the storage layer") {
     import graft.api.Bucketing
     val e = Tables.embeddings(spark, sf0001)
