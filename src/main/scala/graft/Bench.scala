@@ -13,7 +13,9 @@ package graft
   *
   * Output contract (one JSON line on stdout): `metric/value/unit/queries/sf`
   * as always — `value` = sum of per-query medians, `queries` = medians —
-  * plus `runs` and `raw_totals`. */
+  * plus `runs`, `raw_totals`, and `blocks` (per-prefix subtotals of the
+  * medians, e.g. "k": 29.7 — so a regression localizes to a block at a
+  * glance instead of requiring a per-query diff against the last round). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,7 +55,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
     val raw = passes.map(_.values.sum).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"raw_totals":$raw}""")
+    val blocks = medians.groupBy(_._1.takeWhile(_.isLetter).take(1))
+      .toSeq.sortBy(_._1)
+      .map { case (b, qs2) => "\"" + b + "\":" + qs2.map(_._2).sum }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"raw_totals":$raw,"blocks":$blocks}""")
     spark.stop()
   }
 }

@@ -63,8 +63,8 @@ object Dedup {
     * training corpora. The Jaccard length filter is NOT valid here (the
     * size-skewed pair is exactly the target), so the inverted-index join
     * relies on blocking alone — same Σdf² shape as [[tokenJaccardPairs]];
-    * at 100 TB route candidates through MinHashLSH first and use this
-    * predicate as the verifier. */
+    * the scale route is [[tokenContainmentPairsPrefix]] (min-side prefix
+    * filter), selected automatically by [[tokenContainmentPairsAuto]]. */
   def tokenContainmentPairs(df: DataFrame, idCol: String, textCol: String,
                             blockCol: String, threshold: Double,
                             sep: String = " "): DataFrame = {
@@ -83,6 +83,92 @@ object Dedup {
     val c = col("i").cast("double") / least(col("sza"), col("szb"))
     inter.filter(c >= threshold - 1e-9)
       .select(col("id1"), col("id2"), c.as("containment"))
+  }
+
+  /** EXACT containment pairs with a MIN-SIDE prefix filter — the
+    * sub-quadratic route for [[tokenContainmentPairs]]'s predicate
+    * [public: the prefix-filtering principle of SSJoin/PPJoin (Chaudhuri
+    * et al. ICDE'06; Xiao et al. WWW'08), specialized to the asymmetric
+    * overlap bound].
+    *
+    * If C(A,B) ≥ t and |A| ≤ |B|, then |A∩B| ≥ ⌈t·|A|⌉ — the overlap bound
+    * depends ONLY on the smaller set, which is exactly why the Jaccard
+    * length filter is invalid here and also why a one-sided prefix filter
+    * is valid: order all tokens by ascending document frequency (ties by
+    * token — any shared total order), and A's (|A| − ⌈t·|A|⌉ + 1)-prefix
+    * must contain a token of A∩B, else the intersection fits inside A's
+    * last ⌈t·|A|⌉ − 1 positions — contradiction. The matching token can
+    * sit ANYWHERE in B (nothing bounds B's prefix), so the candidate join
+    * probes each doc's min-side prefix against the FULL inverted index:
+    * cost Σ_token prefixDf·df instead of Σ_token df² — at t = 0.8 the
+    * probe side keeps ~20% of each doc's tokens, and df-ascending ordering
+    * makes those the rare ones, so stopword groups never explode.
+    * Candidates are verified exactly on the full token arrays, so results
+    * are identical to [[tokenContainmentPairs]] — asserted in ApiSpec.
+    *
+    * Each unordered pair is generated in one canonical orientation (the
+    * strictly-smaller set probes; equal sizes tie-break by id), then
+    * verified once. The ceil epsilon keeps the prefix conservative under
+    * float t·|A|, matching the exact predicate's `≥ t − 1e-9` boundary. */
+  def tokenContainmentPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                                  blockCol: String, threshold: Double,
+                                  sep: String = " "): DataFrame = {
+    val docs = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
+                         array_distinct(split(col(textCol), sep)).as("__ts"))
+      .withColumn("__sz", size(col("__ts")))
+    val tok = docs.select(col("__id"), col("__blk"), col("__sz"),
+                          explode(col("__ts")).as("__tok"))
+    val prefLen = col("__sz") - ceil(lit(threshold) * col("__sz") - 1e-9) + 1
+    // single-pass df-as-window shape (see tokenJaccardPairsPrefix): the
+    // ranked frame is the reuse point for BOTH join sides — the probe side
+    // filters it to the prefix, the index side keeps every token
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy("__tok")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(col("__df"), col("__tok"))
+    val ranked = tok.withColumn("__df", count(lit(1)).over(wdf))
+      .withColumn("__rnk", row_number().over(w))
+    val pref = ranked.filter(col("__rnk") <= prefLen)
+    // canonical orientation: the probe (a) is the min side
+    val minSide = col("a.__sz") < col("b.__sz") ||
+      (col("a.__sz") === col("b.__sz") && col("a.__id") < col("b.__id"))
+    val cand = pref.as("a")
+      .join(ranked.as("b"),
+            col("a.__tok") === col("b.__tok") && col("a.__blk") === col("b.__blk") &&
+            col("a.__id") =!= col("b.__id") && minSide)
+      .select(least(col("a.__id"), col("b.__id")).as("id1"),
+              greatest(col("a.__id"), col("b.__id")).as("id2"))
+      .distinct()
+    val sets = docs.select(col("__id"), col("__ts"), col("__sz"))
+    val verified = cand
+      .join(sets.select(col("__id").as("id1"), col("__ts").as("__tsa"),
+                        col("__sz").as("sza")), "id1")
+      .join(sets.select(col("__id").as("id2"), col("__ts").as("__tsb"),
+                        col("__sz").as("szb")), "id2")
+      .withColumn("i", size(array_intersect(col("__tsa"), col("__tsb"))))
+    val c = col("i").cast("double") / least(col("sza"), col("szb"))
+    verified.filter(c >= threshold - 1e-9)
+      .select(col("id1"), col("id2"), c.as("containment"))
+  }
+
+  /** EXACT containment pairs with automatic path selection — the
+    * containment analog of [[tokenJaccardPairsAuto]], sharing its memoized
+    * [[corpusStats]] decision (the density question is identical: dense
+    * dup-heavy blocks favor the single-agg naive join, Zipf corpora favor
+    * prefix probing). Results are identical either way. */
+  def tokenContainmentPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                                blockCol: String, threshold: Double,
+                                sep: String = " ",
+                                densityCrossover: Double = 0.05,
+                                statsSampleOneIn: Int = 1): DataFrame = {
+    val key = (df.queryExecution.analyzed.canonicalized.semanticHash(),
+               idCol, textCol, blockCol, sep, densityCrossover, statsSampleOneIn)
+    val usePrefix = pathDecisions.computeIfAbsent(key, _ =>
+      prefersPrefixPath(corpusStats(df, idCol, textCol, blockCol, sep, statsSampleOneIn),
+                        densityCrossover))
+    if (usePrefix)
+      tokenContainmentPairsPrefix(df, idCol, textCol, blockCol, threshold, sep)
+    else
+      tokenContainmentPairs(df, idCol, textCol, blockCol, threshold, sep)
   }
 
   /** EXACT token-Jaccard pairs with PPJoin-style prefix filtering [public:

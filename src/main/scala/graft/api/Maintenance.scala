@@ -34,10 +34,29 @@ object Maintenance {
   /** Compact a parquet directory's small files toward `targetBytes` per
     * file: size the output file count from the CURRENT bytes on disk
     * (compression-representative — row-count heuristics misjudge wide or
-    * highly-compressed tables), rewrite, atomically swap via the
-    * write–audit–publish rename discipline. Returns (filesBefore,
-    * filesAfter). Content equality is the caller-visible contract
-    * (row-count audited before the swap; checksum pinned in the spec).
+    * highly-compressed tables), rewrite, swap via rename. Returns
+    * (filesBefore, filesAfter). Content equality is the caller-visible
+    * contract (row-count audited before the swap; checksum pinned in the
+    * spec).
+    *
+    * Hive-partitioned layouts are PRESERVED: key=value subdirectories
+    * (possibly nested, e.g. `cv=3/cid=7` from StreamingIvf's per-batch
+    * appends) are detected and the rewrite re-partitions by those columns —
+    * a plain flat rewrite would silently demote the partition keys to data
+    * columns and destroy the directory pruning that topKAcrossVersions and
+    * backfillPartitions depend on. For partitioned input the rewrite
+    * shuffles on the partition keys (one output file per live partition —
+    * compaction's whole point for the many-small-batch-files case);
+    * `targetBytes` sizes the flat-layout file count only.
+    *
+    * Crash window (documented, NOT atomic): the swap is two renames —
+    * retire the live root, then promote the staging dir. A crash between
+    * them leaves no live directory, with the data intact under
+    * `.retired_<name>` (recover by renaming it back); a crash before the
+    * first rename loses nothing (staging is invisible to readers). This is
+    * java.io.File-only — on an object store, publish the compacted data
+    * into a versioned subdir with a pointer swap (Publish's manifest
+    * discipline) instead of renaming the live root.
     *
     * The streaming-ingest connection: per-micro-batch appends produce one
     * small file per partition per batch (StreamingIvf, the parquet upsert
@@ -50,15 +69,32 @@ object Maintenance {
       kids.filter(_.isFile).filter(_.getName.endsWith(".parquet")) ++
         kids.filter(_.isDirectory).flatMap(parquetFiles)
     }
+    // hive partition detection: walk first-child key=value directories down
+    // the tree, collecting the partition-column chain
+    @scala.annotation.tailrec
+    def partitionChain(d: java.io.File, acc: List[String]): List[String] = {
+      val dirs = Option(d.listFiles()).getOrElse(Array.empty).toIndexedSeq
+        .filter(_.isDirectory).filterNot(_.getName.startsWith("."))
+      dirs.headOption.map(_.getName.split("=", 2)) match {
+        case Some(Array(k, _)) if dirs.forall(_.getName.startsWith(s"$k=")) =>
+          partitionChain(dirs.head, acc :+ k)
+        case _ => acc
+      }
+    }
     val root = new java.io.File(path)
     val before = parquetFiles(root)
     require(before.nonEmpty, s"nothing to compact under $path")
+    val parts = partitionChain(root, Nil)
     val totalBytes = before.map(_.length).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = s.read.parquet(path)
     val expectRows = df.count()
     val staging = new java.io.File(root.getParentFile, s".compact_${root.getName}")
-    df.repartition(nOut).write.mode(SaveMode.Overwrite).parquet(staging.getPath)
+    if (parts.isEmpty)
+      df.repartition(nOut).write.mode(SaveMode.Overwrite).parquet(staging.getPath)
+    else
+      df.repartition(parts.map(col): _*).write.mode(SaveMode.Overwrite)
+        .partitionBy(parts: _*).parquet(staging.getPath)
     // audit the staged rewrite before any destructive step
     val gotRows = s.read.parquet(staging.getPath).count()
     require(gotRows == expectRows,

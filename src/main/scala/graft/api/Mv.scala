@@ -11,9 +11,17 @@ import org.apache.spark.sql.functions._
   * full recompute over the base.
   *
   * State shape per key: `__cnt` (rows), `__cntv` (non-null values), `__sum`
-  * (DECIMAL(18,6) — exact, so merge order cannot perturb low bits; SURVEY §2
+  * (DECIMAL(38,6) — exact, so merge order cannot perturb low bits; SURVEY §2
   * rule: never merge raw doubles). All three are commutative monoids, hence
   * `merge` is associative and order-independent — pinned in MvSpec.
+  *
+  * The state stays at the FULL decimal width end-to-end and narrows only at
+  * [[finalizeState]]'s double cast: values are read at (18,6) but sums
+  * accumulate at (38,6), because in Spark's default non-ANSI mode a decimal
+  * cast overflow yields NULL silently — a long-lived MV state re-cast to
+  * (18,6) on every merge would quietly drop hot keys' sums once
+  * |sum| ≥ 10¹². At (38,6) overflow needs |sum| ≥ 10³², beyond any real
+  * corpus at 100 TB.
   *
   * Scale: `aggState` is one hash aggregate over the delta only (map-side
   * partial combine, shuffle = |distinct keys|); `merge` shuffles state rows,
@@ -29,7 +37,8 @@ object Mv {
     rows.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__cnt"),
            count(col(valueCol)).as("__cntv"),
-           sum(col(valueCol).cast("decimal(18,6)")).as("__sum"))
+           sum(col(valueCol).cast("decimal(18,6)"))
+             .cast("decimal(38,6)").as("__sum"))
 
   /** CollapsingMergeTree-style signed state: `signCol` = +1 insert / -1
     * retraction. A retraction batch cancels previously-merged inserts
@@ -43,7 +52,7 @@ object Mv {
                  .otherwise(lit(0L))).as("__cntv"),
            sum(signCol.cast("decimal(2,0)") *
                col(valueCol).cast("decimal(18,6)"))
-             .cast("decimal(18,6)").as("__sum"))
+             .cast("decimal(38,6)").as("__sum"))
 
   /** Merge any number of state frames (base MV + one or more deltas) into
     * one state frame. Associative and commutative: states are monoid sums. */
@@ -52,7 +61,9 @@ object Mv {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__cnt")).as("__cnt"),
            sum(col("__cntv")).as("__cntv"),
-           sum(col("__sum")).cast("decimal(18,6)").as("__sum"))
+           // sum over (38,6) stays (38,6) — no narrowing re-cast here (a
+           // (18,6) re-cast would NULL silently past 10^12; see scaladoc)
+           sum(col("__sum")).as("__sum"))
 
   /** Resolve state → the user-facing MV: n / sum_value / avg_value per key.
     * avg rounds at 4 places over the exact decimal sum (Determinism.davg

@@ -123,13 +123,23 @@ object Publish {
         val ref = s.read.parquet(live.getPath).stat
           .approxQuantile(colName, probs, 0.01)
         val cur = df.stat.approxQuantile(colName, probs, 0.01)
-        // scale-free comparison: normalize gaps by the reference IQR-ish
-        // spread so the same tol works for revenue and for token counts
-        val spread = math.max(ref.last - ref.head, 1e-9)
-        probs.indices.collectFirst {
-          case i if math.abs(cur(i) - ref(i)) / spread > tol =>
-            f"distribution drift: $colName p${(probs(i) * 100).toInt} moved " +
-              f"${ref(i)}%.4f -> ${cur(i)}%.4f (> $tol%.3f of spread $spread%.4f)"
+        // approxQuantile returns an EMPTY array when the frame is empty or
+        // the column is entirely NULL — indexing it would throw out of the
+        // audit and abort the publish without recording a reason; veto
+        // cleanly instead, like every other audit
+        if (ref.length != probs.length || cur.length != probs.length)
+          Some(s"distribution drift: no quantile data for $colName " +
+            s"(reference ${ref.length}/${probs.length} pts, " +
+            s"staged ${cur.length}/${probs.length} pts — empty or all-NULL side)")
+        else {
+          // scale-free comparison: normalize gaps by the reference IQR-ish
+          // spread so the same tol works for revenue and for token counts
+          val spread = math.max(ref.last - ref.head, 1e-9)
+          probs.indices.collectFirst {
+            case i if math.abs(cur(i) - ref(i)) / spread > tol =>
+              f"distribution drift: $colName p${(probs(i) * 100).toInt} moved " +
+                f"${ref(i)}%.4f -> ${cur(i)}%.4f (> $tol%.3f of spread $spread%.4f)"
+          }
         }
       }
     }

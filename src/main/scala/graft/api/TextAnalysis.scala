@@ -42,6 +42,39 @@ object TextAnalysis {
       lit(0L),
       (h, v) => (h * 31 + v) % 1000000007L)
 
+  /** Corpus-relative length-band filter at SKETCH cost — the 100 TB form of
+    * k31's exact per-group percent_rank window (PipelineOps.k31 documents
+    * the swap; this implements it). The exact window sorts every group in
+    * one task — fine until a single language holds billions of rows; this
+    * path computes per-group [lo, hi] length bounds from ONE
+    * approx-percentile aggregate (t-digest-style sketch state, map-side
+    * combined [public: Spark ApproximatePercentile]), broadcasts the
+    * |groups|-row bounds table back, and filters with a per-row comparison —
+    * no global sort, no single-task group, same predicate shape.
+    *
+    * Divergence from the exact path is confined to the band EDGES: rank
+    * inclusion (pr ∈ [lo, hi]) vs value inclusion (len ∈ [p_lo, p_hi])
+    * treat boundary ties differently, and the sketch bounds carry
+    * approx-percentile error. Band-membership agreement vs the exact
+    * window is tolerance-pinned in ScaleOpsSpec. NULL group keys form
+    * their own band (null-safe join), matching the window's NULL
+    * partition. */
+  def lengthBandApprox(df: DataFrame, groupCol: String, idCol: String,
+                       lenCol: Column, lo: Double = 0.1, hi: Double = 0.9,
+                       accuracy: Int = 10000): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"), col(idCol).as("__id"),
+                         lenCol.cast("int").as("__len"))
+    val bounds = base.groupBy("__g")
+      .agg(percentile_approx(col("__len"), array(lit(lo), lit(hi)),
+                             lit(accuracy)).as("__b"))
+      .select(col("__g").as("__g2"), element_at(col("__b"), 1).as("__lo"),
+              element_at(col("__b"), 2).as("__hi"))
+    base.join(broadcast(bounds), col("__g") <=> col("__g2"))
+      .filter(col("__len") >= col("__lo") && col("__len") <= col("__hi"))
+      .select(col("__g").as(groupCol), col("__id").as(idCol),
+              col("__len").as("len"))
+  }
+
   /** Membership scores of distinct tokens against named marker sets
     * (language/domain-ID heuristic). */
   def markerScores(df: DataFrame, idCol: String, textCol: String,

@@ -179,8 +179,13 @@ object SchemaReplicator {
         // stamped as a hidden marker file inside the batch (underscore
         // prefix: parquet dir scans skip it) BEFORE the rename, so the
         // marker and the fold become visible atomically together.
+        // coalesce to 0 (the committedPosition convention): committed
+        // batches can hold zero rows, and a bare max would be NULL —
+        // getLong on it NPEs mid-compaction, after tmp is written
         val horizon = df
-          .agg(org.apache.spark.sql.functions.max("position"))
+          .agg(org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.max("position"),
+            org.apache.spark.sql.functions.lit(0L)))
           .collect().head.getLong(0)
         val prior = compactionHorizon(outDir)
         new java.io.File(tmp, s"_horizon_${math.max(horizon, prior)}").createNewFile()

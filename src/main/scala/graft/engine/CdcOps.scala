@@ -155,5 +155,41 @@ object CdcOps {
       Mv.finalizeState(merged, keys).orderBy(asc_nulls_last("event_type"))
     })
 
-  def ops: Vector[Q] = Vector(i01, i02, i03, i04, i05, i06, i08, i09)
+  /** i10 — signed-retraction MV maintenance (the CollapsingMergeTree
+    * analog [public: ClickHouse CollapsingMergeTree docs], completing i09's
+    * insert-only path): the full log is applied as +1 states, then two
+    * retraction batches are applied as −1 states — the log suffix
+    * (event_id > cutoff, simulating compensating CDC deletes) and every
+    * 'error' event of the prefix (a full key collapse: the 'error' state
+    * must reach n = 0 and VANISH at finalize, not report a zero row).
+    * The oracle recomputes the post-retraction view from scratch
+    * (prefix minus 'error'), so the hash match proves
+    * retraction ≡ recompute cross-engine, including the collapsed key. */
+  val i10: Q = Q(
+    "i10_mv_retraction",
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  ${Determinism.dsumSql("value")} AS sum_value,
+       |  ${Determinism.davgSql("value")} AS avg_value
+       |FROM events
+       |WHERE event_id <= (SELECT CAST(FLOOR(MAX(event_id) / 2) AS BIGINT)
+       |                   FROM events)
+       |  AND (event_type IS NULL OR event_type <> 'error')
+       |GROUP BY 1
+       |ORDER BY event_type ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      import graft.api.Mv
+      val e = Tables.events(s, dir).select("event_id", "event_type", "value")
+      val cut = e.agg(floor(max(col("event_id")) / 2).cast("bigint").as("c"))
+      val suffix = e.join(broadcast(cut), col("event_id") > col("c")).drop("c")
+      val prefixErr = e.join(broadcast(cut), col("event_id") <= col("c")).drop("c")
+        .filter(col("event_type") === "error")
+      val keys = Seq("event_type")
+      val merged = Mv.merge(keys,
+        Mv.aggStateSigned(e, keys, "value", lit(1)),          // inserts: full log
+        Mv.aggStateSigned(suffix, keys, "value", lit(-1)),    // retract suffix
+        Mv.aggStateSigned(prefixErr, keys, "value", lit(-1))) // collapse 'error'
+      Mv.finalizeState(merged, keys).orderBy(asc_nulls_last("event_type"))
+    })
+
+  def ops: Vector[Q] = Vector(i01, i02, i03, i04, i05, i06, i08, i09, i10)
 }

@@ -256,14 +256,18 @@ object PipelineOps {
         .orderBy(asc_nulls_last("doc_id"))
     })
 
-  /** k25 — duplicate clusters via large-star/small-star contraction: the
-    * SAME reachability oracle as k23, answered by the adversarial-diameter
-    * CC variant (ConnectedComponents.assignStar, O(log² n) rounds on any
-    * graph shape — the path a 100 TB pipeline takes when the dup graph is
-    * not near-clique, e.g. chained template documents). Declaring it
-    * separately oracle-checks the star-contraction algebra end-to-end
-    * instead of only spec-equal to the propagation variant; its rows are
-    * hash-identical to k23's. */
+  /** k25 — duplicate clusters via SEEDED large-star/small-star contraction:
+    * the SAME reachability oracle as k23, answered by the
+    * adversarial-diameter CC variant (O(log² n) star rounds on any graph
+    * shape — the path a 100 TB pipeline takes when the dup graph is not
+    * near-clique, e.g. chained template documents). One seed-and-contract
+    * pass first collapses the near-clique mass so the star alternation's
+    * per-round collect_set/explode runs on the small inter-star remainder,
+    * not the full edge multiset (ConnectedComponents.assignStarSeeded;
+    * measured 5.9 → ~4 s at sf0.1). Declaring it separately oracle-checks
+    * the star + contraction composition end-to-end instead of only
+    * spec-equal to the propagation variant; its rows are hash-identical to
+    * k23's. */
   val k25: Q = Q(
     "k25_dedup_clusters_star",
     s"""WITH RECURSIVE $pairCte,
@@ -276,7 +280,7 @@ object PipelineOps {
        |SELECT v AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1
        |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
     (s, dir) =>
-      graft.operators.ConnectedComponents.assignStar(
+      graft.operators.ConnectedComponents.assignStarSeeded(
           Tables.documents(s, dir).select("doc_id"), jaccardEdges(s, dir),
           "doc_id", "id1", "id2")
         .select(col("doc_id"), col("component").as("cluster_id"))
@@ -457,9 +461,11 @@ object PipelineOps {
     * trimming — absolute length cutoffs misfire across languages with
     * different tokenization densities). percent_rank is exact rational
     * (rank−1)/(n−1) with a doc_id tie-break, so the band edge is a total
-    * order, not a float guess. One window per language partition; at
-    * 100 TB swap the exact window for approx per-language quantiles
-    * broadcast back — same predicate, sketch-sized state. */
+    * order, not a float guess. One window per language partition; the
+    * 100 TB swap — approx per-language quantile bounds broadcast back,
+    * sketch-sized state, no single-task group — is implemented as
+    * [[graft.api.TextAnalysis.lengthBandApprox]] and tolerance-pinned
+    * against this exact form in ScaleOpsSpec. */
   val k31: Q = Q(
     "k31_length_band_filter",
     """SELECT lang, doc_id, ntok, ROUND(pr, 9) AS pr FROM (
@@ -484,7 +490,10 @@ object PipelineOps {
     * within the source block — catches the small-doc-subset-of-big-doc
     * duplication that k02's Jaccard face is structurally blind to (see
     * [[graft.api.Dedup.tokenContainmentPairs]] for why no length pruning
-    * applies and for the 100 TB LSH-then-verify routing). */
+    * applies). Routed through the density selector: dup-dense fixtures
+    * keep the naive inverted-index join, sparse/Zipf corpora get the
+    * min-side prefix path ([[graft.api.Dedup.tokenContainmentPairsPrefix]])
+    * — both exact, so the oracle hash is path-independent. */
   val k32: Q = Q(
     "k32_containment_neardup",
     """WITH tok AS (
@@ -505,7 +514,7 @@ object PipelineOps {
       |WHERE CAST(i AS DOUBLE) / LEAST(sa.sz, sb.sz) >= 0.8 - 1e-9
       |ORDER BY id1 ASC NULLS LAST, id2 ASC NULLS LAST""".stripMargin,
     (s, dir) =>
-      graft.api.Dedup.tokenContainmentPairs(
+      graft.api.Dedup.tokenContainmentPairsAuto(
           Tables.documents(s, dir), "doc_id", "text", "source", 0.8)
         .select(col("id1"), col("id2"),
                 round(col("containment"), 4).as("containment"))

@@ -148,7 +148,8 @@ object ConnectedComponents {
     * persisted): assign 5.0 s, assignStar 3.3 s, this ~2 s. */
   def assignContracted(vertices: DataFrame, edges: DataFrame, vertexCol: String,
                        srcCol: String, dstCol: String,
-                       maxContract: Int = 4, maxIters: Int = 30): DataFrame = {
+                       maxContract: Int = 4, maxIters: Int = 30,
+                       forceStar: Boolean = false): DataFrame = {
     // LAZY localCheckpoint throughout the loop: it truncates the logical
     // plan IMMEDIATELY (each pass references its predecessor several
     // times — with persist() alone the plan tree quintuples per pass and
@@ -186,9 +187,11 @@ object ConnectedComponents {
     }
     // finisher only if contraction didn't drain the graph (adversarial
     // diameters); its vertex set is exactly the surviving edge endpoints —
-    // everything else resolves through the composed mappings
+    // everything else resolves through the composed mappings. forceStar
+    // (the assignStarSeeded path) runs it unconditionally so the star
+    // algebra executes even on a drained remainder (then a no-op).
     val roots: Option[DataFrame] =
-      if (nEdges == 0) None
+      if (nEdges == 0 && !forceStar) None
       else Some(assignStar(
         e.select(col("__a").as("__l"))
           .unionByName(e.select(col("__b").as("__l"))).distinct(),
@@ -222,6 +225,22 @@ object ConnectedComponents {
         out
     }
   }
+
+  /** [[assignStar]] seeded with ONE seed-and-contract pass: the near-clique
+    * mass (the overwhelming majority of a dup graph) collapses in the seed
+    * pass — one groupBy plus two relabel joins — and the O(log² n) star
+    * alternation then runs only on the inter-star remainder (sf0.1 dup
+    * fixture: 354k edges → 827 after the seed pass), instead of paying
+    * per-round collect_set/explode over the full edge multiset. Labels are
+    * identical to [[assign]]/[[assignStar]] (composition argument in
+    * [[assignContracted]]; equality pinned in ApiSpec). The star finisher
+    * runs unconditionally, so the star algebra is exercised end-to-end
+    * even when the seed pass drains the graph. */
+  def assignStarSeeded(vertices: DataFrame, edges: DataFrame, vertexCol: String,
+                       srcCol: String, dstCol: String,
+                       maxIters: Int = 30): DataFrame =
+    assignContracted(vertices, edges, vertexCol, srcCol, dstCol,
+                     maxContract = 1, maxIters = maxIters, forceStar = true)
 
   /** Connected components by alternating large-star / small-star
     * contraction [public: Kiveris et al., "Connected Components in

@@ -205,6 +205,48 @@ class ApiSpec extends SparkSpec {
     assert(auto == naive, s"missed: ${naive -- auto}, extra: ${auto -- naive}")
   }
 
+  test("Dedup.tokenContainmentPairsPrefix: lossless on a sparse corpus with a planted subset") {
+    // the pair the min-side prefix filter must not lose: a 6-token doc fully
+    // embedded in a 23-token doc — containment 1.0, Jaccard ≈ 0.26 (below
+    // any Jaccard radar), and the LENGTH filter would wrongly prune it
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (1 to 200).map { i =>
+      val uniq = Seq.fill(20)(s"w${rnd.nextInt(100000)}_$i")
+      (i.toLong, (uniq ++ Seq("the", "a", "of")).mkString(" "), "s")
+    }
+    val subset = (9999L, base.head._2.split(" ").take(6).mkString(" "), "s")
+    val df = (base :+ subset).toDF("id", "body", "src")
+    val stats = Dedup.corpusStats(df, "id", "body", "src")
+    assert(Dedup.prefersPrefixPath(stats),
+      s"sparse corpus should prefer the prefix path, density=${stats.blockDensity}")
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+                 math.round(r.getDouble(2) * 1e9))).toSet
+    val naive = key(Dedup.tokenContainmentPairs(df, "id", "body", "src", 0.8))
+    val pruned = key(Dedup.tokenContainmentPairsPrefix(df, "id", "body", "src", 0.8))
+    assert(naive.exists(p => p._1 == 1L && p._2 == 9999L && p._3 == 1000000000L),
+      s"planted subset pair must qualify at C=1.0: $naive")
+    assert(pruned == naive, s"missed: ${naive -- pruned}, extra: ${pruned -- naive}")
+    // and the auto entry point routes this corpus through the pruned path
+    // while returning the identical pairs
+    val auto = key(Dedup.tokenContainmentPairsAuto(df, "id", "body", "src", 0.8))
+    assert(auto == naive)
+  }
+
+  test("Dedup.tokenContainmentPairsAuto keeps the naive path (and its results) on the dense fixture") {
+    import graft.engine.Tables
+    val docs = Tables.documents(spark, sf0001)
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+                 math.round(r.getDouble(2) * 1e9))).toSet
+    val auto = key(Dedup.tokenContainmentPairsAuto(docs, "doc_id", "text", "source", 0.8))
+    val naive = key(Dedup.tokenContainmentPairs(docs, "doc_id", "text", "source", 0.8))
+    assert(auto == naive)
+    assert(auto.nonEmpty)
+  }
+
   test("Dedup.corpusStats hash-sampling keeps the fixture on the dense side") {
     import graft.engine.Tables
     val docs = Tables.documents(spark, sf0001)
@@ -398,6 +440,11 @@ class ApiSpec extends SparkSpec {
         .assignContracted(vertices, edges, "id", "src", "dst", maxContract = 1)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(viaFinisher == plain, s"$tag: finisher-path CC diverged")
+      // and the k25 path: seed pass + unconditional star finisher
+      val seeded = graft.operators.ConnectedComponents
+        .assignStarSeeded(vertices, edges, "id", "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(seeded == plain, s"$tag: seeded-star CC diverged")
     }
     // long chain — the adversarial-diameter case star contraction exists
     // for (propagation needs diameter-many rounds; star needs O(log))

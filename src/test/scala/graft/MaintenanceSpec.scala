@@ -71,4 +71,34 @@ class MaintenanceSpec extends SparkSpec {
                                            f.getName.startsWith(".retired_")),
       "clean compaction leaves no temp dirs")
   }
+
+  test("compactFiles preserves hive-partitioned layouts and their pruning") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("compactp").toString + "/t"
+    val base = spark.range(2000).select(
+      col("id"), (col("id") % 2).as("cv"), (col("id") % 3).as("cid"))
+    // simulate streaming appends: 4 batches × repartition(3) → up to 3 small
+    // files per (cv,cid) directory per batch
+    (0 until 4).foreach { b =>
+      base.filter(col("id") % 4 === b).repartition(3)
+        .write.mode("append").partitionBy("cv", "cid").parquet(dir)
+    }
+    val want = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString)).toSet
+    val (nBefore, nAfter) = Maintenance.compactFiles(dir, targetBytes = 1L << 30)
+    assert(nAfter < nBefore, s"must collapse files: $nBefore -> $nAfter")
+    assert(nAfter == 6, s"expected one file per (cv,cid) partition, got $nAfter")
+    // the partition DIRECTORIES survive — the regression this test pins was
+    // a flat rewrite that demoted cv/cid to plain data columns
+    val cvDirs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(cvDirs == Set("cv=0", "cv=1"), s"partition layout destroyed: $cvDirs")
+    val got = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString)).toSet
+    assert(got == want, "partitioned compaction must preserve content exactly")
+    // and the layout still prunes at the storage layer
+    val read1 = graft.api.Bucketing.filesRead(
+      spark.read.parquet(dir).filter(col("cv") === 0 && col("cid") === 1))
+    assert(read1 == 1, s"pruned scan must read exactly 1 file, read $read1")
+  }
 }

@@ -409,6 +409,27 @@ class ScaleOpsSpec extends SparkSpec {
       s"adc $adc must index table[m*ksub + (code & 0xFF)]")
   }
 
+  test("TextAnalysis.lengthBandApprox agrees with k31's exact window band") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf001)
+    val w = Window.partitionBy("lang").orderBy(asc("ntok"), asc("doc_id"))
+    val exact = docs
+      .select(col("lang"), col("doc_id"), size(split(col("text"), " ")).as("ntok"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= 0.1 && col("pr") <= 0.9)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val approx = graft.api.TextAnalysis.lengthBandApprox(
+        docs, "lang", "doc_id", size(split(col("text"), " ")))
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && approx.nonEmpty)
+    // divergence is confined to boundary ties + sketch error — pin a
+    // band-membership Jaccard agreement floor
+    val agree = (exact & approx).size.toDouble / (exact | approx).size
+    assert(agree >= 0.9, s"band agreement $agree (exact ${exact.size}, approx ${approx.size})")
+  }
+
   test("pack/adc codegen actually compiles (no silent interpreted fallback)") {
     import org.apache.spark.sql.functions.{expr, lit}
     // With fallback enabled a janino CompileException silently degrades to
