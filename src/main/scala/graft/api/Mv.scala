@@ -65,6 +65,36 @@ object Mv {
            // (18,6) re-cast would NULL silently past 10^12; see scaladoc)
            sum(col("__sum")).as("__sum"))
 
+  /** Build (or delta-build) a mergeable DISTINCT-COUNT state per key: a
+    * DataSketches HLL sketch over `distinctCol` [public: Spark 3.5+
+    * hll_sketch_agg / Apache DataSketches]. COUNT(DISTINCT) is the one
+    * common MV aggregate that is NOT a cheap monoid on scalars — exact
+    * distinct state is the value set itself — so the 100 TB MV carries the
+    * sketch: fixed bytes per key, and union is the monoid merge. Pair with
+    * [[mergeDistinct]] + `hll_sketch_estimate` at read time. The union is
+    * order-invariant and idempotent (register-wise max), but a unioned
+    * sketch's estimate can differ from the directly-built sketch's by a
+    * hair (the union accumulator is a wider HLL type than the build
+    * target) — both sit within the sketch's error bound of exact, which is
+    * what MvSpec pins. */
+  def aggStateDistinct(rows: DataFrame, keys: Seq[String],
+                       distinctCol: String, lgK: Int = 12): DataFrame =
+    rows.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(distinctCol), lit(lgK)).as("__hll"))
+
+  /** Merge distinct-count states: HLL union is associative, commutative,
+    * and idempotent (re-merging an already-merged delta cannot overcount —
+    * stronger than the scalar states, which are add-once). */
+  def mergeDistinct(keys: Seq[String], states: DataFrame*): DataFrame =
+    states.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("__hll"), lit(true)).as("__hll"))
+
+  /** Resolve distinct state → per-key approximate distinct count. */
+  def finalizeDistinct(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select(keys.map(col) :+
+      hll_sketch_estimate(col("__hll")).as("n_distinct"): _*)
+
   /** Resolve state → the user-facing MV: n / sum_value / avg_value per key.
     * avg rounds at 4 places over the exact decimal sum (Determinism.davg
     * contract). Zero-collapsed keys (signed retraction) are dropped. */

@@ -152,6 +152,68 @@ object StreamOps {
       }
       .start()
 
+  /** One micro-batch step of streaming MV maintenance: merge the batch's
+    * partial-aggregate delta into the state AS OF the previous batch and
+    * write it as `state_v<batchId>`. Versioning by batchId is what makes
+    * at-least-once delivery safe for the NON-idempotent scalar states
+    * (count/sum monoids add again on replay): a replayed batch N re-reads
+    * state_v(N−1) — never its own partial output — and overwrites
+    * state_vN, so replay ≡ first run. Versions older than the immediate
+    * predecessor are retired (the checkpoint can only replay the last
+    * uncommitted batch). Exposed for the replay-idempotence spec. */
+  private[graft] def mvApplyBatch(batch: DataFrame, batchId: Long,
+                                      keys: Seq[String], valueCol: String,
+                                      stateDir: String): Unit = {
+    import graft.api.Mv
+    val s = batch.sparkSession
+    val delta = Mv.aggState(batch, keys, valueCol)
+    val versions = Option(new java.io.File(stateDir).listFiles())
+      .getOrElse(Array.empty).toIndexedSeq
+      .flatMap(f => "^state_v(\\d+)$".r.findFirstMatchIn(f.getName)
+                      .map(m => m.group(1).toLong))
+    val prev = versions.filter(_ < batchId).sorted.lastOption
+    val merged = prev match {
+      case Some(v) => Mv.merge(keys, s.read.parquet(s"$stateDir/state_v$v"), delta)
+      case None => delta
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/state_v$batchId")
+    def rmRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec)
+      f.delete(); ()
+    }
+    versions.filter(v => prev.exists(v < _)).foreach(v =>
+      rmRec(new java.io.File(stateDir, s"state_v$v")))
+  }
+
+  /** Streaming incremental MV maintenance — the end-to-end form of the
+    * i09/i10 batch algebra: each micro-batch is aggregated ALONE (one hash
+    * agg over the delta, map-side combined) and merged into the keyed
+    * partial-aggregate state ([[graft.api.Mv]]); the base table is never
+    * re-scanned. This is the ClickHouse MV-over-Kafka shape on Structured
+    * Streaming. Read the current view with [[readMv]]. */
+  def startMvMaintenanceSink(rows: DataFrame, keys: Seq[String], valueCol: String,
+                             stateDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mvApplyBatch(batch.toDF(), batchId, keys, valueCol, stateDir)
+      }
+      .start()
+
+  /** Resolve the streaming MV's current state to the user-facing view
+    * (latest committed state version). */
+  def readMv(stateDir: String, keys: Seq[String])
+            (implicit s: org.apache.spark.sql.SparkSession): DataFrame = {
+    val versions = Option(new java.io.File(stateDir).listFiles())
+      .getOrElse(Array.empty).toIndexedSeq
+      .flatMap(f => "^state_v(\\d+)$".r.findFirstMatchIn(f.getName)
+                      .map(m => m.group(1).toLong))
+    require(versions.nonEmpty, s"no MV state under $stateDir")
+    graft.api.Mv.finalizeState(
+      s.read.parquet(s"$stateDir/state_v${versions.max}"), keys)
+  }
+
   /** Stream–static enrichment with a REFRESHING dimension: join each
     * micro-batch against the parquet dimension read fresh per batch, so a
     * dimension republished between batches (the Publish swap, a

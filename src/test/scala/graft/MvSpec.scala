@@ -71,4 +71,51 @@ class MvSpec extends SparkSpec {
     val a = Mv.finalizeState(st2, keys).collect()(0)
     assert(a.getLong(1) == 2 && a.getDouble(2) == 1.5 && a.getDouble(3) == 1.5)
   }
+
+  test("merged sums survive past the decimal(18,6) range without nulling") {
+    // the silent-overflow hazard the (38,6) state width exists for: two
+    // states each holding sum ≈ 9e11 merge to 1.8e12 > decimal(18,6) max —
+    // a per-merge (18,6) re-cast yields NULL in non-ANSI mode
+    val sp = spark
+    import sp.implicits._
+    val half = Seq((1L, "a", 9.0e11)).toDF("event_id", "event_type", "value")
+    val merged = Mv.merge(keys, Mv.aggState(half, keys, "value"),
+                                Mv.aggState(half, keys, "value"))
+    val r = Mv.finalizeState(merged, keys).collect()(0)
+    assert(!r.isNullAt(2), "merged sum must not silently NULL on overflow")
+    assert(r.getDouble(2) == 1.8e12)
+  }
+
+  test("HLL distinct state: union is order-invariant and idempotent, estimates near exact") {
+    val e = events.cache()
+    val dkeys = keys
+    def est(st: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      Mv.finalizeDistinct(st, dkeys)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = est(Mv.aggStateDistinct(e, dkeys, "event_id"))
+    val byThird = e.withColumn("__b", pmod(col("event_id"), lit(3)))
+    val parts = (0 to 2).map(i => byThird.filter(col("__b") === i).drop("__b"))
+    val states = parts.map(Mv.aggStateDistinct(_, dkeys, "event_id"))
+    val merged = est(Mv.mergeDistinct(dkeys, states: _*))
+    // union is register-wise max → merge ORDER cannot change the result
+    val reversed = est(Mv.mergeDistinct(dkeys, states.reverse: _*))
+    assert(reversed == merged, "HLL union must be order-invariant")
+    // idempotence: re-merging an already-merged delta cannot overcount
+    val re = est(Mv.mergeDistinct(dkeys,
+      Mv.mergeDistinct(dkeys, states: _*), states(0)))
+    assert(re == merged, "HLL re-merge must be idempotent")
+    // accuracy: event_id is unique per row, so exact distinct = row count.
+    // The unioned sketch and the directly-built sketch may differ by a hair
+    // (wider union accumulator type) — BOTH must sit near exact.
+    val exact = e.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("full" -> full, "merged" -> merged).foreach { case (tag, m) =>
+      m.foreach { case (k, v) =>
+        val ex = exact(k)
+        assert(math.abs(v - ex).toDouble / ex < 0.05,
+          s"$tag/$k: HLL estimate $v vs exact $ex")
+      }
+    }
+    e.unpersist()
+  }
 }

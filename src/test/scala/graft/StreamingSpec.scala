@@ -352,6 +352,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MV maintenance: merged state equals full recompute; replays are idempotent") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val s = spark
+    val root = java.nio.file.Files.createTempDirectory("mv_s").toString
+    val (stateDir, ckDir) = (s"$root/state", s"$root/ck")
+    val in = MemoryStream[(Long, String, Double)]
+    val keys = Seq("event_type")
+    val q = StreamOps.startMvMaintenanceSink(
+      in.toDF().toDF("event_id", "event_type", "value"),
+      keys, "value", stateDir, ckDir)
+    def view: Map[String, (Long, Double, Double)] =
+      StreamOps.readMv(stateDir, keys).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    try {
+      in.addData((1L, "a", 1.5), (2L, "a", 2.5), (3L, "b", 10.0))
+      q.processAllAvailable()
+      assert(view == Map("a" -> ((2L, 4.0, 2.0)), "b" -> ((1L, 10.0, 10.0))))
+      // second batch: the state advances incrementally (delta-only agg)
+      in.addData((4L, "a", 6.0), (5L, "c", 3.0))
+      q.processAllAvailable()
+      val after = view
+      assert(after == Map("a" -> ((3L, 10.0, 3.3333)),
+                          "b" -> ((1L, 10.0, 10.0)), "c" -> ((1L, 3.0, 3.0))))
+      // at-least-once replay of the LAST batch: re-applying it must read
+      // state_v(N-1), never its own output — the view is unchanged
+      val lastBatch = Seq((4L, "a", 6.0), (5L, "c", 3.0))
+        .toDF("event_id", "event_type", "value")
+      val lastId = Option(new java.io.File(stateDir).listFiles()).get
+        .flatMap(f => "^state_v(\\d+)$".r.findFirstMatchIn(f.getName)
+                        .map(_.group(1).toLong)).max
+      graft.streaming.StreamOps.mvApplyBatch(lastBatch, lastId, keys, "value", stateDir)
+      assert(view == after, "replayed batch must not double-count")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment picks up a republished dimension at the next micro-batch") {
     val sp = spark
     import sp.implicits._
