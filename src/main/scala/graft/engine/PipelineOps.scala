@@ -574,9 +574,17 @@ object PipelineOps {
     * the min train witness — the GPT-3-style exact n-gram collision check
     * [public: Brown et al. 2020 §C], a DISTINCT predicate from k24's
     * whole-doc Jaccard (one verbatim quoted sentence triggers this and not
-    * that). Scale shape: distinct 3-grams are selective, so the
-    * inverted-index join groups stay small — Σdf² over shingles, the same
-    * reuse argument as k08; never corpus². */
+    * that). Scale shape: ONE shingling pass, NO self-join — the per-gram
+    * minimum train doc rides a window over the exploded (doc, gram, split)
+    * frame (k20's df-via-window pattern), then eval rows filter on "some
+    * train doc shares this gram" and aggregate per doc. A self-join
+    * formulation was tried first and REJECTED by plan inspection: the
+    * per-side split filters get pushed below any repartition
+    * materialization point, so the two exchange subtrees differ and
+    * ReuseExchange can't kick in — the corpus would be shingled twice.
+    * Window-group size = gram document frequency (distinct 3-grams are
+    * selective, same accepted hazard class as k20's df window). Pinned in
+    * PlanShapeSpec: exactly one Generate, no join. */
   val k34: Q = Q(
     "k34_ngram_contamination",
     """WITH sh AS (
@@ -612,13 +620,16 @@ object PipelineOps {
         col("doc_id"),
         when(h1 <= "c", "train").when(h1 === "d", "val")
           .otherwise("test").as("split"))
-      val evalSide = sh.join(splits, "doc_id").filter(col("split") =!= "train")
-      val trainSide = sh.join(splits.filter(col("split") === "train"), "doc_id")
-        .select(col("doc_id").as("__tid"), col("g"))
-      evalSide.join(trainSide, "g")
+      val wg = Window.partitionBy("g")
+      // (doc_id, g) rows are unique (array_distinct before the explode), so
+      // the per-doc gram count is a plain count, not a distinct aggregate
+      sh.join(splits, "doc_id")
+        .withColumn("__tmin",
+          min(when(col("split") === "train", col("doc_id"))).over(wg))
+        .filter(col("split") =!= "train" && col("__tmin").isNotNull)
         .groupBy(col("doc_id"), col("split"))
-        .agg(countDistinct(col("g")).as("n_shared"),
-             min(col("__tid")).as("contaminated_by"))
+        .agg(count(lit(1)).as("n_shared"),
+             min(col("__tmin")).as("contaminated_by"))
         .orderBy(asc_nulls_last("doc_id"))
     })
 

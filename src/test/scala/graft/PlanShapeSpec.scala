@@ -86,6 +86,19 @@ class PlanShapeSpec extends SparkSpec {
       s"tf-idf must explode the corpus exactly once, found $explodes:\n$p")
   }
 
+  test("k34: one shingle pass, train-min via window, no gram self-join") {
+    // the per-side split filters get pushed below any repartition
+    // materialization point, so a self-join formulation shingles the
+    // corpus TWICE (ReuseExchange can't match the differing subtrees) —
+    // the window formulation is the single-pass shape, pinned here
+    val p = executedPlan(graft.engine.PipelineOps.k34.fn(spark, sf0001))
+      .split("== Initial Plan ==").head
+    val explodes = "\\bGenerate\\b".r.findAllIn(p).length
+    assert(explodes == 1,
+      s"k34 must shingle the corpus exactly once, found $explodes:\n$p")
+    assert(p.contains("Window"), "k34 should carry the per-gram train-min window")
+  }
+
   test("k19: each near-dup pair appears exactly once") {
     // multi-band collisions are collapsed by a candidate-sized distinct
     // (NOT the first-colliding-band rule, which silently drops pairs when
