@@ -163,10 +163,14 @@ object StreamOps {
     * uncommitted batch). Exposed for the replay-idempotence spec. */
   private[graft] def mvApplyBatch(batch: DataFrame, batchId: Long,
                                       keys: Seq[String], valueCol: String,
-                                      stateDir: String): Unit = {
+                                      stateDir: String,
+                                      signCol: Option[String] = None): Unit = {
     import graft.api.Mv
     val s = batch.sparkSession
-    val delta = Mv.aggState(batch, keys, valueCol)
+    val delta = signCol match {
+      case Some(sc) => Mv.aggStateSigned(batch, keys, valueCol, col(sc))
+      case None => Mv.aggState(batch, keys, valueCol)
+    }
     val versions = Option(new java.io.File(stateDir).listFiles())
       .getOrElse(Array.empty).toIndexedSeq
       .flatMap(f => "^state_v(\\d+)$".r.findFirstMatchIn(f.getName)
@@ -190,14 +194,22 @@ object StreamOps {
     * agg over the delta, map-side combined) and merged into the keyed
     * partial-aggregate state ([[graft.api.Mv]]); the base table is never
     * re-scanned. This is the ClickHouse MV-over-Kafka shape on Structured
-    * Streaming. Read the current view with [[readMv]]. */
+    * Streaming. Read the current view with [[readMv]].
+    *
+    * `signCol` (+1 insert / −1 retraction per row) switches the delta onto
+    * the CollapsingMergeTree-style signed states (i10's algebra): a CDC
+    * stream carrying compensating deletes maintains the MV exactly, and a
+    * key whose state collapses to zero vanishes from [[readMv]]. The
+    * versioned-state replay guarantee applies unchanged — retraction
+    * batches are add-once monoid sums too. */
   def startMvMaintenanceSink(rows: DataFrame, keys: Seq[String], valueCol: String,
-                             stateDir: String, checkpointDir: String)
+                             stateDir: String, checkpointDir: String,
+                             signCol: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        mvApplyBatch(batch.toDF(), batchId, keys, valueCol, stateDir)
+        mvApplyBatch(batch.toDF(), batchId, keys, valueCol, stateDir, signCol)
       }
       .start()
 

@@ -235,6 +235,39 @@ class ApiSpec extends SparkSpec {
     assert(auto == naive)
   }
 
+  test("Dedup.tokenContainmentPairsPrefix ≡ naive on randomized skew-length corpora") {
+    // the prefix-filter proof's edge cases — boundary thresholds, extreme
+    // length skew, ties in size, duplicate subsets — probed with seeded
+    // random corpora instead of one planted case
+    val sp = spark
+    import sp.implicits._
+    for (seed <- 1 to 3; threshold <- Seq(0.6, 0.8)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 300).map(i => s"w$i")
+      val base = (1 to 60).map { i =>
+        val len = 3 + rnd.nextInt(35) // 3..37 tokens — heavy length skew
+        val toks = Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).distinct
+        (i.toLong, toks.mkString(" "), s"s${i % 2}")
+      }
+      // planted subsets/overlaps: random fragments of existing docs
+      val planted = (1 to 10).map { j =>
+        val src = base(rnd.nextInt(base.length))
+        val toks = rnd.shuffle(src._2.split(" ").toSeq)
+          .take(1 + rnd.nextInt(6))
+        (1000L + j, toks.mkString(" "), src._3)
+      }
+      val df = (base ++ planted).toDF("id", "body", "src")
+      def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+                   math.round(r.getDouble(2) * 1e9))).toSet
+      val naive = key(Dedup.tokenContainmentPairs(df, "id", "body", "src", threshold))
+      val pruned = key(Dedup.tokenContainmentPairsPrefix(df, "id", "body", "src", threshold))
+      assert(pruned == naive,
+        s"seed=$seed t=$threshold missed: ${naive -- pruned}, extra: ${pruned -- naive}")
+      assert(naive.nonEmpty, s"seed=$seed t=$threshold produced no pairs — weak fixture")
+    }
+  }
+
   test("Dedup.tokenContainmentPairsAuto keeps the naive path (and its results) on the dense fixture") {
     import graft.engine.Tables
     val docs = Tables.documents(spark, sf0001)

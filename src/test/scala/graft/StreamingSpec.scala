@@ -389,6 +389,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MV with signed retraction: CDC deletes cancel state; collapsed key vanishes") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val s = spark
+    val root = java.nio.file.Files.createTempDirectory("mv_sr").toString
+    val (stateDir, ckDir) = (s"$root/state", s"$root/ck")
+    val in = MemoryStream[(Long, String, Double, Int)]
+    val keys = Seq("event_type")
+    val q = StreamOps.startMvMaintenanceSink(
+      in.toDF().toDF("event_id", "event_type", "value", "sign"),
+      keys, "value", stateDir, ckDir, signCol = Some("sign"))
+    try {
+      in.addData((1L, "a", 1.5, 1), (2L, "a", 2.5, 1), (3L, "b", 10.0, 1))
+      q.processAllAvailable()
+      // batch 2 is pure retraction: row 2 of 'a' and ALL of 'b'
+      in.addData((2L, "a", 2.5, -1), (3L, "b", 10.0, -1))
+      q.processAllAvailable()
+      val rows = StreamOps.readMv(stateDir, keys).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(rows == Map("a" -> ((1L, 1.5))),
+        s"'b' must collapse to zero and vanish, 'a' keeps one row: $rows")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment picks up a republished dimension at the next micro-batch") {
     val sp = spark
     import sp.implicits._
