@@ -167,5 +167,43 @@ object StreamBatchOps {
              sum(col("w1")).as("wk1"), sum(col("w2")).as("wk2"))
     })
 
-  def ops: Vector[Q] = Vector(j01, j02, j03, j05, j06)
+  /** j07 — ClickHouse `sequenceMatch` analog [public: CH docs]: per-user
+    * ordered event-pattern matching — the funnel-adjacent primitive j05's
+    * windowFunnel doesn't cover (funnel measures DEPTH; sequenceMatch asks
+    * "did this ordered pattern occur at all", loose `(?1).*(?2)` and
+    * adjacent `(?1)(?2)` forms). The event stream is rendered per user as
+    * a space-joined type string in (ts, event_id) order, and both pattern
+    * forms become LIKE scans — dialect-identical (no regex-engine
+    * divergence risk; the five type names are substring-free of each
+    * other). One hash agg + per-row LIKE: no window buffering, and at
+    * 100 TB the per-user string is bounded by a user's event count (the
+    * same per-key-state bound every funnel/retention op carries). Ties
+    * inside a timestamp break on event_id in BOTH engines (struct sort vs
+    * ORDER BY ts, event_id). */
+  val j07: Q = Q(
+    "j07_sequence_match",
+    """SELECT user_id,
+      |  CAST(seq LIKE '%signup%purchase%' AS INT) AS m_loose,
+      |  CAST(seq LIKE '%signup purchase%' AS INT) AS m_adjacent,
+      |  CAST(n AS BIGINT) AS n_events
+      |FROM (SELECT user_id,
+      |        STRING_AGG(event_type, ' ' ORDER BY ts, event_id) AS seq,
+      |        COUNT(*) AS n
+      |      FROM events GROUP BY 1)
+      |ORDER BY user_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val seq = concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+                                       col("event_type")))),
+        x => x.getField("event_type")))
+      Tables.events(s, dir).groupBy("user_id")
+        .agg(seq.as("seq"), count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+                col("seq").like("%signup%purchase%").cast("int").as("m_loose"),
+                col("seq").like("%signup purchase%").cast("int").as("m_adjacent"),
+                col("n_events"))
+        .orderBy(asc_nulls_last("user_id"))
+    })
+
+  def ops: Vector[Q] = Vector(j01, j02, j03, j05, j06, j07)
 }
