@@ -409,6 +409,42 @@ class ScaleOpsSpec extends SparkSpec {
       s"adc $adc must index table[m*ksub + (code & 0xFF)]")
   }
 
+  test("HeavyHitters: MG guarantee — heavy values survive, counts under-estimate within n/(cap+1)") {
+    val sp = spark
+    import sp.implicits._
+    // adversarial stream: 2 heavy values + a long unique tail that tries to
+    // evict them; 2 groups to exercise the per-group path
+    val rnd = new scala.util.Random(3)
+    val rows = (for (g <- Seq("g0", "g1"); i <- 1 to 6000) yield {
+      val v = if (i % 10 < 3) "hot"            // 30%
+              else if (i % 10 < 5) "warm"      // 20%
+              else s"tail_${g}_${rnd.nextInt(100000)}_$i" // ~unique
+      (g, v)
+    })
+    val df = rnd.shuffle(rows).toDF("g", "v").repartition(8) // merge-order stress
+    val out = graft.operators.HeavyHitters
+      .topKPerGroup(df, Seq("g"), "v", k = 5, capacity = 50)
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(r => r.getString(1) -> r.getLong(2)).toMap }
+    val n = 6000L
+    val slack = n / 51 // n/(capacity+1)
+    Seq("g0", "g1").foreach { g =>
+      val hits = out(g)
+      // survival: true freq 1800 and 1200 both > slack
+      assert(hits.contains("hot") && hits.contains("warm"),
+        s"$g: heavy values must survive, got ${hits.keys}")
+      // under-estimate, bounded: true - slack <= reported <= true
+      assert(hits("hot") <= 1800 && hits("hot") >= 1800 - slack,
+        s"$g: hot count ${hits("hot")} outside [${1800 - slack}, 1800]")
+      assert(hits("warm") <= 1200 && hits("warm") >= 1200 - slack,
+        s"$g: warm count ${hits("warm")} outside [${1200 - slack}, 1200]")
+      // and the two heavies rank 1-2 ahead of any tail survivor
+      val top2 = hits.toSeq.sortBy(-_._2).take(2).map(_._1).toSet
+      assert(top2 == Set("hot", "warm"), s"$g: top-2 must be the heavies: $top2")
+    }
+  }
+
   test("TextAnalysis.lengthBandApprox agrees with k31's exact window band") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sf001)
