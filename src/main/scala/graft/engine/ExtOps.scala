@@ -794,8 +794,41 @@ object ExtOps {
         .orderBy(asc_nulls_last("split"))
     })
 
+  /** e12 — per-key rate of change (ClickHouse `runningDifference` /
+    * `nonNegativeDerivative` analog [public: CH docs]): Δvalue / Δseconds
+    * against the previous event of the same user in (ts, event_id) order.
+    * Dialect notes verified for this query: BOTH engines yield NULL for
+    * double division by zero (equal timestamps) and BOTH skip NULLs in
+    * GREATEST, so the first row's NULL rate clamps to 0.0 in the
+    * non-negative form identically. Seconds are micros/1e6 in both
+    * (unix_micros vs EPOCH(interval)) — the same IEEE double op, so the
+    * quotient is bit-identical and ROUND 6 is cosmetic. */
+  val e12: Q = Q(
+    "e12_running_derivative",
+    """SELECT user_id, event_id,
+      |  ROUND((value - LAG(value) OVER w)
+      |          / NULLIF(EPOCH(ts - LAG(ts) OVER w), 0.0), 6) AS rate,
+      |  ROUND(GREATEST((value - LAG(value) OVER w)
+      |          / NULLIF(EPOCH(ts - LAG(ts) OVER w), 0.0), 0.0), 6) AS nn_rate
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |ORDER BY event_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      val secs = (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .cast("double") / 1e6
+      val rate = (col("value") - lag(col("value"), 1).over(w)) /
+        nullif(secs, lit(0.0))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .select(col("user_id"), col("event_id"),
+                round(rate, 6).as("rate"),
+                round(greatest(rate, lit(0.0)), 6).as("nn_rate"))
+        .orderBy(asc_nulls_last("event_id"))
+    })
+
   def ops: Vector[Q] = Vector(b06, b07, b08, b09, c13, d14, d15, d16, d17,
-                              d18, d19, e10, e11, f04, g05, g06, h14, h15,
-                              h16, h17, h18, h19, h20, i07, j04, k14, k15,
-                              k16, k17, k18, k19)
+                              d18, d19, e10, e11, e12, f04, g05, g06, h14,
+                              h15, h16, h17, h18, h19, h20, i07, j04, k14,
+                              k15, k16, k17, k18, k19)
 }
