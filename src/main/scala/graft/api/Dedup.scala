@@ -348,6 +348,26 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[
       (Int, String, String, String, String, Double, Int), java.lang.Boolean]()
 
+  /** The whole near-dedup pipeline as ONE call — pairs → clusters → keep
+    * the smallest-id document per cluster: the operation a training-data
+    * pipeline actually wants ("give me the deduplicated corpus"), composed
+    * from the pieces that are each oracle/spec-checked separately
+    * ([[tokenJaccardPairsAuto]] for edges, seed-and-contract connected
+    * components for clusters). Returns the input rows of the kept
+    * representatives only; singleton documents (no near-dup) always
+    * survive. Every stage is the selector-routed scale path, so this is
+    * safe to call on a corpus the caller couldn't pair-join naively. */
+  def keepRepresentatives(df: DataFrame, idCol: String, textCol: String,
+                          blockCol: String, threshold: Double,
+                          sep: String = " "): DataFrame = {
+    val pairs = tokenJaccardPairsAuto(df, idCol, textCol, blockCol, threshold, sep)
+    val clusters = graft.operators.ConnectedComponents.assignContracted(
+      df.select(col(idCol)), pairs, idCol, "id1", "id2")
+    val keep = clusters.filter(col(idCol) === col("component"))
+      .select(col(idCol).as("__keep"))
+    df.join(keep, col(idCol) === col("__keep")).drop("__keep")
+  }
+
   /** Word n-gram (shingle) Jaccard pairs — shingles are far more selective
     * than tokens, so this is the exact-dedup shape that survives scale-up. */
   def shingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -81,6 +81,58 @@ object HeavyHitters {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
   }
 
+  /** Weighted Misra-Gries (the `topKWeighted` analog): each row carries a
+    * non-negative long weight (bytes, revenue, token counts) and the
+    * guarantees hold against TOTAL WEIGHT W — survival for weight share
+    * > W/(capacity+1), under-estimate ≤ that slack. Same bounded state and
+    * merge as the unweighted form (which is this with weight 1). */
+  final class MisraGriesWeighted(capacity: Int)
+      extends Aggregator[(String, Long), MgSummary, Seq[(String, Long)]]
+      with Serializable {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    private val base = new MisraGries(capacity)
+
+    override def zero: MgSummary = base.zero
+
+    override def reduce(b: MgSummary, xw: (String, Long)): MgSummary = {
+      val (x, w) = xw
+      if (x == null || w <= 0L) MgSummary(b.counts, b.n + math.max(w, 0L))
+      else {
+        val c = b.counts
+        val next =
+          if (c.contains(x)) c.updated(x, c(x) + w)
+          else if (c.size < capacity) c.updated(x, w)
+          else {
+            // decrement-all by min(w, smallest counter) and insert the
+            // remainder — the weighted generalization of decrement-all
+            val dec = math.min(w, c.values.min)
+            val shrunk = c.flatMap { case (k, v) =>
+              if (v - dec > 0L) Some(k -> (v - dec)) else None
+            }
+            if (w - dec > 0L && shrunk.size < capacity)
+              shrunk.updated(x, w - dec)
+            else shrunk
+          }
+        MgSummary(next, b.n + w)
+      }
+    }
+
+    override def merge(a: MgSummary, b: MgSummary): MgSummary = base.merge(a, b)
+    override def finish(r: MgSummary): Seq[(String, Long)] = base.finish(r)
+    override def bufferEncoder: Encoder[MgSummary] = base.bufferEncoder
+    override def outputEncoder: Encoder[Seq[(String, Long)]] = base.outputEncoder
+  }
+
+  /** Untyped weighted form: weight column cast to long. */
+  def approxTopKWeighted(valueCol: Column, weightCol: Column,
+                         k: Int, capacity: Int): Column = {
+    require(k >= 1 && capacity >= k,
+      s"need capacity >= k >= 1, got k=$k capacity=$capacity")
+    val agg = udaf(new MisraGriesWeighted(capacity),
+                   Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+    slice(agg(valueCol, weightCol.cast("long")), 1, k)
+  }
+
   /** Untyped column form, usable in any `groupBy(...).agg(...)`:
     * `df.groupBy("g").agg(HeavyHitters.approxTopK(col("v"), 10, 100))`.
     * Returns an array of (value, approx_count) structs, count-desc. */

@@ -280,6 +280,29 @@ class ApiSpec extends SparkSpec {
     assert(auto.nonEmpty)
   }
 
+  test("Dedup.keepRepresentatives: one survivor per dup cluster, singletons untouched") {
+    import graft.engine.Tables
+    val docs = Tables.documents(spark, sf0001)
+    val kept = Dedup.keepRepresentatives(docs, "doc_id", "text", "source", 0.6)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    // cross-check against the explicitly-composed pipeline
+    val clusters = graft.operators.ConnectedComponents.assignContracted(
+        docs.select("doc_id"),
+        Dedup.tokenJaccardPairs(docs, "doc_id", "text", "source", 0.6),
+        "doc_id", "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = clusters.filter { case (id, c) => id == c }.map(_._1).toSet
+    assert(keptIds == expected)
+    // exactly one representative per cluster, and it is the minimum id
+    val byCluster = clusters.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      assert(keptIds.contains(c) && members.map(_._1).min == c)
+      assert(members.map(_._1).toSet.intersect(keptIds) == Set(c))
+    }
+    // full rows survive (schema preserved)
+    assert(kept.columns.toSeq == docs.columns.toSeq)
+  }
+
   test("Dedup.corpusStats hash-sampling keeps the fixture on the dense side") {
     import graft.engine.Tables
     val docs = Tables.documents(spark, sf0001)

@@ -445,6 +445,27 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("HeavyHitters weighted: survival and bound hold against total weight") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    // heavy value carries 40% of total weight in FEW rows; the tail is many
+    // small-weight unique values — the case unweighted MG mishandles
+    val rows = (1 to 50).map(i => ("hot", 80L)) ++
+      (1 to 4000).map(i => (s"tail_${rnd.nextInt(100000)}_$i", 1L + rnd.nextInt(2)))
+    val df = rnd.shuffle(rows).toDF("v", "w").repartition(8)
+    val totalW = rows.map(_._2).sum
+    val out = df.agg(graft.operators.HeavyHitters
+        .approxTopKWeighted(col("v"), col("w"), k = 3, capacity = 40).as("tk"))
+      .selectExpr("inline(tk)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val slack = totalW / 41
+    assert(out.contains("hot"), s"heavy-weight value must survive: ${out.keys}")
+    assert(out("hot") <= 4000L && out("hot") >= 4000L - slack,
+      s"hot weight ${out("hot")} outside [${4000 - slack}, 4000]")
+    assert(out.toSeq.maxBy(_._2)._1 == "hot", "hot must rank first")
+  }
+
   test("TextAnalysis.lengthBandApprox agrees with k31's exact window band") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sf001)
