@@ -130,7 +130,8 @@ object HeavyHitters {
       s"need capacity >= k >= 1, got k=$k capacity=$capacity")
     val agg = udaf(new MisraGriesWeighted(capacity),
                    Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
-    slice(agg(valueCol, weightCol.cast("long")), 1, k)
+    // NULL weights would hit the primitive-long encoder; treat as 0 (skip)
+    slice(agg(valueCol, coalesce(weightCol.cast("long"), lit(0L))), 1, k)
   }
 
   /** Untyped column form, usable in any `groupBy(...).agg(...)`:
