@@ -633,6 +633,37 @@ object PipelineOps {
         .orderBy(asc_nulls_last("doc_id"))
     })
 
+  /** k35 — overlapping token-window chunking: each document split into
+    * 40-token windows at stride 20 (50% overlap) with a per-chunk token
+    * count and content digest — the context-packing / RAG-chunking
+    * preprocessing step between cleaning and export (k29 packs whole docs
+    * into shards; this splits docs into model-window-sized pieces). Pure
+    * per-row array expressions (sequence → slice → concat), so the explode
+    * is the only row expansion and the op is map-only at any scale; the
+    * md5 digest pins byte-identical chunk content cross-engine. Spark's
+    * posexplode ordinal IS the chunk index ((start−1)/stride in the
+    * oracle's arithmetic). */
+  val k35: Q = Q(
+    "k35_chunk_windows",
+    """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id, UNNEST(RANGE(1, LEN(toks) + 1, 20)) AS st, toks FROM t)
+      |SELECT doc_id, CAST((st - 1) // 20 AS INT) AS chunk_idx,
+      |  CAST(LEN(toks[st : LEAST(st + 39, LEN(toks))]) AS INT) AS n_tok,
+      |  MD5(ARRAY_TO_STRING(toks[st : LEAST(st + 39, LEN(toks))], ' ')) AS chunk_md5
+      |FROM c
+      |ORDER BY doc_id ASC NULLS LAST, chunk_idx ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("__t"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(__t), 20), st -> struct(" +
+            "size(slice(__t, st, 40)) AS n, " +
+            "concat_ws(' ', slice(__t, st, 40)) AS c))")))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+                col("col.n").cast("int").as("n_tok"),
+                md5(col("col.c")).as("chunk_md5"))
+        .orderBy(asc_nulls_last("doc_id"), asc_nulls_last("chunk_idx")))
+
   def ops: Vector[Q] = Vector(k20, k21, k22, d20, k23, k24, d21, k25, k26,
-                              k27, k28, k29, k30, k31, k32, k33, k34)
+                              k27, k28, k29, k30, k31, k32, k33, k34, k35)
 }
