@@ -248,6 +248,48 @@ object ExtOps {
         .agg(round(median(col("o_totalprice")), 4).as("med"))
         .orderBy(asc_nulls_last("o_orderstatus")))
 
+  /** d22 — exact weighted quantiles (`quantileExactWeighted` analog [public:
+    * ClickHouse docs]): the q-quantile of l_extendedprice where each row
+    * counts l_quantity times — discrete (type-1) semantics, i.e. the smallest
+    * value whose cumulative weight reaches q·Σw, exactly what the reference
+    * computes from its (value, weight) multiset. Formulated as one pass:
+    * peer-inclusive RANGE cumulative weight (both engines' default frame) +
+    * a full-partition total, then MIN over the rows past each threshold —
+    * no self-join, no collect. Cross-engine exactness: l_quantity is integral
+    * (FIXTURES.md), so the running double sums are exact integers and the
+    * threshold comparisons cannot diverge on low bits. Scale: the exact
+    * algorithm inherently sorts each group (window sort ≈ the reference's
+    * multiset materialization); the fixture group key is low-cardinality, so
+    * at 100 TB either pre-aggregate identical values per group first
+    * (cardinality of distinct prices, not rows, crosses the sort) or accept
+    * interpolated semantics and use Spark's hash-agg `percentile(v, q, w)` /
+    * the lengthBandApprox sketch pattern. */
+  val d22: Q = Q(
+    "d22_weighted_quantile",
+    """SELECT l_returnflag,
+      |  ROUND(MIN(CASE WHEN cw >= 0.5 * tw THEN v END), 4) AS wq50,
+      |  ROUND(MIN(CASE WHEN cw >= 0.9 * tw THEN v END), 4) AS wq90
+      |FROM (
+      |  SELECT l_returnflag, l_extendedprice AS v,
+      |    SUM(l_quantity) OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice ASC NULLS LAST) AS cw,
+      |    SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      |  FROM lineitem)
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val byFlag = Window.partitionBy("l_returnflag")
+      val cum    = byFlag.orderBy(asc_nulls_last("l_extendedprice"))
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+                sum(col("l_quantity")).over(cum).as("cw"),
+                sum(col("l_quantity")).over(byFlag).as("tw"))
+        .groupBy("l_returnflag")
+        .agg(round(min(when(col("cw") >= lit(0.5) * col("tw"), col("v"))), 4).as("wq50"),
+             round(min(when(col("cw") >= lit(0.9) * col("tw"), col("v"))), 4).as("wq90"))
+        .orderBy(asc_nulls_last("l_returnflag"))
+    })
+
   /** e10 — IGNORE NULLS window navigation: last non-null carried forward
     * (classic gap-fill / last-observation per key). */
   val e10: Q = Q(
@@ -828,7 +870,7 @@ object ExtOps {
     })
 
   def ops: Vector[Q] = Vector(b06, b07, b08, b09, c13, d14, d15, d16, d17,
-                              d18, d19, e10, e11, e12, f04, g05, g06, h14,
+                              d18, d19, d22, e10, e11, e12, f04, g05, g06, h14,
                               h15, h16, h17, h18, h19, h20, i07, j04, k14,
                               k15, k16, k17, k18, k19)
 }

@@ -58,5 +58,37 @@ object ScanOps {
         .orderBy(asc_nulls_last("l_orderkey"), asc_nulls_last("l_linenumber"),
                  asc_nulls_last("l_shipdate"), asc_nulls_last("l_quantity")))
 
-  def ops: Vector[Q] = Vector(a01, a02, a03)
+  /** a04 — deterministic fractional sampling by key hash (the `SAMPLE k`
+    * clause analog: the engine samples `hash(key) < k * 2^32` so the same key
+    * is in or out of the sample forever, and a 1/8 sample is a superset-stable
+    * subset of a 1/4 sample [public: ClickHouse SAMPLE docs]). Knuth
+    * multiplicative hash `(key * 2654435761) mod 2^32` in plain int64
+    * arithmetic — bit-identical in both engines, no engine-specific hash.
+    * Scale: the predicate is evaluated row-local at the scan (map-only, no
+    * shuffle until the aggregate); at 100 TB a sample-aware layout would
+    * additionally sort row groups by the sample hash so the scan skips
+    * (1 − k) of the file bytes via min/max pruning — the arithmetic here is
+    * exactly what that layout would order by. Sums routed through DECIMAL
+    * (Determinism.dsum) so partial-merge order cannot perturb bits. */
+  val a04: Q = Q(
+    "a04_sample_key",
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${Determinism.dsumSql("o_totalprice")} AS sum_price,
+       |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+       |FROM orders
+       |WHERE (o_orderkey * 2654435761) % 4294967296 < 536870912
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .filter((col("o_orderkey") * lit(2654435761L)) % lit(4294967296L) <
+                lit(536870912L))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+             Determinism.dsum(col("o_totalprice")).as("sum_price"),
+             min(col("o_orderkey")).as("min_key"),
+             max(col("o_orderkey")).as("max_key"))
+        .orderBy(asc_nulls_last("o_orderstatus")))
+
+  def ops: Vector[Q] = Vector(a01, a02, a03, a04)
 }
