@@ -1,5 +1,6 @@
 package graft.engine
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Determinism._
 
@@ -205,5 +206,50 @@ object StreamBatchOps {
         .orderBy(asc_nulls_last("user_id"))
     })
 
-  def ops: Vector[Q] = Vector(j01, j02, j03, j05, j06, j07)
+  /** j08 — ClickHouse `sequenceCount('(?1).*(?2)')` analog [public: CH docs]:
+    * the NUMBER of non-overlapping signup→purchase chains per user (j07 asks
+    * "did it occur", this asks "how many times"). The search is greedy
+    * left-to-right — which is exactly bracket matching (signup = open,
+    * purchase = close), so the count has a closed one-pass form: matched
+    * closers = total_purchases − unmatched_purchases, and the unmatched
+    * count is the maximum prefix excess max(0, max_t(cumB(t) − cumA(t))).
+    * One cumulative window + one hash agg — no state machine, no per-user
+    * sequence materialization (unlike j07's bounded string render), scales
+    * as any per-key running sum. Ties inside a timestamp break on event_id
+    * in both engines (explicit ROWS frame + total order). */
+  val j08: Q = Q(
+    "j08_sequence_count",
+    """SELECT user_id,
+      |  CAST(total_b - GREATEST(0, max_excess) AS BIGINT) AS n_chains
+      |FROM (
+      |  SELECT user_id, MAX(cum_b) AS total_b, MAX(cum_b - cum_a) AS max_excess
+      |  FROM (
+      |    SELECT user_id,
+      |      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER
+      |        (PARTITION BY user_id ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+      |      SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER
+      |        (PARTITION BY user_id ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a
+      |    FROM events)
+      |  GROUP BY user_id)
+      |ORDER BY user_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc_nulls_last("ts"), asc_nulls_last("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).over(w).as("cum_b"),
+          sum(when(col("event_type") === "signup", 1).otherwise(0)).over(w).as("cum_a"))
+        .groupBy("user_id")
+        .agg(max(col("cum_b")).as("total_b"),
+             max(col("cum_b") - col("cum_a")).as("max_excess"))
+        .select(col("user_id"),
+          (col("total_b") - greatest(lit(0L), col("max_excess")))
+            .cast("long").as("n_chains"))
+        .orderBy(asc_nulls_last("user_id"))
+    })
+
+  def ops: Vector[Q] = Vector(j01, j02, j03, j05, j06, j07, j08)
 }

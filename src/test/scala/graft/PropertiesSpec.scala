@@ -107,4 +107,41 @@ object GraftProperties extends Properties("graft") {
         xs.minBy { case (cid, sim) => (-sim, cid) }
       win(scored) == win(scored.reverse)
     }
+
+  /** j08's closed form IS greedy non-overlapping A→B chain counting: matched
+    * closers = total_B − max(0, max prefix excess of B over A) — the bracket-
+    * matching identity that lets sequenceCount run as one window pass. */
+  property("sequence-count closed form equals greedy bracket matching") =
+    forAll(Gen.listOf(Gen.oneOf('a', 'b', 'x'))) { evs =>
+      var open = 0; var matched = 0
+      evs.foreach {
+        case 'a' => open += 1
+        case 'b' => if (open > 0) { open -= 1; matched += 1 }
+        case _   => ()
+      }
+      val cumB = evs.scanLeft(0)((n, c) => n + (if (c == 'b') 1 else 0)).drop(1)
+      val cumA = evs.scanLeft(0)((n, c) => n + (if (c == 'a') 1 else 0)).drop(1)
+      val totalB = cumB.lastOption.getOrElse(0)
+      val maxExcess =
+        if (evs.isEmpty) 0
+        else cumB.zip(cumA).map { case (b, a) => b - a }.max
+      matched == totalB - math.max(0, maxExcess)
+    }
+
+  /** d22's windowed threshold rule equals the multiset-expansion definition of
+    * the discrete weighted quantile (repeat each value `weight` times, take
+    * the rank-⌈q·N⌉ element) — integral weights, so cum sums are exact. */
+  property("weighted quantile closed form equals multiset expansion") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 100), Gen.choose(1, 5)))) { vw =>
+      List(0.5, 0.9).forall { q =>
+        val sorted = vw.sortBy(_._1)
+        val tw = vw.map(_._2).sum
+        val cums = sorted.scanLeft(0)((n, p) => n + p._2).drop(1)
+        val closed = sorted.zip(cums)
+          .collectFirst { case ((v, _), cw) if cw >= q * tw => v }.get
+        val expanded = sorted.flatMap { case (v, w) => List.fill(w)(v) }
+        val rank = math.max(1, math.ceil(q * expanded.size).toInt)
+        closed == expanded(rank - 1)
+      }
+    }
 }
