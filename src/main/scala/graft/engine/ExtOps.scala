@@ -869,8 +869,52 @@ object ExtOps {
         .orderBy(asc_nulls_last("event_id"))
     })
 
+  /** e13 — union-of-intervals length per key (ClickHouse `intervalLengthSum`
+    * analog [public: CH docs]): each event covers [ts, ts + value minutes);
+    * overlapping coverage counts once. Classic sweep as ONE window pass:
+    * sort by start, carry the running max of prior ends, and each row
+    * contributes max(0, end − max(start, prev_max_end)) — no interval
+    * self-join, no explode-to-seconds blowup; scales as any per-key window.
+    * Cross-engine exactness: all arithmetic in integral epoch-µs; the
+    * double `value` is first rounded to exact integer cents and then
+    * integer-multiplied (a direct `CAST(value*6e7 AS BIGINT)` diverges —
+    * Spark truncates where DuckDB rounds, off-by-1µs on e.g. 0.03). */
+  val e13: Q = Q(
+    "e13_interval_union",
+    """SELECT user_id,
+      |  CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(pme, s)))) AS BIGINT)
+      |    AS covered_us,
+      |  COUNT(*) AS n
+      |FROM (
+      |  SELECT user_id, s, e,
+      |    MAX(e) OVER (PARTITION BY user_id
+      |      ORDER BY s ASC NULLS LAST, event_id ASC NULLS LAST
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      |  FROM (SELECT user_id, event_id, epoch_us(ts) AS s,
+      |          epoch_us(ts) + CAST(ROUND(value * 100, 0) AS BIGINT) * 600000 AS e
+      |        FROM events))
+      |GROUP BY user_id
+      |ORDER BY user_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc_nulls_last("s"), asc_nulls_last("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+                unix_micros(col("ts")).as("s"),
+                (unix_micros(col("ts")) +
+                 round(col("value") * 100, 0).cast("long") * 600000L).as("e"))
+        .withColumn("pme", max(col("e")).over(w))
+        .groupBy("user_id")
+        .agg(sum(greatest(lit(0L),
+               col("e") - greatest(col("s"), coalesce(col("pme"), col("s")))))
+               .cast("long").as("covered_us"),
+             count(lit(1)).as("n"))
+        .orderBy(asc_nulls_last("user_id"))
+    })
+
   def ops: Vector[Q] = Vector(b06, b07, b08, b09, c13, d14, d15, d16, d17,
-                              d18, d19, d22, e10, e11, e12, f04, g05, g06, h14,
-                              h15, h16, h17, h18, h19, h20, i07, j04, k14,
+                              d18, d19, d22, e10, e11, e12, e13, f04, g05, g06,
+                              h14, h15, h16, h17, h18, h19, h20, i07, j04, k14,
                               k15, k16, k17, k18, k19)
 }

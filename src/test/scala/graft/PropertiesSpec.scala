@@ -128,6 +128,24 @@ object GraftProperties extends Properties("graft") {
       matched == totalB - math.max(0, maxExcess)
     }
 
+  /** e13's one-pass sweep (each interval contributes max(0, end − max(start,
+    * max prior end)) in start order) equals the textbook merge-intervals
+    * union length — overlaps counted once, containment and duplicates safe. */
+  property("interval union sweep equals merged-interval length") =
+    forAll(Gen.listOf(Gen.zip(Gen.choose(0L, 100L), Gen.choose(0L, 30L)))) { sl =>
+      val iv = sl.map { case (s, len) => (s, s + len) }.sortBy(identity)
+      val brute = iv.foldLeft(List.empty[(Long, Long)]) {
+        case ((ms, me) :: tail, (s, e)) if s <= me =>
+          (ms, math.max(me, e)) :: tail
+        case (acc, (s, e)) => (s, e) :: acc
+      }.map { case (s, e) => e - s }.sum
+      val sweep = iv.zipWithIndex.map { case ((s, e), i) =>
+        val pme = if (i == 0) s else math.max(s, iv.take(i).map(_._2).max)
+        math.max(0L, e - pme)
+      }.sum
+      brute == sweep
+    }
+
   /** d22's windowed threshold rule equals the multiset-expansion definition of
     * the discrete weighted quantile (repeat each value `weight` times, take
     * the rank-⌈q·N⌉ element) — integral weights, so cum sums are exact. */
