@@ -869,6 +869,54 @@ object ExtOps {
         .orderBy(asc_nulls_last("event_id"))
     })
 
+  /** h21 — array-transform family (`arrayCumSum` / `arrayDifference` analogs
+    * [public: CH docs]): per-row prefix sums and adjacent deltas of the
+    * embedding vector, first delta 0 (CH convention). The Spark side is
+    * PURE per-row array HOFs — `aggregate` folds the prefix sums
+    * left-to-right, two-arg `transform` indexes the previous element — so
+    * the plan is a map-only project over the scan: no explode, no shuffle,
+    * nothing but the row's own 64 floats touched (the 100 TB shape). Only
+    * the oracle explodes (DuckDB has no list prefix-scan). ANSI-safe: every
+    * `element_at` is guarded by a lazily-evaluated conditional. Float32 →
+    * DOUBLE before math on both engines (FIXTURES gotcha); ROUND 4 absorbs
+    * fold-order ulps. */
+  val h21: Q = Q(
+    "h21_arr_scan_funcs",
+    """SELECT vec_id,
+      |  ARRAY_TO_STRING(list(CAST(ROUND(cs * 10000, 0) AS BIGINT) ORDER BY i), '|')
+      |    AS cum_sum,
+      |  ARRAY_TO_STRING(list(CAST(ROUND(df * 10000, 0) AS BIGINT) ORDER BY i), '|')
+      |    AS adj_diff
+      |FROM (
+      |  SELECT vec_id, i,
+      |    SUM(x) OVER (PARTITION BY vec_id ORDER BY i) AS cs,
+      |    CASE WHEN i = 1 THEN 0.0
+      |         ELSE x - LAG(x) OVER (PARTITION BY vec_id ORDER BY i) END AS df
+      |  FROM (
+      |    SELECT vec_id, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS x
+      |    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)))
+      |GROUP BY vec_id
+      |ORDER BY vec_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val arrD = transform(col("embedding"), _.cast("double"))
+      val cums = aggregate(
+        arrD,
+        typedlit(Seq.empty[Double]),
+        (acc, x) => concat(acc, array(
+          when(size(acc) === 0, x)
+            .otherwise(element_at(acc, size(acc)) + x))))
+      // render in exact 1e-4 integer units: double→string formatting is
+      // dialect-divergent, integer strings are not
+      def units(c: Column): Column = round(c * 10000, 0).cast("long")
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+                array_join(transform(cums, units(_)), "|").as("cum_sum"),
+                array_join(transform(arrD, (x, i) =>
+                  units(when(i === 0, lit(0.0))
+                          .otherwise(x - element_at(arrD, i)))), "|").as("adj_diff"))
+        .orderBy(asc_nulls_last("vec_id"))
+    })
+
   /** e13 — union-of-intervals length per key (ClickHouse `intervalLengthSum`
     * analog [public: CH docs]): each event covers [ts, ts + value minutes);
     * overlapping coverage counts once. Classic sweep as ONE window pass:
@@ -915,6 +963,6 @@ object ExtOps {
 
   def ops: Vector[Q] = Vector(b06, b07, b08, b09, c13, d14, d15, d16, d17,
                               d18, d19, d22, e10, e11, e12, e13, f04, g05, g06,
-                              h14, h15, h16, h17, h18, h19, h20, i07, j04, k14,
+                              h14, h15, h16, h17, h18, h19, h20, h21, i07, j04, k14,
                               k15, k16, k17, k18, k19)
 }
