@@ -246,6 +246,31 @@ object AggOps {
         .na.fill(0L)
         .orderBy(asc_nulls_last("user_id")))
 
+  /** d23 — GROUPING()/GROUPING_ID over a rollup: the indicator that
+    * disambiguates a subtotal row's NULL from a data NULL (without it,
+    * rollup output is ambiguous the moment a grouping column is nullable).
+    * Same two-phase HashAggregate shape as d05 — the Expand operator tags
+    * each grouping set, so the indicators are free metadata, not an extra
+    * pass. */
+  val d23: Q = Q(
+    "d23_grouping_id",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid ASC, l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+             grouping(col("l_linestatus")).cast("int").as("g_ls"),
+             grouping_id().cast("int").as("gid"),
+             count(lit(1)).as("n"))
+        .orderBy(asc("gid"), asc_nulls_last("l_returnflag"),
+                 asc_nulls_last("l_linestatus")))
+
   def ops: Vector[Q] = Vector(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-                              d11, d12, d13)
+                              d11, d12, d13, d23)
 }

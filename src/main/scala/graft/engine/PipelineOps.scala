@@ -664,6 +664,45 @@ object PipelineOps {
                 md5(col("col.c")).as("chunk_md5"))
         .orderBy(asc_nulls_last("doc_id"), asc_nulls_last("chunk_idx")))
 
+  /** k36 — per-document token-entropy quality signal (the Shannon-entropy
+    * filter of C4/Gopher-style corpus cleaning [public: Raffel et al. 2020,
+    * Rae et al. 2021]): H = −Σ p·log2 p over the document's token
+    * frequencies. Low entropy = repetitive/boilerplate text; pipelines
+    * threshold on it next to k09's ratio scores. Shape: one explode +
+    * per-(doc, token) count + per-doc window total + one hash agg — token
+    * cardinality, not corpus size, crosses the aggregation, and no state
+    * outlives a doc_id group. ROUND 4 absorbs sum-order ulps (the repo's
+    * determinism class for float reductions, cf. k20). */
+  val k36: Q = Q(
+    "k36_token_entropy",
+    """SELECT doc_id, ROUND(ent, 4) AS entropy, n_tokens FROM (
+      |  SELECT doc_id,
+      |    -SUM((c * 1.0 / tot) * LOG2(c * 1.0 / tot)) AS ent,
+      |    CAST(tot AS BIGINT) AS n_tokens
+      |  FROM (
+      |    SELECT doc_id, tok, COUNT(*) AS c,
+      |      SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS tot
+      |    FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+      |          FROM documents)
+      |    GROUP BY doc_id, tok)
+      |  GROUP BY doc_id, tot)
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val tot = Window.partitionBy("doc_id")
+      val p = col("c") * lit(1.0) / col("tot")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("tot", sum(col("c")).over(tot))
+        .groupBy("doc_id", "tot")
+        .agg((-sum(p * log2(p))).as("ent"))
+        .select(col("doc_id"), round(col("ent"), 4).as("entropy"),
+                col("tot").cast("long").as("n_tokens"))
+        .orderBy(asc_nulls_last("doc_id"))
+    })
+
   def ops: Vector[Q] = Vector(k20, k21, k22, d20, k23, k24, d21, k25, k26,
-                              k27, k28, k29, k30, k31, k32, k33, k34, k35)
+                              k27, k28, k29, k30, k31, k32, k33, k34, k35,
+                              k36)
 }
