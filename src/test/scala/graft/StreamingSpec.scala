@@ -607,4 +607,62 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming sequenceCount equals the batch greedy scan across micro-batches") {
+    import graft.streaming.StreamingSequenceCount
+    import graft.streaming.StreamingSequenceCount.{ChainCount, EventIn}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[EventIn]
+    val q = StreamingSequenceCount.chainCounts(in.toDS()).writeStream
+      .format("memory").queryName("seqcount_t").outputMode(OutputMode.Update).start()
+    // per-user event logs, cut mid-chain at the batch boundary: user 1 has an
+    // open signup straddling the batches, user 2 closes before opening, user 3
+    // sees purchases only
+    val batch1 = Seq(
+      EventIn(1, 100, 1, "signup"), EventIn(1, 200, 2, "purchase"),
+      EventIn(1, 300, 3, "signup"),                         // still open
+      EventIn(2, 100, 4, "purchase"), EventIn(2, 200, 5, "signup"),
+      EventIn(3, 100, 6, "purchase"),
+      // out-of-order arrival inside one batch: must sort by (ts, event_id)
+      EventIn(4, 200, 8, "purchase"), EventIn(4, 100, 7, "signup"))
+    val batch2 = Seq(
+      EventIn(1, 400, 9, "purchase"),  // closes the straddling chain
+      EventIn(1, 500, 10, "purchase"), // nothing open → no match
+      EventIn(2, 300, 11, "purchase"), // closes batch-1's signup
+      EventIn(3, 200, 12, "purchase"))
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      // last emission per user is the running total
+      val got = spark.table("seqcount_t").as[ChainCount].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.last.n_chains }
+      // brute-force greedy over the full concatenated log (the semantic the
+      // bracket identity is property-proven equal to)
+      val expected = (batch1 ++ batch2).groupBy(_.user_id).map { case (u, evs) =>
+        var open = 0L; var matched = 0L
+        evs.sortBy(e => (e.ts_micros, e.event_id)).foreach {
+          case e if e.event_type == "signup" => open += 1
+          case e if e.event_type == "purchase" && open > 0 =>
+            open -= 1; matched += 1
+          case _ => ()
+        }
+        u -> matched
+      }
+      assert(got == expected,
+        s"streaming chain counts must equal batch greedy: got $got, want $expected")
+      assert(got(3L) == 0L && got(1L) == 2L && got(2L) == 1L && got(4L) == 1L)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
