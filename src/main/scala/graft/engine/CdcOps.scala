@@ -191,5 +191,37 @@ object CdcOps {
       Mv.finalizeState(merged, keys).orderBy(asc_nulls_last("event_type"))
     })
 
-  def ops: Vector[Q] = Vector(i01, i02, i03, i04, i05, i06, i08, i09, i10)
+  /** i11 — TTL lifecycle split (the MergeTree `TTL … DELETE` / `TTL … GROUP
+    * BY` analog [public: ClickHouse TTL docs]): rows older than 14 days
+    * behind the stream's OWN frontier (max ts — no wall clock, so the query
+    * is deterministic and replayable) are "expired"; per user the expired
+    * set is rolled up to count+sum (what a TTL GROUP BY keeps) while the
+    * live set stays detailed. The frontier is the i08/i09 1-row broadcast
+    * cutoff; everything else is one conditional hash agg — a TTL pass at
+    * 100 TB is exactly this shape plus a partition-pruned rewrite of only
+    * the partitions straddling the cutoff. */
+  val i11: Q = Q(
+    "i11_ttl_expiry",
+    s"""SELECT user_id,
+       |  COUNT(CASE WHEN ts < cut THEN 1 END) AS n_expired,
+       |  COUNT(CASE WHEN ts >= cut THEN 1 END) AS n_live,
+       |  ${Determinism.dsumSql("CASE WHEN ts < cut THEN value END")} AS sum_expired_value,
+       |  ${Determinism.dsumSql("CASE WHEN ts >= cut THEN value END")} AS sum_live_value
+       |FROM events, (SELECT MAX(ts) - INTERVAL 14 DAY AS cut FROM events)
+       |GROUP BY user_id
+       |ORDER BY user_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val cut = e.agg((max(col("ts")) - expr("INTERVAL 14 DAYS")).as("cut"))
+      val expired = col("ts") < col("cut")
+      e.crossJoin(broadcast(cut))
+        .groupBy("user_id")
+        .agg(count(when(expired, 1)).as("n_expired"),
+             count(when(!expired, 1)).as("n_live"),
+             Determinism.dsum(when(expired, col("value"))).as("sum_expired_value"),
+             Determinism.dsum(when(!expired, col("value"))).as("sum_live_value"))
+        .orderBy(asc_nulls_last("user_id"))
+    })
+
+  def ops: Vector[Q] = Vector(i01, i02, i03, i04, i05, i06, i08, i09, i10, i11)
 }
