@@ -917,6 +917,40 @@ object ExtOps {
         .orderBy(asc_nulls_last("vec_id"))
     })
 
+  /** h22 — `arrayEnumerateUniq` analog [public: CH docs]: per-token
+    * occurrence numbering over the document's 20-token prefix (the k-th
+    * time a token repeats gets k) — the primitive CH uses for
+    * first-occurrence filtering and per-element dedup inside arrays.
+    * Spark side is map-only array HOFs (indexed `transform` + `filter`
+    * over the row's own prefix — O(prefix²) per row on a bounded prefix,
+    * no explode, no shuffle); only the oracle explodes to a window. Token
+    * strings ride along so the numbering is self-evident in the output. */
+  val h22: Q = Q(
+    "h22_arr_enumerate",
+    """SELECT doc_id,
+      |  ARRAY_TO_STRING(list(occ ORDER BY i), '|') AS occ_idx,
+      |  ARRAY_TO_STRING(list(tok ORDER BY i), '|') AS toks
+      |FROM (
+      |  SELECT doc_id, i, tok,
+      |    COUNT(*) OVER (PARTITION BY doc_id, tok ORDER BY i) AS occ
+      |  FROM (
+      |    SELECT doc_id, t.i AS i, toks[t.i] AS tok
+      |    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+      |         unnest(generate_series(1, LEAST(len(toks), 20))) AS t(i)))
+      |GROUP BY doc_id
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val pfx = slice(split(col("text"), " "), 1, 20)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), pfx.as("toks20"))
+        .select(col("doc_id"),
+                array_join(transform(col("toks20"), (t, i) =>
+                  size(filter(slice(col("toks20"), lit(1), i + 1), x => x === t))),
+                  "|").as("occ_idx"),
+                array_join(col("toks20"), "|").as("toks"))
+        .orderBy(asc_nulls_last("doc_id"))
+    })
+
   /** e13 — union-of-intervals length per key (ClickHouse `intervalLengthSum`
     * analog [public: CH docs]): each event covers [ts, ts + value minutes);
     * overlapping coverage counts once. Classic sweep as ONE window pass:
@@ -963,6 +997,7 @@ object ExtOps {
 
   def ops: Vector[Q] = Vector(b06, b07, b08, b09, c13, d14, d15, d16, d17,
                               d18, d19, d22, e10, e11, e12, e13, f04, g05, g06,
-                              h14, h15, h16, h17, h18, h19, h20, h21, i07, j04, k14,
+                              h14, h15, h16, h17, h18, h19, h20, h21, h22, i07,
+                              j04, k14,
                               k15, k16, k17, k18, k19)
 }
