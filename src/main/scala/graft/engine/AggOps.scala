@@ -271,6 +271,44 @@ object AggOps {
         .orderBy(asc("gid"), asc_nulls_last("l_returnflag"),
                  asc_nulls_last("l_linestatus")))
 
+  /** d24 — the `-If` combinator family beyond d18's countIf (`sumIf` /
+    * `avgIf` / `minIf` / `argMaxIf` analogs [public: CH combinator docs]):
+    * conditional aggregates in ONE pass over the group — Spark's
+    * `agg(f(when(cond, e)))` and SQL's `FILTER (WHERE cond)` are the same
+    * partial-aggregate shape, so nothing extra crosses the shuffle. The
+    * argMaxIf rides a struct max (price, status) — ties on price resolve
+    * lexicographically on status, total-ordered on BOTH engines, where a
+    * bare ARG_MAX/max_by tie is engine-arbitrary. Sums/avgs on the
+    * Determinism decimal route. */
+  val d24: Q = Q(
+    "d24_agg_if_combinators",
+    s"""SELECT l_returnflag,
+       |  CAST(SUM(CAST(CASE WHEN l_discount > 0.05 THEN l_quantity END
+       |               AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty_hi_disc,
+       |  ROUND(CAST(SUM(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice END
+       |                      AS DECIMAL(18,6))) AS DOUBLE)
+       |        / COUNT(CASE WHEN l_discount > 0.05 THEN l_extendedprice END), 4)
+       |    AS avg_price_hi_disc,
+       |  MIN(CASE WHEN l_quantity >= 40 THEN l_extendedprice END) AS min_price_bulk,
+       |  (MAX(CASE WHEN l_discount > 0.05
+       |            THEN {'p': l_extendedprice, 's': l_linestatus} END)).s
+       |    AS status_of_max
+       |FROM lineitem GROUP BY l_returnflag
+       |ORDER BY l_returnflag ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val hiDisc = col("l_discount") > 0.05
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          Determinism.dsum(when(hiDisc, col("l_quantity"))).as("sum_qty_hi_disc"),
+          Determinism.davg(when(hiDisc, col("l_extendedprice"))).as("avg_price_hi_disc"),
+          min(when(col("l_quantity") >= 40, col("l_extendedprice"))).as("min_price_bulk"),
+          max(when(hiDisc, struct(col("l_extendedprice").as("p"),
+                                  col("l_linestatus").as("s"))))
+            .getField("s").as("status_of_max"))
+        .orderBy(asc_nulls_last("l_returnflag"))
+    })
+
   def ops: Vector[Q] = Vector(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
-                              d11, d12, d13, d23)
+                              d11, d12, d13, d23, d24)
 }
