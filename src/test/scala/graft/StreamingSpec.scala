@@ -665,4 +665,56 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming interval union equals the batch sweep across micro-batches") {
+    import graft.streaming.StreamingIntervalUnion
+    import graft.streaming.StreamingIntervalUnion.{Coverage, IntervalIn}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[IntervalIn]
+    val q = StreamingIntervalUnion.coverage(in.toDS()).writeStream
+      .format("memory").queryName("ivu_t").outputMode(OutputMode.Update).start()
+    // user 1: overlap inside batch 1, then a batch-2 interval overlapping the
+    // batch-1 frontier; user 2: containment + duplicate; user 3: zero-length
+    // plus disjoint; out-of-order arrival inside batch 1 exercises the sort
+    val batch1 = Seq(
+      IntervalIn(1, 10, 20, 2), IntervalIn(1, 0, 15, 1),
+      IntervalIn(2, 0, 100, 3), IntervalIn(2, 10, 50, 4), IntervalIn(2, 0, 100, 5),
+      IntervalIn(3, 5, 5, 6))
+    val batch2 = Seq(
+      IntervalIn(1, 15, 30, 7),  // overlaps the persisted frontier (20)
+      IntervalIn(3, 10, 12, 8))
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val got = spark.table("ivu_t").as[Coverage].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.last.covered }
+      // brute force: merged-interval union over the full log (the law
+      // PropertiesSpec proves equal to the e13 sweep)
+      val expected = (batch1 ++ batch2).filter(iv => iv.end > iv.start)
+        .groupBy(_.user_id).map { case (u, ivs) =>
+          val sorted = ivs.map(iv => (iv.start, iv.end)).sortBy(identity)
+          val merged = sorted.foldLeft(List.empty[(Long, Long)]) {
+            case ((ms, me) :: tail, (st2, e)) if st2 <= me =>
+              (ms, math.max(me, e)) :: tail
+            case (acc, (st2, e)) => (st2, e) :: acc
+          }
+          u -> merged.map { case (st2, e) => e - st2 }.sum
+        }
+      assert(got == expected,
+        s"streaming coverage must equal batch union: got $got, want $expected")
+      assert(got(1L) == 30L && got(2L) == 100L && got(3L) == 2L)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
