@@ -388,6 +388,43 @@ object JoinOps {
         .limit(20)
     })
 
+  /** c19 — interval/point range join on the scale-safe binned plan: errors
+    * within 2 hours after each purchase, per user. A raw `ON user AND ts
+    * BETWEEN s AND e` plans BroadcastNestedLoopJoin (the c09 class of
+    * bug); `operators.RangeJoin.binnedPointJoin` quantizes time into 1-hour
+    * bins, replicates each interval to its ≤ 3 touched bins, maps each
+    * point to its ONE bin, and equi-joins on (user, bin) + exact
+    * post-filter — a plain hash exchange, no nested loop (the full-surface
+    * plan sweep enforces exactly this). LEFT semantics: purchases with no
+    * errors count 0 via NULL-skipping count. */
+  val c19: Q = Q(
+    "c19_join_range_binned",
+    """SELECT p.event_id AS purchase_id, COUNT(e.event_id) AS n_errors_2h
+      |FROM (SELECT user_id, event_id, ts FROM events
+      |      WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT user_id, event_id, ts FROM events
+      |           WHERE event_type = 'error') e
+      |  ON p.user_id = e.user_id AND e.ts >= p.ts
+      | AND e.ts < p.ts + INTERVAL 2 HOUR
+      |GROUP BY p.event_id
+      |ORDER BY purchase_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val binUs = 3600L * 1000000L
+      val iv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+                unix_micros(col("ts")).as("s0"))
+        .withColumn("e0", col("s0") + 7200L * 1000000L)
+      val pt = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+                unix_micros(col("ts")).as("t0"))
+      graft.operators.RangeJoin
+        .binnedPointJoin(iv, pt, "user_id", "s0", "e0", "t0", binUs)
+        .groupBy("purchase_id")
+        .agg(count(col("error_id")).as("n_errors_2h"))
+        .orderBy(asc_nulls_last("purchase_id"))
+    })
+
   def ops: Vector[Q] = Vector(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10,
-                              c11, c12, c14, c15, c16, c17, c18)
+                              c11, c12, c14, c15, c16, c17, c18, c19)
 }
