@@ -16,9 +16,10 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("a02_scan_project", "a03_scan_filter_pushdown", "c02_join_broadcast",
-               "c10_join_multiway", "c11_join_asof", "d02_agg_group_q1",
-               "e08_win_topk_group", "f03_topk_global", "k03_sim_topk_cosine",
-               "k16_ivf_assign", "k19_simhash_neardup", "k20_tfidf_topterms")
+               "c10_join_multiway", "c11_join_asof", "c19_join_range_binned",
+               "d02_agg_group_q1", "e08_win_topk_group", "f03_topk_global",
+               "h21_arr_scan_funcs", "k03_sim_topk_cosine", "k16_ivf_assign",
+               "k19_simhash_neardup", "k20_tfidf_topterms")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -128,6 +128,21 @@ object GraftProperties extends Properties("graft") {
       matched == totalB - math.max(0, maxExcess)
     }
 
+  /** c19/RangeJoin's bin cover is lossless and dupe-free: a point inside
+    * [s, e) always lands in one of the interval's replicated bins (the
+    * equi-join pre-filter is a superset of the true range predicate), and
+    * the point's single bin occurs at most once in the interval's bin list
+    * (no pair duplication, so no dedup pass is needed). */
+  property("binned range join cover is lossless and dupe-free") =
+    forAll(Gen.choose(0L, 200L), Gen.choose(0L, 60L),
+           Gen.choose(0L, 260L), Gen.choose(1L, 50L)) { (s, len, p, w) =>
+      val e = s + len
+      val bins = (s / w) to (math.max(e - 1, s) / w)
+      val joined = bins.contains(p / w) && p >= s && p < e
+      val inRange = p >= s && p < e
+      joined == inRange && bins.count(_ == p / w) <= 1
+    }
+
   /** e13's one-pass sweep (each interval contributes max(0, end − max(start,
     * max prior end)) in start order) equals the textbook merge-intervals
     * union length — overlaps counted once, containment and duplicates safe. */
