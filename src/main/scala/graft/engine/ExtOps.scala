@@ -869,6 +869,92 @@ object ExtOps {
         .orderBy(asc_nulls_last("event_id"))
     })
 
+  /** e14 — linear gap interpolation over a dense time grid (the `WITH FILL
+    * … INTERPOLATE` analog [public: CH ORDER BY WITH FILL docs]; j04 is the
+    * step-fill form): hourly averages of high-value events (155 of 696
+    * hours present at sf0.01), missing hours linearly interpolated between
+    * the surrounding known points, NULL outside the known span. The
+    * carried (time, value) structs ride LAST/FIRST IGNORE NULLS windows in
+    * both directions — one pass, no self-join, no grid × knowns product.
+    * Determinism: knowns go through the davg decimal route FIRST, so the
+    * interpolation inputs are bit-identical cross-engine — and the final
+    * rounding is INTEGER-EXACT, not a float ROUND: interpolated midpoints
+    * systematically land on exact .00005 halves (¼ of 2-hour-gap midpoints
+    * do), where Spark's decimal-exact HALF_UP and DuckDB's binary-scaled
+    * round disagree (observed live: 249.8912 vs 249.8913). Instead the
+    * 1e-4-unit numerator pv4·(n−k) + nv4·k is computed as an exact
+    * integer and half-up rounded as (2·num + n) DIV (2·n) — pure integer
+    * ops, bit-identical by construction; only the final /10000.0 touches
+    * floats (same integer, same constant, same quotient). The global
+    * (unpartitioned) window is bounded by the GRID (696 rows), never the
+    * events; at 100 TB the grid partitions per series key like every fill
+    * operator here. */
+  val e14: Q = Q(
+    "e14_gapfill_interpolate",
+    s"""WITH hours AS (
+       |  SELECT UNNEST(GENERATE_SERIES(TIMESTAMP '2024-01-01 00:00:00',
+       |                                TIMESTAMP '2024-01-29 23:00:00',
+       |                                INTERVAL 1 HOUR)) AS h),
+       |c AS (SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS h,
+       |        ${Determinism.davgSql("value")} AS v
+       |      FROM events WHERE value > 200 GROUP BY 1),
+       |g AS (SELECT hours.h AS h, epoch_us(hours.h) / 3600000000 AS i, c.v AS v
+       |      FROM hours LEFT JOIN c ON hours.h = c.h),
+       |w AS (SELECT h, i, v,
+       |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN {'i': i, 'v': v} END IGNORE NULLS)
+       |      OVER (ORDER BY i ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk,
+       |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN {'i': i, 'v': v} END IGNORE NULLS)
+       |      OVER (ORDER BY i ASC ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nk
+       |  FROM g)
+       |SELECT h,
+       |  CASE WHEN v IS NOT NULL THEN v
+       |       WHEN pk IS NOT NULL AND nk IS NOT NULL AND nk.i > pk.i THEN
+       |         ((2 * (CAST(ROUND(pk.v * 10000, 0) AS BIGINT) * (n - k)
+       |                + CAST(ROUND(nk.v * 10000, 0) AS BIGINT) * k) + n)
+       |          // (2 * n)) / 10000.0
+       |  END AS filled,
+       |  CAST(v IS NOT NULL AS INT) AS known
+       |FROM (SELECT h, v, pk, nk,
+       |        CAST(nk.i - pk.i AS BIGINT) AS n,
+       |        CAST(i - pk.i AS BIGINT) AS k
+       |      FROM w)
+       |ORDER BY h ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val hours = s.range(1).select(
+        explode(expr(
+          "sequence(TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-29 23:00:00', INTERVAL 1 HOUR)"))
+          .as("h"))
+      val knowns = Tables.events(s, dir)
+        .filter(col("value") > 200)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(Determinism.davg(col("value")).as("v"))
+      val grid = hours.join(knowns, Seq("h"), "left")
+        .withColumn("i", (unix_micros(col("h")) / 3600000000L).cast("long"))
+      val carry = when(col("v").isNotNull,
+                       struct(col("i").as("i"), col("v").as("v")))
+      val back = Window.orderBy(asc("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.orderBy(asc("i"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val pv4 = round(col("pk.v") * 10000, 0).cast("long")
+      val nv4 = round(col("nk.v") * 10000, 0).cast("long")
+      val n   = (col("nk.i") - col("pk.i")).cast("long")
+      val k   = (col("i") - col("pk.i")).cast("long")
+      grid
+        .withColumn("pk", last(carry, ignoreNulls = true).over(back))
+        .withColumn("nk", first(carry, ignoreNulls = true).over(fwd))
+        .withColumn("__num2", (pv4 * (n - k) + nv4 * k) * 2 + n)
+        .withColumn("__den2", n * 2)
+        .select(col("h"),
+                when(col("v").isNotNull, col("v"))
+                  .when(col("pk").isNotNull && col("nk").isNotNull &&
+                          col("nk.i") > col("pk.i"),
+                        expr("(__num2 DIV __den2) / 10000.0"))
+                  .as("filled"),
+                col("v").isNotNull.cast("int").as("known"))
+        .orderBy(asc_nulls_last("h"))
+    })
+
   /** h21 — array-transform family (`arrayCumSum` / `arrayDifference` analogs
     * [public: CH docs]): per-row prefix sums and adjacent deltas of the
     * embedding vector, first delta 0 (CH convention). The Spark side is
@@ -996,7 +1082,7 @@ object ExtOps {
     })
 
   def ops: Vector[Q] = Vector(b06, b07, b08, b09, c13, d14, d15, d16, d17,
-                              d18, d19, d22, e10, e11, e12, e13, f04, g05, g06,
+                              d18, d19, d22, e10, e11, e12, e13, e14, f04, g05, g06,
                               h14, h15, h16, h17, h18, h19, h20, h21, h22, i07,
                               j04, k14,
                               k15, k16, k17, k18, k19)
