@@ -717,4 +717,66 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming funnel depth equals the batch landmark rule across micro-batches") {
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.{EventIn, FunnelDepth}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val H = 3600L * 1000000L // one hour in micros
+    val in = MemoryStream[EventIn]
+    val q = StreamingFunnel.funnelDepth(in.toDS()).writeStream
+      .format("memory").queryName("funnel_t").outputMode(OutputMode.Update).start()
+    // user 1 completes the funnel across the batch cut; user 2's purchase is
+    // outside the 6h window of its anchor; user 3's view precedes any signup
+    // (never qualifies); user 4 stops at depth 2
+    val batch1 = Seq(
+      EventIn(1, 0 * H, 1, "signup"), EventIn(1, 1 * H, 2, "view"),
+      EventIn(2, 0 * H, 3, "signup"), EventIn(2, 1 * H, 4, "view"),
+      EventIn(3, 0 * H, 5, "view"),
+      EventIn(4, 0 * H, 6, "signup"))
+    val batch2 = Seq(
+      EventIn(1, 2 * H, 7, "purchase"),  // inside 6h of anchor → depth 3
+      EventIn(2, 8 * H, 8, "purchase"),  // outside 6h of anchor → stays 2
+      EventIn(3, 1 * H, 9, "signup"),    // anchor opens AFTER the view → 1
+      EventIn(4, 2 * H, 10, "view"))     // depth 2
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val got = spark.table("funnel_t").as[FunnelDepth].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.last.funnel_level }
+      // brute-force batch landmark rule over the full log (j05's semantics)
+      val W = 6 * H
+      val expected = (batch1 ++ batch2).groupBy(_.user_id).map { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e.ts_micros, e.event_id))
+        val l1 = sorted.collectFirst {
+          case e if e.event_type == "signup" => e.ts_micros }
+        val l2 = l1.flatMap(a => sorted.collectFirst {
+          case e if e.event_type == "view" && e.ts_micros > a &&
+            e.ts_micros <= a + W => e.ts_micros })
+        val l3 = (l1, l2) match {
+          case (Some(a), Some(b)) => sorted.collectFirst {
+            case e if e.event_type == "purchase" && e.ts_micros > b &&
+              e.ts_micros <= a + W => e.ts_micros }
+          case _ => None
+        }
+        u -> (if (l3.isDefined) 3 else if (l2.isDefined) 2
+              else if (l1.isDefined) 1 else 0)
+      }
+      assert(got == expected,
+        s"streaming funnel must equal batch landmarks: got $got, want $expected")
+      assert(got(1L) == 3 && got(2L) == 2 && got(3L) == 1 && got(4L) == 2)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
