@@ -638,4 +638,31 @@ class ApiSpec extends SparkSpec {
     assert(top.count() == 6)
     assert(top.groupBy("g").count().collect().forall(_.getLong(1) == 3))
   }
+
+  test("RangeJoin.binnedPointJoin ≡ brute-force range join on wide and empty intervals") {
+    val sp = spark
+    import sp.implicits._
+    // seeded random intervals spanning up to 10 bins (binWidth 10), including
+    // zero-length and point-free ones; points scattered across the span
+    val rnd = new scala.util.Random(7)
+    val ivs = (1 to 40).map { i =>
+      val s = rnd.nextInt(200).toLong
+      (i.toLong, (i % 5).toLong, s, s + rnd.nextInt(100).toLong) // id, key, s, e
+    }.toDF("iv_id", "k", "s", "e")
+    val pts = (1 to 120).map { i =>
+      (1000L + i, (i % 5).toLong, rnd.nextInt(320).toLong) // id, key, p
+    }.toDF("pt_id", "k", "p")
+    val got = graft.operators.RangeJoin
+      .binnedPointJoin(ivs, pts, "k", "s", "e", "p", binWidth = 10L)
+      .groupBy("iv_id")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.col("pt_id")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val ivRows = ivs.as[(Long, Long, Long, Long)].collect()
+    val ptRows = pts.as[(Long, Long, Long)].collect()
+    val want = ivRows.map { case (id, k, s, e) =>
+      id -> ptRows.count { case (_, pk, p) => pk == k && p >= s && p < e }.toLong
+    }.toMap
+    assert(got == want, s"binned ≠ brute force: ${got.toSeq.diff(want.toSeq).take(5)}")
+    assert(want.values.exists(_ == 0L), "fixture must include point-free intervals")
+  }
 }
