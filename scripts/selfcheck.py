@@ -6,8 +6,13 @@ Usage:  python3 scripts/selfcheck.py [sfDir] [outDir] [query_name ...]
 Reads outDir/oracle_sql.json (written by `sbt "runMain graft.Verify sfDir outDir"`),
 registers the 10 fixture tables as DuckDB views over sfDir, and for every query
 compares the Spark-written parquet against the oracle result: schema (column
-names sorted), row count, and exact values. Mirrors the driver: columns sorted
-by name, then value hash — so float/timestamp values must match EXACTLY.
+names sorted), row count, and BIT-EXACT serialized values. Mirrors the driver:
+columns sorted by name, rows sorted, then the SERIALIZED frame is compared —
+NOT python float equality. The distinction matters: -0.0 == 0.0 under `==` but
+they serialize (and so driver-hash) differently; r7's e12 shipped hash-red
+through exactly that gap. Floats are compared via float.hex() (IEEE bit
+pattern), so any representational divergence the driver would catch, this
+catches too.
 """
 import duckdb, json, sys, glob, math
 
@@ -15,11 +20,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    return v
+    """Serialize one value to a string whose equality == driver hash equality.
+    float.hex() is bit-exact (distinguishes -0.0/0.0, 249.8912/249.8913);
+    NaN canonicalized; everything else via str() like a serialized frame."""
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, bool):
+        return "b:%s" % v
+    if isinstance(v, float):
+        return "f:nan" if math.isnan(v) else "f:" + v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return "x:" + bytes(v).hex()
+    return "v:%s" % (v,)
 
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -81,13 +95,17 @@ def main():
             n_bad += 1; continue
         if len(mine) == 0:
             print(f"{name}: WARN empty result (counts match)")
+        # driver row-sorts both frames before hashing — do the same, sorting
+        # on the normalized serialization (orderable strings, null-safe)
+        mine_n = sorted(tuple(map(norm, r)) for r in mine)
+        theirs_n = sorted(tuple(map(norm, r)) for r in theirs)
         bad = None
-        for i, (a, b) in enumerate(zip(mine, theirs)):
-            if tuple(map(norm, a)) != tuple(map(norm, b)):
+        for i, (a, b) in enumerate(zip(mine_n, theirs_n)):
+            if a != b:
                 bad = (i, a, b); break
         if bad:
             i, a, b = bad
-            print(f"{name}: FAIL row {i}:\n  spark : {a}\n  oracle: {b}")
+            print(f"{name}: FAIL row {i} (row-sorted):\n  spark : {a}\n  oracle: {b}")
             n_bad += 1
         else:
             print(f"{name}: OK ({len(mine)} rows)")

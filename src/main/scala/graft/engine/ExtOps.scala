@@ -842,30 +842,39 @@ object ExtOps {
     * Dialect notes verified for this query: BOTH engines yield NULL for
     * double division by zero (equal timestamps) and BOTH skip NULLs in
     * GREATEST, so the first row's NULL rate clamps to 0.0 in the
-    * non-negative form identically. Seconds are micros/1e6 in both
-    * (unix_micros vs EPOCH(interval)) — the same IEEE double op, so the
-    * quotient is bit-identical and ROUND 6 is cosmetic. */
+    * non-negative form identically. NO float ROUND on the result — r7's
+    * `ROUND(rate, 6)` was the e14-family Spark-decimal-HALF_UP vs
+    * DuckDB-binary-round divergence (the one hash-red cell of r7,
+    * CORRECTNESS_r07.json) — and the rate is computed as
+    * `Δvalue * 1e6 / Δmicros` in BOTH dialects with Δmicros the EXACT
+    * integer timestamp delta: one double subtract, one multiply by the
+    * same constant, one divide by the same exactly-converted int64 —
+    * bit-identical by construction. (The obvious `Δvalue / EPOCH(Δts)`
+    * form is NOT: DuckDB's interval EPOCH division sequences the ops
+    * differently and diverges by 1 ulp — observed live at row 95 of the
+    * sf0.01 sweep, 0x1.03d16989c8b08p-15 vs …07p-15.) GREATEST(x, 0.0)
+    * is exact; no -0.0 can arise (a−a = +0.0 in IEEE RN mode). */
   val e12: Q = Q(
     "e12_running_derivative",
     """SELECT user_id, event_id,
-      |  ROUND((value - LAG(value) OVER w)
-      |          / NULLIF(EPOCH(ts - LAG(ts) OVER w), 0.0), 6) AS rate,
-      |  ROUND(GREATEST((value - LAG(value) OVER w)
-      |          / NULLIF(EPOCH(ts - LAG(ts) OVER w), 0.0), 0.0), 6) AS nn_rate
+      |  (value - LAG(value) OVER w) * 1000000.0
+      |    / NULLIF(CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS DOUBLE), 0.0) AS rate,
+      |  GREATEST((value - LAG(value) OVER w) * 1000000.0
+      |    / NULLIF(CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS DOUBLE), 0.0), 0.0) AS nn_rate
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
       |ORDER BY event_id ASC NULLS LAST""".stripMargin,
     (s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
-      val secs = (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
-        .cast("double") / 1e6
-      val rate = (col("value") - lag(col("value"), 1).over(w)) /
-        nullif(secs, lit(0.0))
+      val dmicros = (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .cast("double")
+      val rate = (col("value") - lag(col("value"), 1).over(w)) * lit(1000000.0) /
+        nullif(dmicros, lit(0.0))
       Tables.events(s, dir)
         .select(col("user_id"), col("event_id"), col("ts"), col("value"))
         .select(col("user_id"), col("event_id"),
-                round(rate, 6).as("rate"),
-                round(greatest(rate, lit(0.0)), 6).as("nn_rate"))
+                rate.as("rate"),
+                greatest(rate, lit(0.0)).as("nn_rate"))
         .orderBy(asc_nulls_last("event_id"))
     })
 
