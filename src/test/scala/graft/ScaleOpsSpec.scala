@@ -655,4 +655,46 @@ class ScaleOpsSpec extends SparkSpec {
         |FROM e_unit_t""".stripMargin).collect().head.getDouble(0)
     assert(norms < 1e-12)
   }
+
+  test("UniqUpTo: exact below cap, sentinel above, state bounded at N+1") {
+    val agg = graft.operators.UniqUpTo(10)
+    // exact side: 7 distinct values, duplicated — finish = 7
+    val small = (1L to 7L) ++ (1L to 7L)
+    val bSmall = small.foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+    assert(agg.finish(bSmall) == 7)
+    // saturated side: 1M distinct values — buffer NEVER grows past N+1 and
+    // finish reports the sentinel, not the true cardinality
+    val bBig = (1L to 1000000L).foldLeft(agg.zero) { (b, v) =>
+      val nb = agg.reduce(b, v)
+      assert(nb.seen.length <= 11, "buffer must stay capped at N+1")
+      nb
+    }
+    assert(agg.finish(bBig) == 11)
+    // merge keeps the cap and the semantics: disjoint partials that jointly
+    // exceed N must merge to the sentinel without exceeding the cap
+    val b1 = (1L to 6L).foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+    val b2 = (100L to 106L).foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+    val m = agg.merge(b1, b2)
+    assert(m.seen.length <= 11 && agg.finish(m) == 11)
+    // overlapping partials must not double-count
+    val b3 = (1L to 4L).foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+    assert(agg.finish(agg.merge(b1, b3)) == 6)
+    // nulls are skipped like COUNT(DISTINCT)
+    assert(agg.finish(agg.reduce(agg.zero, null)) == 0)
+  }
+
+  test("UniqUpTo via udaf matches LEAST(COUNT(DISTINCT), N+1) across partitions") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    // g0: 3 distinct (below cap 5); g1: 50 distinct (above cap) — shuffled
+    // across 8 partitions so the DF path exercises partial merges
+    val rows = (1 to 300).map(i => ("g0", (i % 3).toLong)) ++
+      (1 to 300).map(i => ("g1", (i % 50).toLong))
+    val df = rnd.shuffle(rows).toDF("g", "v").repartition(8)
+    val u5 = udaf(graft.operators.UniqUpTo(5), org.apache.spark.sql.Encoders.LONG)
+    val out = df.groupBy("g").agg(u5(col("v")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out == Map("g0" -> 3, "g1" -> 6), s"got $out")
+  }
 }
