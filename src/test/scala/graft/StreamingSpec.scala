@@ -779,4 +779,103 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming contamination one-batch replay equals batch k34 per-doc rollup") {
+    import graft.engine.{PipelineOps, Tables}
+    import graft.streaming.StreamingContamination
+    import graft.streaming.StreamingContamination.{DocIn, GramHit}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the fixture corpus with the SAME md5 split derivation as batch k34
+    val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+              when(h1 <= "c", "train").when(h1 === "d", "val")
+                .otherwise("test").as("split"),
+              col("text"))
+      .as[DocIn].collect()
+    val in = MemoryStream[DocIn]
+    val q = StreamingContamination.contaminationStream(in.toDS()).writeStream
+      .format("memory").queryName("contam_t").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(docs.toIndexedSeq) // whole corpus in ONE micro-batch
+      q.processAllAvailable()
+      val streamed = spark.table("contam_t").as[GramHit].collect()
+        .groupBy(_.doc_id)
+        .map { case (id, hs) =>
+          id -> ((hs.map(_.g).distinct.length.toLong, hs.map(_.contaminated_by).min))
+        }
+      val batch = PipelineOps.k34.fn(spark, sf0001).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_shared"), r.getAs[Long]("contaminated_by")))).toMap
+      assert(batch.nonEmpty, "fixture must contain contaminated docs")
+      assert(streamed == batch,
+        s"one-batch streaming rollup must equal batch k34: " +
+          s"streamOnly=${streamed.keySet -- batch.keySet} " +
+          s"batchOnly=${batch.keySet -- streamed.keySet}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming contamination is probe-at-arrival across micro-batches") {
+    import graft.streaming.StreamingContamination
+    import graft.streaming.StreamingContamination.{DocIn, GramHit}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[DocIn]
+    val q = StreamingContamination.contaminationStream(in.toDS()).writeStream
+      .format("memory").queryName("contam_xb_t").outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: a train doc, and an eval doc sharing a gram with a train
+      // doc that only arrives LATER (doc 30's gram appears in batch-2 train)
+      in.addData(
+        DocIn(10, "train", "alpha beta gamma delta"),
+        DocIn(30, "test", "one two three four"))
+      q.processAllAvailable()
+      val afterB1 = spark.table("contam_xb_t").as[GramHit].collect()
+      assert(afterB1.isEmpty, s"no contamination visible yet: ${afterB1.toSeq}")
+      // batch 2: eval doc hits batch-1 train state (cross-batch flag); a
+      // later train doc carrying doc 30's gram must NOT retro-flag doc 30
+      in.addData(
+        DocIn(20, "val", "zzz alpha beta gamma yyy"),
+        DocIn(11, "train", "one two three xxx"))
+      q.processAllAvailable()
+      val hits = spark.table("contam_xb_t").as[GramHit].collect()
+      val byDoc = hits.groupBy(_.doc_id)
+      // doc 20 shares exactly "alpha beta gamma" with train doc 10
+      assert(byDoc.get(20L).exists(hs =>
+          hs.map(h => (h.g, h.contaminated_by)).toSet == Set(("alpha beta gamma", 10L))),
+        s"cross-batch contamination must flag: ${hits.toSeq}")
+      assert(!byDoc.contains(30L),
+        s"probe-at-arrival: later train must not retro-flag: ${hits.toSeq}")
+      // batch 3: same gram again from a NEW eval doc -> flagged by min train
+      in.addData(DocIn(40, "test", "prefix one two three suffix"))
+      q.processAllAvailable()
+      val hits3 = spark.table("contam_xb_t").as[GramHit].collect()
+      assert(hits3.exists(h => h.doc_id == 40L && h.g == "one two three"
+          && h.contaminated_by == 11L),
+        s"accumulated train state must flag later eval arrivals: ${hits3.toSeq}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
