@@ -652,8 +652,9 @@ class ApiSpec extends SparkSpec {
     val pts = (1 to 120).map { i =>
       (1000L + i, (i % 5).toLong, rnd.nextInt(320).toLong) // id, key, p
     }.toDF("pt_id", "k", "p")
-    val got = graft.operators.RangeJoin
+    val joined = graft.operators.RangeJoin
       .binnedPointJoin(ivs, pts, "k", "s", "e", "p", binWidth = 10L)
+    val got = joined
       .groupBy("iv_id")
       .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.col("pt_id")).as("n"))
       .as[(Long, Long)].collect().toMap
@@ -664,5 +665,14 @@ class ApiSpec extends SparkSpec {
     }.toMap
     assert(got == want, s"binned ≠ brute force: ${got.toSeq.diff(want.toSeq).take(5)}")
     assert(want.values.exists(_ == 0L), "fixture must include point-free intervals")
+    // exact LEFT-join ROW semantics (the r7 fix): a point-free interval is
+    // exactly ONE NULL row — count(*) per interval equals the brute-force
+    // left join, so row-carrying consumers are safe, not just NULL-skipping
+    // aggregates
+    val rowCounts = joined.groupBy("iv_id").count().as[(Long, Long)].collect().toMap
+    val wantRows = want.map { case (id, n) => id -> math.max(n, 1L) }
+    assert(rowCounts == wantRows,
+      s"row semantics ≠ left join: ${rowCounts.toSeq.diff(wantRows.toSeq).take(5)}")
+    assert(joined.count() == wantRows.values.sum)
   }
 }
