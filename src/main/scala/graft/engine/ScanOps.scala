@@ -62,8 +62,16 @@ object ScanOps {
     * clause analog: the engine samples `hash(key) < k * 2^32` so the same key
     * is in or out of the sample forever, and a 1/8 sample is a superset-stable
     * subset of a 1/4 sample [public: ClickHouse SAMPLE docs]). Knuth
-    * multiplicative hash `(key * 2654435761) mod 2^32` in plain int64
-    * arithmetic — bit-identical in both engines, no engine-specific hash.
+    * multiplicative hash `((key mod 2^31) * 2654435761) mod 2^32` in plain
+    * int64 arithmetic — bit-identical in both engines, no engine-specific
+    * hash. The key is masked into 31 bits BEFORE the multiply: the max
+    * intermediate is then 2^31·2654435761 ≈ 5.7e18 < 2^63−1, so the
+    * arithmetic can never overflow int64 at ANY key scale (the unmasked
+    * form silently wrapped in Spark and errored in DuckDB past ~3.5e9 —
+    * exactly the 100 TB key domain; flagged r7). Keys congruent mod 2^31
+    * share a sample decision, which is harmless for sampling (the hash is
+    * already a many-to-one decision) and preserves the per-key stability
+    * and superset-of-smaller-rate properties.
     * Scale: the predicate is evaluated row-local at the scan (map-only, no
     * shuffle until the aggregate); at 100 TB a sample-aware layout would
     * additionally sort row groups by the sample hash so the scan skips
@@ -76,13 +84,13 @@ object ScanOps {
        |  ${Determinism.dsumSql("o_totalprice")} AS sum_price,
        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
        |FROM orders
-       |WHERE (o_orderkey * 2654435761) % 4294967296 < 536870912
+       |WHERE ((o_orderkey % 2147483648) * 2654435761) % 4294967296 < 536870912
        |GROUP BY o_orderstatus
        |ORDER BY o_orderstatus ASC NULLS LAST""".stripMargin,
     (s, dir) =>
       Tables.orders(s, dir)
-        .filter((col("o_orderkey") * lit(2654435761L)) % lit(4294967296L) <
-                lit(536870912L))
+        .filter(((col("o_orderkey") % lit(2147483648L)) * lit(2654435761L)) %
+                lit(4294967296L) < lit(536870912L))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
              Determinism.dsum(col("o_totalprice")).as("sum_price"),

@@ -50,8 +50,23 @@ object ConnectedComponents {
     * result pins
     * (the materialized final labels, |V| rows). Callers that hold the
     * result long-term don't need this; call it after the labels are
-    * consumed to leave zero storage residue. */
-  def freeResult(labels: DataFrame): Unit = free(Seq(labels))
+    * consumed to leave zero storage residue.
+    *
+    * Guarded to frames whose ROOT plan node is a LogicalRDD — i.e. the
+    * localCheckpoint result this module returned. The deep plan walk
+    * [[free]] does is correct only for module-OWNED frames: a
+    * localCheckpoint RDD cannot be recomputed after unpersist, so walking
+    * an arbitrary caller frame (e.g. assignContracted's edge-free branch,
+    * which returns a plain projection over the CALLER's vertices) could
+    * unpersist a caller-owned checkpoint and poison their later actions
+    * with "checkpoint block not found" instead of a recompute (flagged
+    * r7). Non-checkpoint roots are a safe no-op — such a result pins
+    * nothing of ours to release. */
+  def freeResult(labels: DataFrame): Unit =
+    labels.queryExecution.analyzed match {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Label every vertex with its component's minimum vertex id.
     * Returns (`vertexCol`, `component`). Vertices absent from `edges`

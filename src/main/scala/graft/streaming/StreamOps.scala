@@ -171,23 +171,45 @@ object StreamOps {
       case Some(sc) => Mv.aggStateSigned(batch, keys, valueCol, col(sc))
       case None => Mv.aggState(batch, keys, valueCol)
     }
-    val versions = Option(new java.io.File(stateDir).listFiles())
-      .getOrElse(Array.empty).toIndexedSeq
-      .flatMap(f => "^state_v(\\d+)$".r.findFirstMatchIn(f.getName)
-                      .map(m => m.group(1).toLong))
+    // only COMMITTED versions (post-rename, _SUCCESS present) are merge
+    // sources — a replayed or crashed batch must never read a torn state
+    val versions = committedVersions(stateDir)
     val prev = versions.filter(_ < batchId).sorted.lastOption
     val merged = prev match {
       case Some(v) => Mv.merge(keys, s.read.parquet(s"$stateDir/state_v$v"), delta)
       case None => delta
     }
-    merged.write.mode("overwrite").parquet(s"$stateDir/state_v$batchId")
+    // write-audit-publish (the repo's Publish discipline): materialize into
+    // a dot-prefixed temp dir (invisible to the version regex AND to
+    // Spark's file listing), then rename into place — on a local FS the
+    // rename is atomic, so a concurrent readMv sees either the old state
+    // or the complete new one, never a partially-written directory. (On an
+    // object store, swap the rename for the store's commit protocol.)
     def rmRec(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec)
       f.delete(); ()
     }
+    val tmp = new java.io.File(stateDir, s".state_v${batchId}_tmp")
+    if (tmp.exists()) rmRec(tmp)
+    merged.write.mode("overwrite").parquet(tmp.getPath)
+    val target = new java.io.File(stateDir, s"state_v$batchId")
+    if (target.exists()) rmRec(target) // replayed batch: replace wholesale
+    require(tmp.renameTo(target), s"atomic state publish failed: $tmp -> $target")
     versions.filter(v => prev.exists(v < _)).foreach(v =>
       rmRec(new java.io.File(stateDir, s"state_v$v")))
   }
+
+  /** State versions under `stateDir` whose directory carries the
+    * `_SUCCESS` marker — i.e. fully written AND atomically renamed into
+    * place. A crashed or in-flight writer leaves either a dot-prefixed
+    * temp dir (not matched) or a markerless dir (filtered here), so
+    * readers can never resolve a torn version. */
+  private def committedVersions(stateDir: String): IndexedSeq[Long] =
+    Option(new java.io.File(stateDir).listFiles())
+      .getOrElse(Array.empty).toIndexedSeq
+      .flatMap(f => "^state_v(\\d+)$".r.findFirstMatchIn(f.getName)
+                      .map(m => m.group(1).toLong))
+      .filter(v => new java.io.File(stateDir, s"state_v$v/_SUCCESS").exists())
 
   /** Streaming incremental MV maintenance — the end-to-end form of the
     * i09/i10 batch algebra: each micro-batch is aggregated ALONE (one hash
@@ -213,15 +235,15 @@ object StreamOps {
       }
       .start()
 
-  /** Resolve the streaming MV's current state to the user-facing view
-    * (latest committed state version). */
+  /** Resolve the streaming MV's current state to the user-facing view —
+    * the latest COMMITTED version (`_SUCCESS` present; torn or in-flight
+    * directories are invisible thanks to [[committedVersions]] + the
+    * temp-dir-then-rename publish in [[mvApplyBatch]], so a reader racing
+    * a writer resolves the previous committed state instead of failing). */
   def readMv(stateDir: String, keys: Seq[String])
             (implicit s: org.apache.spark.sql.SparkSession): DataFrame = {
-    val versions = Option(new java.io.File(stateDir).listFiles())
-      .getOrElse(Array.empty).toIndexedSeq
-      .flatMap(f => "^state_v(\\d+)$".r.findFirstMatchIn(f.getName)
-                      .map(m => m.group(1).toLong))
-    require(versions.nonEmpty, s"no MV state under $stateDir")
+    val versions = committedVersions(stateDir)
+    require(versions.nonEmpty, s"no committed MV state under $stateDir")
     graft.api.Mv.finalizeState(
       s.read.parquet(s"$stateDir/state_v${versions.max}"), keys)
   }

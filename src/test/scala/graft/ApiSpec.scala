@@ -639,6 +639,25 @@ class ApiSpec extends SparkSpec {
     assert(top.groupBy("g").count().collect().forall(_.getLong(1) == 3))
   }
 
+  test("CC.freeResult releases module checkpoints, never caller-owned ones") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.storage.StorageLevel
+    val callerOwned = spark.range(10).toDF("v").localCheckpoint()
+    val callerRdd = callerOwned.queryExecution.analyzed.asInstanceOf[LogicalRDD].rdd
+    // a projection over the caller's checkpoint — the assignContracted
+    // edge-free return shape; freeResult must NOT reach through it
+    graft.operators.ConnectedComponents.freeResult(
+      callerOwned.select(col("v").as("x")))
+    assert(callerRdd.getStorageLevel != StorageLevel.NONE,
+      "caller-owned checkpoint must survive freeResult on a derived frame")
+    assert(callerOwned.count() == 10, "caller frame must stay usable")
+    // a frame whose root IS the checkpoint (the module's result shape) is
+    // released
+    graft.operators.ConnectedComponents.freeResult(callerOwned)
+    assert(callerRdd.getStorageLevel == StorageLevel.NONE,
+      "module-shaped result must be unpersisted")
+  }
+
   test("RangeJoin.binnedPointJoin ≡ brute-force range join on wide and empty intervals") {
     val sp = spark
     import sp.implicits._

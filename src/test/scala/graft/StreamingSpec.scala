@@ -389,6 +389,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("readMv skips a torn (markerless) version; apply merges from committed state only") {
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    val root = java.nio.file.Files.createTempDirectory("mv_torn").toString
+    val stateDir = s"$root/state"
+    val keys = Seq("event_type")
+    def view: Map[String, (Long, Double, Double)] =
+      StreamOps.readMv(stateDir, keys).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    StreamOps.mvApplyBatch(
+      Seq((1L, "a", 1.0), (2L, "b", 4.0)).toDF("event_id", "event_type", "value"),
+      1L, keys, "value", stateDir)
+    StreamOps.mvApplyBatch(
+      Seq((3L, "a", 3.0)).toDF("event_id", "event_type", "value"),
+      2L, keys, "value", stateDir)
+    val committed = view
+    assert(committed == Map("a" -> ((2L, 4.0, 2.0)), "b" -> ((1L, 4.0, 4.0))))
+    // fabricate the crash shape: a higher version directory that was never
+    // atomically published — partial data file, no _SUCCESS marker
+    val torn = new java.io.File(stateDir, "state_v3")
+    assert(torn.mkdirs())
+    java.nio.file.Files.write(torn.toPath.resolve("part-00000.parquet"),
+      Array[Byte](0x50, 0x41, 0x52)) // truncated magic, unreadable
+    // a racing reader must resolve v2, not fail on (or trust) torn v3
+    assert(view == committed, "reader must fall back to the committed version")
+    // a later batch must merge from committed v2 as well, never torn v3
+    StreamOps.mvApplyBatch(
+      Seq((4L, "b", 2.0)).toDF("event_id", "event_type", "value"),
+      4L, keys, "value", stateDir)
+    assert(view == Map("a" -> ((2L, 4.0, 2.0)), "b" -> ((2L, 6.0, 3.0))))
+    // no temp dirs left behind by the publish
+    assert(!Option(new java.io.File(stateDir).listFiles()).get
+      .exists(_.getName.startsWith(".state_v")), "temp dirs must not leak")
+  }
+
   test("streaming MV with signed retraction: CDC deletes cancel state; collapsed key vanishes") {
     val sp = spark
     import sp.implicits._
