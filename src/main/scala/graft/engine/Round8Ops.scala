@@ -1,5 +1,6 @@
 package graft.engine
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.UniqUpTo
@@ -184,5 +185,76 @@ object Round8Ops {
             |  qunit) AS readable_qty""".stripMargin)
         .orderBy(asc_nulls_last("o_orderkey")))
 
-  def ops: Vector[Q] = Vector(d25, d26, h23)
+  /** j09 — `sequenceNextNode` analog [public: CH parametric-aggregate
+    * docs]: per user, the event that immediately FOLLOWS the user's first
+    * 'signup' — the "what happens next after the funnel head" question.
+    * One shuffle: the lead and the first-signup row_number share the same
+    * window spec (partition user, order ts/event_id), so Catalyst collapses
+    * them into one Window operator over one exchange+sort; the filter then
+    * keeps one row per signed-up user. NULL next_type = signup was the
+    * user's last event (both engines: LEAD beyond the frame is NULL). */
+  val j09: Q = Q(
+    "j09_sequence_next_node",
+    """SELECT user_id, next_type
+      |FROM (SELECT user_id, event_type,
+      |        LEAD(event_type) OVER w AS next_type,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id, event_type = 'signup'
+      |                           ORDER BY ts ASC, event_id ASC) AS rn
+      |      FROM events
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+      |WHERE event_type = 'signup' AND rn = 1
+      |ORDER BY user_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      val wSignup = Window
+        .partitionBy(col("user_id"), col("event_type") === "signup")
+        .orderBy(asc("ts"), asc("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("rn", row_number().over(wSignup))
+        .filter(col("event_type") === "signup" && col("rn") === 1)
+        .select(col("user_id"), col("next_type"))
+        .orderBy(asc_nulls_last("user_id"))
+    })
+
+  /** e15 — `deltaSum` analog [public: CH aggregate-function docs]: per
+    * user, the sum of POSITIVE step-to-step increases of `value` in event
+    * order (counter-reset-tolerant accumulation — the rate-counter shape).
+    * Every arithmetic step rides decimal(18,2): the inputs are 2-decimal
+    * by construction, so diffs, the GREATEST clamp, and the group sum are
+    * all exact. The float conversion goes through EXACT INTEGER HUNDREDTHS
+    * (sum·100 → BIGINT → /100.0): a direct decimal→DOUBLE cast diverged by
+    * 1 ulp live (Spark rounds the decimal once; DuckDB converts the
+    * unscaled int then divides — two roundings), while int64→double is
+    * exact at this magnitude and the final /100.0 is the same IEEE op on
+    * both engines. Window and aggregate hash-partition on the same key, so
+    * the agg reuses the window's exchange. */
+  val e15: Q = Q(
+    "e15_delta_sum",
+    """SELECT user_id,
+      |  CAST(SUM(GREATEST(d, CAST(0 AS DECIMAL(18,2)))) * 100 AS BIGINT) / 100.0
+      |    AS delta_sum,
+      |  CAST(COUNT(d) AS BIGINT) AS n_steps
+      |FROM (SELECT user_id,
+      |        CAST(value AS DECIMAL(18,2))
+      |          - LAG(CAST(value AS DECIMAL(18,2))) OVER
+      |              (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS d
+      |      FROM events)
+      |GROUP BY user_id
+      |ORDER BY user_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      val vdec = col("value").cast("decimal(18,2)")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("d", vdec - lag(vdec, 1).over(w))
+        .groupBy("user_id")
+        .agg(((sum(greatest(col("d"), lit(0).cast("decimal(18,2)"))) * lit(100))
+                .cast("long") / lit(100.0)).as("delta_sum"),
+             count(col("d")).as("n_steps"))
+        .orderBy(asc_nulls_last("user_id"))
+    })
+
+  def ops: Vector[Q] = Vector(d25, d26, h23, j09, e15)
 }
