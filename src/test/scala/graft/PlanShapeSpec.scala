@@ -28,6 +28,7 @@ class PlanShapeSpec extends SparkSpec {
       "i09_mv_incremental",  // same 1-row cutoff broadcast as i08 (base/delta log split)
       "i10_mv_retraction",   // same 1-row cutoff broadcast (suffix/prefix retraction split)
       "i11_ttl_expiry",      // same 1-row cutoff broadcast (TTL frontier)
+      "h25_bar_render",      // 1-row global-max broadcast for the bar scale
       "k03_sim_topk_cosine", // 1-row probe vector broadcast
       "k16_ivf_assign",      // 8-row centroid set broadcast (IVF coarse scoring)
       "k20_tfidf_topterms")  // 1-row corpus-count broadcast for idf

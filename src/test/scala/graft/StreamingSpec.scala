@@ -914,4 +914,89 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming heavy hitters: exact at capacity >= distinct; ranks follow counts") {
+    import graft.streaming.StreamingHeavyHitters
+    import graft.streaming.StreamingHeavyHitters.{Hitter, ValueIn}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[ValueIn]
+    val q = StreamingHeavyHitters.topK(in.toDS(), k = 3, capacity = 16).writeStream
+      .format("memory").queryName("hh_exact_t").outputMode(OutputMode.Update).start()
+    // capacity 16 > 4 distinct values -> MG degenerates to exact counting,
+    // so the streaming result must EQUAL the batch count across batches
+    val batch1 = Seq("a", "a", "b", "c", "a", "b").zipWithIndex
+      .map { case (v, i) => ValueIn("g1", i.toLong, v) }
+    val batch2 = (Seq("b", "b", "d", "a").zipWithIndex)
+      .map { case (v, i) => ValueIn("g1", 100L + i, v) }
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val all = (batch1 ++ batch2).map(_.value)
+      val exact = all.groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+      val last = spark.table("hh_exact_t").as[Hitter].collect()
+        .filter(_.n_rows == all.size) // final batch's emission
+      assert(last.map(h => h.value -> h.approx_count).toMap ==
+        exact.toSeq.sortBy { case (v, c) => (-c, v) }.take(3).toMap,
+        s"exact-regime streaming top-3 must equal batch counts: ${last.toSeq}")
+      assert(last.sortBy(_.rank).map(_.value).toSeq == Seq("a", "b", "c"),
+        s"ranks must follow (count desc, value asc): ${last.toSeq}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming heavy hitters: MG survival + under-estimate guarantees across batches") {
+    import graft.streaming.StreamingHeavyHitters
+    import graft.streaming.StreamingHeavyHitters.{Hitter, ValueIn}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[ValueIn]
+    val cap = 4
+    val q = StreamingHeavyHitters.topK(in.toDS(), k = 4, capacity = cap).writeStream
+      .format("memory").queryName("hh_mg_t").outputMode(OutputMode.Update).start()
+    // 60 rows: "hot" 24x (40% > n/(cap+1) = 20%) must survive the capped
+    // summary; 30 distinct cold values force constant counter eviction
+    val hot = Seq.fill(24)("hot")
+    val warm = Seq.fill(6)("warm")
+    val cold = (0 until 30).map(i => s"cold$i")
+    val rows = (hot ++ warm ++ cold).zipWithIndex
+      .map { case (v, i) => ValueIn("g1", i.toLong, v) }
+    val (b1, b2) = rows.splitAt(25) // batch boundary mid-stream
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val n = rows.size.toLong
+      val last = spark.table("hh_mg_t").as[Hitter].collect().filter(_.n_rows == n)
+      val hotRow = last.find(_.value == "hot")
+      assert(hotRow.isDefined,
+        s"freq 24/60 > n/(capacity+1): 'hot' must survive: ${last.toSeq}")
+      val slack = n / (cap + 1)
+      last.foreach { h =>
+        val truth = rows.count(_.value == h.value).toLong
+        assert(h.approx_count <= truth && h.approx_count >= truth - slack,
+          s"count for ${h.value}: got ${h.approx_count}, truth $truth, slack $slack")
+      }
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
