@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object Round8dOps {
 
+  /** The CH timing grid over an int64 `cents` column: identity below
+    * 1024, 16 ms buckets to 30 s, clamped at 30 s. Pure int64 CASE —
+    * codegen'd, map-side. */
+  val timingGrid: org.apache.spark.sql.Column =
+    expr("""CASE WHEN cents >= 30000 THEN CAST(30000 AS BIGINT)
+                 WHEN cents >= 1024 THEN (cents div 16) * 16
+                 ELSE cents END""")
+
   /** d28 — timing quantiles (ClickHouse `quantileTiming`/`quantilesTiming`
     * analog [public: CH quantile-timing docs]): p50/p90/p99 of a
     * millisecond-valued duration per event_type, computed on CH's timing
@@ -61,10 +69,7 @@ object Round8dOps {
       val hist = Tables.events(s, dir)
         .select(col("event_type"),
                 (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
-        .select(col("event_type"),
-                expr("""CASE WHEN cents >= 30000 THEN CAST(30000 AS BIGINT)
-                             WHEN cents >= 1024 THEN (cents div 16) * 16
-                             ELSE cents END""").as("b"))
+        .select(col("event_type"), timingGrid.as("b"))
         .groupBy("event_type", "b")
         .agg(count(lit(1)).as("c"))
       val wCum = Window.partitionBy("event_type").orderBy(asc("b"))

@@ -99,4 +99,30 @@ class ExtOpsSpec extends SparkSpec {
       .filter(col("c_mktsegment") === expect.getString(0)).collect().head
     assert(got.getString(1) == expect.getString(1))
   }
+
+  test("d28 timing grid: exact below 1024, 16ms buckets to 30s, 30s clamp") {
+    import spark.implicits._
+    val cases = Seq(
+      0L -> 0L, 1L -> 1L, 1023L -> 1023L,       // exact region (1 ms)
+      1024L -> 1024L, 1039L -> 1024L,           // first 16 ms bucket
+      1040L -> 1040L, 29999L -> 29984L,         // grid region boundaries
+      30000L -> 30000L, 45000L -> 30000L)       // clamp region
+    val got = cases.map(_._1).toDF("cents")
+      .select(org.apache.spark.sql.functions.col("cents"),
+              graft.engine.Round8dOps.timingGrid.as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, s"grid($in)") }
+  }
+
+  test("d28 quantiles sit on grid points and are ordered p50<=p90<=p99") {
+    val r = graft.engine.Round8dOps.d28.fn(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (p50, p90, p99) = (row.getLong(1), row.getLong(2), row.getLong(3))
+      assert(p50 <= p90 && p90 <= p99)
+      Seq(p50, p90, p99).foreach { v =>
+        assert(v <= 30000L && (v < 1024L || v == 30000L || v % 16 == 0), s"off-grid $v")
+      }
+    }
+  }
 }
