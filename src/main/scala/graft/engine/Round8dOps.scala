@@ -35,6 +35,24 @@ object Round8dOps {
                  WHEN cents >= 1024 THEN (cents div 16) * 16
                  ELSE cents END""")
 
+  /** Scalar twin of [[timingGrid]] for JVM-side state code (the streaming
+    * parity operator); ExtOpsSpec pins the two agree on every boundary. */
+  def gridMs(ms: Long): Long =
+    if (ms >= 30000L) 30000L else if (ms >= 1024L) (ms / 16L) * 16L else ms
+
+  /** Nearest-rank (inclusive) quantiles from a timing histogram: for each
+    * q in `qs` (percent), the smallest bucket with 100·cum ≥ q·n — the
+    * same all-integer identity the d28 SQL uses. */
+  def histQuantiles(counts: Map[Long, Long], qs: Seq[Int]): Seq[Long] = {
+    val n = counts.valuesIterator.sum
+    val sorted = counts.toSeq.sortBy(_._1)
+    qs.map { q =>
+      var cum = 0L
+      sorted.find { case (_, c) => cum += c; 100L * cum >= q.toLong * n }
+        .map(_._1).getOrElse(sorted.last._1)
+    }
+  }
+
   /** d28 — timing quantiles (ClickHouse `quantileTiming`/`quantilesTiming`
     * analog [public: CH quantile-timing docs]): p50/p90/p99 of a
     * millisecond-valued duration per event_type, computed on CH's timing

@@ -125,4 +125,16 @@ class ExtOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("d28 scalar gridMs agrees with the Column grid over the full domain sweep") {
+    import spark.implicits._
+    val probe = ((0L to 2100L) ++ (29900L to 30100L) ++ Seq(45000L, 1000000L)).toSeq
+    val viaCol = probe.toDF("cents")
+      .select(org.apache.spark.sql.functions.col("cents"),
+              graft.engine.Round8dOps.timingGrid.as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    probe.foreach { v =>
+      assert(viaCol(v) == graft.engine.Round8dOps.gridMs(v), s"grid($v)")
+    }
+  }
 }

@@ -999,4 +999,45 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming timing quantiles: replayed fixture equals batch d28 across a batch cut") {
+    import graft.streaming.StreamingTimingQuantiles
+    import graft.streaming.StreamingTimingQuantiles.{TimingIn, TimingQuantiles}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the batch query's own input rows: event_type + cents of value
+    val rows = graft.engine.Tables.events(spark, sf0001)
+      .select(col("event_type"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => TimingIn(r.getString(0), r.getLong(1), r.getLong(2)))
+    val (b1, b2) = rows.splitAt(rows.length / 2) // batch boundary mid-stream
+    val in = MemoryStream[TimingIn]
+    val q = StreamingTimingQuantiles.quantiles(in.toDS()).writeStream
+      .format("memory").queryName("tq_t").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val batch = graft.engine.Round8dOps.d28.fn(spark, sf0001).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val nPerGroup = rows.groupBy(_.group).map { case (g, xs) => g -> xs.size.toLong }
+      val last = spark.table("tq_t").as[TimingQuantiles].collect()
+        .filter(t => t.n == nPerGroup(t.group)) // final emission per group
+        .map(t => t.group -> ((t.p50_ms, t.p90_ms, t.p99_ms, t.n))).toMap
+      assert(last == batch,
+        s"streaming final state must equal batch d28: stream=$last batch=$batch")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
