@@ -111,4 +111,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(pairs.distinct.length == pairs.length,
       "multi-band hits must collapse to one row per pair")
   }
+
+  test("d28: histogram agg below the windows, windows share one exchange") {
+    // the scale contract: the raw-row shuffle ships map-combined
+    // histogram partials (bounded by the timing grid), and the cum/total
+    // windows run over histogram-sized data sharing ONE exchange+sort --
+    // three shuffles total (hist agg, window repartition, final sort)
+    val p = executedPlan(graft.engine.Round8dOps.d28.fn(spark, sf0001))
+      .split("== Initial Plan ==").head
+    assert("partial_count".r.findAllIn(p).nonEmpty,
+      s"histogram must map-side combine before the shuffle:\n$p")
+    val windows = "\\bWindow\\b".r.findAllIn(p).length
+    assert(windows == 2, s"expected the cum + total window pair, got $windows:\n$p")
+    val firstWindow = p.indexOf("Window")
+    assert(p.substring(firstWindow).contains("HashAggregate"),
+      s"the histogram agg must sit BELOW the windows (window input is histogram-sized):\n$p")
+    val shuffles = "Exchange (?:hash|range)partitioning".r.findAllIn(p).length
+    assert(shuffles >= 2 && shuffles <= 3,
+      s"d28 plans 2-3 shuffles (hist agg, window, [final sort]), got $shuffles:\n$p")
+  }
 }
