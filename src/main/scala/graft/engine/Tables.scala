@@ -30,18 +30,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read the
-    * column as raw nanos via the legacy conf, then truncate to µs with
-    * INTEGER division (`div` — a double `/` would lose precision: 2024 epoch
-    * nanos ≈ 1.7e18 > 2^53). DuckDB truncates ns→µs the same way, so the two
-    * engines agree on every value (FIXTURES.md).
+  /** `ts` normalization across fixture generations. Early driver fixtures
+    * stored `ts` as INT64 TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]) — those are read as raw
+    * nanos via the legacy conf, then truncated to µs with INTEGER
+    * division (`div` — a double `/` would lose precision: 2024 epoch
+    * nanos ≈ 1.7e18 > 2^53; DuckDB truncates ns→µs the same way).
+    * Round-8+ fixtures store timestamp[us], which Spark reads as
+    * TIMESTAMP_NTZ — cast to TIMESTAMP under the session's UTC zone, the
+    * same instants the nanos route produced. Either way every consumer
+    * sees one canonical TIMESTAMP column.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
