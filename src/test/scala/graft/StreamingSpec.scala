@@ -1040,4 +1040,51 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming M4: replayed fixture equals batch e18 across a batch cut") {
+    import graft.streaming.StreamingM4
+    import graft.streaming.StreamingM4.{M4In, M4Out}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the batch query's own input rows: (series, hour bucket, ts µs, id, cents)
+    val rows = graft.engine.Tables.events(spark, sf0001)
+      .select(col("event_type"), expr("unix_millis(ts) div 3600000").as("bkt"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => M4In(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                     r.getLong(4)))
+    val (b1, b2) = rows.splitAt(rows.length / 2) // batch boundary mid-stream
+    val in = MemoryStream[M4In]
+    val q = StreamingM4.downsample(in.toDS()).writeStream
+      .format("memory").queryName("m4_t").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val batch = graft.engine.Round8cOps.e18.fn(spark, sf0001).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+        .toMap
+      val nPerKey = rows.groupBy(r => (r.series, r.bkt))
+        .map { case (k, xs) => k -> xs.size.toLong }
+      val last = spark.table("m4_t").as[M4Out].collect()
+        .filter(o => o.n == nPerKey((o.series, o.bkt))) // final emission per key
+        .map(o => (o.series, o.bkt) ->
+          ((o.v_min, o.v_max, o.v_first, o.v_last, o.n))).toMap
+      assert(last == batch,
+        s"streaming final state must equal batch e18: stream=${last.size} keys, " +
+          s"batch=${batch.size} keys, diff=${(last.toSet diff batch.toSet).take(3)}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
