@@ -165,5 +165,54 @@ object Round8gOps {
         .orderBy(asc_nulls_last("event_type"))
     })
 
-  def ops: Vector[Q] = Vector(e19, d31)
+  /** e20 — exponential moving average (ClickHouse
+    * `exponentialMovingAverage` analog [public: CH aggregate-function
+    * docs], in its deterministic event-ordered form with rational
+    * α = 1/8): per user, the EMA of value over events in (ts, event_id)
+    * order, computed as an EXACT integer fold — values scaled by 2^16,
+    * each step `acc + (x − acc) div 8` (truncating division is identical
+    * in both engines, verified incl. negatives), seeded with the first
+    * element. The recursion is a LIST FOLD on both sides (Spark
+    * `aggregate` HOF ≡ DuckDB `list_reduce`), so the per-user event list
+    * materializes once — bounded by per-user activity, the same
+    * groupArray-class memory posture CH's own EMA state has. Output in
+    * integer-truncated cents; zero float. Scaled magnitude ≤
+    * maxCents·2^16 ≈ 3.2·10^9 — no overflow at any activity level. */
+  val e20: Q = Q(
+    "e20_exp_moving_avg",
+    """WITH src AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 65536 AS xs
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id, list(xs ORDER BY ts ASC, event_id ASC) AS vs,
+      |    COUNT(*) AS n
+      |  FROM src GROUP BY user_id)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+      |  CAST(list_reduce(vs, (acc, x) -> acc + ((x - acc) // 8)) AS BIGINT)
+      |    AS ema_scaled,
+      |  CAST(list_reduce(vs, (acc, x) -> acc + ((x - acc) // 8)) // 65536 AS BIGINT)
+      |    AS ema_cents
+      |FROM l
+      |ORDER BY user_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      // array_sort on (ts_ms, event_id, xs) structs = the oracle's ORDER BY
+      // (ts, event_id) — the (ts_ms, event_id) prefix is unique per user
+      val l = Tables.events(s, dir)
+        .select(col("user_id"),
+                struct(expr("unix_millis(ts)").as("t"), col("event_id").as("i"),
+                       ((col("value").cast("decimal(18,2)") * 100).cast("long") * 65536)
+                         .as("x")).as("p"))
+        .groupBy("user_id")
+        .agg(transform(array_sort(collect_list(col("p"))), p => p("x")).as("vs"),
+             count(lit(1)).as("n"))
+      l.select(col("user_id"), col("n").cast("long").as("n_events"),
+               expr("""aggregate(slice(vs, 2, size(vs) - 1), vs[0],
+                      |(acc, x) -> acc + ((x - acc) div 8))""".stripMargin)
+                 .as("ema_scaled"))
+        .withColumn("ema_cents", expr("ema_scaled div 65536"))
+        .orderBy(asc_nulls_last("user_id"))
+    })
+
+  def ops: Vector[Q] = Vector(e19, d31, e20)
 }

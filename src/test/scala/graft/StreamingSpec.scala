@@ -1041,6 +1041,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming EMA: in-order replayed fixture equals batch e20 across a batch cut") {
+    import graft.streaming.StreamingEma
+    import graft.streaming.StreamingEma.{EmaIn, EmaOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the batch query's own input rows, in its (ts, event_id) total order —
+    // the in-order-replay regime the parity contract requires
+    val rows = graft.engine.Tables.events(spark, sf0001)
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => EmaIn(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r.tsUs, r.eventId))
+    val (b1, b2) = rows.splitAt(rows.length / 2) // cut preserves per-key order
+    val in = MemoryStream[EmaIn]
+    val q = StreamingEma.ema(in.toDS()).writeStream
+      .format("memory").queryName("ema_t").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val batch = graft.engine.Round8gOps.e20.fn(spark, sf0001).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(1)))).toMap
+      val nPerKey = rows.groupBy(_.key).map { case (k, xs) => k -> xs.size.toLong }
+      val last = spark.table("ema_t").as[EmaOut].collect()
+        .filter(o => o.n == nPerKey(o.key)) // final emission per key
+        .map(o => o.key -> ((o.ema_scaled, o.ema_cents, o.n))).toMap
+      assert(last == batch,
+        s"streaming final state must equal batch e20: stream=$last batch=$batch")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming M4: replayed fixture equals batch e18 across a batch cut") {
     import graft.streaming.StreamingM4
     import graft.streaming.StreamingM4.{M4In, M4Out}
