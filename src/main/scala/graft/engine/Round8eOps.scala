@@ -96,7 +96,8 @@ object Round8eOps {
       |    user_id % 101 AS v
       |  FROM events),
       |per AS (SELECT event_type, v, COUNT(*) AS nd FROM tri GROUP BY 1, 2),
-      |dd AS (SELECT event_type, COUNT(DISTINCT day) AS d FROM tri GROUP BY 1)
+      |dd AS (SELECT event_type, COUNT(DISTINCT CAST(DATE_TRUNC('day', ts) AS DATE)) AS d
+      |       FROM events GROUP BY 1)
       |SELECT per.event_type,
       |  CAST(COUNT(*) AS BIGINT) AS bitmap_or,
       |  CAST(SUM(CASE WHEN per.nd = dd.d THEN 1 ELSE 0 END) AS BIGINT) AS bitmap_and,
@@ -110,9 +111,13 @@ object Round8eOps {
                 (col("user_id") % 101).as("v"))
         .distinct()
       val per = tri.groupBy("event_type", "v").agg(count(lit(1)).as("nd"))
-      val dd = tri.groupBy("event_type")
-        .agg(countDistinct(col("day")).as("d"))
-        .withColumnRenamed("event_type", "dd_type")
+      // day count from a (type, day) distinct over events directly — NOT from
+      // tri: reusing tri would run the expensive (type, day, bucket) distinct
+      // pipeline twice (Spark shares no subplan across the join); the
+      // (type, day) form map-combines to a types×days-sized shuffle
+      val dd = Tables.events(s, dir)
+        .groupBy(col("event_type").as("dd_type"))
+        .agg(countDistinct(to_date(col("ts"))).as("d"))
       per.join(broadcast(dd), col("event_type") === col("dd_type"))
         .groupBy("event_type")
         .agg(count(lit(1)).cast("long").as("bitmap_or"),

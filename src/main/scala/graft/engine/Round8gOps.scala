@@ -44,8 +44,14 @@ object Round8gOps {
     * classic LTTB's own simplification — Steinarsson §4.2). First/last
     * buckets keep the series' first/last point exactly, like LTTB.
     * Areas are exact int64 (×2·n_prev·n_next to clear the mean
-    * denominators); selection is one min(struct) hash agg — no sort of
-    * the raw points anywhere. */
+    * denominators); selection is one lexicographic min(struct)
+    * aggregation. Plan reality (audited via Explain): struct-min
+    * compiles to a partial-then-final SORT aggregate — the raw points
+    * are sorted IN PLACE per input partition (map-side), and only one
+    * partial minimum per (series, bucket) per partition crosses the
+    * exchange, so the selection's shuffle is bucket-sized, never
+    * data-sized. The anchor window + join run on bucket-level stats
+    * (broadcast here; an equi-shuffle at extreme bucket counts). */
   val e19: Q = Q(
     "e19_lttb_downsample",
     """WITH src AS (
