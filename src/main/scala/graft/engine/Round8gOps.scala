@@ -220,5 +220,65 @@ object Round8gOps {
         .orderBy(asc_nulls_last("user_id"))
     })
 
-  def ops: Vector[Q] = Vector(e19, d31, e20)
+  /** The strict-order funnel fold: acc is the chain state (0–3 = level,
+    * 10+level = aborted), s the mapped step index of the event (1–3, 0
+    * for non-funnel events). One CASE, valid verbatim in BOTH dialects. */
+  private val strictStep =
+    """CASE WHEN acc >= 10 THEN acc
+      |     WHEN acc = 3 THEN 3
+      |     WHEN acc = 0 THEN (CASE WHEN s = 1 THEN 1 ELSE 0 END)
+      |     WHEN s = acc + 1 THEN acc + 1
+      |     ELSE 10 + acc END""".stripMargin.replace("\n", " ")
+
+  /** j10 — strict-order window funnel (ClickHouse `windowFunnel`
+    * `strict_order` mode family [public: CH parametric-aggregate docs]):
+    * signup → click → purchase, where once the chain starts it must run
+    * over CONSECUTIVE events — ANY intervening event (funnel or not)
+    * aborts progression at the reached level, exactly the
+    * `A->B->D->C stops at D` semantics of the CH doc example; events
+    * before the first 'signup' are ignored (the search start). The
+    * j05 base funnel answers "did the steps happen in order"; this
+    * answers "did they happen as an unbroken sequence". Implemented as
+    * the SAME exact list-fold recursion as e20 (Spark `aggregate` HOF ≡
+    * DuckDB `list_reduce`, seeded via list_prepend on the oracle side) —
+    * the step CASE is ONE string shared verbatim by both dialects.
+    * Per-user list bounded by activity (the groupArray-class posture);
+    * all-int64, zero float. */
+  val j10: Q = Q(
+    "j10_funnel_strict_order",
+    s"""WITH l AS (
+       |  SELECT user_id,
+       |    list(CASE event_type WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+       |         WHEN 'purchase' THEN 3 ELSE 0 END
+       |         ORDER BY ts ASC, event_id ASC) AS es
+       |  FROM events GROUP BY user_id),
+       |f AS (
+       |  SELECT user_id,
+       |    list_reduce(list_prepend(0, es), (acc, s) -> $strictStep) AS st
+       |  FROM l)
+       |SELECT CAST(CASE WHEN st >= 10 THEN st - 10 ELSE st END AS INT)
+       |    AS funnel_level,
+       |  CAST(COUNT(*) AS BIGINT) AS n_users
+       |FROM f GROUP BY 1
+       |ORDER BY funnel_level ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val l = Tables.events(s, dir)
+        .select(col("user_id"),
+                struct(expr("unix_millis(ts)").as("t"), col("event_id").as("i"),
+                       when(col("event_type") === "signup", 1)
+                         .when(col("event_type") === "click", 2)
+                         .when(col("event_type") === "purchase", 3)
+                         .otherwise(0).as("s")).as("p"))
+        .groupBy("user_id")
+        .agg(transform(array_sort(collect_list(col("p"))), p => p("s")).as("es"))
+      l.select(col("user_id"),
+               expr(s"aggregate(es, 0, (acc, s) -> $strictStep)").as("st"))
+        .select(when(col("st") >= 10, col("st") - 10).otherwise(col("st"))
+                  .cast("int").as("funnel_level"))
+        .groupBy("funnel_level")
+        .agg(count(lit(1)).cast("long").as("n_users"))
+        .orderBy(asc_nulls_last("funnel_level"))
+    })
+
+  def ops: Vector[Q] = Vector(e19, d31, e20, j10)
 }
