@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
   * in int64 — the bucket-mean anchors are rationals, so the cross
   * product is multiplied through by n_prev·n_next to clear denominators
   * ((X1−n1·x)·(Y3−n3·y) − (Y1−n1·y)·(X3−n3·x), all integer); ts enters
-  * in bucket-relative SECONDS and values in cents, bounding every
-  * product under ~7·10^16 for per-bucket counts up to 10^5 (documented
-  * bound; pixel buckets are bounded by construction). Selection is a
+  * in epoch SECONDS, and the epoch magnitude CANCELS inside each
+  * (Σts − n·ts) difference before any multiplication — each factor is
+  * bounded by n·(2 bucket widths) ≈ n·7200 and n·maxCents·2
+  * respectively, keeping every product under ~7·10^16 for per-bucket
+  * counts up to 10^5 (documented bound; pixel buckets are bounded by
+  * construction). Selection is a
   * single lexicographic min over a composite integer key, so ties are
   * total-ordered. d31 rides the h11 hash family (Knuth multiplicative
   * on 31-bit-masked keys — the a04 overflow lesson). No float anywhere

@@ -137,4 +137,65 @@ class ExtOpsSpec extends SparkSpec {
       assert(viaCol(v) == graft.engine.Round8dOps.gridMs(v), s"grid($v)")
     }
   }
+
+  test("j10 strict-order fold reaches the documented level on adversarial chains") {
+    import spark.implicits._
+    // (event-step sequence, expected funnel level): consecutive chain wins,
+    // ANY intervening event aborts at the reached level, pre-chain noise
+    // ignored, completed chains stay completed
+    val cases = Seq(
+      (Seq(1, 2, 3), 3), (Seq(1, 0, 2), 1), (Seq(0, 1, 2, 3), 3),
+      (Seq(2, 1, 2, 3), 3), (Seq(1, 2, 2), 2), (Seq(1, 3), 1),
+      (Seq(1, 2, 3, 1), 3), (Seq(0, 0), 0))
+    val step =
+      """CASE WHEN acc >= 10 THEN acc
+        |     WHEN acc = 3 THEN 3
+        |     WHEN acc = 0 THEN (CASE WHEN s = 1 THEN 1 ELSE 0 END)
+        |     WHEN s = acc + 1 THEN acc + 1
+        |     ELSE 10 + acc END""".stripMargin.replace("\n", " ")
+    val got = cases.map(_._1).toDF("es")
+      .select(expr(s"aggregate(es, 0, (acc, s) -> $step)").as("st"))
+      .select(expr("CASE WHEN st >= 10 THEN st - 10 ELSE st END").as("lvl"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == cases.map(_._2),
+      s"fold levels: got $got want ${cases.map(_._2)}")
+  }
+
+  test("h30 geohash expression matches a reference bisection encoder") {
+    import spark.implicits._
+    val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    // reference: the textbook FLOAT interval-bisection geohash (independent
+    // of the production integer formula; the two can only disagree if a
+    // coordinate lands within double-eps of a dyadic bisection midpoint,
+    // and hundredth-degree inputs sit ≥ ~1e-4 from every non-coincident
+    // midpoint while coincident ones are exact dyadics — see scaladoc)
+    def ref(lonM: Long, latM: Long): String = {
+      val lon = lonM / 100.0 - 180.0
+      val lat = latM / 100.0 - 90.0
+      var (lon0, lon1) = (-180.0, 180.0); var (lat0, lat1) = (-90.0, 90.0)
+      val bits = new StringBuilder
+      var even = true
+      while (bits.length < 30) {
+        if (even) {
+          val mid = (lon0 + lon1) / 2
+          if (lon >= mid) { bits += '1'; lon0 = mid } else { bits += '0'; lon1 = mid }
+        } else {
+          val mid = (lat0 + lat1) / 2
+          if (lat >= mid) { bits += '1'; lat0 = mid } else { bits += '0'; lat1 = mid }
+        }
+        even = !even
+      }
+      (0 until 6).map { j =>
+        alpha(java.lang.Integer.parseInt(bits.substring(j * 5, j * 5 + 5), 2))
+      }.mkString
+    }
+    val rows = graft.engine.Round8fOps.h30.fn(spark, sf0001)
+      .select("lon_m", "lat_m", "geohash").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val want = ref(r.getLong(0), r.getLong(1))
+      assert(r.getString(2) == want,
+        s"geohash(${r.getLong(0)}, ${r.getLong(1)}): got ${r.getString(2)} want $want")
+    }
+  }
 }
