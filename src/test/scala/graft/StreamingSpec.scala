@@ -1083,6 +1083,66 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming strict funnel: in-order replayed fixture equals batch j10 across a batch cut") {
+    import graft.streaming.StreamingStrictFunnel
+    import graft.streaming.StreamingStrictFunnel.{FunnelIn, FunnelOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rows = graft.engine.Tables.events(spark, sf0001)
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"), col("event_id"),
+        when(col("event_type") === "signup", 1)
+          .when(col("event_type") === "click", 2)
+          .when(col("event_type") === "purchase", 3).otherwise(0).as("s"))
+      .collect()
+      .map(r => FunnelIn(r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(r => (r.tsUs, r.eventId))
+    val (b1, b2) = rows.splitAt(rows.length / 2) // cut preserves per-key order
+    val in = MemoryStream[FunnelIn]
+    val q = StreamingStrictFunnel.funnel(in.toDS()).writeStream
+      .format("memory").queryName("sf_t").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      // batch j10 reports level->n_users; reduce the stream's final per-user
+      // levels to the same rollup. Final emission per user = the batch-2
+      // emission if the user appears there, else the batch-1 one — dedup by
+      // keeping the LAST emission per user in table order is not reliable,
+      // so recompute: fold the full in-order row set through the shared step
+      // function and compare BOTH (stream vs scala fold vs batch rollup).
+      val scalaLevels = rows.groupBy(_.key).map { case (k, xs) =>
+        val st = xs.map(_.stepIdx).foldLeft(0)(StreamingStrictFunnel.step)
+        k -> (if (st >= 10) st - 10 else st)
+      }
+      val streamed = spark.table("sf_t").as[FunnelOut].collect()
+        .groupBy(_.key).map { case (k, emissions) =>
+          // Update-mode emissions grow monotonically in folded prefix; the
+          // final state is the max-level-reaching emission with abort flag —
+          // reconstruct by taking the emission matching the scala fold
+          k -> emissions.map(_.funnel_level).max
+        }
+      // stream's max emitted level per user can overshoot the FINAL level
+      // only if levels decreased — impossible (monotone), so max = final
+      assert(streamed == scalaLevels,
+        s"stream per-user levels must equal the shared-fold levels")
+      val batch = graft.engine.Round8gOps.j10.fn(spark, sf0001).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val rollup = scalaLevels.values.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+      assert(rollup == batch,
+        s"scala-fold rollup must equal batch j10: fold=$rollup batch=$batch")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming M4: replayed fixture equals batch e18 across a batch cut") {
     import graft.streaming.StreamingM4
     import graft.streaming.StreamingM4.{M4In, M4Out}
