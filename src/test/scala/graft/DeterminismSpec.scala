@@ -9,6 +9,27 @@ import graft.engine.{AggOps, CdcOps, ExtOps, LlmOps, StreamBatchOps, Tables}
   */
 class DeterminismSpec extends SparkSpec {
 
+  test("Tables.events reads both fixture generations to identical instants") {
+    import org.apache.spark.sql.functions._
+    // current generation (timestamp[us] → TIMESTAMP_NTZ → cast): the live path
+    val canonical = graft.engine.Tables.events(spark, sf0001)
+      .select(col("event_id"), expr("unix_micros(ts)").as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // legacy generation (INT64 nanos + nanosAsLong conf → div 1000): synthesize
+    // the old layout from the same rows and check the dispatch reproduces the
+    // same instants — this path has no live fixture anymore, so pin it here
+    val dir = java.nio.file.Files.createTempDirectory("legacy-events").toString
+    graft.engine.Tables.events(spark, sf0001)
+      .select(col("event_id"), (expr("unix_micros(ts)") * 1000).as("ts"),
+              col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val legacy = graft.engine.Tables.events(spark, dir)
+      .select(col("event_id"), expr("unix_micros(ts)").as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(legacy == canonical,
+      "legacy int64-nanos dispatch must yield the same instants as the µs path")
+  }
+
   private def rows(df: DataFrame) = df.collect().toSeq
 
   test("d02 is invariant under input repartitioning") {
