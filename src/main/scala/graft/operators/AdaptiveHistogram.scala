@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Adaptive fixed-bin histogram (ClickHouse `histogram(N)` analog
+  * [public: CH parametric-aggregate docs]; the algorithm is the
+  * streaming histogram of Ben-Haim & Tom-Tov, "A Streaming Parallel
+  * Decision Tree Algorithm", JMLR 2010 [public paper] — the same
+  * construction CH documents for its implementation).
+  *
+  * State is AT MOST `n` bins of (sum, count) — the centroid is the
+  * exact rational sum/count, so bin positions carry no float error;
+  * inserting a value appends a unit bin and, when over capacity, merges
+  * the two bins with the smallest centroid gap (exact BigInt
+  * cross-multiplied comparison; leftmost pair on ties). Merging two
+  * histograms concatenates bin lists and compresses the same way —
+  * mergeable, bounded, shuffle-friendly: the per-group state is ≤ n
+  * (sum, cnt) pairs REGARDLESS of input size, the HeavyHitters-class
+  * posture.
+  *
+  * Guarantees (spec-pinned, the honest contract for an approximate
+  * structure — like CH's own, the fine bin STRUCTURE depends on merge
+  * order, so no cross-engine value oracle is claimed):
+  *  - weight conservation: Σ count = input rows;
+  *  - ≤ n bins, strictly increasing centroids, all inside [min, max];
+  *  - EXACT REGIME: if the input has ≤ n distinct values, the result
+  *    IS the exact value histogram (each distinct value one bin with
+  *    its true count) under ANY fold/merge order — merges only ever
+  *    fire above capacity;
+  *  - sum conservation: Σ bin sums = Σ input (exact int64).
+  */
+object AdaptiveHistogram {
+
+  /** (sum, count) bins kept sorted by centroid sum/cnt. */
+  final case class HistState(sums: Array[Long], cnts: Array[Long])
+
+  final case class Bin(centroid: Double, count: Long, sum: Long)
+
+  /** Exact centroid order: sum1/cnt1 < sum2/cnt2 via BigInt cross
+    * multiply (cnt > 0 always). */
+  private def lt(s1: Long, c1: Long, s2: Long, c2: Long): Boolean =
+    BigInt(s1) * c2 < BigInt(s2) * c1
+
+  /** Insert each bin of `b` into `a` keeping centroid order, then merge
+    * smallest-gap neighbors until ≤ n bins. */
+  private[operators] def merge(a: HistState, b: HistState, n: Int): HistState = {
+    // merge two sorted bin lists (exact-order merge, stable: a first on ties)
+    val sums = new scala.collection.mutable.ArrayBuffer[Long](a.sums.length + b.sums.length)
+    val cnts = new scala.collection.mutable.ArrayBuffer[Long](a.sums.length + b.sums.length)
+    var i = 0; var j = 0
+    while (i < a.sums.length || j < b.sums.length) {
+      val takeA = j >= b.sums.length ||
+        (i < a.sums.length && !lt(b.sums(j), b.cnts(j), a.sums(i), a.cnts(i)))
+      if (takeA) { sums += a.sums(i); cnts += a.cnts(i); i += 1 }
+      else { sums += b.sums(j); cnts += b.cnts(j); j += 1 }
+    }
+    // identical-centroid neighbors collapse exactly (keeps the exact regime
+    // exact under any merge order)
+    var k = 0
+    while (k + 1 < sums.length) {
+      if (!lt(sums(k), cnts(k), sums(k + 1), cnts(k + 1)) &&
+          !lt(sums(k + 1), cnts(k + 1), sums(k), cnts(k))) {
+        sums(k) += sums(k + 1); cnts(k) += cnts(k + 1)
+        sums.remove(k + 1); cnts.remove(k + 1)
+      } else k += 1
+    }
+    // compress smallest-gap neighbors while over capacity; gap m is the
+    // exact rational (s(m+1)·c(m) − s(m)·c(m+1)) / (c(m)·c(m+1)), compared
+    // cross-multiplied in BigInt; leftmost minimal pair wins ties
+    while (sums.length > n) {
+      var best = 0
+      var bestNum = BigInt(sums(1)) * cnts(0) - BigInt(sums(0)) * cnts(1)
+      var bestDen = BigInt(cnts(0)) * cnts(1)
+      var m = 1
+      while (m + 1 < sums.length) {
+        val num = BigInt(sums(m + 1)) * cnts(m) - BigInt(sums(m)) * cnts(m + 1)
+        val den = BigInt(cnts(m)) * cnts(m + 1)
+        if (num * bestDen < bestNum * den) {
+          best = m; bestNum = num; bestDen = den
+        }
+        m += 1
+      }
+      sums(best) += sums(best + 1); cnts(best) += cnts(best + 1)
+      sums.remove(best + 1); cnts.remove(best + 1)
+    }
+    HistState(sums.toArray, cnts.toArray)
+  }
+
+  /** The typed Aggregator over int64 inputs (cents-style). */
+  final case class Agg(n: Int) extends Aggregator[Long, HistState, Array[Bin]] {
+    override def zero: HistState = HistState(Array.empty, Array.empty)
+    override def reduce(b: HistState, v: Long): HistState =
+      AdaptiveHistogram.merge(b, HistState(Array(v), Array(1L)), n)
+    override def merge(b1: HistState, b2: HistState): HistState =
+      AdaptiveHistogram.merge(b1, b2, n)
+    override def finish(r: HistState): Array[Bin] =
+      r.sums.zip(r.cnts).map { case (s, c) => Bin(s.toDouble / c, c, s) }
+    override def bufferEncoder: Encoder[HistState] = Encoders.product[HistState]
+    override def outputEncoder: Encoder[Array[Bin]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Column form: adaptive n-bin histogram of an int64 column. */
+  def histogram(col: Column, n: Int): Column =
+    udaf(Agg(n), Encoders.scalaLong).apply(col)
+
+  /** Per-group histograms: one row per group key with the bin array. */
+  def byGroup(df: DataFrame, groupCol: String, valueCol: String, n: Int): DataFrame =
+    df.groupBy(groupCol)
+      .agg(histogram(org.apache.spark.sql.functions.col(valueCol), n).as("hist"))
+}
