@@ -19,7 +19,11 @@ object Explain {
                "c10_join_multiway", "c11_join_asof", "c19_join_range_binned",
                "d02_agg_group_q1", "e08_win_topk_group", "f03_topk_global",
                "h21_arr_scan_funcs", "k03_sim_topk_cosine", "k16_ivf_assign",
-               "k19_simhash_neardup", "k20_tfidf_topterms")
+               "k19_simhash_neardup", "k20_tfidf_topterms",
+               // round-8 representatives: map-agg chain, bitmap distinct +
+               // broadcast, grid sparkline, LTTB partial sort-agg, HOF folds
+               "d25_summap_agg", "d30_group_bitmap", "h28_sparkbar",
+               "e19_lttb_downsample", "e20_exp_moving_avg", "d31_group_array_sample")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
