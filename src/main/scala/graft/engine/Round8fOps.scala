@@ -125,5 +125,49 @@ object Round8fOps {
         .orderBy(asc_nulls_last("o_orderkey"))
     })
 
-  def ops: Vector[Q] = Vector(h30, h31)
+  /** Bitcoin base58 alphabet [public: base58 spec / CH base58 docs];
+    * digit 0 renders as '1'. */
+  private val alpha58 =
+    "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+  /** Base58 rendering of a non-negative int64 as an 11-digit div/mod
+    * ladder (58^10 ≈ 4.3·10^17, so digit 10 is ≤ 21 for any int64 —
+    * never overflows), leading zero-digits ('1') trimmed, zero itself
+    * pinned to "1". Generated per dialect like [[geohashSql]]. */
+  private def base58Sql(divOp: String): String = {
+    val digits = (10 to 0 by -1).map { i =>
+      val p = BigInt(58).pow(i).toLong // exact; 58^10 < 2^63
+      s"substr('$alpha58', CAST(((v $divOp $p) % 58) + 1 AS INT), 1)"
+    }.mkString(" || ")
+    // bare long literals parse as BIGINT in both dialects; TRIM(LEADING)
+    // is the shared-syntax leading-strip (verified in DuckDB 1.0)
+    s"CASE WHEN v = 0 THEN '1' ELSE trim(LEADING '1' FROM $digits) END"
+  }
+
+  /** h32 — base58 encoding (ClickHouse `base58Encode` family analog
+    * [public: CH string-function docs]; the numeric form — CH encodes
+    * byte strings, this encodes the int64 key domain): a well-spread
+    * 62-bit value per sampled order (31-bit-masked Knuth multiply — the
+    * a04 overflow lesson), rendered in the Bitcoin alphabet via an
+    * 11-digit integer div/mod ladder with zero-digit trimming.
+    * Complements h19's base64/hex. Map-only, byte-exact strings, zero
+    * float. */
+  val h32: Q = Q(
+    "h32_base58",
+    s"""SELECT o_orderkey, v, ${base58Sql("//")} AS b58
+       |FROM (
+       |  SELECT o_orderkey, (o_orderkey % 2147483648) * 2654435761 AS v
+       |  FROM orders WHERE o_orderkey % 23 = 0)
+       |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      Tables.orders(s, dir)
+        .where(col("o_orderkey") % 23 === 0)
+        .select(col("o_orderkey"),
+                expr("(o_orderkey % 2147483648L) * 2654435761L").as("v"))
+        .select(col("o_orderkey"), col("v"),
+                expr(base58Sql("div")).as("b58"))
+        .orderBy(asc_nulls_last("o_orderkey"))
+    })
+
+  def ops: Vector[Q] = Vector(h30, h31, h32)
 }
