@@ -181,35 +181,43 @@ object Round8gOps {
     * order, computed as an EXACT integer fold — values scaled by 2^16,
     * each step `acc + (x − acc) div 8` (truncating division is identical
     * in both engines, verified incl. negatives), seeded with the first
-    * element. The recursion is a LIST FOLD on both sides (Spark
-    * `aggregate` HOF ≡ DuckDB `list_reduce`), so the per-user event list
-    * materializes once — bounded by per-user activity, the same
-    * groupArray-class memory posture CH's own EMA state has. Output in
-    * integer-truncated cents; zero float. Scaled magnitude ≤
-    * maxCents·2^16 ≈ 3.2·10^9 — no overflow at any activity level. */
+    * element. The Spark side is the `aggregate` HOF over a sorted list —
+    * bounded by per-user activity, the groupArray-class memory posture
+    * CH's own EMA state has. The ORACLE is a recursive CTE running the
+    * identical truncating recursion row-at-a-time — deliberately NOT
+    * DuckDB's `list_reduce`: that function returns WRONG folds for ~0.3%
+    * of rows when evaluated over many rows in one query (observed live
+    * at sf0.1 on j10 — same list, wrong result vs single-row evaluation;
+    * minimal repro in SURVEY §7 What's-hard item 2), so no oracle here
+    * may use it. Output in integer-truncated cents; zero float. Scaled
+    * magnitude ≤ maxCents·2^16 ≈ 3.2·10^9 — no overflow at any activity
+    * level. */
   val e20: Q = Q(
     "e20_exp_moving_avg",
-    """WITH src AS (
-      |  SELECT user_id, ts, event_id,
-      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 65536 AS xs
+    """WITH RECURSIVE src AS (
+      |  SELECT user_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * 65536 AS x,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
       |  FROM events),
-      |l AS (
-      |  SELECT user_id, list(xs ORDER BY ts ASC, event_id ASC) AS vs,
-      |    COUNT(*) AS n
-      |  FROM src GROUP BY user_id)
+      |rec AS (
+      |  SELECT user_id, rn, x AS acc, n FROM src WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.user_id, s.rn, r.acc + ((s.x - r.acc) // 8), r.n
+      |  FROM rec r JOIN src s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
       |SELECT user_id, CAST(n AS BIGINT) AS n_events,
-      |  CAST(list_reduce(vs, (acc, x) -> acc + ((x - acc) // 8)) AS BIGINT)
-      |    AS ema_scaled,
-      |  CAST(list_reduce(vs, (acc, x) -> acc + ((x - acc) // 8)) // 65536 AS BIGINT)
-      |    AS ema_cents
-      |FROM l
+      |  CAST(acc AS BIGINT) AS ema_scaled,
+      |  CAST(acc // 65536 AS BIGINT) AS ema_cents
+      |FROM rec WHERE rn = n
       |ORDER BY user_id ASC NULLS LAST""".stripMargin,
     (s, dir) => {
-      // array_sort on (ts_ms, event_id, xs) structs = the oracle's ORDER BY
-      // (ts, event_id) — the (ts_ms, event_id) prefix is unique per user
+      // array_sort on (ts_µs, event_id, xs) structs = the oracle's ORDER BY
+      // (ts, event_id) at FULL microsecond precision — unix_millis here
+      // diverged at sf0.1 (a same-millisecond pair folded in the wrong
+      // order; caught by the sf0.1 oracle probe, fixed to unix_micros)
       val l = Tables.events(s, dir)
         .select(col("user_id"),
-                struct(expr("unix_millis(ts)").as("t"), col("event_id").as("i"),
+                struct(expr("unix_micros(ts)").as("t"), col("event_id").as("i"),
                        ((col("value").cast("decimal(18,2)") * 100).cast("long") * 65536)
                          .as("x")).as("p"))
         .groupBy("user_id")
@@ -225,7 +233,8 @@ object Round8gOps {
 
   /** The strict-order funnel fold: acc is the chain state (0–3 = level,
     * 10+level = aborted), s the mapped step index of the event (1–3, 0
-    * for non-funnel events). One CASE, valid verbatim in BOTH dialects. */
+    * for non-funnel events). Used by the Spark `aggregate` HOF (and,
+    * verbatim in Scala, by StreamingStrictFunnel.step). */
   private val strictStep =
     """CASE WHEN acc >= 10 THEN acc
       |     WHEN acc = 3 THEN 3
@@ -241,33 +250,46 @@ object Round8gOps {
     * `A->B->D->C stops at D` semantics of the CH doc example; events
     * before the first 'signup' are ignored (the search start). The
     * j05 base funnel answers "did the steps happen in order"; this
-    * answers "did they happen as an unbroken sequence". Implemented as
-    * the SAME exact list-fold recursion as e20 (Spark `aggregate` HOF ≡
-    * DuckDB `list_reduce`, seeded via list_prepend on the oracle side) —
-    * the step CASE is ONE string shared verbatim by both dialects.
-    * Per-user list bounded by activity (the groupArray-class posture);
-    * all-int64, zero float. */
+    * answers "did they happen as an unbroken sequence". The Spark side
+    * runs the fold state machine via the `aggregate` HOF ([[strictStep]]).
+    * The ORACLE is an INDEPENDENT closed-form derivation — first-signup
+    * row + LEAD(1)/LEAD(2) over the time order — which is both a
+    * stronger check (two formulations must agree) and a necessity:
+    * DuckDB's `list_reduce` mis-folds ~0.3% of rows in bulk evaluation
+    * (THIS query caught it live at sf0.1: level-2 count 246 vs 245; see
+    * e20's scaladoc + SURVEY What's-hard item 2). Closed form is valid
+    * because the fold is finite-horizon: the chain starts at the first
+    * signup and is decided by the next two events in sequence. All-int64,
+    * zero float. */
   val j10: Q = Q(
     "j10_funnel_strict_order",
-    s"""WITH l AS (
-       |  SELECT user_id,
-       |    list(CASE event_type WHEN 'signup' THEN 1 WHEN 'click' THEN 2
-       |         WHEN 'purchase' THEN 3 ELSE 0 END
-       |         ORDER BY ts ASC, event_id ASC) AS es
-       |  FROM events GROUP BY user_id),
-       |f AS (
-       |  SELECT user_id,
-       |    list_reduce(list_prepend(0, es), (acc, s) -> $strictStep) AS st
-       |  FROM l)
-       |SELECT CAST(CASE WHEN st >= 10 THEN st - 10 ELSE st END AS INT)
-       |    AS funnel_level,
-       |  CAST(COUNT(*) AS BIGINT) AS n_users
-       |FROM f GROUP BY 1
-       |ORDER BY funnel_level ASC NULLS LAST""".stripMargin,
+    """WITH src AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE event_type WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+      |         WHEN 'purchase' THEN 3 ELSE 0 END AS s
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, s,
+      |    LEAD(s, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS s1,
+      |    LEAD(s, 2) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS s2,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY CASE WHEN s = 1 THEN 0 ELSE 1 END ASC, ts ASC, event_id ASC) AS rs
+      |  FROM src),
+      |f AS (
+      |  SELECT user_id,
+      |    CASE WHEN s <> 1 THEN 0
+      |         WHEN s1 = 2 AND s2 = 3 THEN 3
+      |         WHEN s1 = 2 THEN 2
+      |         ELSE 1 END AS lvl
+      |  FROM w WHERE rs = 1)
+      |SELECT CAST(lvl AS INT) AS funnel_level,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM f GROUP BY 1
+      |ORDER BY funnel_level ASC NULLS LAST""".stripMargin,
     (s, dir) => {
       val l = Tables.events(s, dir)
         .select(col("user_id"),
-                struct(expr("unix_millis(ts)").as("t"), col("event_id").as("i"),
+                struct(expr("unix_micros(ts)").as("t"), col("event_id").as("i"),
                        when(col("event_type") === "signup", 1)
                          .when(col("event_type") === "click", 2)
                          .when(col("event_type") === "purchase", 3)
