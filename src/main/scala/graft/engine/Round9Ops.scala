@@ -1,0 +1,438 @@
+package graft.engine
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 extension block: the exact-moment family (skewness/kurtosis,
+  * Cramér's V), rank statistics (Mann-Whitney U), a deterministic KMV
+  * distinct sketch, the `strict_dedup` window-funnel mode, and Gopher-style
+  * repetition-quality signals for the LLM pipeline.
+  *
+  * The headline recipe (d32/d33): SURVEY's What's-hard item 1 declared the
+  * skew/kurt/χ² moment class "float-sum-order-unstable cross-engine,
+  * non-oracle-able". That is true of the BUILTIN aggregates (their partial
+  * double sums merge in partition order), but not of the statistics
+  * themselves: compute the raw POWER SUMS exactly in integers (quantity is
+  * integer-valued ≤ 50, so Σq⁴ ≤ 6.25e6·n stays far under 2^53 — the sums
+  * are exact in int64 AND exactly representable as doubles), then evaluate
+  * ONE fixed closed-form expression tree over those bit-identical doubles.
+  * Every remaining op is IEEE-correctly-rounded (+ − × ÷ sqrt — no pow, no
+  * transcendental), and neither engine reassociates float arithmetic, so the
+  * doubles are bit-identical cross-engine with ZERO rounding. The shared
+  * expression STRINGS are instantiated into both dialects (the h30 generated-
+  * expression discipline) so the trees cannot drift apart.
+  *
+  * Scale posture (SURVEY §4):
+  *  - d32/d33/d35 are one map-combined hash agg to a tiny grid (3 groups /
+  *    1 row / 2×50 value cells) + closed forms on grid-sized data — the d28
+  *    histogram posture: fixed-size state at ANY input scale, no global sort.
+  *  - d34's declared-query form ranks distinct hashes per group (the exact
+  *    semantics); the 100 TB path is [[graft.operators.Kmv]] — the SAME
+  *    bottom-k-of-hashes with bounded ≤k mergeable state (bottom-k of a
+  *    union is order-free, so the sketch is fully deterministic).
+  *  - j11 folds per-user event sequences (groupArray-class posture, bounded
+  *    by per-user activity); the oracle is an independent chained-window-min
+  *    closed form — two formulations must agree (the j10 pairing).
+  *  - k37 is explode → per-(doc, gram) count → per-doc agg: gram cardinality
+  *    crosses the shuffle, state never outlives a doc_id group.
+  */
+object Round9Ops {
+
+  // ---------------------------------------------------------------- d32
+
+  /** Shared closed-form fragments for d32 — identical text in both dialects
+    * guarantees identical expression trees (see object scaladoc). */
+  private val meanE = "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"
+  private val m2E = "r2 - mean * mean"
+  private val m3E = "r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean"
+  private val m4E =
+    "r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2 - 3.0 * mean * mean * mean * mean"
+  private val skewE = "m3 / (m2 * SQRT(m2))"
+  private val kurtE = "m4 / (m2 * m2) - 3.0"
+
+  /** d32 — population skewness and excess kurtosis per return flag
+    * (ClickHouse `skewPop`/`kurtPop` analogs [public: CH aggregate-function
+    * docs]) — the first member of the "non-oracle-able" float-moment class
+    * made bit-exact via integer power sums + a fixed IEEE closed form (see
+    * object scaladoc for the recipe and why it is safe). One map-combined
+    * hash agg carries four int64 power sums per group; the closed form runs
+    * on |groups| rows. */
+  val d32: Q = Q(
+    "d32_skew_kurt",
+    s"""WITH s AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+      |             * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+      |             * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+      |  FROM lineitem GROUP BY 1),
+      |m AS (
+      |  SELECT l_returnflag, n, $meanE AS mean,
+      |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+      |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+      |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      |  FROM s),
+      |c AS (
+      |  SELECT l_returnflag, n, mean, $m2E AS m2, $m3E AS m3, $m4E AS m4 FROM m)
+      |SELECT l_returnflag, n AS n_rows, $skewE AS skew_pop, $kurtE AS kurt_pop
+      |FROM c ORDER BY l_returnflag ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val q = col("l_quantity").cast("long")
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(q).as("s1"), sum(q * q).as("s2"),
+             sum(q * q * q).as("s3"), sum(q * q * q * q).as("s4"))
+        .withColumn("mean", expr(meanE))
+        .withColumn("r2", expr("CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("r3", expr("CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("r4", expr("CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("m2", expr(m2E))
+        .withColumn("m3", expr(m3E))
+        .withColumn("m4", expr(m4E))
+        .select(col("l_returnflag"), col("n").as("n_rows"),
+                expr(skewE).as("skew_pop"), expr(kurtE).as("kurt_pop"))
+        .orderBy(asc_nulls_last("l_returnflag"))
+    })
+
+  // ---------------------------------------------------------------- d33
+
+  /** χ² cell term over exact-integer-valued doubles — shared text. */
+  private def chiTerm(o: String, r: String, c: String): String =
+    s"(($o - $r * $c / n) * ($o - $r * $c / n)) / ($r * $c / n)"
+
+  /** Fixed-order 6-cell χ² sum: rf ∈ (A, N, R) × ls ∈ (F, O). Addition order
+    * is pinned left-to-right by the generated text — no aggregate sums any
+    * float, so partial-merge order cannot perturb it. */
+  private val chi2E = Seq(
+    chiTerm("caf", "ra", "kf"), chiTerm("cao", "ra", "ko"),
+    chiTerm("cnf", "rn", "kf"), chiTerm("cno", "rn", "ko"),
+    chiTerm("crf", "rr", "kf"), chiTerm("cro", "rr", "ko")).mkString(" + ")
+
+  /** d33 — χ² independence statistic and Cramér's V between return flag and
+    * line status (ClickHouse `cramersV` analog [public: CH statistical-
+    * function docs]). The contingency table is 3×2 EXACT int64 counts from
+    * one conditional hash agg (map-combined; the known domain pivots the
+    * cells into fixed COLUMNS, so the 6-term χ² sum is one generated
+    * left-to-right expression — deterministic where a SUM over cells would
+    * not be); min(r−1, c−1) = 1 so V = sqrt(χ²/n). All float ops are IEEE
+    * exact on bit-identical inputs (object scaladoc). */
+  val d33: Q = Q(
+    "d33_cramers_v",
+    s"""WITH t AS (
+      |  SELECT
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'A' AND l_linestatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) AS caf,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'A' AND l_linestatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE) AS cao,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'N' AND l_linestatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) AS cnf,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'N' AND l_linestatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE) AS cno,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) AS crf,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE) AS cro
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT *, caf + cao AS ra, cnf + cno AS rn, crf + cro AS rr,
+      |    caf + cnf + crf AS kf, cao + cno + cro AS ko
+      |  FROM t),
+      |x AS (SELECT n, $chi2E AS chi2 FROM r)
+      |SELECT CAST(n AS BIGINT) AS n_rows, chi2, SQRT(chi2 / n) AS cramers_v
+      |FROM x""".stripMargin,
+    (s, dir) => {
+      def cell(rf: String, ls: String) =
+        sum(when(col("l_returnflag") === rf && col("l_linestatus") === ls, 1)
+              .otherwise(0)).cast("double")
+      Tables.lineitem(s, dir)
+        .agg(count(lit(1)).cast("double").as("n"),
+             cell("A", "F").as("caf"), cell("A", "O").as("cao"),
+             cell("N", "F").as("cnf"), cell("N", "O").as("cno"),
+             cell("R", "F").as("crf"), cell("R", "O").as("cro"))
+        .withColumn("ra", expr("caf + cao"))
+        .withColumn("rn", expr("cnf + cno"))
+        .withColumn("rr", expr("crf + cro"))
+        .withColumn("kf", expr("caf + cnf + crf"))
+        .withColumn("ko", expr("cao + cno + cro"))
+        .withColumn("chi2", expr(chi2E))
+        .select(col("n").cast("long").as("n_rows"), col("chi2"),
+                expr("SQRT(chi2 / n)").as("cramers_v"))
+    })
+
+  // ---------------------------------------------------------------- d34
+
+  /** d34 — deterministic KMV (k-minimum-values) distinct sketch per event
+    * type (ClickHouse `uniqTheta`-class analog [public: CH docs;
+    * Bar-Yossef et al. 2002, the KMV estimator]). "Approximate" does NOT
+    * mean "non-oracle-able": the randomness is a FIXED hash (the repo's
+    * Knuth multiplicative family, 31-bit-masked — the a04 overflow lesson),
+    * so the k-th smallest distinct hash h_k and the estimate
+    * (k−1)·2^32 div h_k are pure integers, bit-exact cross-engine. Groups
+    * with < k distinct hashes take the exact-count path (both regimes carry
+    * fixture data: sf0.001 has 15 users/type — exact; sf0.01+ has ≥ 150 —
+    * estimate). This query form ranks distinct hashes (the semantics);
+    * the bounded-state scale path is [[graft.operators.Kmv]]. */
+  val d34: Q = Q(
+    "d34_kmv_distinct",
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    ((user_id % 2147483648) * 2654435761) % 4294967296 AS hv
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, hv,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv ASC) AS rn
+      |  FROM h),
+      |g AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS dcnt,
+      |    CAST(MAX(CASE WHEN rn = 64 THEN hv END) AS BIGINT) AS h64
+      |  FROM r GROUP BY 1)
+      |SELECT event_type, dcnt AS n_distinct_hashes,
+      |  CAST(CASE WHEN dcnt < 64 THEN dcnt
+      |       ELSE (63 * 4294967296) // h64 END AS BIGINT) AS kmv_estimate
+      |FROM g ORDER BY event_type ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(asc("hv"))
+      Tables.events(s, dir)
+        .select(col("event_type"),
+                expr("((user_id % 2147483648L) * 2654435761L) % 4294967296L").as("hv"))
+        .distinct()
+        .withColumn("rn", row_number().over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("dcnt"),
+             max(when(col("rn") === 64, col("hv"))).cast("long").as("h64"))
+        .select(col("event_type"), col("dcnt").as("n_distinct_hashes"),
+                when(col("dcnt") < 64, col("dcnt"))
+                  .otherwise(expr("(63 * 4294967296L) div h64"))
+                  .cast("long").as("kmv_estimate"))
+        .orderBy(asc_nulls_last("event_type"))
+    })
+
+  // ---------------------------------------------------------------- d35
+
+  /** d35 — Mann-Whitney U rank statistic comparing the quantity
+    * distributions of return flags A vs R, per line status (ClickHouse
+    * `mannWhitneyUTest` analog [public: CH statistical-function docs]).
+    * Exact-integer recipe: ranks live on the VALUE GRID (quantity ∈ 1..50),
+    * so the whole computation is a map-combined hash agg to ≤ 2×50 cells +
+    * a cumulative window over the grid — the d28 fixed-state posture, no
+    * data-sized sort at any scale. Tied ranks use the standard midrank,
+    * kept integer by DOUBLING (midrank×2 = 2·|{v<q}| + cnt(q) + 1);
+    * u2_a/u2_r are the doubled U statistics (exact int64, u2_a + u2_r =
+    * 2·n_a·n_r — asserted by the oracle identity), and the common-language
+    * effect size is ONE float division of bit-identical ints. */
+  val d35: Q = Q(
+    "d35_mann_whitney_u",
+    """WITH g AS (
+      |  SELECT l_linestatus, CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+      |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_linestatus, q, ca, cr, ca + cr AS ct,
+      |    CAST(COALESCE(SUM(ca + cr) OVER (PARTITION BY l_linestatus ORDER BY q ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumlt
+      |  FROM g),
+      |a AS (
+      |  SELECT l_linestatus, CAST(SUM(ca) AS BIGINT) AS na,
+      |    CAST(SUM(cr) AS BIGINT) AS nr,
+      |    CAST(SUM(ca * (2 * cumlt + ct + 1)) AS BIGINT) AS dra
+      |  FROM c GROUP BY 1)
+      |SELECT l_linestatus, na AS n_a, nr AS n_r,
+      |  dra - na * (na + 1) AS u2_a,
+      |  2 * na * nr - (dra - na * (na + 1)) AS u2_r,
+      |  CAST(dra - na * (na + 1) AS DOUBLE) / CAST(2 * na * nr AS DOUBLE) AS cles_a
+      |FROM a ORDER BY l_linestatus ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val w = Window.partitionBy("l_linestatus").orderBy(asc("q"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.lineitem(s, dir)
+        .where(col("l_returnflag").isin("A", "R"))
+        .groupBy(col("l_linestatus"), col("l_quantity").cast("long").as("q"))
+        .agg(sum(when(col("l_returnflag") === "A", 1).otherwise(0)).as("ca"),
+             sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("cr"))
+        .withColumn("ct", col("ca") + col("cr"))
+        .withColumn("cumlt", coalesce(sum(col("ct")).over(w), lit(0L)))
+        .groupBy("l_linestatus")
+        .agg(sum("ca").cast("long").as("na"), sum("cr").cast("long").as("nr"),
+             sum(col("ca") * (lit(2) * col("cumlt") + col("ct") + 1))
+               .cast("long").as("dra"))
+        .select(col("l_linestatus"), col("na").as("n_a"), col("nr").as("n_r"),
+                (col("dra") - col("na") * (col("na") + 1)).as("u2_a"),
+                (lit(2) * col("na") * col("nr")
+                   - (col("dra") - col("na") * (col("na") + 1))).as("u2_r"),
+                ((col("dra") - col("na") * (col("na") + 1)).cast("double") /
+                   (lit(2) * col("na") * col("nr")).cast("double")).as("cles_a"))
+        .orderBy(asc_nulls_last("l_linestatus"))
+    })
+
+  // ---------------------------------------------------------------- j11
+
+  /** The strict-dedup funnel fold: acc is the chain state (0–3 = level,
+    * 10+level = aborted), s the mapped step of the event (1–3; non-funnel
+    * events are pre-filtered — in strict_dedup they neither advance nor
+    * interrupt). A repeat of an ALREADY-MATCHED condition interrupts at the
+    * reached level; an event whose condition is not yet reached (e.g. a
+    * purchase at level 1) is ignored. */
+  private val dedupStep =
+    """CASE WHEN acc >= 10 THEN acc
+      |     WHEN acc = 3 THEN 3
+      |     WHEN acc = 0 THEN (CASE WHEN s = 1 THEN 1 ELSE 0 END)
+      |     WHEN acc = 1 THEN (CASE WHEN s = 2 THEN 2 WHEN s = 1 THEN 11 ELSE 1 END)
+      |     WHEN s = 3 THEN 3
+      |     WHEN s = 1 OR s = 2 THEN 12
+      |     ELSE acc END""".stripMargin.replace("\n", " ")
+
+  /** j11 — strict-dedup window funnel (ClickHouse `windowFunnel`
+    * `strict_dedup` mode [public: CH parametric-aggregate docs]): signup →
+    * click → purchase, where a REPEAT of an already-matched step interrupts
+    * progression at the reached level (the CH "repeating event interrupts
+    * further processing" semantics), while events whose step is not yet
+    * reached — and all non-funnel events — are simply ignored. Completes the
+    * mode family: j05 is the base windowed funnel (and already carries the
+    * strict-increase `>` comparison), j10 is strict_order; this is
+    * strict_dedup. The Spark side runs the fold state machine via the
+    * `aggregate` HOF ([[dedupStep]]; shared verbatim with
+    * [[graft.streaming.StreamingDedupFunnel]]); the ORACLE is an independent
+    * chained-window-min closed form over the composite key k = µs·8 + s
+    * (same-µs ties are totally ordered by step index; ×8 keeps 2024-epoch
+    * µs ≈ 1.7e15 far inside int64): after t1 = first signup, the first
+    * later event with s ∈ {1,2} decides level 2 (click advances, signup
+    * interrupts), and after t2 the first later funnel event decides level 3
+    * (purchase advances, signup/click interrupt). Two independent
+    * formulations must agree — and the closed form sidesteps the DuckDB
+    * `list_reduce` bulk-misfold bug (SURVEY What's-hard item 2). All-int64,
+    * zero float. */
+  val j11: Q = Q(
+    "j11_funnel_strict_dedup",
+    """WITH src AS (
+      |  SELECT user_id, epoch_us(ts) * 8 + s AS k, s FROM (
+      |    SELECT user_id, ts,
+      |      CASE event_type WHEN 'signup' THEN 1 WHEN 'click' THEN 2
+      |           WHEN 'purchase' THEN 3 ELSE 0 END AS s
+      |    FROM events)
+      |  WHERE s > 0),
+      |w1 AS (SELECT *, MIN(CASE WHEN s = 1 THEN k END)
+      |         OVER (PARTITION BY user_id) AS t1 FROM src),
+      |w2 AS (SELECT *, MIN(CASE WHEN s IN (1, 2) AND k > t1 THEN k END)
+      |         OVER (PARTITION BY user_id) AS a2 FROM w1),
+      |w3 AS (SELECT *, CASE WHEN a2 % 8 = 2 THEN a2 END AS t2 FROM w2),
+      |w4 AS (SELECT *, MIN(CASE WHEN k > t2 THEN k END)
+      |         OVER (PARTITION BY user_id) AS a3 FROM w3),
+      |u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN t1 IS NULL THEN 0
+      |         WHEN t2 IS NULL THEN 1
+      |         WHEN a3 IS NOT NULL AND a3 % 8 = 3 THEN 3
+      |         ELSE 2 END) AS lvl
+      |  FROM w4 GROUP BY user_id)
+      |SELECT CAST(lvl AS INT) AS funnel_level, CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM u GROUP BY 1 ORDER BY funnel_level ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val l = Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+                when(col("event_type") === "signup", 1)
+                  .when(col("event_type") === "click", 2)
+                  .when(col("event_type") === "purchase", 3)
+                  .otherwise(0).as("s"))
+        .where(col("s") > 0)
+        .select(col("user_id"), (col("t") * 8 + col("s")).as("k"))
+        .groupBy("user_id")
+        .agg(transform(array_sort(collect_list(col("k"))),
+                       k => k % 8).as("es"))
+      l.select(col("user_id"),
+               expr(s"aggregate(es, 0, (acc, s) -> $dedupStep)").as("st"))
+        .select(when(col("st") >= 10, col("st") - 10).otherwise(col("st"))
+                  .cast("int").as("funnel_level"))
+        .groupBy("funnel_level")
+        .agg(count(lit(1)).cast("long").as("n_users"))
+        .orderBy(asc_nulls_last("funnel_level"))
+    })
+
+  // ---------------------------------------------------------------- k37
+
+  /** k37 — repetition-quality signals per document (the Gopher repetition
+    * filters of large-corpus cleaning [public: Rae et al. 2021 §A1.1;
+    * Penedo et al. 2023]): duplicate-token count, the top bigram's share of
+    * all bigrams, and the share of trigram occurrences that are duplicated
+    * trigrams. Highly repetitive documents (boilerplate, keyword stuffing,
+    * generation loops) score high and are dropped before training. All
+    * counters are exact int64 (counts of exploded grams); the two fractions
+    * are single float divisions of bit-identical ints, and the drop flag
+    * compares INTEGERS (5·top ≥ totbg ∨ 5·dup ≥ tot3 ∨ 2·dupTok ≥ n, i.e.
+    * thresholds 0.2/0.2/0.5) so no float ever decides it. Shape: two
+    * explode→count branches + co-partitioned doc_id joins; gram cardinality
+    * crosses the shuffle, state never outlives a doc group. Docs with < 3
+    * tokens yield NULL fractions via the n<2/n<3 guards (Spark `sequence`
+    * is bidirectional — the h26 lesson — so the guard is a CASE, and the
+    * fixture corpus carries no such doc, keeping both engines' NULL paths
+    * cold but defined). */
+  val k37: Q = Q(
+    "k37_repetition_quality",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |base AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+      |    CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) AS dup_tok
+      |  FROM t),
+      |bg AS (
+      |  SELECT doc_id, UNNEST(list_transform(range(1, len(toks)),
+      |           i -> toks[i] || ' ' || toks[i + 1])) AS g
+      |  FROM t WHERE len(toks) >= 2),
+      |bga AS (
+      |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS topbg,
+      |    CAST(SUM(c) AS BIGINT) AS totbg
+      |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |tg AS (
+      |  SELECT doc_id, UNNEST(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+      |  FROM t WHERE len(toks) >= 3),
+      |tga AS (
+      |  SELECT doc_id, CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup3,
+      |    CAST(SUM(c) AS BIGINT) AS tot3
+      |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT b.doc_id, b.n_tok, b.dup_tok, bga.topbg AS top_bigram_n,
+      |  CAST(bga.topbg AS DOUBLE) / CAST(bga.totbg AS DOUBLE) AS top_bigram_frac,
+      |  CAST(tga.dup3 AS DOUBLE) / CAST(tga.tot3 AS DOUBLE) AS dup_trigram_frac,
+      |  (COALESCE(5 * bga.topbg >= bga.totbg, FALSE)
+      |   OR COALESCE(5 * tga.dup3 >= tga.tot3, FALSE)
+      |   OR 2 * b.dup_tok >= b.n_tok) AS repetitive
+      |FROM base b
+      |LEFT JOIN bga ON b.doc_id = bga.doc_id
+      |LEFT JOIN tga ON b.doc_id = tga.doc_id
+      |ORDER BY b.doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val base = t.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        (size(col("toks")) - size(array_distinct(col("toks"))))
+          .cast("long").as("dup_tok"))
+      def grams(n: Int) = t
+        .where(size(col("toks")) >= n)
+        .select(col("doc_id"),
+                explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+                  i => concat_ws(" ", (0 until n).map(d =>
+                    element_at(col("toks"), i + d)): _*))).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val bga = grams(2).groupBy("doc_id")
+        .agg(max("c").cast("long").as("topbg"), sum("c").cast("long").as("totbg"))
+      val tga = grams(3).groupBy("doc_id")
+        .agg(sum(when(col("c") >= 2, col("c")).otherwise(0L))
+               .cast("long").as("dup3"),
+             sum("c").cast("long").as("tot3"))
+      base
+        .join(bga, Seq("doc_id"), "left")
+        .join(tga, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"), col("dup_tok"),
+                col("topbg").as("top_bigram_n"),
+                (col("topbg").cast("double") / col("totbg").cast("double"))
+                  .as("top_bigram_frac"),
+                (col("dup3").cast("double") / col("tot3").cast("double"))
+                  .as("dup_trigram_frac"),
+                (coalesce(lit(5) * col("topbg") >= col("totbg"), lit(false))
+                   || coalesce(lit(5) * col("dup3") >= col("tot3"), lit(false))
+                   || lit(2) * col("dup_tok") >= col("n_tok")).as("repetitive"))
+        .orderBy(asc_nulls_last("doc_id"))
+    })
+
+  def ops: Vector[Q] = Vector(d32, d33, d34, d35, j11, k37)
+}

@@ -1143,6 +1143,101 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming KMV: replayed fixture equals batch d34 across a batch cut") {
+    import graft.streaming.StreamingKmv
+    import graft.streaming.StreamingKmv.{KmvIn, KmvOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // sf0.01: 150 users/type >= k=64, so the ESTIMATE regime is live (the
+    // exact regime is covered by Round9Spec's laws); bottom-k state is
+    // commutative, so the cut position cannot matter — full equality pin,
+    // including a replayed (duplicated) slice for at-least-once idempotence
+    val rows = graft.engine.Tables.events(spark, sf001)
+      .select(col("event_type"), col("user_id"))
+      .collect().map(r => KmvIn(r.getString(0), r.getLong(1)))
+    val (b1, b2) = rows.splitAt(rows.length / 3)
+    val in = MemoryStream[KmvIn]
+    val q = StreamingKmv.distinctSketch(in.toDS(), 64).writeStream
+      .format("memory").queryName("kmv_t").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(b1.take(500): _*); q.processAllAvailable() // replay slice
+      val batch = graft.engine.Round9Ops.d34.fn(spark, sf001).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      // last emission per group: Update mode appends to the memory sink, so
+      // take the final row per key in sink order
+      val emissions = spark.table("kmv_t").as[KmvOut].collect()
+      val last = emissions.zipWithIndex.groupBy(_._1.key)
+        .map { case (k, xs) => k -> xs.maxBy(_._2)._1.estimate }
+      assert(last == batch,
+        s"streaming final estimates must equal batch d34: stream=$last batch=$batch")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming dedup funnel: in-order replayed fixture equals batch j11 across a batch cut") {
+    import graft.streaming.StreamingDedupFunnel
+    import graft.streaming.StreamingDedupFunnel.{DedupIn, DedupOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // batch j11's own input: funnel events only, ordered by (tsUs, stepIdx)
+    val rows = graft.engine.Tables.events(spark, sf0001)
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"), col("event_id"),
+        when(col("event_type") === "signup", 1)
+          .when(col("event_type") === "click", 2)
+          .when(col("event_type") === "purchase", 3).otherwise(0).as("s"))
+      .where(col("s") > 0)
+      .collect()
+      .map(r => DedupIn(r.getLong(0), r.getLong(1), r.getInt(3), r.getLong(2)))
+      .sortBy(r => (r.tsUs, r.stepIdx, r.eventId))
+    val (b1, b2) = rows.splitAt(rows.length / 2) // cut preserves per-key order
+    val in = MemoryStream[DedupIn]
+    val q = StreamingDedupFunnel.funnel(in.toDS()).writeStream
+      .format("memory").queryName("df_t").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val scalaLevels = rows.groupBy(_.key).map { case (k, xs) =>
+        val st = xs.map(_.stepIdx).foldLeft(0)(StreamingDedupFunnel.step)
+        k -> (if (st >= 10) st - 10 else st)
+      }
+      val streamed = spark.table("df_t").as[DedupOut].collect()
+        .groupBy(_.key).map { case (k, emissions) =>
+          k -> emissions.map(_.funnel_level).max // levels are monotone
+        }
+      assert(streamed == scalaLevels,
+        "stream per-user levels must equal the shared-fold levels")
+      val batch = graft.engine.Round9Ops.j11.fn(spark, sf0001).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val rollup = scalaLevels.values.groupBy(identity)
+        .map { case (l, xs) => l -> xs.size.toLong }
+      assert(rollup == batch,
+        s"scala-fold rollup must equal batch j11: fold=$rollup batch=$batch")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming M4: replayed fixture equals batch e18 across a batch cut") {
     import graft.streaming.StreamingM4
     import graft.streaming.StreamingM4.{M4In, M4Out}
