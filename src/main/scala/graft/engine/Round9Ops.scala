@@ -262,6 +262,59 @@ object Round9Ops {
         .orderBy(asc_nulls_last("l_linestatus"))
     })
 
+  // ---------------------------------------------------------------- d36
+
+  /** Shared Welch closed-form fragments (d36) — see object scaladoc. */
+  private val v1E = "(CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)"
+  private val v2E = "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)"
+  private val tE = "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / SQRT(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))"
+  private val dofE = "((v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))) / ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))"
+
+  /** d36 — Welch's unequal-variance t-test comparing purchase vs click
+    * value distributions (ClickHouse `welchTTest`/`studentTTest` analog
+    * [public: CH statistical-function docs]) — the d32 recipe applied to a
+    * two-sample test: per-side count, Σcents, Σcents² accumulate as exact
+    * int64 (cents ≤ 56,021 ⇒ Σx² ≤ 3.2e14 at sf0.1; the documented int64
+    * headroom runs to ~10^9 rows — beyond that route the two power sums
+    * through decimal(38,0) like Determinism.dsum), then the t statistic
+    * and the Welch–Satterthwaite dof are ONE fixed IEEE tree each (÷ × −
+    * sqrt, shared textually between dialects). One conditional hash agg,
+    * single-row output — map-combined at any scale. */
+  val d36: Q = Q(
+    "d36_welch_ttest",
+    s"""WITH s AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN c * c ELSE 0 END) AS BIGINT) AS q1,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN c ELSE 0 END) AS BIGINT) AS s2,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN c * c ELSE 0 END) AS BIGINT) AS q2
+      |  FROM (SELECT event_type,
+      |          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |        FROM events WHERE event_type IN ('purchase', 'click'))),
+      |v AS (SELECT *, $v1E AS v1, $v2E AS v2 FROM s)
+      |SELECT n1 AS n_purchase, n2 AS n_click,
+      |  $tE AS t_stat, $dofE AS welch_dof
+      |FROM v""".stripMargin,
+    (s, dir) => {
+      val c = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      def side(t: String, e: org.apache.spark.sql.Column) =
+        sum(when(col("event_type") === t, e).otherwise(0L))
+      Tables.events(s, dir)
+        .where(col("event_type").isin("purchase", "click"))
+        .agg(side("purchase", lit(1L)).cast("long").as("n1"),
+             side("purchase", c).cast("long").as("s1"),
+             side("purchase", c * c).cast("long").as("q1"),
+             side("click", lit(1L)).cast("long").as("n2"),
+             side("click", c).cast("long").as("s2"),
+             side("click", c * c).cast("long").as("q2"))
+        .withColumn("v1", expr(v1E))
+        .withColumn("v2", expr(v2E))
+        .select(col("n1").as("n_purchase"), col("n2").as("n_click"),
+                expr(tE).as("t_stat"), expr(dofE).as("welch_dof"))
+    })
+
   // ---------------------------------------------------------------- j11
 
   /** The strict-dedup funnel fold: acc is the chain state (0–3 = level,
@@ -434,5 +487,5 @@ object Round9Ops {
         .orderBy(asc_nulls_last("doc_id"))
     })
 
-  def ops: Vector[Q] = Vector(d32, d33, d34, d35, j11, k37)
+  def ops: Vector[Q] = Vector(d32, d33, d34, d35, d36, j11, k37)
 }

@@ -43,6 +43,34 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- d36
+
+  test("d36 Welch t equals a brute-force two-pass reference at sf0.001") {
+    val r = engine.Round9Ops.d36.fn(spark, sf0001).collect().head
+    val (gn1, gn2, gt, gdof) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val rows = engine.Tables.events(spark, sf0001)
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"),
+              (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble)
+    def stats(t: String) = {
+      val xs = rows.filter(_._1 == t).map(_._2)
+      val n = xs.length.toDouble
+      val m = xs.sum / n
+      (xs.length.toLong, m, xs.map(x => (x - m) * (x - m)).sum / (n - 1.0))
+    }
+    val (n1, m1, v1) = stats("purchase")
+    val (n2, m2, v2) = stats("click")
+    val se1 = v1 / n1; val se2 = v2 / n2
+    val t = (m1 - m2) / math.sqrt(se1 + se2)
+    val dof = (se1 + se2) * (se1 + se2) /
+      (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0))
+    assert((gn1, gn2) == ((n1, n2)))
+    assert(math.abs(gt - t) <= 1e-9 * math.max(1.0, math.abs(t)), s"t: $gt vs $t")
+    assert(math.abs(gdof - dof) <= 1e-9 * dof, s"dof: $gdof vs $dof")
+  }
+
   // ------------------------------------------------------------- d35
 
   test("d35 Mann-Whitney doubled-U equals a brute-force rank reference") {
