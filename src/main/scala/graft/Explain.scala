@@ -23,7 +23,11 @@ object Explain {
                // round-8 representatives: map-agg chain, bitmap distinct +
                // broadcast, grid sparkline, LTTB partial sort-agg, HOF folds
                "d25_summap_agg", "d30_group_bitmap", "h28_sparkbar",
-               "e19_lttb_downsample", "e20_exp_moving_avg", "d31_group_array_sample")
+               "e19_lttb_downsample", "e20_exp_moving_avg", "d31_group_array_sample",
+               // round-9 representatives: power-sum closed forms, KMV rank
+               // window, grid rank stats, gram-count joins
+               "d32_skew_kurt", "d34_kmv_distinct", "d35_mann_whitney_u",
+               "k37_repetition_quality")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -315,6 +315,66 @@ object Round9Ops {
                 expr(tE).as("t_stat"), expr(dofE).as("welch_dof"))
     })
 
+  // ---------------------------------------------------------------- d37
+
+  /** d37 — two-sample Kolmogorov-Smirnov statistic comparing the quantity
+    * distributions of return flags A vs R, per line status (ClickHouse
+    * `kolmogorovSmirnovTest` analog [public: CH statistical-function
+    * docs]) — completing the two-sample test family next to d35/d36. The
+    * KS distance D = max_x |F_A(x) − F_R(x)| lives on the same 50-cell
+    * value grid as d35: cross-multiplying the two empirical CDFs by the
+    * opposite sample sizes keeps the max EXACT int64
+    * (D_num = max |cumA·n_r − cumR·n_a| ≤ 4e10 at sf0.1), and D itself is
+    * ONE float division of bit-identical ints. Map-combined hash agg +
+    * two cumulative windows over grid-sized data — fixed state at any
+    * input scale, no data-sized sort. */
+  val d37: Q = Q(
+    "d37_ks_test",
+    """WITH g AS (
+      |  SELECT l_linestatus, CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+      |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_linestatus, q, ca, cr,
+      |    CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+      |    CAST(SUM(cr) OVER w AS BIGINT) AS cumr,
+      |    CAST(SUM(ca) OVER (PARTITION BY l_linestatus) AS BIGINT) AS na,
+      |    CAST(SUM(cr) OVER (PARTITION BY l_linestatus) AS BIGINT) AS nr
+      |  FROM g
+      |  WINDOW w AS (PARTITION BY l_linestatus ORDER BY q ASC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |a AS (
+      |  SELECT l_linestatus, MAX(na) AS na, MAX(nr) AS nr,
+      |    MAX(ABS(cuma * nr - cumr * na)) AS d_num
+      |  FROM c GROUP BY 1)
+      |SELECT l_linestatus, na AS n_a, nr AS n_r, d_num,
+      |  CAST(d_num AS DOUBLE) / CAST(na * nr AS DOUBLE) AS ks_d
+      |FROM a ORDER BY l_linestatus ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val wc = Window.partitionBy("l_linestatus").orderBy(asc("q"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("l_linestatus")
+      Tables.lineitem(s, dir)
+        .where(col("l_returnflag").isin("A", "R"))
+        .groupBy(col("l_linestatus"), col("l_quantity").cast("long").as("q"))
+        .agg(sum(when(col("l_returnflag") === "A", 1).otherwise(0)).as("ca"),
+             sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("cr"))
+        .withColumn("cuma", sum("ca").over(wc).cast("long"))
+        .withColumn("cumr", sum("cr").over(wc).cast("long"))
+        .withColumn("na", sum("ca").over(wt).cast("long"))
+        .withColumn("nr", sum("cr").over(wt).cast("long"))
+        .groupBy("l_linestatus")
+        .agg(max("na").as("na"), max("nr").as("nr"),
+             max(abs(col("cuma") * col("nr") - col("cumr") * col("na")))
+               .as("d_num"))
+        .select(col("l_linestatus"), col("na").as("n_a"), col("nr").as("n_r"),
+                col("d_num"),
+                (col("d_num").cast("double") /
+                   (col("na") * col("nr")).cast("double")).as("ks_d"))
+        .orderBy(asc_nulls_last("l_linestatus"))
+    })
+
   // ---------------------------------------------------------------- j11
 
   /** The strict-dedup funnel fold: acc is the chain state (0–3 = level,
@@ -487,5 +547,5 @@ object Round9Ops {
         .orderBy(asc_nulls_last("doc_id"))
     })
 
-  def ops: Vector[Q] = Vector(d32, d33, d34, d35, d36, j11, k37)
+  def ops: Vector[Q] = Vector(d32, d33, d34, d35, d36, d37, j11, k37)
 }

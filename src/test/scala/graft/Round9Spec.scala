@@ -110,6 +110,29 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- d37
+
+  test("d37 KS distance equals a brute-force CDF reference at sf0.001") {
+    val got = engine.Round9Ops.d37.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val rows = engine.Tables.lineitem(spark, sf0001)
+      .where(col("l_returnflag").isin("A", "R"))
+      .select(col("l_linestatus"), col("l_returnflag"),
+              col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (ls, xs) =>
+      val as = xs.filter(_._2 == "A").map(_._3)
+      val rs = xs.filter(_._2 == "R").map(_._3)
+      val dnum = (1L to 50L).map { x =>
+        math.abs(as.count(_ <= x).toLong * rs.length - rs.count(_ <= x).toLong * as.length)
+      }.max
+      val (gna, gnr, gd) = got(ls)
+      assert((gna, gnr) == ((as.length.toLong, rs.length.toLong)), s"$ls sizes")
+      assert(gd == dnum, s"$ls d_num: $gd vs $dnum")
+    }
+  }
+
   // ------------------------------------------------------------- KMV
 
   test("KMV is exact below k and merge-order invariant") {

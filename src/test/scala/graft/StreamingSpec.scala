@@ -1238,6 +1238,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming A/B rank stats: replayed fixture equals batch d35 and d37 across a batch cut") {
+    import graft.streaming.StreamingAbTest
+    import graft.streaming.StreamingAbTest.{AbIn, AbOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the batch queries' own input: A/R lineitem quantities keyed by linestatus
+    val rows = graft.engine.Tables.lineitem(spark, sf0001)
+      .where(col("l_returnflag").isin("A", "R"))
+      .select(col("l_linestatus"), col("l_returnflag"),
+              col("l_quantity").cast("long"))
+      .collect()
+      .map(r => AbIn(r.getString(0), if (r.getString(1) == "A") 0 else 1, r.getLong(2)))
+    val (b1, b2) = rows.splitAt(rows.length / 2) // counters are commutative: any cut
+    val in = MemoryStream[AbIn]
+    val q = StreamingAbTest.monitor(in.toDS()).writeStream
+      .format("memory").queryName("ab_t").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val d35 = graft.engine.Round9Ops.d35.fn(spark, sf0001).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+      val d37 = graft.engine.Round9Ops.d37.fn(spark, sf0001).collect()
+        .map(r => r.getString(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+      val nPerKey = rows.groupBy(_.key).map { case (k, xs) => k -> xs.size.toLong }
+      val last = spark.table("ab_t").as[AbOut].collect()
+        .filter(o => o.n_a + o.n_b == nPerKey(o.key)) // final emission per key
+        .map(o => o.key -> o).toMap
+      assert(last.keySet == d35.keySet)
+      last.foreach { case (k, o) =>
+        assert((o.n_a, o.n_b, o.u2_a, o.u2_b, o.cles_a) == d35(k),
+          s"$k: stream MW ${(o.n_a, o.n_b, o.u2_a, o.u2_b, o.cles_a)} vs batch ${d35(k)}")
+        assert((o.d_num, o.ks_d) == d37(k),
+          s"$k: stream KS ${(o.d_num, o.ks_d)} vs batch ${d37(k)}")
+      }
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming M4: replayed fixture equals batch e18 across a batch cut") {
     import graft.streaming.StreamingM4
     import graft.streaming.StreamingM4.{M4In, M4Out}
