@@ -130,4 +130,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles >= 2 && shuffles <= 3,
       s"d28 plans 2-3 shuffles (hist agg, window, [final sort]), got $shuffles:\n$p")
   }
+
+  test("d32/d36: power sums map-side combine; no window, no data-sized sort") {
+    // the exact-moment recipe's scale contract: ONE two-phase hash agg
+    // carries the int64 power sums (partial_sum map-side), the closed
+    // forms are projections over |groups| rows — nothing else touches
+    // data-sized cardinality
+    for (q <- Seq(graft.engine.Round9Ops.d32, graft.engine.Round9Ops.d36)) {
+      val p = executedPlan(q.fn(spark, sf0001)).split("== Initial Plan ==").head
+      assert("partial_sum".r.findAllIn(p).nonEmpty,
+        s"${q.name}: power sums must map-side combine:\n$p")
+      assert(!p.contains("Window"), s"${q.name} needs no window:\n$p")
+      val aggShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(aggShuffles <= 1,
+        s"${q.name}: one agg shuffle at most, got $aggShuffles:\n$p")
+    }
+  }
+
+  test("d35/d37: grid agg below the windows (window input is grid-sized)") {
+    // the rank-statistic scale contract: the raw-row shuffle ships
+    // map-combined (group, value-cell) partials; every window and the
+    // closing agg run over <= 2x50 cells per group
+    for (q <- Seq(graft.engine.Round9Ops.d35, graft.engine.Round9Ops.d37)) {
+      val p = executedPlan(q.fn(spark, sf0001)).split("== Initial Plan ==").head
+      assert("partial_sum".r.findAllIn(p).nonEmpty,
+        s"${q.name}: grid counts must map-side combine:\n$p")
+      val firstWindow = p.indexOf("Window")
+      assert(firstWindow >= 0 && p.substring(firstWindow).contains("HashAggregate"),
+        s"${q.name}: the grid agg must sit BELOW the windows:\n$p")
+    }
+  }
 }
