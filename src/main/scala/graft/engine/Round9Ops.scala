@@ -116,8 +116,10 @@ object Round9Ops {
     * one conditional hash agg (map-combined; the known domain pivots the
     * cells into fixed COLUMNS, so the 6-term χ² sum is one generated
     * left-to-right expression — deterministic where a SUM over cells would
-    * not be); min(r−1, c−1) = 1 so V = sqrt(χ²/n). All float ops are IEEE
-    * exact on bit-identical inputs (object scaladoc). */
+    * not be); min(r−1, c−1) = 1 so V = sqrt(χ²/n), and Pearson's
+    * contingency coefficient sqrt(χ²/(χ²+n)) completes the association
+    * family. All float ops are IEEE exact on bit-identical inputs
+    * (object scaladoc). */
   val d33: Q = Q(
     "d33_cramers_v",
     s"""WITH t AS (
@@ -135,7 +137,8 @@ object Round9Ops {
       |    caf + cnf + crf AS kf, cao + cno + cro AS ko
       |  FROM t),
       |x AS (SELECT n, $chi2E AS chi2 FROM r)
-      |SELECT CAST(n AS BIGINT) AS n_rows, chi2, SQRT(chi2 / n) AS cramers_v
+      |SELECT CAST(n AS BIGINT) AS n_rows, chi2, SQRT(chi2 / n) AS cramers_v,
+      |  SQRT(chi2 / (chi2 + n)) AS contingency_coef
       |FROM x""".stripMargin,
     (s, dir) => {
       def cell(rf: String, ls: String) =
@@ -153,7 +156,76 @@ object Round9Ops {
         .withColumn("ko", expr("cao + cno + cro"))
         .withColumn("chi2", expr(chi2E))
         .select(col("n").cast("long").as("n_rows"), col("chi2"),
-                expr("SQRT(chi2 / n)").as("cramers_v"))
+                expr("SQRT(chi2 / n)").as("cramers_v"),
+                expr("SQRT(chi2 / (chi2 + n))").as("contingency_coef"))
+    })
+
+  // ---------------------------------------------------------------- d38
+
+  /** Fixed-order entropy term sums for d38 — H(X) over the row margins and
+    * H(X|Y) over the cells, every log argument an exact-integer-valued
+    * double ratio. Generated once, instantiated into both dialects. */
+  private val hxE = Seq("ra", "rn", "rr")
+    .map(r => s"($r / n) * LN($r / n)").mkString(" + ")
+  private val hxyE = Seq(("caf", "kf"), ("cao", "ko"), ("cnf", "kf"),
+                         ("cno", "ko"), ("crf", "kf"), ("cro", "ko"))
+    .map { case (c, k) => s"($c / n) * LN($c / $k)" }.mkString(" + ")
+
+  /** d38 — Theil's U (uncertainty coefficient) of return flag given line
+    * status (ClickHouse `theilsU` analog [public: CH statistical-function
+    * docs]), completing the d33 association family. U(X|Y) =
+    * (H(X) − H(X|Y)) / H(X) over the same exact-int contingency pivot as
+    * d33 — margins and cells are exact int64 counts, and the entropy term
+    * sums are GENERATED fixed-order expressions (no float aggregate).
+    * Unlike the rest of the r9 family this is NOT the zero-float class:
+    * LN is transcendental, and correctly-rounded last-ulp behavior is not
+    * guaranteed identical across engines — so the output rides the k36/d09
+    * determinism class (ROUND 4 absorbs sub-ulp divergence; a flip would
+    * need the value within ~1 ulp of a .00005 boundary, which the k36
+    * family has never hit across three SFs). Plan identical to d33: one
+    * conditional map-combined hash agg, single-row output. All three CH
+    * sign conventions agree here: U ∈ [0, 1]. */
+  val d38: Q = Q(
+    "d38_theils_u",
+    s"""WITH t AS (
+      |  SELECT
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'A' AND l_linestatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) AS caf,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'A' AND l_linestatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE) AS cao,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'N' AND l_linestatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) AS cnf,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'N' AND l_linestatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE) AS cno,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) AS crf,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE) AS cro
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT *, caf + cao AS ra, cnf + cno AS rn, crf + cro AS rr,
+      |    caf + cnf + crf AS kf, cao + cno + cro AS ko
+      |  FROM t),
+      |h AS (SELECT n, -($hxE) AS hx, -($hxyE) AS hxy FROM r)
+      |SELECT CAST(n AS BIGINT) AS n_rows,
+      |  ROUND(hx, 4) AS h_x, ROUND(hxy, 4) AS h_x_given_y,
+      |  ROUND((hx - hxy) / hx, 4) AS theils_u
+      |FROM h""".stripMargin,
+    (s, dir) => {
+      def cell(rf: String, ls: String) =
+        sum(when(col("l_returnflag") === rf && col("l_linestatus") === ls, 1)
+              .otherwise(0)).cast("double")
+      Tables.lineitem(s, dir)
+        .agg(count(lit(1)).cast("double").as("n"),
+             cell("A", "F").as("caf"), cell("A", "O").as("cao"),
+             cell("N", "F").as("cnf"), cell("N", "O").as("cno"),
+             cell("R", "F").as("crf"), cell("R", "O").as("cro"))
+        .withColumn("ra", expr("caf + cao"))
+        .withColumn("rn", expr("cnf + cno"))
+        .withColumn("rr", expr("crf + cro"))
+        .withColumn("kf", expr("caf + cnf + crf"))
+        .withColumn("ko", expr("cao + cno + cro"))
+        .withColumn("hx", expr(s"-($hxE)"))
+        .withColumn("hxy", expr(s"-($hxyE)"))
+        .select(col("n").cast("long").as("n_rows"),
+                round(col("hx"), 4).as("h_x"),
+                round(col("hxy"), 4).as("h_x_given_y"),
+                round(expr("(hx - hxy) / hx"), 4).as("theils_u"))
     })
 
   // ---------------------------------------------------------------- d34
@@ -547,5 +619,5 @@ object Round9Ops {
         .orderBy(asc_nulls_last("doc_id"))
     })
 
-  def ops: Vector[Q] = Vector(d32, d33, d34, d35, d36, d37, j11, k37)
+  def ops: Vector[Q] = Vector(d32, d33, d34, d35, d36, d37, d38, j11, k37)
 }

@@ -110,6 +110,28 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- d38
+
+  test("d38 Theil's U equals a brute-force entropy reference at sf0.001") {
+    val r = engine.Round9Ops.d38.fn(spark, sf0001).collect().head
+    val rows = engine.Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val n = rows.length.toDouble
+    val hx = -rows.groupBy(_._1).values.map { xs =>
+      val p = xs.length / n; p * math.log(p)
+    }.sum
+    val hxy = -rows.groupBy(identity).map { case ((_, ls), xs) =>
+      val ky = rows.count(_._2 == ls).toDouble
+      (xs.length / n) * math.log(xs.length / ky)
+    }.sum
+    val u = (hx - hxy) / hx
+    assert(r.getLong(0) == rows.length.toLong)
+    assert(math.abs(r.getDouble(1) - hx) <= 1e-4, s"h_x ${r.getDouble(1)} vs $hx")
+    assert(math.abs(r.getDouble(3) - u) <= 1e-4, s"U ${r.getDouble(3)} vs $u")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
   // ------------------------------------------------------------- d37
 
   test("d37 KS distance equals a brute-force CDF reference at sf0.001") {
