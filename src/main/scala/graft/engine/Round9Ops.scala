@@ -239,8 +239,12 @@ object Round9Ops {
     * (k−1)·2^32 div h_k are pure integers, bit-exact cross-engine. Groups
     * with < k distinct hashes take the exact-count path (both regimes carry
     * fixture data: sf0.001 has 15 users/type — exact; sf0.01+ has ≥ 150 —
-    * estimate). This query form ranks distinct hashes (the semantics);
-    * the bounded-state scale path is [[graft.operators.Kmv]]. */
+    * estimate). The two sides are INDEPENDENT formulations that must agree
+    * (the j10/j11 pairing): the Spark side runs the bounded-state
+    * [[graft.operators.Kmv]] aggregator itself (≤ k longs of mergeable
+    * state per group — the plan that survives 100 TB), while the oracle is
+    * the rank-window reference formulation over the full distinct hash
+    * set. */
   val d34: Q = Q(
     "d34_kmv_distinct",
     """WITH h AS (
@@ -255,24 +259,17 @@ object Round9Ops {
       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS dcnt,
       |    CAST(MAX(CASE WHEN rn = 64 THEN hv END) AS BIGINT) AS h64
       |  FROM r GROUP BY 1)
-      |SELECT event_type, dcnt AS n_distinct_hashes,
+      |SELECT event_type, CAST(LEAST(dcnt, 64) AS INT) AS n_tracked,
       |  CAST(CASE WHEN dcnt < 64 THEN dcnt
       |       ELSE (63 * 4294967296) // h64 END AS BIGINT) AS kmv_estimate
       |FROM g ORDER BY event_type ASC NULLS LAST""".stripMargin,
     (s, dir) => {
-      val w = Window.partitionBy("event_type").orderBy(asc("hv"))
+      val fn = udaf(graft.operators.Kmv(64), org.apache.spark.sql.Encoders.LONG)
       Tables.events(s, dir)
-        .select(col("event_type"),
-                expr("((user_id % 2147483648L) * 2654435761L) % 4294967296L").as("hv"))
-        .distinct()
-        .withColumn("rn", row_number().over(w))
         .groupBy("event_type")
-        .agg(count(lit(1)).cast("long").as("dcnt"),
-             max(when(col("rn") === 64, col("hv"))).cast("long").as("h64"))
-        .select(col("event_type"), col("dcnt").as("n_distinct_hashes"),
-                when(col("dcnt") < 64, col("dcnt"))
-                  .otherwise(expr("(63 * 4294967296L) div h64"))
-                  .cast("long").as("kmv_estimate"))
+        .agg(fn(col("user_id")).as("s"))
+        .select(col("event_type"), col("s.n_tracked").as("n_tracked"),
+                col("s.estimate").as("kmv_estimate"))
         .orderBy(asc_nulls_last("event_type"))
     })
 

@@ -28,7 +28,11 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 case class KmvBuf(hs: Seq[Long]) // ascending, distinct, length ≤ k
 
-case class Kmv(k: Int) extends Aggregator[java.lang.Long, KmvBuf, Long] {
+/** Sketch result: how many distinct hashes are tracked (= min(k, distinct))
+  * and the cardinality estimate (exact when n_tracked < k). */
+case class KmvResult(n_tracked: Int, estimate: Long)
+
+case class Kmv(k: Int) extends Aggregator[java.lang.Long, KmvBuf, KmvResult] {
   require(k >= 2, "KMV needs k >= 2")
 
   override def zero: KmvBuf = KmvBuf(Seq.empty)
@@ -45,10 +49,11 @@ case class Kmv(k: Int) extends Aggregator[java.lang.Long, KmvBuf, Long] {
   override def merge(a: KmvBuf, b: KmvBuf): KmvBuf =
     KmvBuf((a.hs ++ b.hs).distinct.sorted.take(k))
 
-  override def finish(b: KmvBuf): Long = Kmv.estimate(b.hs, k)
+  override def finish(b: KmvBuf): KmvResult =
+    KmvResult(b.hs.length, Kmv.estimate(b.hs, k))
 
   override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
-  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  override def outputEncoder: Encoder[KmvResult] = Encoders.product[KmvResult]
 }
 
 object Kmv {
