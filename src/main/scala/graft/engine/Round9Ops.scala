@@ -116,10 +116,11 @@ object Round9Ops {
     * one conditional hash agg (map-combined; the known domain pivots the
     * cells into fixed COLUMNS, so the 6-term χ² sum is one generated
     * left-to-right expression — deterministic where a SUM over cells would
-    * not be); min(r−1, c−1) = 1 so V = sqrt(χ²/n), and Pearson's
-    * contingency coefficient sqrt(χ²/(χ²+n)) completes the association
-    * family. All float ops are IEEE exact on bit-identical inputs
-    * (object scaladoc). */
+    * not be); min(r−1, c−1) = 1 so V = sqrt(χ²/n); Pearson's contingency
+    * coefficient sqrt(χ²/(χ²+n)) and the Bergsma-2013 bias-corrected V
+    * (CH `cramersVBiasCorrected` — GREATEST/LEAST are exact on doubles in
+    * both engines) complete the association family. All float ops are
+    * IEEE exact on bit-identical inputs (object scaladoc). */
   val d33: Q = Q(
     "d33_cramers_v",
     s"""WITH t AS (
@@ -138,7 +139,10 @@ object Round9Ops {
       |  FROM t),
       |x AS (SELECT n, $chi2E AS chi2 FROM r)
       |SELECT CAST(n AS BIGINT) AS n_rows, chi2, SQRT(chi2 / n) AS cramers_v,
-      |  SQRT(chi2 / (chi2 + n)) AS contingency_coef
+      |  SQRT(chi2 / (chi2 + n)) AS contingency_coef,
+      |  SQRT(GREATEST(0.0, chi2 / n - 2.0 / (n - 1.0))
+      |       / LEAST(3.0 - 4.0 / (n - 1.0) - 1.0, 2.0 - 1.0 / (n - 1.0) - 1.0))
+      |    AS cramers_v_bc
       |FROM x""".stripMargin,
     (s, dir) => {
       def cell(rf: String, ls: String) =
@@ -157,7 +161,11 @@ object Round9Ops {
         .withColumn("chi2", expr(chi2E))
         .select(col("n").cast("long").as("n_rows"), col("chi2"),
                 expr("SQRT(chi2 / n)").as("cramers_v"),
-                expr("SQRT(chi2 / (chi2 + n))").as("contingency_coef"))
+                expr("SQRT(chi2 / (chi2 + n))").as("contingency_coef"),
+                expr("""SQRT(GREATEST(0.0, chi2 / n - 2.0 / (n - 1.0))
+                       |     / LEAST(3.0 - 4.0 / (n - 1.0) - 1.0,
+                       |             2.0 - 1.0 / (n - 1.0) - 1.0))""".stripMargin)
+                  .as("cramers_v_bc"))
     })
 
   // ---------------------------------------------------------------- d38
@@ -444,6 +452,76 @@ object Round9Ops {
         .orderBy(asc_nulls_last("l_linestatus"))
     })
 
+  // ---------------------------------------------------------------- d39
+
+  /** d39 — Spearman rank correlation between quantity and extended price,
+    * per line status (ClickHouse `rankCorr` analog [public: CH
+    * statistical-function docs]). Exactness recipe: tied values take the
+    * standard midrank, kept integer by DOUBLING (2·RANK + tiecount − 1,
+    * the d35 identity) — and because midranks preserve the rank total,
+    * Σdx = n(n+1) EXACTLY, so centering by the exact mean (n+1) is pure
+    * integer subtraction: ux = dx − (n+1), |ux| ≤ n. The three centered
+    * sums Σux·uy, Σux², Σuy² then fit int64 (≤ n³ ≈ 2.7e16 at sf0.1;
+    * int64→double casts are correctly rounded in both engines), and
+    * ρ = Sxy / (sqrt(Sxx)·sqrt(Syy)) is one fixed IEEE tree — bit-exact,
+    * zero ROUND. Scale note: quantity ranks could ride the d35 value
+    * grid, but price is continuous, so the rank windows here sort
+    * per-linestatus (the fixture shape: 2 groups); at real scale the
+    * standard 2-pass distributed rank (range-bucket counts → per-bucket
+    * offsets) replaces the window, same integers out. */
+  val d39: Q = Q(
+    "d39_rank_corr",
+    """WITH src AS (
+      |  SELECT l_linestatus, CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_linestatus,
+      |    2 * RANK() OVER (PARTITION BY l_linestatus ORDER BY q ASC)
+      |      + COUNT(*) OVER (PARTITION BY l_linestatus, q) - 1 AS dx,
+      |    2 * RANK() OVER (PARTITION BY l_linestatus ORDER BY p ASC)
+      |      + COUNT(*) OVER (PARTITION BY l_linestatus, p) - 1 AS dy,
+      |    COUNT(*) OVER (PARTITION BY l_linestatus) AS n
+      |  FROM src),
+      |c AS (
+      |  SELECT l_linestatus, dx - (n + 1) AS ux, dy - (n + 1) AS uy FROM r),
+      |a AS (
+      |  SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(ux * uy) AS BIGINT) AS sxy,
+      |    CAST(SUM(ux * ux) AS BIGINT) AS sxx,
+      |    CAST(SUM(uy * uy) AS BIGINT) AS syy
+      |  FROM c GROUP BY 1)
+      |SELECT l_linestatus, n AS n_rows,
+      |  CAST(sxy AS DOUBLE) / (SQRT(CAST(sxx AS DOUBLE)) * SQRT(CAST(syy AS DOUBLE)))
+      |    AS spearman_rho
+      |FROM a ORDER BY l_linestatus ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val wq = Window.partitionBy("l_linestatus").orderBy(asc("q"))
+      val wp = Window.partitionBy("l_linestatus").orderBy(asc("p"))
+      val tq = Window.partitionBy("l_linestatus", "q")
+      val tp = Window.partitionBy("l_linestatus", "p")
+      val wn = Window.partitionBy("l_linestatus")
+      Tables.lineitem(s, dir)
+        .select(col("l_linestatus"), col("l_quantity").cast("long").as("q"),
+                (col("l_extendedprice").cast("decimal(18,2)") * 100)
+                  .cast("long").as("p"))
+        .withColumn("dx", lit(2) * rank().over(wq) + count(lit(1)).over(tq) - 1)
+        .withColumn("dy", lit(2) * rank().over(wp) + count(lit(1)).over(tp) - 1)
+        .withColumn("n", count(lit(1)).over(wn))
+        .select(col("l_linestatus"),
+                (col("dx") - (col("n") + 1)).as("ux"),
+                (col("dy") - (col("n") + 1)).as("uy"))
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).cast("long").as("n"),
+             sum(col("ux") * col("uy")).cast("long").as("sxy"),
+             sum(col("ux") * col("ux")).cast("long").as("sxx"),
+             sum(col("uy") * col("uy")).cast("long").as("syy"))
+        .select(col("l_linestatus"), col("n").as("n_rows"),
+                expr("CAST(sxy AS DOUBLE) / (SQRT(CAST(sxx AS DOUBLE)) * SQRT(CAST(syy AS DOUBLE)))")
+                  .as("spearman_rho"))
+        .orderBy(asc_nulls_last("l_linestatus"))
+    })
+
   // ---------------------------------------------------------------- j11
 
   /** The strict-dedup funnel fold: acc is the chain state (0–3 = level,
@@ -616,5 +694,5 @@ object Round9Ops {
         .orderBy(asc_nulls_last("doc_id"))
     })
 
-  def ops: Vector[Q] = Vector(d32, d33, d34, d35, d36, d37, d38, j11, k37)
+  def ops: Vector[Q] = Vector(d32, d33, d34, d35, d36, d37, d38, d39, j11, k37)
 }

@@ -155,6 +155,43 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------- d39
+
+  test("d39 Spearman rho equals a brute-force midrank reference at sf0.001") {
+    val got = engine.Round9Ops.d39.fn(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val rows = engine.Tables.lineitem(spark, sf0001)
+      .select(col("l_linestatus"), col("l_quantity").cast("long"),
+              (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (ls, xs) =>
+      def midranks(vs: Array[Long]): Array[Double] = {
+        val sortedIdx = vs.zipWithIndex.sortBy(_._1)
+        val out = new Array[Double](vs.length)
+        var i = 0
+        while (i < sortedIdx.length) {
+          var j = i
+          while (j < sortedIdx.length && sortedIdx(j)._1 == sortedIdx(i)._1) j += 1
+          val mid = (i + 1 + j) / 2.0 // (minRank + maxRank) / 2, 1-based
+          (i until j).foreach(t => out(sortedIdx(t)._2) = mid)
+          i = j
+        }
+        out
+      }
+      val rx = midranks(xs.map(_._2))
+      val ry = midranks(xs.map(_._3))
+      val n = rx.length.toDouble
+      val mx = rx.sum / n; val my = ry.sum / n
+      val sxy = rx.indices.map(i => (rx(i) - mx) * (ry(i) - my)).sum
+      val sxx = rx.map(v => (v - mx) * (v - mx)).sum
+      val syy = ry.map(v => (v - my) * (v - my)).sum
+      val rho = sxy / (math.sqrt(sxx) * math.sqrt(syy))
+      val (gn, grho) = got(ls)
+      assert(gn == rx.length.toLong)
+      assert(math.abs(grho - rho) <= 1e-9, s"$ls rho: $grho vs $rho")
+    }
+  }
+
   // ------------------------------------------------------------- KMV
 
   test("KMV is exact below k and merge-order invariant") {
