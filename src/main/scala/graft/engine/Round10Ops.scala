@@ -1,0 +1,244 @@
+package graft.engine
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-10 extension block: the last members of the statistical-test
+  * family (pooled Student's t, one-way ANOVA F, ROC AUC), and the
+  * string-distance scalar family (edit distance, bit Hamming).
+  *
+  * All four ride the round-9 exactness recipe (SURVEY What's-hard item 1):
+  * exact int64 power sums / grid counts accumulated by map-combined hash
+  * aggs, then ONE fixed IEEE closed-form tree (+ − × ÷ sqrt, no pow, no
+  * transcendental) whose expression STRINGS are shared textually between
+  * dialects — bit-exact cross-engine, zero ROUND anywhere.
+  *
+  * Scale posture (SURVEY §4):
+  *  - d40/d41 are one conditional map-combined hash agg to a single row
+  *    (six / nine int64 cells) + closed forms on that row — fixed state at
+  *    any input scale, no shuffle beyond the agg's.
+  *  - d42's rank sweep lives on the cents VALUE GRID (value ≤ $560.21 ⇒
+  *    ≤ 56,022 distinct cells at ANY input scale — domain-bounded like
+  *    d28's timing grid, NOT data-sized). The one unpartitioned cumulative
+  *    window therefore sorts ≤ 56k rows regardless of scale (the e14
+  *    bounded-grid posture); the data-sized work is all in the map-combined
+  *    grid agg. For rank statistics on genuinely unbounded domains, the
+  *    2-pass [[graft.operators.DistributedRank]] replaces the window —
+  *    same integers out, pinned in DistributedRankSpec.
+  *  - h33 is pure map-side scalar work over codegen'd builtins.
+  */
+object Round10Ops {
+
+  // ---------------------------------------------------------------- d40
+
+  /** Shared pooled-t closed-form fragments (d40) — identical text in both
+    * dialects guarantees identical IEEE trees (the d32 recipe). */
+  private val vpE =
+    "((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)"
+  private val tpE =
+    "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / SQRT(vp * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))"
+
+  /** d40 — pooled-variance Student's t-test comparing purchase vs click
+    * value distributions (ClickHouse `studentTTest` analog [public: CH
+    * statistical-function docs]) — the equal-variance counterpart of d36's
+    * Welch test, completing the CH two-sample t family. Same exact power
+    * sums (count, Σcents, Σcents² per side — int64-exact to ~10^9 rows,
+    * d36's documented headroom), then the pooled variance and the t
+    * statistic are one fixed IEEE tree each, shared textually between
+    * dialects; dof = n1 + n2 − 2 is pure int64. One conditional
+    * map-combined hash agg, single-row output. */
+  val d40: Q = Q(
+    "d40_student_ttest",
+    s"""WITH s AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN c * c ELSE 0 END) AS BIGINT) AS q1,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN c ELSE 0 END) AS BIGINT) AS s2,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN c * c ELSE 0 END) AS BIGINT) AS q2
+      |  FROM (SELECT event_type,
+      |          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |        FROM events WHERE event_type IN ('purchase', 'click'))),
+      |v AS (SELECT *, $vpE AS vp FROM s)
+      |SELECT n1 AS n_purchase, n2 AS n_click, n1 + n2 - 2 AS dof,
+      |  vp AS pooled_var, $tpE AS t_stat
+      |FROM v""".stripMargin,
+    (s, dir) => {
+      val c = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      def side(t: String, e: org.apache.spark.sql.Column) =
+        sum(when(col("event_type") === t, e).otherwise(0L))
+      Tables.events(s, dir)
+        .where(col("event_type").isin("purchase", "click"))
+        .agg(side("purchase", lit(1L)).cast("long").as("n1"),
+             side("purchase", c).cast("long").as("s1"),
+             side("purchase", c * c).cast("long").as("q1"),
+             side("click", lit(1L)).cast("long").as("n2"),
+             side("click", c).cast("long").as("s2"),
+             side("click", c * c).cast("long").as("q2"))
+        .withColumn("vp", expr(vpE))
+        .select(col("n1").as("n_purchase"), col("n2").as("n_click"),
+                (col("n1") + col("n2") - 2).as("dof"),
+                col("vp").as("pooled_var"), expr(tpE).as("t_stat"))
+    })
+
+  // ---------------------------------------------------------------- d41
+
+  /** Shared one-way-ANOVA closed-form fragments (d41). The known 3-flag
+    * domain (A, N, R — the d33 pivot discipline) fixes the group sums as
+    * COLUMNS, so the between/within sums of squares are generated
+    * left-to-right expressions — no float aggregate anywhere. */
+  private val ssbE =
+    "(sa * sa / na + sn * sn / nn + sr * sr / nr) - (sa + sn + sr) * (sa + sn + sr) / (na + nn + nr)"
+  private val sswE =
+    "(qa - sa * sa / na) + (qn - sn * sn / nn) + (qr - sr * sr / nr)"
+  private val fE = "(ssb / 2.0) / (ssw / (na + nn + nr - 3.0))"
+
+  /** d41 — one-way ANOVA F statistic across the three return-flag groups
+    * on quantity (ClickHouse `analysisOfVariance` analog [public: CH
+    * statistical-function docs]). Per-group count / Σq / Σq² accumulate as
+    * exact int64 (quantity ≤ 50 ⇒ Σq² ≤ 2500·n) in ONE conditional
+    * map-combined hash agg — then SSB, SSW, and F = (SSB/(k−1))/(SSW/(N−k))
+    * are fixed IEEE trees over the 9 bit-identical doubles, with k = 3
+    * constant-folded into the text. Single-row output; the closed forms
+    * never see data-sized input. */
+  val d41: Q = Q(
+    "d41_anova_f",
+    s"""WITH t AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN q ELSE 0 END) AS DOUBLE) AS sa,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN q * q ELSE 0 END) AS DOUBLE) AS qa,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS DOUBLE) AS nn,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN q ELSE 0 END) AS DOUBLE) AS sn,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN q * q ELSE 0 END) AS DOUBLE) AS qn,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) AS nr,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN q ELSE 0 END) AS DOUBLE) AS sr,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN q * q ELSE 0 END) AS DOUBLE) AS qr
+      |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)),
+      |x AS (SELECT *, $ssbE AS ssb, $sswE AS ssw FROM t)
+      |SELECT CAST(na + nn + nr AS BIGINT) AS n_rows, 2 AS df_between,
+      |  CAST(na + nn + nr AS BIGINT) - 3 AS df_within,
+      |  ssb AS ss_between, ssw AS ss_within, $fE AS f_stat
+      |FROM x""".stripMargin,
+    (s, dir) => {
+      val q = col("l_quantity").cast("long")
+      def cell(rf: String, e: org.apache.spark.sql.Column) =
+        sum(when(col("l_returnflag") === rf, e).otherwise(0L)).cast("double")
+      Tables.lineitem(s, dir)
+        .agg(cell("A", lit(1L)).as("na"), cell("A", q).as("sa"),
+             cell("A", q * q).as("qa"),
+             cell("N", lit(1L)).as("nn"), cell("N", q).as("sn"),
+             cell("N", q * q).as("qn"),
+             cell("R", lit(1L)).as("nr"), cell("R", q).as("sr"),
+             cell("R", q * q).as("qr"))
+        .withColumn("ssb", expr(ssbE))
+        .withColumn("ssw", expr(sswE))
+        .select(expr("CAST(na + nn + nr AS BIGINT)").as("n_rows"),
+                lit(2).as("df_between"),
+                expr("CAST(na + nn + nr AS BIGINT) - 3").as("df_within"),
+                col("ssb").as("ss_between"), col("ssw").as("ss_within"),
+                expr(fE).as("f_stat"))
+    })
+
+  // ---------------------------------------------------------------- d42
+
+  /** d42 — ROC AUC of value as a purchase-vs-click classifier score
+    * (ClickHouse `arrayAUC` analog [public: CH array-function docs; the
+    * rank-sum identity AUC = (R⁺ − n⁺(n⁺+1)/2)/(n⁺n⁻) with midrank ties =
+    * the trapezoidal rule]). The d35 doubled-midrank machinery gives the
+    * tie-correct AUC exactly: u2_pos is the doubled U statistic (exact
+    * int64), AUC = u2/(2·n⁺·n⁻) and Gini = (u2 − n⁺n⁻)/(n⁺n⁻) are single
+    * float divisions of bit-identical ints. The sweep runs on the cents
+    * value grid — DOMAIN-bounded at ≤ 56,022 cells whatever the input
+    * scale, so the unpartitioned cumulative window is constant-size work
+    * (object scaladoc; unbounded-domain scores route through
+    * [[graft.operators.DistributedRank]] instead). */
+  val d42: Q = Q(
+    "d42_roc_auc",
+    """WITH g AS (
+      |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nn
+      |  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1),
+      |c AS (
+      |  SELECT c, np, nn, np + nn AS ct,
+      |    CAST(COALESCE(SUM(np + nn) OVER (ORDER BY c ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumlt
+      |  FROM g),
+      |a AS (
+      |  SELECT CAST(SUM(np) AS BIGINT) AS npos, CAST(SUM(nn) AS BIGINT) AS nneg,
+      |    CAST(SUM(np * (2 * cumlt + ct + 1)) AS BIGINT) AS drp
+      |  FROM c),
+      |u AS (SELECT npos, nneg, drp - npos * (npos + 1) AS u2 FROM a)
+      |SELECT npos AS n_pos, nneg AS n_neg, u2 AS u2_pos,
+      |  CAST(u2 AS DOUBLE) / CAST(2 * npos * nneg AS DOUBLE) AS roc_auc,
+      |  CAST(u2 - npos * nneg AS DOUBLE) / CAST(npos * nneg AS DOUBLE) AS gini
+      |FROM u""".stripMargin,
+    (s, dir) => {
+      val w = Window.orderBy(asc("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .where(col("event_type").isin("purchase", "click"))
+        .groupBy((col("value").cast("decimal(18,2)") * 100)
+                   .cast("long").as("c"))
+        .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0))
+               .cast("long").as("np"),
+             sum(when(col("event_type") === "click", 1).otherwise(0))
+               .cast("long").as("nn"))
+        .withColumn("ct", col("np") + col("nn"))
+        .withColumn("cumlt", coalesce(sum(col("ct")).over(w), lit(0L))
+                               .cast("long"))
+        .agg(sum("np").cast("long").as("npos"),
+             sum("nn").cast("long").as("nneg"),
+             sum(col("np") * (lit(2) * col("cumlt") + col("ct") + 1))
+               .cast("long").as("drp"))
+        .withColumn("u2", col("drp") - col("npos") * (col("npos") + 1))
+        .select(col("npos").as("n_pos"), col("nneg").as("n_neg"),
+                col("u2").as("u2_pos"),
+                expr("CAST(u2 AS DOUBLE) / CAST(2 * npos * nneg AS DOUBLE)")
+                  .as("roc_auc"),
+                expr("CAST(u2 - npos * nneg AS DOUBLE) / CAST(npos * nneg AS DOUBLE)")
+                  .as("gini"))
+    })
+
+  // ---------------------------------------------------------------- h33
+
+  /** h33 — string/bit distance scalar family over part (ClickHouse
+    * `editDistance` / `bitHammingDistance` analogs [public: CH
+    * string-search and bit-function docs]): Levenshtein edit distance
+    * between the part name and its type (both engines implement the
+    * classic unit-cost dynamic program — `levenshtein` in Spark and
+    * DuckDB), and the bit Hamming distance between the Knuth hashes of
+    * two integer attributes — popcount of the XOR, the SimHash-distance
+    * primitive (k18/k19's nearness measure as a standalone scalar). All
+    * integer: hashes use the 31-bit-masked Knuth multiply (the a04
+    * overflow discipline), XOR is spelled `^` in Spark and `xor()` in
+    * DuckDB (same bits), popcount is `bit_count` in both. Pure map-side
+    * codegen'd scalars — no shuffle but the output sort. */
+  val h33: Q = Q(
+    "h33_string_distance",
+    """SELECT p_partkey,
+      |  CAST(levenshtein(p_name, p_type) AS INT) AS edit_dist,
+      |  CAST(levenshtein(p_brand, p_type) AS INT) AS edit_dist_brand,
+      |  CAST(bit_count(xor(((p_partkey % 2147483648) * 2654435761) % 4294967296,
+      |                     ((CAST(p_size AS BIGINT) % 2147483648) * 2654435761) % 4294967296))
+      |       AS INT) AS hamming_bits
+      |FROM part ORDER BY p_partkey ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      def knuth(c: org.apache.spark.sql.Column) =
+        ((c % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L)
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+                levenshtein(col("p_name"), col("p_type")).cast("int")
+                  .as("edit_dist"),
+                levenshtein(col("p_brand"), col("p_type")).cast("int")
+                  .as("edit_dist_brand"),
+                bit_count(knuth(col("p_partkey"))
+                            .bitwiseXOR(knuth(col("p_size").cast("long"))))
+                  .cast("int").as("hamming_bits"))
+        .orderBy(asc_nulls_last("p_partkey"))
+    })
+
+  def ops: Vector[Q] = Vector(d40, d41, d42, h33)
+}
