@@ -1333,4 +1333,53 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming Welch/pooled t: replayed fixture equals batch d36 and d40 bit-for-bit") {
+    import graft.streaming.StreamingWelch
+    import graft.streaming.StreamingWelch.{TIn, TOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the batch queries' own input: purchase (arm A) vs click (arm B) cents
+    val rows = graft.engine.Tables.events(spark, sf0001)
+      .where(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"),
+              (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .collect()
+      .map(r => TIn("exp", if (r.getString(0) == "purchase") 0 else 1,
+                    r.getLong(1)))
+    val (b1, b2) = rows.splitAt(rows.length / 2) // power sums commute: any cut
+    val in = MemoryStream[TIn]
+    val q = StreamingWelch.monitor(in.toDS()).writeStream
+      .format("memory").queryName("welch_t").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val d36 = graft.engine.Round9Ops.d36.fn(spark, sf0001).collect().head
+      val d40 = graft.engine.Round10Ops.d40.fn(spark, sf0001).collect().head
+      val last = spark.table("welch_t").as[TOut].collect()
+        .filter(o => o.n_a + o.n_b == rows.length.toLong).head
+      // EQUALITY, no tolerance: the Scala closed forms mirror the batch SQL
+      // trees op-for-op over the same exact integer sums
+      assert((last.n_a, last.n_b) == ((d36.getLong(0), d36.getLong(1))))
+      assert(last.t_welch == d36.getDouble(2),
+        s"welch t ${last.t_welch} vs batch ${d36.getDouble(2)}")
+      assert(last.welch_dof == d36.getDouble(3),
+        s"welch dof ${last.welch_dof} vs batch ${d36.getDouble(3)}")
+      assert(last.pooled_var == d40.getDouble(3),
+        s"pooled var ${last.pooled_var} vs batch ${d40.getDouble(3)}")
+      assert(last.t_pooled == d40.getDouble(4),
+        s"pooled t ${last.t_pooled} vs batch ${d40.getDouble(4)}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
