@@ -147,6 +147,33 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("d40/d41: power sums map-side combine; no window, no data-sized sort") {
+    // the round-10 members of the exact-moment family inherit the d32/d36
+    // scale contract verbatim
+    for (q <- Seq(graft.engine.Round10Ops.d40, graft.engine.Round10Ops.d41)) {
+      val p = executedPlan(q.fn(spark, sf0001)).split("== Initial Plan ==").head
+      assert("partial_sum".r.findAllIn(p).nonEmpty,
+        s"${q.name}: power sums must map-side combine:\n$p")
+      assert(!p.contains("Window"), s"${q.name} needs no window:\n$p")
+      val aggShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(aggShuffles <= 1,
+        s"${q.name}: one agg shuffle at most, got $aggShuffles:\n$p")
+    }
+  }
+
+  test("d42: grid agg below the sweep window (window input is grid-sized)") {
+    // the AUC sweep's scale contract: the raw-row shuffle ships
+    // map-combined cents-cell partials; the one unpartitioned window and
+    // the closing agg run over the domain-bounded grid (<= 56,022 cells)
+    val p = executedPlan(graft.engine.Round10Ops.d42.fn(spark, sf0001))
+      .split("== Initial Plan ==").head
+    assert("partial_sum".r.findAllIn(p).nonEmpty,
+      s"d42: grid counts must map-side combine:\n$p")
+    val firstWindow = p.indexOf("Window")
+    assert(firstWindow >= 0 && p.substring(firstWindow).contains("HashAggregate"),
+      s"d42: the grid agg must sit BELOW the window:\n$p")
+  }
+
   test("d35/d37: grid agg below the windows (window input is grid-sized)") {
     // the rank-statistic scale contract: the raw-row shuffle ships
     // map-combined (group, value-cell) partials; every window and the
