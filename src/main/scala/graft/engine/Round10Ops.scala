@@ -240,5 +240,64 @@ object Round10Ops {
         .orderBy(asc_nulls_last("p_partkey"))
     })
 
-  def ops: Vector[Q] = Vector(d40, d41, d42, h33)
+  // ---------------------------------------------------------------- k38
+
+  /** k38 — exact integer vector-distance family over embeddings (ClickHouse
+    * `L1Distance`/`L2SquaredDistance`/`LinfDistance` analogs [public: CH
+    * distance-function docs]) — the ADC probe primitive (Ivf's byte-ADC
+    * scans int8 codes with exactly this arithmetic) surfaced as a declared
+    * query, bit-exact where naive float vector math would be
+    * merge-order-unstable. The quantization is FLOOR(x · 2²⁴): float32→
+    * double is exact, a power-of-two multiply only shifts the exponent
+    * (no rounding), and FLOOR of any double is exact in both engines —
+    * so the int64 component grids are bit-identical WITHOUT the
+    * double→BIGINT cast divergence (Spark truncates, DuckDB rounds — the
+    * e13 lesson; FLOOR sidesteps it entirely). With |x| < 0.5 and 64 dims,
+    * diff² ≤ 2⁴⁸ and the L2² sum ≤ 2⁵⁴ — exact int64. Near-pairs emit at
+    * L2² < 4.2e14 quantized units (real L2 ≈ 1.22, the same-label 5th
+    * percentile).
+    * Scale: same-label blocking bounds the pair join (the k07 posture);
+    * at 100 TB the candidate set comes from IVF/LSH instead and this
+    * arithmetic scores it — the query pins the scoring exactly. */
+  val k38: Q = Q(
+    "k38_quantized_distances",
+    """WITH q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2, a.label AS label,
+      |    CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+      |      i -> abs(a.v[i] - b.v[i]))) AS BIGINT) AS l1_q,
+      |    CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+      |      i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))) AS BIGINT) AS l2sq_q,
+      |    CAST(list_max(list_transform(range(1, len(a.v) + 1),
+      |      i -> abs(a.v[i] - b.v[i]))) AS BIGINT) AS linf_q
+      |  FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT id1, id2, label, l1_q, l2sq_q, linf_q
+      |FROM p WHERE l2sq_q < 420000000000000
+      |ORDER BY id1 ASC NULLS LAST, id2 ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val qv = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(16777216.0)).cast("long")).as("v"))
+      qv.as("a").join(qv.as("b"),
+          col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+                col("a.label").as("label"),
+                aggregate(zip_with(col("a.v"), col("b.v"),
+                            (x, y) => abs(x - y)),
+                          lit(0L), (acc, d) => acc + d).as("l1_q"),
+                aggregate(zip_with(col("a.v"), col("b.v"),
+                            (x, y) => (x - y) * (x - y)),
+                          lit(0L), (acc, d) => acc + d).as("l2sq_q"),
+                array_max(zip_with(col("a.v"), col("b.v"),
+                            (x, y) => abs(x - y))).as("linf_q"))
+        .where(col("l2sq_q") < 420000000000000L)
+        .orderBy(asc_nulls_last("id1"), asc_nulls_last("id2"))
+    })
+
+  def ops: Vector[Q] = Vector(d40, d41, d42, h33, k38)
 }
