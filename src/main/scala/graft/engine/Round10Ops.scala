@@ -240,6 +240,62 @@ object Round10Ops {
         .orderBy(asc_nulls_last("p_partkey"))
     })
 
+  // ---------------------------------------------------------------- h34
+
+  /** Deterministic pseudo-coordinates from integer keys — exact doubles:
+    * the int64 hash is exact, and `/ 100.0 − offset` is two IEEE ops on
+    * identical inputs. Shared text, instantiated per key column. */
+  private def latE(k: String) = s"CAST(($k * 7919) % 18000 AS DOUBLE) / 100.0 - 90.0"
+  private def lonE(k: String) = s"CAST(($k * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0"
+
+  /** Haversine over pre-computed radian columns — ONE shared expression
+    * tree. SIN/COS/ASIN are transcendental, so h34 rides the k36/d38
+    * ROUND-4 determinism class (not the zero-float class; flip risk
+    * documented there). 6372797.560856 m is the CH mean-Earth radius. */
+  private val havE =
+    "SIN((la2 - la1) / 2.0) * SIN((la2 - la1) / 2.0) + COS(la1) * COS(la2) * SIN((lo2 - lo1) / 2.0) * SIN((lo2 - lo1) / 2.0)"
+  private val distE = "2.0 * 6372797.560856 * ASIN(SQRT(hav))"
+
+  /** h34 — great-circle distance (ClickHouse `greatCircleDistance` analog
+    * [public: CH geo-function docs; the haversine formula]), completing
+    * the geo scalar family next to h29 pointInPolygon and h30 geohash.
+    * Coordinates are derived deterministically from customer and nation
+    * keys (exact int64 hash → two exact IEEE ops), the nation side joins
+    * broadcast-small, and the distance is the standard haversine with
+    * CH's mean-Earth radius, ROUND-4-rounded per the transcendental-tail
+    * determinism class. Map-side scalar work over a broadcast join — no
+    * shuffle but the output sort. */
+  val h34: Q = Q(
+    "h34_great_circle",
+    s"""WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    RADIANS(${latE("c_custkey")}) AS la1, RADIANS(${lonE("c_custkey")}) AS lo1
+      |  FROM customer),
+      |n AS (
+      |  SELECT n_nationkey, n_name,
+      |    RADIANS(${latE("n_nationkey")}) AS la2, RADIANS(${lonE("n_nationkey")}) AS lo2
+      |  FROM nation),
+      |j AS (
+      |  SELECT c_custkey, n_name, la1, lo1, la2, lo2, $havE AS hav
+      |  FROM c JOIN n ON c_nationkey = n_nationkey)
+      |SELECT c_custkey, n_name, ROUND($distE, 4) AS dist_m
+      |FROM j ORDER BY c_custkey ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"),
+                radians(expr(latE("c_custkey"))).as("la1"),
+                radians(expr(lonE("c_custkey"))).as("lo1"))
+      val n = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"),
+                radians(expr(latE("n_nationkey"))).as("la2"),
+                radians(expr(lonE("n_nationkey"))).as("lo2"))
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("hav", expr(havE))
+        .select(col("c_custkey"), col("n_name"),
+                round(expr(distE), 4).as("dist_m"))
+        .orderBy(asc_nulls_last("c_custkey"))
+    })
+
   // ---------------------------------------------------------------- k38
 
   /** k38 — exact integer vector-distance family over embeddings (ClickHouse
@@ -299,5 +355,5 @@ object Round10Ops {
         .orderBy(asc_nulls_last("id1"), asc_nulls_last("id2"))
     })
 
-  def ops: Vector[Q] = Vector(d40, d41, d42, h33, k38)
+  def ops: Vector[Q] = Vector(d40, d41, d42, h33, h34, k38)
 }
