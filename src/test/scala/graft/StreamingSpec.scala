@@ -1382,4 +1382,49 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming ANOVA: replayed fixture equals batch d41 bit-for-bit") {
+    import graft.streaming.StreamingAnova
+    import graft.streaming.StreamingAnova.{AIn, AOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the batch query's own input: quantities with the FIXED arm order A,N,R
+    val armOf = Map("A" -> 0, "N" -> 1, "R" -> 2)
+    val rows = graft.engine.Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect()
+      .map(r => AIn("exp", armOf(r.getString(0)), r.getLong(1)))
+    val (b1, b2) = rows.splitAt(rows.length / 2) // power sums commute: any cut
+    val in = MemoryStream[AIn]
+    val q = StreamingAnova.monitor(in.toDS(), arms = 3).writeStream
+      .format("memory").queryName("aov_t").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val d41 = graft.engine.Round10Ops.d41.fn(spark, sf0001).collect().head
+      val last = spark.table("aov_t").as[AOut].collect()
+        .filter(_.n_rows == rows.length.toLong).head
+      // EQUALITY, no tolerance: the Scala fold mirrors the generated SQL
+      // left-to-right arm order over the same exact integer sums
+      assert(last.df_between == d41.getInt(1))
+      assert(last.df_within == d41.getLong(2))
+      assert(last.ss_between == d41.getDouble(3),
+        s"SSB ${last.ss_between} vs batch ${d41.getDouble(3)}")
+      assert(last.ss_within == d41.getDouble(4),
+        s"SSW ${last.ss_within} vs batch ${d41.getDouble(4)}")
+      assert(last.f_stat == d41.getDouble(5),
+        s"F ${last.f_stat} vs batch ${d41.getDouble(5)}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
