@@ -240,6 +240,50 @@ object Round10Ops {
         .orderBy(asc_nulls_last("p_partkey"))
     })
 
+  // ---------------------------------------------------------------- d43
+
+  /** Shared z closed form (d43): known population variances enter as
+    * CONSTANTS in the text (CH passes them as aggregate parameters), so
+    * the tree has two exact int64→double means and four literal ops. */
+  private val zE =
+    "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / SQRT(25000000.0 / CAST(n1 AS DOUBLE) + 23000000.0 / CAST(n2 AS DOUBLE))"
+
+  /** d43 — two-sample mean z-test with known population variances
+    * (ClickHouse `meanZTest` analog [public: CH statistical-function
+    * docs]; parameters pop_var_x = 2.5e7, pop_var_y = 2.3e7 cents² — the
+    * fixture arms' round-number population variances, entering the shared
+    * expression text as literals exactly as CH takes them as aggregate
+    * parameters). Completes the two-sample location-test family next to
+    * d36 (Welch) and d40 (pooled t): only counts and Σcents are needed —
+    * the lightest member, two int64 cells per side, one IEEE tree. One
+    * conditional map-combined hash agg, single-row output. */
+  val d43: Q = Q(
+    "d43_mean_ztest",
+    s"""WITH s AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS BIGINT) AS s1,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN c ELSE 0 END) AS BIGINT) AS s2
+      |  FROM (SELECT event_type,
+      |          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |        FROM events WHERE event_type IN ('purchase', 'click')))
+      |SELECT n1 AS n_purchase, n2 AS n_click, $zE AS z_stat
+      |FROM s""".stripMargin,
+    (s, dir) => {
+      val c = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      def side(t: String, e: org.apache.spark.sql.Column) =
+        sum(when(col("event_type") === t, e).otherwise(0L))
+      Tables.events(s, dir)
+        .where(col("event_type").isin("purchase", "click"))
+        .agg(side("purchase", lit(1L)).cast("long").as("n1"),
+             side("purchase", c).cast("long").as("s1"),
+             side("click", lit(1L)).cast("long").as("n2"),
+             side("click", c).cast("long").as("s2"))
+        .select(col("n1").as("n_purchase"), col("n2").as("n_click"),
+                expr(zE).as("z_stat"))
+    })
+
   // ---------------------------------------------------------------- h34
 
   /** Deterministic pseudo-coordinates from integer keys — exact doubles:
@@ -355,5 +399,5 @@ object Round10Ops {
         .orderBy(asc_nulls_last("id1"), asc_nulls_last("id2"))
     })
 
-  def ops: Vector[Q] = Vector(d40, d41, d42, h33, h34, k38)
+  def ops: Vector[Q] = Vector(d40, d41, d42, d43, h33, h34, k38)
 }
