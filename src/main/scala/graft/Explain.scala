@@ -27,7 +27,11 @@ object Explain {
                // round-9 representatives: power-sum closed forms, KMV rank
                // window, grid rank stats, gram-count joins
                "d32_skew_kurt", "d34_kmv_distinct", "d35_mann_whitney_u",
-               "k37_repetition_quality")
+               "k37_repetition_quality",
+               // round-10 representatives: single-row power-sum tests, the
+               // grid AUC sweep, quantized-distance pair join, geo broadcast
+               "d41_anova_f", "d42_roc_auc", "k38_quantized_distances",
+               "h34_great_circle")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
