@@ -240,6 +240,51 @@ object Round10Ops {
         .orderBy(asc_nulls_last("p_partkey"))
     })
 
+  // ---------------------------------------------------------------- c20
+
+  /** c20 — TPC-H Q5 shape: local-supplier revenue per nation inside one
+    * region and order-date year [public: TPC-H spec §2.4.5] — the classic
+    * 6-table star composition (the widest declared join, two tables past
+    * c17/c18): lineitem→orders drives the fact-side hash joins, while
+    * region⋈nation⋈supplier collapses to a BROADCAST side that carries the
+    * region filter AND the c_nationkey = s_nationkey "local supplier"
+    * condition into one join. Revenue through the decimal route
+    * (merge-order-proof); ORDER BY the exact decimal-backed revenue with
+    * an n_name tiebreak for a total order. */
+  val c20: Q = Q(
+    "c20_join_q5_region",
+    s"""SELECT n_name, ${Determinism.dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM customer, orders, lineitem, supplier, nation, region
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC NULLS LAST, n_name ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val localSup = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+                .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(localSup),
+              col("l_suppkey") === col("s_suppkey") &&
+                col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(Determinism.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+               .as("revenue"))
+        .orderBy(desc_nulls_last("revenue"), asc_nulls_last("n_name"))
+    })
+
   // ---------------------------------------------------------------- d43
 
   /** Shared z closed form (d43): known population variances enter as
@@ -399,5 +444,5 @@ object Round10Ops {
         .orderBy(asc_nulls_last("id1"), asc_nulls_last("id2"))
     })
 
-  def ops: Vector[Q] = Vector(d40, d41, d42, d43, h33, h34, k38)
+  def ops: Vector[Q] = Vector(c20, d40, d41, d42, d43, h33, h34, k38)
 }
