@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{AdcScoreExpression, ChargeExpression, DotProductExpression, PackBytesExpression, UnitVectorExpression}
+import graft.functions.{AdcScoreExpression, ChargeExpression, DotProductExpression, LongDistanceExpression, PackBytesExpression, UnitVectorExpression}
 
 /** Engine extension point (SURVEY §4 "custom code actually needed" item 2).
   *
@@ -47,6 +47,16 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_adc(binary, array<double>)")
         AdcScoreExpression(children(0), children(1))
       }))
+    Seq(("graft_l1_long", 0), ("graft_l2sq_long", 1), ("graft_linf_long", 2))
+      .foreach { case (name, mode) =>
+        ext.injectFunction((
+          new FunctionIdentifier(name),
+          new ExpressionInfo(classOf[LongDistanceExpression].getName, name),
+          (children: Seq[Expression]) => {
+            require(children.size == 2, s"$name(array<bigint>, array<bigint>)")
+            LongDistanceExpression(children(0), children(1), mode)
+          }))
+      }
     ext.injectFunction((
       new FunctionIdentifier("graft_unit"),
       new ExpressionInfo(classOf[UnitVectorExpression].getName, "graft_unit"),

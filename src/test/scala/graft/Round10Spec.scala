@@ -75,6 +75,41 @@ class Round10Spec extends SparkSpec {
            s"no single-partition exchange allowed:\n$plan")
   }
 
+  // ----------------------------------------------- LongDistanceExpression
+
+  test("graft_*_long distances: codegen compiles; values match the HOF forms") {
+    // compile-proof with fallback disabled (the PackBytes discipline): a
+    // janino failure must FAIL here, not silently degrade to interpreted
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val rows = spark.range(50).selectExpr(
+        "transform(sequence(0, 63), i -> (id * 37 + i * i * 11) % 9999991 - 4000000) AS a",
+        "transform(sequence(0, 63), i -> (id * 91 + i * 13) % 9999991 - 4000000) AS b")
+        .selectExpr(
+          "graft_l1_long(a, b) AS l1", "graft_l2sq_long(a, b) AS l2",
+          "graft_linf_long(a, b) AS li",
+          "aggregate(zip_with(a, b, (x, y) -> abs(x - y)), 0L, (s, d) -> s + d) AS hl1",
+          "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (s, d) -> s + d) AS hl2",
+          "array_max(zip_with(a, b, (x, y) -> abs(x - y))) AS hli")
+        .collect()
+      assert(rows.length == 50)
+      rows.foreach { r =>
+        assert(r.getLong(0) == r.getLong(3), "L1 native vs HOF")
+        assert(r.getLong(1) == r.getLong(4), "L2sq native vs HOF")
+        assert(r.getLong(2) == r.getLong(5), "Linf native vs HOF")
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      prevFactory match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   // ----------------------------------------------- d40 / d41 references
 
   test("d41 ANOVA F equals a brute-force two-pass reference at sf0.001") {
