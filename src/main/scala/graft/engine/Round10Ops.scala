@@ -385,6 +385,30 @@ object Round10Ops {
         .orderBy(asc_nulls_last("c_custkey"))
     })
 
+  // ---------------------------------------------------------------- d44
+
+  /** d44 — Spearman ρ computed by the 2-PASS DISTRIBUTED RANK
+    * (`operators/DistributedRank.spearman`) under the oracle gate: the
+    * same statistic as d39, but the Spark side replaces d39's per-group
+    * rank windows with the range-exchange + slice-offsets plan — the
+    * shape that survives unbounded value domains at 100 TB (no per-group
+    * data-sized sort anywhere; plan-pinned SinglePartition-free in
+    * Round10Spec). The oracle is d39's window formulation VERBATIM — two
+    * independent formulations, one oracle (the d34/j10 pairing
+    * discipline), and the centered sums are exact int64 either way, so
+    * the driver hash must match to the bit. */
+  val d44: Q = Q(
+    "d44_rank_corr_2pass",
+    Round9Ops.d39.sql,
+    (s, dir) =>
+      graft.operators.DistributedRank.spearman(
+        Tables.lineitem(s, dir).select(
+          col("l_linestatus"), col("l_quantity").cast("long").as("q"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("p")),
+        Seq("l_linestatus"), "q", "p")
+        .orderBy(asc_nulls_last("l_linestatus")))
+
   // ---------------------------------------------------------------- k38
 
   /** k38 — exact integer vector-distance family over embeddings (ClickHouse
@@ -444,5 +468,5 @@ object Round10Ops {
         .orderBy(asc_nulls_last("id1"), asc_nulls_last("id2"))
     })
 
-  def ops: Vector[Q] = Vector(c20, d40, d41, d42, d43, h33, h34, k38)
+  def ops: Vector[Q] = Vector(c20, d40, d41, d42, d43, d44, h33, h34, k38)
 }
