@@ -101,6 +101,21 @@ class Round10Spec extends SparkSpec {
         assert(r.getLong(1) == r.getLong(4), "L2sq native vs HOF")
         assert(r.getLong(2) == r.getLong(5), "Linf native vs HOF")
       }
+      // edge shapes: empty arrays -> 0; null elements skipped (the
+      // DotProduct posture); length mismatch folds the common prefix
+      val edge = spark.sql(
+        """SELECT
+          |  graft_l1_long(CAST(array() AS ARRAY<BIGINT>),
+          |                CAST(array() AS ARRAY<BIGINT>)) AS e0,
+          |  graft_l2sq_long(array(1L, CAST(NULL AS BIGINT), 3L),
+          |                  array(5L, 7L, CAST(NULL AS BIGINT))) AS en,
+          |  graft_l1_long(array(1L, 2L, 3L), array(2L)) AS em,
+          |  graft_linf_long(CAST(array() AS ARRAY<BIGINT>), array(1L)) AS ei""".stripMargin)
+        .collect().head
+      assert(edge.getLong(0) == 0L)
+      assert(edge.getLong(1) == 16L, "null elements skip: only (1-5)^2")
+      assert(edge.getLong(2) == 1L, "length mismatch folds the common prefix")
+      assert(edge.getLong(3) == 0L)
     } finally {
       spark.conf.set("spark.sql.codegen.fallback", prevFallback)
       prevFactory match {

@@ -1427,4 +1427,49 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming moments: replayed fixture equals batch d32 bit-for-bit") {
+    import graft.streaming.StreamingMoments
+    import graft.streaming.StreamingMoments.{MIn, MOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the batch query's own input: quantities keyed by return flag
+    val rows = graft.engine.Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect()
+      .map(r => MIn(r.getString(0), r.getLong(1)))
+    val (b1, b2) = rows.splitAt(rows.length / 2) // power sums commute: any cut
+    val in = MemoryStream[MIn]
+    val q = StreamingMoments.monitor(in.toDS()).writeStream
+      .format("memory").queryName("mom_t").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val d32 = graft.engine.Round9Ops.d32.fn(spark, sf0001).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      val nPerKey = rows.groupBy(_.key).map { case (k, xs) => k -> xs.size.toLong }
+      val last = spark.table("mom_t").as[MOut].collect()
+        .filter(o => o.n_rows == nPerKey(o.key)) // final emission per key
+        .map(o => o.key -> o).toMap
+      assert(last.keySet == d32.keySet)
+      // EQUALITY, no tolerance: the Scala closed form mirrors d32's SQL
+      // fragments op-for-op over the same exact integer power sums
+      last.foreach { case (k, o) =>
+        assert((o.n_rows, o.skew_pop, o.kurt_pop) == d32(k),
+          s"$k: stream ${(o.n_rows, o.skew_pop, o.kurt_pop)} vs batch ${d32(k)}")
+      }
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
