@@ -1472,4 +1472,72 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming retention flags equal the batch j06 cohort rule across micro-batches") {
+    import graft.streaming.StreamingRetention
+    import graft.streaming.StreamingRetention.{EventIn, RetentionFlags}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val D = 86400L * 1000000L // one day in micros
+    val in = MemoryStream[EventIn]
+    val q = StreamingRetention.retentionFlags(in.toDS()).writeStream
+      .format("memory").queryName("retention_t").outputMode(OutputMode.Update).start()
+    // user 1: anchor + week-0 activity in batch 1; week-1 and week-2
+    //   activity arrive in batch 2 (cross-batch accumulation) → 1,1,1
+    // user 2: anchor only (the signup itself is week-0 activity) → 1,0,0
+    // user 3: pre-anchor click (ts < eventual anchor, never counted), then
+    //   the anchor and a week-2 event in batch 2 → 1,0,1
+    // user 4: activity exactly at l1 + 7d — the half-open boundary goes to
+    //   week 1 — and at l1 + 21d, outside the horizon → 1,1,0
+    // user 5: activity but never an anchor → emits nothing
+    val batch1 = Seq(
+      EventIn(1, 0 * D, 1, "signup"), EventIn(1, 3 * D, 2, "click"),
+      EventIn(2, 1 * D, 3, "signup"),
+      EventIn(3, 0 * D, 4, "click"),
+      EventIn(4, 0 * D, 5, "signup"),
+      EventIn(5, 0 * D, 6, "view"))
+    val batch2 = Seq(
+      EventIn(1, 8 * D, 7, "view"), EventIn(1, 15 * D, 8, "purchase"),
+      EventIn(3, 2 * D, 9, "signup"), EventIn(3, 17 * D, 10, "click"),
+      EventIn(4, 7 * D, 11, "click"), EventIn(4, 21 * D, 12, "click"),
+      EventIn(5, 9 * D, 13, "view"))
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val got = spark.table("retention_t").as[RetentionFlags].collect()
+        .groupBy(_.user_id).map { case (u, rows) =>
+          val r = rows.last; u -> (r.w0, r.w1, r.w2) }
+      // brute-force batch rule over the full log (j06's semantics)
+      val W = 7 * D
+      val expected = (batch1 ++ batch2).groupBy(_.user_id).flatMap { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e.ts_micros, e.event_id))
+        sorted.collectFirst { case e if e.event_type == "signup" => e.ts_micros }
+          .map { l1 =>
+            def wk(k: Int) = if (sorted.exists(e =>
+              e.ts_micros >= l1 + k * W && e.ts_micros < l1 + (k + 1) * W)) 1 else 0
+            u -> (wk(0), wk(1), wk(2))
+          }
+      }
+      assert(got == expected,
+        s"streaming retention must equal batch cohort rule: got $got, want $expected")
+      assert(got(1L) == ((1, 1, 1)) && got(2L) == ((1, 0, 0)) &&
+             got(3L) == ((1, 0, 1)) && got(4L) == ((1, 1, 0)))
+      assert(!got.contains(5L), "unanchored user must emit nothing")
+      // cohort rollup (what j06 aggregates): n_users and per-week sums
+      val cohort = (got.size, got.values.map(_._1).sum,
+                    got.values.map(_._2).sum, got.values.map(_._3).sum)
+      assert(cohort == ((4, 4, 2, 2)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
