@@ -31,7 +31,11 @@ object Explain {
                // round-10 representatives: single-row power-sum tests, the
                // grid AUC sweep, quantized-distance pair join, geo broadcast
                "d41_anova_f", "d42_roc_auc", "k38_quantized_distances",
-               "h34_great_circle")
+               "h34_great_circle",
+               // round-11 representatives: running-max sequence window,
+               // map-only string search, additive integer decay agg
+               "j12_sequence_match_time", "h35_multi_search",
+               "e21_time_decayed_sum")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
