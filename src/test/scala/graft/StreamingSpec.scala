@@ -1473,6 +1473,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming time-decayed sum: replayed fixture equals batch e21 bit-for-bit") {
+    import graft.streaming.StreamingTimeDecay
+    import graft.streaming.StreamingTimeDecay.{DIn, DOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the batch query's own input: per-event (user, µs, cents)
+    val rows = graft.engine.Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")),
+              (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .collect()
+      .map(r => DIn(r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (b1, b2) = rows.splitAt(rows.length / 2) // additive state: any cut
+    val in = MemoryStream[DIn]
+    val q = StreamingTimeDecay.decayedSum(in.toDS()).writeStream
+      .format("memory").queryName("decay_t").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val batch = graft.engine.Round11Ops.e21.fn(spark, sf0001).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+        .toMap
+      val last = spark.table("decay_t").as[DOut].collect()
+        .groupBy(_.user_id).map { case (u, os) =>
+          val o = os.maxBy(_.n_events); u -> ((o.units, o.decayed_sum, o.n_events)) }
+      // EQUALITY, no tolerance: the contribution term and the render divide
+      // mirror the batch SQL op-for-op over the same exact integers
+      assert(last == batch,
+        s"streaming decayed sums must equal batch e21: got $last, want $batch")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming retention flags equal the batch j06 cohort rule across micro-batches") {
     import graft.streaming.StreamingRetention
     import graft.streaming.StreamingRetention.{EventIn, RetentionFlags}
