@@ -167,5 +167,89 @@ object Round11Ops {
         .orderBy(asc_nulls_last("user_id"))
     })
 
-  def ops: Vector[Q] = Vector(j12, h35, e21)
+  // ---------------------------------------------------------------- d45
+
+  /** d45 — KMV/theta-sketch SET OPERATIONS (ClickHouse
+    * `uniqThetaUnion`/`uniqThetaIntersect` analog [public: CH theta-sketch
+    * docs; Dasgupta et al., the theta-sketch framework]) over the purchase
+    * and click user sets: union/intersection cardinality estimates and the
+    * sketch Jaccard from two BOUNDED sketches. Extends d34's single-set
+    * estimator to the set algebra that makes theta sketches the 100 TB
+    * audience-overlap tool: each side is `operators.KmvSketch` (≤ 64 longs
+    * of merge-order-free state), union = bottom-k of the two hash lists —
+    * equal to bottom-k of the FULL union by the k-smallest-of-union
+    * property, which is exactly what the oracle's independent rank-window
+    * formulation computes over the full distinct hash sets (the d34/j10
+    * two-formulation pairing) — θ = the union's 64th smallest (2³² in the
+    * exact regime, which the SAME integer formulas then collapse to exact
+    * counts), intersection = common hashes below θ. Every estimate is pure
+    * int64 (`cnt · 2³² div θ`); the Jaccard is ONE float division of
+    * bit-identical ints. Both regimes carry fixture data: sf0.001's 15
+    * users are exact, sf0.01+'s 150+ estimate. Plan: one map-combined
+    * 2-sketch hash agg, then map-only array expressions on ONE row. */
+  val d45: Q = Q(
+    "d45_kmv_set_ops",
+    """WITH ha AS (
+      |  SELECT DISTINCT ((user_id % 2147483648) * 2654435761) % 4294967296 AS h
+      |  FROM events WHERE event_type = 'purchase' AND value > 150.0),
+      |hb AS (
+      |  SELECT DISTINCT ((user_id % 2147483648) * 2654435761) % 4294967296 AS h
+      |  FROM events WHERE event_type = 'click' AND value > 150.0),
+      |sa AS (SELECT CAST(COUNT(*) AS BIGINT) AS d,
+      |         CAST(MAX(CASE WHEN rn = 64 THEN h END) AS BIGINT) AS h64
+      |       FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h ASC) AS rn FROM ha)),
+      |sb AS (SELECT CAST(COUNT(*) AS BIGINT) AS d,
+      |         CAST(MAX(CASE WHEN rn = 64 THEN h END) AS BIGINT) AS h64
+      |       FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h ASC) AS rn FROM hb)),
+      |u AS (SELECT h FROM ha UNION SELECT h FROM hb),
+      |ru AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h ASC) AS rn FROM u),
+      |su AS (SELECT CASE WHEN COUNT(*) >= 64
+      |                THEN CAST(MAX(CASE WHEN rn = 64 THEN h END) AS BIGINT)
+      |                ELSE 4294967296 END AS theta FROM ru),
+      |cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+      |       FROM ha JOIN hb ON ha.h = hb.h, su WHERE ha.h < su.theta),
+      |us AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union_samples
+      |       FROM ru, su WHERE ru.h < su.theta)
+      |SELECT CAST(LEAST(sa.d, 64) AS INT) AS n_a_tracked,
+      |  CAST(LEAST(sb.d, 64) AS INT) AS n_b_tracked,
+      |  CAST(CASE WHEN sa.d < 64 THEN sa.d
+      |       ELSE (63 * 4294967296) // sa.h64 END AS BIGINT) AS est_a,
+      |  CAST(CASE WHEN sb.d < 64 THEN sb.d
+      |       ELSE (63 * 4294967296) // sb.h64 END AS BIGINT) AS est_b,
+      |  CAST((us.n_union_samples * 4294967296) // su.theta AS BIGINT) AS est_union,
+      |  CAST((cm.n_common * 4294967296) // su.theta AS BIGINT) AS est_inter,
+      |  CAST(cm.n_common AS DOUBLE) / CAST(us.n_union_samples AS DOUBLE) AS jaccard_est
+      |FROM sa, sb, su, cm, us""".stripMargin,
+    (s, dir) => {
+      val sk = udaf(graft.operators.KmvSketch(64),
+                    org.apache.spark.sql.Encoders.LONG)
+      def sideEst(c: String) =
+        when(size(col(c)) < 64, size(col(c)).cast("long"))
+          .otherwise(expr(s"(63 * 4294967296) div element_at($c, 64)"))
+      Tables.events(s, dir)
+        .agg(sk(when(col("event_type") === "purchase" && col("value") > 150.0,
+                    col("user_id"))).as("ha"),
+             sk(when(col("event_type") === "click" && col("value") > 150.0,
+                    col("user_id"))).as("hb"))
+        .withColumn("hu", array_sort(array_distinct(concat(col("ha"), col("hb")))))
+        .withColumn("theta",
+          when(size(col("hu")) >= 64, element_at(col("hu"), 64))
+            .otherwise(lit(4294967296L)))
+        .withColumn("n_union_samples",
+          size(expr("filter(hu, h -> h < theta)")).cast("long"))
+        .withColumn("n_common",
+          size(expr("filter(array_intersect(ha, hb), h -> h < theta)")).cast("long"))
+        .select(
+          size(col("ha")).cast("int").as("n_a_tracked"),
+          size(col("hb")).cast("int").as("n_b_tracked"),
+          sideEst("ha").cast("long").as("est_a"),
+          sideEst("hb").cast("long").as("est_b"),
+          expr("(n_union_samples * 4294967296) div theta").cast("long")
+            .as("est_union"),
+          expr("(n_common * 4294967296) div theta").cast("long").as("est_inter"),
+          (col("n_common").cast("double") / col("n_union_samples").cast("double"))
+            .as("jaccard_est"))
+    })
+
+  def ops: Vector[Q] = Vector(j12, h35, e21, d45)
 }

@@ -56,6 +56,24 @@ case class Kmv(k: Int) extends Aggregator[java.lang.Long, KmvBuf, KmvResult] {
   override def outputEncoder: Encoder[KmvResult] = Encoders.product[KmvResult]
 }
 
+/** The sketch-valued sibling of [[Kmv]]: finishes to the sorted bottom-k
+  * hash list itself instead of the cardinality estimate — the mergeable
+  * representation theta-style SET OPERATIONS combine (`d45_kmv_set_ops`,
+  * the ClickHouse `uniqThetaUnion`/`uniqThetaIntersect` analog): union =
+  * bottom-k of the concatenated lists, θ = the union's k-th smallest, and
+  * any estimate is integer arithmetic over hashes below θ. Same bounded
+  * deterministic state as [[Kmv]] (≤ k longs, merge-order-free). */
+case class KmvSketch(k: Int) extends Aggregator[java.lang.Long, KmvBuf, Seq[Long]] {
+  private val inner = Kmv(k)
+  override def zero: KmvBuf = inner.zero
+  override def reduce(b: KmvBuf, a: java.lang.Long): KmvBuf = inner.reduce(b, a)
+  override def merge(a: KmvBuf, b: KmvBuf): KmvBuf = inner.merge(a, b)
+  override def finish(b: KmvBuf): Seq[Long] = b.hs
+  override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
 object Kmv {
   /** The repo's shared deterministic hash (ScanOps a04 / Round8g d31 / the
     * d34 oracle, verbatim): Knuth multiplicative on the 31-bit-masked key,

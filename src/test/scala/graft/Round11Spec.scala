@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Kmv, KmvBuf, KmvSketch}
+
+/** Round-11 operator pins: the KMV set-operation lemmas d45 rides on.
+  *
+  * d45's oracle computes union/intersection statistics over the FULL
+  * distinct hash sets while the Spark side combines two bounded bottom-64
+  * sketches — the hash match is only guaranteed because of two exact
+  * properties, pinned here against brute force on adversarial inputs:
+  *
+  *  1. k-smallest-of-union: bottomK(bottomK(A) ∪ bottomK(B)) =
+  *     bottomK(A ∪ B).
+  *  2. common-below-θ: for θ = the union's k-th smallest, every common
+  *     hash h < θ is tracked by BOTH side sketches, so the sketch
+  *     intersection count equals the full-set count.
+  */
+class Round11Spec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private def sketch(keys: Seq[Long], k: Int): Seq[Long] = {
+    val agg = KmvSketch(k)
+    var b = agg.zero
+    keys.foreach(x => b = agg.reduce(b, x))
+    agg.finish(b)
+  }
+
+  private def bottomK(keys: Seq[Long], k: Int): Seq[Long] =
+    keys.map(Kmv.hash).distinct.sorted.take(k)
+
+  // deterministic pseudo-random key sets (no Math.random — replay rule)
+  private def keys(seed: Long, n: Int): Seq[Long] =
+    (1 to n).scanLeft(seed)((s, _) => (s * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue)
+      .tail.map(_ % 1000000L)
+
+  test("bottom-k of two sketches' union equals bottom-k of the full union") {
+    for ((na, nb, seed) <- Seq((10, 10, 1L), (500, 7, 2L), (500, 500, 3L),
+                               (64, 64, 4L), (63, 1, 5L))) {
+      val (a, b) = (keys(seed, na), keys(seed + 100, nb))
+      val fromSketches = (sketch(a, 64) ++ sketch(b, 64)).distinct.sorted.take(64)
+      assert(fromSketches == bottomK(a ++ b, 64),
+        s"union lemma failed for na=$na nb=$nb seed=$seed")
+    }
+  }
+
+  test("common hashes below the union theta are tracked by both side sketches") {
+    for ((na, nb, seed) <- Seq((500, 500, 11L), (2000, 300, 12L), (80, 90, 13L))) {
+      // force real overlap: b shares a suffix of a's key domain
+      val a = keys(seed, na)
+      val b = keys(seed + 7, nb) ++ a.takeRight(na / 3)
+      val union = bottomK(a ++ b, 64)
+      val theta = if (union.length >= 64) union(63) else 4294967296L
+      val fullCommon = a.map(Kmv.hash).toSet
+        .intersect(b.map(Kmv.hash).toSet).count(_ < theta)
+      val sketchCommon = sketch(a, 64).toSet
+        .intersect(sketch(b, 64).toSet).count(_ < theta)
+      assert(sketchCommon == fullCommon,
+        s"common-below-theta lemma failed for na=$na nb=$nb seed=$seed")
+    }
+  }
+
+  test("KmvSketch merge is order- and partitioning-free") {
+    val agg = KmvSketch(64)
+    val ks = keys(42L, 700)
+    def fold(xs: Seq[Long]): KmvBuf =
+      xs.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+    val whole = agg.finish(fold(ks))
+    for (cut <- Seq(1, 350, 699); rev <- Seq(false, true)) {
+      val (l, r) = ks.splitAt(cut)
+      val merged =
+        if (rev) agg.merge(fold(r.reverse), fold(l.reverse))
+        else agg.merge(fold(l), fold(r))
+      assert(agg.finish(merged) == whole, s"cut=$cut rev=$rev diverged")
+    }
+  }
+}
