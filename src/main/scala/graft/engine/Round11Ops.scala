@@ -251,5 +251,87 @@ object Round11Ops {
             .as("jaccard_est"))
     })
 
-  def ops: Vector[Q] = Vector(j12, h35, e21, d45)
+  // ---------------------------------------------------------------- d46
+
+  /** Shared Pearson-r closed form over exact sums (text instantiated into
+    * BOTH dialects — the d32/h30 discipline): every operand is a cast of a
+    * bit-identical exact sum, so the IEEE tree cannot drift. */
+  private def corrE(sa: String, sb: String, sa2: String, sb2: String,
+                    sab: String): String =
+    s"(CAST(n AS DOUBLE) * CAST($sab AS DOUBLE) - CAST($sa AS DOUBLE) * CAST($sb AS DOUBLE)) / " +
+    s"(SQRT(CAST(n AS DOUBLE) * CAST($sa2 AS DOUBLE) - CAST($sa AS DOUBLE) * CAST($sa AS DOUBLE)) * " +
+    s"SQRT(CAST(n AS DOUBLE) * CAST($sb2 AS DOUBLE) - CAST($sb AS DOUBLE) * CAST($sb AS DOUBLE)))"
+
+  /** Shared sample-covariance closed form (same operand class). */
+  private def covarE(sa: String, sb: String, sab: String): String =
+    s"(CAST($sab AS DOUBLE) - CAST($sa AS DOUBLE) * CAST($sb AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+    s"(CAST(n AS DOUBLE) - 1.0)"
+
+  /** d46 — correlation/covariance MATRIX aggregate (ClickHouse
+    * `corrMatrix`/`covarSampMatrix` analog [public: CH 23.x matrix-
+    * aggregate docs]) over (quantity, price cents, discount hundredths)
+    * per line status: all three pairwise Pearson r and sample covariances
+    * from ONE map-combined hash agg carrying the 10 sufficient statistics
+    * (n, three Σx, three Σx², three Σxy) — the matrix never materializes;
+    * CH's Array(Array) result is flattened to scalar columns per rule 6.
+    * Exactness: every sufficient statistic is an EXACT sum — int64
+    * everywhere the headroom allows (Σq² ≤ 1.5e9, Σqp ≤ 3e14, Σpd ≤ 6e13
+    * at sf0.1), and Σ(cents²) — which at 2.2e19 EXCEEDS int64 — through
+    * DECIMAL(38,0) per-row-int64 products (the rule-2 escape d36's bound
+    * prescribes; decimal(38,0)→double casts verified bit-identical
+    * cross-engine this round, including rounding-required 20-digit
+    * values). The r/covar trees are ONE shared-text IEEE expression each
+    * over those casts — zero ROUND, the d32 class. At 100× scale the
+    * remaining int64 sums route through the same decimal escape. */
+  val d46: Q = Q(
+    "d46_corr_matrix",
+    s"""WITH s AS (
+      |  SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(q * q) AS BIGINT) AS sq2,
+      |    CAST(SUM(p) AS BIGINT) AS sp,
+      |    SUM(CAST(p * p AS DECIMAL(38,0))) AS sp2,
+      |    CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(d * d) AS BIGINT) AS sd2,
+      |    CAST(SUM(q * p) AS BIGINT) AS sqp, CAST(SUM(q * d) AS BIGINT) AS sqd,
+      |    CAST(SUM(p * d) AS BIGINT) AS spd
+      |  FROM (SELECT l_linestatus, CAST(l_quantity AS BIGINT) AS q,
+      |          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
+      |          CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d
+      |        FROM lineitem)
+      |  GROUP BY 1)
+      |SELECT l_linestatus, n AS n_rows,
+      |  ${corrE("sq", "sp", "sq2", "sp2", "sqp")} AS corr_qty_price,
+      |  ${corrE("sq", "sd", "sq2", "sd2", "sqd")} AS corr_qty_disc,
+      |  ${corrE("sp", "sd", "sp2", "sd2", "spd")} AS corr_price_disc,
+      |  ${covarE("sq", "sp", "sqp")} AS covar_qty_price,
+      |  ${covarE("sq", "sd", "sqd")} AS covar_qty_disc,
+      |  ${covarE("sp", "sd", "spd")} AS covar_price_disc
+      |FROM s ORDER BY l_linestatus ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val q = col("l_quantity").cast("long")
+      val p = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+      val d = (col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+      Tables.lineitem(s, dir)
+        .select(col("l_linestatus"), q.as("q"), p.as("p"), d.as("d"))
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).cast("long").as("n"),
+             sum("q").cast("long").as("sq"),
+             sum(col("q") * col("q")).cast("long").as("sq2"),
+             sum("p").cast("long").as("sp"),
+             sum((col("p") * col("p")).cast("decimal(38,0)")).as("sp2"),
+             sum("d").cast("long").as("sd"),
+             sum(col("d") * col("d")).cast("long").as("sd2"),
+             sum(col("q") * col("p")).cast("long").as("sqp"),
+             sum(col("q") * col("d")).cast("long").as("sqd"),
+             sum(col("p") * col("d")).cast("long").as("spd"))
+        .select(col("l_linestatus"), col("n").as("n_rows"),
+                expr(corrE("sq", "sp", "sq2", "sp2", "sqp")).as("corr_qty_price"),
+                expr(corrE("sq", "sd", "sq2", "sd2", "sqd")).as("corr_qty_disc"),
+                expr(corrE("sp", "sd", "sp2", "sd2", "spd")).as("corr_price_disc"),
+                expr(covarE("sq", "sp", "sqp")).as("covar_qty_price"),
+                expr(covarE("sq", "sd", "sqd")).as("covar_qty_disc"),
+                expr(covarE("sp", "sd", "spd")).as("covar_price_disc"))
+        .orderBy(asc_nulls_last("l_linestatus"))
+    })
+
+  def ops: Vector[Q] = Vector(j12, h35, e21, d45, d46)
 }
