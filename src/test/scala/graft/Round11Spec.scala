@@ -58,6 +58,24 @@ class Round11Spec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("128-bit accumulator: carry correctness and BigDecimal-identical render") {
+    import graft.streaming.StreamingCorrMatrix.{add128, toDouble128}
+    // adversarial: repeated adds of the max per-row square force carries
+    val big = (1e7.toLong) * (1e7.toLong) // 1e14, d46's per-row cap
+    var (hi, lo) = (0L, 0L)
+    var ref = BigInt(0)
+    for (i <- 1 to 300000) {
+      val x = if (i % 3 == 0) big else Long.MaxValue / 2 // force carries fast
+      val r = add128(hi, lo, x); hi = r._1; lo = r._2
+      ref += BigInt(x)
+    }
+    assert((BigInt(hi) << 64) + (BigInt(lo) & ((BigInt(1) << 64) - 1)) == ref,
+      "128-bit sum diverged from BigInt reference")
+    assert(toDouble128(hi, lo) == BigDecimal(ref).doubleValue,
+      "render must match the BigDecimal (= Spark decimal cast) rounding")
+    assert(hi > 0L, "test must actually exercise the carry path")
+  }
+
   test("KmvSketch merge is order- and partitioning-free") {
     val agg = KmvSketch(64)
     val ks = keys(42L, 700)

@@ -1515,6 +1515,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming corr matrix: replayed fixture equals batch d46 bit-for-bit") {
+    import graft.streaming.StreamingCorrMatrix
+    import graft.streaming.StreamingCorrMatrix.{MIn, MOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the batch query's own input: per-row (q, p cents, d hundredths) by status
+    val rows = graft.engine.Tables.lineitem(spark, sf0001)
+      .select(col("l_linestatus"), col("l_quantity").cast("long"),
+              (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+              (col("l_discount").cast("decimal(18,2)") * 100).cast("long"))
+      .collect()
+      .map(r => MIn(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (b1, b2) = rows.splitAt(rows.length / 2) // additive state: any cut
+    val in = MemoryStream[MIn]
+    val q = StreamingCorrMatrix.monitor(in.toDS()).writeStream
+      .format("memory").queryName("corrm_t").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val batch = graft.engine.Round11Ops.d46.fn(spark, sf0001).collect()
+        .map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+        .toMap
+      val perKeyN = rows.groupBy(_.key).map { case (k, v) => k -> v.length.toLong }
+      val last = spark.table("corrm_t").as[MOut].collect()
+        .filter(o => o.n_rows == perKeyN(o.key))
+        .map(o => o.key -> Seq(o.corr_qty_price, o.corr_qty_disc,
+          o.corr_price_disc, o.covar_qty_price, o.covar_qty_disc,
+          o.covar_price_disc)).toMap
+      // EQUALITY, no tolerance: the Scala closed forms mirror d46's
+      // shared-text SQL trees op-for-op over the same exact sums
+      assert(last == batch,
+        s"streaming corr matrix must equal batch d46: got $last, want $batch")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming retention flags equal the batch j06 cohort rule across micro-batches") {
     import graft.streaming.StreamingRetention
     import graft.streaming.StreamingRetention.{EventIn, RetentionFlags}
