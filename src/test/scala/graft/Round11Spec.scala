@@ -15,7 +15,7 @@ import graft.operators.{Kmv, KmvBuf, KmvSketch}
   *     hash h < θ is tracked by BOTH side sketches, so the sketch
   *     intersection count equals the full-set count.
   */
-class Round11Spec extends org.scalatest.funsuite.AnyFunSuite {
+class Round11Spec extends SparkSpec {
 
   private def sketch(keys: Seq[Long], k: Int): Seq[Long] = {
     val agg = KmvSketch(k)
@@ -89,5 +89,65 @@ class Round11Spec extends org.scalatest.funsuite.AnyFunSuite {
         else agg.merge(fold(l), fold(r))
       assert(agg.finish(merged) == whole, s"cut=$cut rev=$rev diverged")
     }
+  }
+
+  /** Synthesize an events fixture dir from (user, µs, type, value) tuples
+    * (the DeterminismSpec legacy-dispatch trick) so adversarial boundary
+    * cases can run through the DECLARED query functions verbatim. */
+  private def eventsDir(rows: Seq[(Long, Long, String, Double)]): String = {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r11-events").toString
+    rows.zipWithIndex
+      .map { case ((u, us, t, v), i) => (i.toLong, us, u, t, v, """{"k":1}""") }
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), expr("timestamp_micros(us)").as("ts"),
+              col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("j12 boundary semantics: inclusive 1h bound, preceding-only, nearest signup") {
+    val H = 3600L * 1000000L
+    val base = 1704067200000000L // 2024-01-01 00:00 UTC in µs
+    val dir = eventsDir(Seq(
+      // user 1: purchase EXACTLY at signup + 1h → inclusive match
+      (1L, base, "signup", 1.0), (1L, base + H, "purchase", 1.0),
+      // user 2: purchase at +1h +1µs → no match
+      (2L, base, "signup", 1.0), (2L, base + H + 1, "purchase", 1.0),
+      // user 3: purchase BEFORE any signup → no match (preceding-only)
+      (3L, base, "purchase", 1.0), (3L, base + 1, "signup", 1.0),
+      // user 4: first signup far out, a NEARER later signup rescues the
+      // purchase (nearest-preceding decides, not the first)
+      (4L, base, "signup", 1.0), (4L, base + 10 * H, "signup", 1.0),
+      (4L, base + 10 * H + 60, "purchase", 1.0),
+      // user 5: two qualifying purchases → n_within counts both
+      (5L, base, "signup", 1.0), (5L, base + 60, "purchase", 1.0),
+      (5L, base + 120, "purchase", 1.0)))
+    val got = graft.engine.Round11Ops.j12.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((1, 1L)), 2L -> ((0, 0L)), 3L -> ((0, 0L)),
+                      4L -> ((1, 1L)), 5L -> ((1, 2L))),
+      s"j12 boundary semantics diverged: $got")
+  }
+
+  test("e21 age-grid boundaries: day quantization and the reference-instant cut") {
+    val D = 86400L * 1000000L
+    val tRef = 1706659200000000L // 2024-01-31 00:00 UTC in µs
+    val dir = eventsDir(Seq(
+      // age 0: exactly at T, and T − 1µs; age 1: exactly 1 day before;
+      // age 0 again: 1 day before + 1µs; excluded: 1µs after T
+      (1L, tRef, "click", 1.00), (1L, tRef - 1, "click", 1.00),
+      (1L, tRef - D, "click", 1.00), (1L, tRef - D + 1, "click", 1.00),
+      (1L, tRef + 1, "click", 99.0)))
+    val r = graft.engine.Round11Ops.e21.fn(spark, dir).collect()
+    assert(r.length == 1)
+    val (units, n) = (r(0).getLong(1), r(0).getLong(3))
+    // 100 cents: ages 0, 0, 1, 0 → 3·(100·2^30) + 100·2^29; the after-T
+    // event contributes nothing and is not counted
+    assert(n == 4L, s"post-reference event must be excluded, n=$n")
+    assert(units == 3L * 100L * (1L << 30) + 100L * (1L << 29),
+      s"day-grid quantization diverged: $units")
   }
 }
