@@ -333,5 +333,66 @@ object Round11Ops {
         .orderBy(asc_nulls_last("l_linestatus"))
     })
 
-  def ops: Vector[Q] = Vector(j12, h35, e21, d45, d46)
+  // ---------------------------------------------------------------- d47
+
+  /** Shared Tukey fence texts (the d32/h30 shared-string discipline). */
+  private val fenceLoE = "q1 - 1.5 * (q3 - q1)"
+  private val fenceHiE = "q3 + 1.5 * (q3 - q1)"
+
+  /** d47 — Tukey-fences outlier detection per event type (ClickHouse
+    * `seriesOutliersDetectTukey` analog [public: CH time-series function
+    * docs], in aggregate form): exact interpolated quartiles of the value
+    * cents, the 1.5·IQR fences, and the low/high outlier counts. The whole
+    * computation is BIT-EXACT with zero ROUND — a property of the integer
+    * grid: quartile interpolation on int64 cents lands on positions whose
+    * fractional part ∈ {0, ¼, ½, ¾}, so q1/q3 are DYADIC rationals exact
+    * in double on both engines (lo + (hi−lo)·g with dyadic g is an exact
+    * IEEE product+sum at these magnitudes), and the fence arithmetic is a
+    * shared-text tree over them (1.5·IQR of dyadics is dyadic); the
+    * per-row comparisons against exact fences are then exact too. Shape:
+    * one percentile agg per group (sort-based, grid-bounded groups), the
+    * 5-row fence frame broadcast back, one conditional count agg — the
+    * d28 posture with a Tukey head. */
+  val d47: Q = Q(
+    "d47_tukey_outliers",
+    s"""WITH e AS (
+      |  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |f AS (
+      |  SELECT event_type,
+      |    CAST(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY c) AS DOUBLE) AS q1,
+      |    CAST(PERCENTILE_CONT(0.75) WITHIN GROUP (ORDER BY c) AS DOUBLE) AS q3
+      |  FROM e GROUP BY 1),
+      |g AS (
+      |  SELECT event_type, q1, q3, $fenceLoE AS fence_lo, $fenceHiE AS fence_hi
+      |  FROM f)
+      |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MAX(g.q1) AS q1, MAX(g.q3) AS q3,
+      |  MAX(g.fence_lo) AS fence_lo, MAX(g.fence_hi) AS fence_hi,
+      |  CAST(SUM(CASE WHEN e.c < g.fence_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_out_lo,
+      |  CAST(SUM(CASE WHEN e.c > g.fence_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_out_hi
+      |FROM e JOIN g ON e.event_type = g.event_type
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val ev = Tables.events(s, dir).select(col("event_type"), cents.as("c"))
+      val fences = ev.groupBy("event_type")
+        .agg(expr("CAST(percentile(c, 0.25D) AS DOUBLE)").as("q1"),
+             expr("CAST(percentile(c, 0.75D) AS DOUBLE)").as("q3"))
+        .withColumn("fence_lo", expr(fenceLoE))
+        .withColumn("fence_hi", expr(fenceHiE))
+      ev.join(broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+             max("q1").as("q1"), max("q3").as("q3"),
+             max("fence_lo").as("fence_lo"), max("fence_hi").as("fence_hi"),
+             sum(when(col("c") < col("fence_lo"), 1).otherwise(0)).cast("long")
+               .as("n_out_lo"),
+             sum(when(col("c") > col("fence_hi"), 1).otherwise(0)).cast("long")
+               .as("n_out_hi"))
+        .orderBy(asc_nulls_last("event_type"))
+    })
+
+  def ops: Vector[Q] = Vector(j12, h35, e21, d45, d46, d47)
 }
