@@ -394,5 +394,52 @@ object Round11Ops {
         .orderBy(asc_nulls_last("event_type"))
     })
 
-  def ops: Vector[Q] = Vector(j12, h35, e21, d45, d46, d47)
+  // ---------------------------------------------------------------- h36
+
+  /** h36 — `arrayCumSumNonNegative` analog (+ the running-min scan)
+    * [public: CH array-function docs], completing h21's array-scan family
+    * with the CLAMPED fold. The key move: the clamped recursion
+    * `s_i = max(0, s_{i−1} + x_i)` has a CLOSED FORM — with c the plain
+    * prefix sums, `s_i = c_i − min(0, min_{j≤i} c_j)` (the running-min
+    * identity; pinned against the direct fold in Round11Spec) — so both
+    * scans are compositions of h21-style prefix folds, map-only, no
+    * explode/shuffle on the Spark side (only the oracle unnests to
+    * windows). Elements quantize FIRST onto the exact integer grid
+    * (`FLOOR(x · 2¹⁴)` — the r10 zero-divergence recipe), so every
+    * subsequent op is pure int64: zero float anywhere. */
+  val h36: Q = Q(
+    "h36_arr_cumsum_nonneg",
+    """SELECT vec_id,
+      |  ARRAY_TO_STRING(list(cs - LEAST(0, rm) ORDER BY i), '|') AS cum_nonneg,
+      |  ARRAY_TO_STRING(list(rm ORDER BY i), '|') AS run_min
+      |FROM (
+      |  SELECT vec_id, i, cs,
+      |    MIN(cs) OVER (PARTITION BY vec_id ORDER BY i) AS rm
+      |  FROM (
+      |    SELECT vec_id, i, SUM(u) OVER (PARTITION BY vec_id ORDER BY i) AS cs
+      |    FROM (
+      |      SELECT vec_id, t.i AS i,
+      |        CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 16384) AS BIGINT) AS u
+      |      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i))))
+      |GROUP BY vec_id
+      |ORDER BY vec_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val u = transform(col("embedding"),
+        e => floor(e.cast("double") * 16384).cast("long"))
+      def scan(arr: Column, step: (Column, Column) => Column): Column =
+        aggregate(arr, typedlit(Seq.empty[Long]),
+          (acc, x) => concat(acc, array(
+            when(size(acc) === 0, x)
+              .otherwise(step(element_at(acc, size(acc)), x)))))
+      Tables.embeddings(s, dir)
+        .withColumn("c", scan(u, (prev, x) => prev + x))
+        .withColumn("rm", scan(col("c"), (prev, x) => least(prev, x)))
+        .select(col("vec_id"),
+                array_join(zip_with(col("c"), col("rm"),
+                  (ci, mi) => ci - least(lit(0L), mi)), "|").as("cum_nonneg"),
+                array_join(col("rm"), "|").as("run_min"))
+        .orderBy(asc_nulls_last("vec_id"))
+    })
+
+  def ops: Vector[Q] = Vector(j12, h35, e21, d45, d46, d47, h36)
 }

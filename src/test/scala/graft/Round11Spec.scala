@@ -91,6 +91,22 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("nonneg-cumsum closed form equals the direct clamped fold") {
+    // h36 rides s_i = c_i − min(0, min_{j≤i} c_j); pin it against the
+    // defining recursion s_i = max(0, s_{i−1} + x_i) on adversarial inputs
+    val cases = Seq(
+      Seq(5L, -10L, 3L), Seq(-3L, 2L), Seq(5L, -2L, -9L, 4L),
+      Seq(-1L, -1L, -1L), Seq(0L, 0L), Seq(7L),
+      keys(99L, 200).map(_ % 21 - 10)) // mixed-sign pseudo-random
+    for (xs <- cases) {
+      val direct = xs.scanLeft(0L)((s, x) => math.max(0L, s + x)).tail
+      val c = xs.scanLeft(0L)(_ + _).tail
+      val rm = c.scanLeft(Long.MaxValue)(math.min).tail
+      val closed = c.zip(rm).map { case (ci, mi) => ci - math.min(0L, mi) }
+      assert(closed == direct, s"closed form diverged on $xs")
+    }
+  }
+
   /** Synthesize an events fixture dir from (user, µs, type, value) tuples
     * (the DeterminismSpec legacy-dispatch trick) so adversarial boundary
     * cases can run through the DECLARED query functions verbatim. */
