@@ -33,9 +33,12 @@ object Explain {
                "d41_anova_f", "d42_roc_auc", "k38_quantized_distances",
                "h34_great_circle",
                // round-11 representatives: running-max sequence window,
-               // map-only string search, additive integer decay agg
+               // map-only string search, additive integer decay agg,
+               // 2-sketch set ops, 10-statistic matrix agg, Tukey
+               // broadcast-fence join, chained array prefix folds
                "j12_sequence_match_time", "h35_multi_search",
-               "e21_time_decayed_sum")
+               "e21_time_decayed_sum", "d45_kmv_set_ops", "d46_corr_matrix",
+               "d47_tukey_outliers", "h36_arr_cumsum_nonneg")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
