@@ -441,5 +441,87 @@ object Round11Ops {
         .orderBy(asc_nulls_last("vec_id"))
     })
 
-  def ops: Vector[Q] = Vector(j12, h35, e21, d45, d46, d47, h36)
+  // ---------------------------------------------------------------- d48
+
+  /** Shared weighted-moment closed forms (the d32/h30 discipline). */
+  private val avgWE = "CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)"
+  private val varWE =
+    "(CAST(swx2 AS DOUBLE) - CAST(swx AS DOUBLE) * CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)) / " +
+    "(CAST(sw AS DOUBLE) - 1.0)"
+
+  /** d48 — weighted location/spread aggregates (ClickHouse `avgWeighted`
+    * analog + the frequency-weight sample variance) of price cents
+    * weighted by quantity, per return flag: the weighted mean CH users
+    * reach for constantly, plus its spread, from ONE map-combined hash
+    * agg over three exact sums (Σw, Σwx int64 — 3e7 / 3e13 at sf0.1;
+    * Σwx², whose per-row int64 products sum to ~3e21 > int64, through
+    * the DECIMAL(38,0) escape d46 proved bit-identical). The two
+    * statistics are shared-text IEEE trees — zero ROUND, the d32 class.
+    * Weights are frequency semantics (integer repeat counts), matching
+    * the Σw − 1 Bessel denominator. */
+  val d48: Q = Q(
+    "d48_weighted_moments",
+    s"""WITH s AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(w) AS BIGINT) AS sw,
+      |    CAST(SUM(w * x) AS BIGINT) AS swx,
+      |    SUM(CAST(w * x * x AS DECIMAL(38,0))) AS swx2,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS w,
+      |          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      |        FROM lineitem)
+      |  GROUP BY 1)
+      |SELECT l_returnflag, n AS n_rows, sw AS sum_w,
+      |  $avgWE AS avg_weighted,
+      |  $varWE AS var_weighted
+      |FROM s ORDER BY l_returnflag ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val w = col("l_quantity").cast("long")
+      val x = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), w.as("w"), x.as("x"))
+        .groupBy("l_returnflag")
+        .agg(sum("w").cast("long").as("sw"),
+             sum(col("w") * col("x")).cast("long").as("swx"),
+             sum((col("w") * col("x") * col("x")).cast("decimal(38,0)")).as("swx2"),
+             count(lit(1)).cast("long").as("n"))
+        .select(col("l_returnflag"), col("n").as("n_rows"),
+                col("sw").as("sum_w"),
+                expr(avgWE).as("avg_weighted"),
+                expr(varWE).as("var_weighted"))
+        .orderBy(asc_nulls_last("l_returnflag"))
+    })
+
+  // ---------------------------------------------------------------- h37
+
+  /** h37 — array membership family (ClickHouse `has`/`indexOf`/
+    * `countEqual`/`arrayExists` analogs [public: CH array-function docs])
+    * over the tokenized documents: whole-token membership, 1-based first
+    * position (0 when absent — Spark's `array_position` convention; the
+    * DuckDB side COALESCEs `list_position`'s NULL-when-absent to 0),
+    * equality count, and a predicate `arrayExists` (any token longer than
+    * 6 chars). Map-only codegen'd array builtins; the h35 sibling works
+    * on the raw string, this one on the split array. */
+  val h37: Q = Q(
+    "h37_arr_membership",
+    """SELECT doc_id,
+      |  CAST(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END AS INT) AS has_join,
+      |  CAST(COALESCE(list_position(toks, 'scan'), 0) AS INT) AS idx_scan,
+      |  CAST(len(list_filter(toks, t -> t = 'a')) AS INT) AS cnt_eq_a,
+      |  CAST(CASE WHEN len(list_filter(toks, t -> length(t) > 6)) > 0
+      |       THEN 1 ELSE 0 END AS INT) AS any_long_tok
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+                array_contains(col("toks"), "join").cast("int").as("has_join"),
+                array_position(col("toks"), "scan").cast("int").as("idx_scan"),
+                size(filter(col("toks"), _ === "a")).cast("int").as("cnt_eq_a"),
+                exists(col("toks"), t => length(t) > 6).cast("int")
+                  .as("any_long_tok"))
+        .orderBy(asc_nulls_last("doc_id")))
+
+  def ops: Vector[Q] = Vector(j12, h35, e21, d45, d46, d47, h36, d48, h37)
 }
