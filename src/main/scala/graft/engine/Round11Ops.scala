@@ -523,5 +523,71 @@ object Round11Ops {
                   .as("any_long_tok"))
         .orderBy(asc_nulls_last("doc_id")))
 
-  def ops: Vector[Q] = Vector(j12, h35, e21, d45, d46, d47, h36, d48, h37)
+  // ---------------------------------------------------------------- d49
+
+  /** Shared type-6/7 interpolation texts over the conditional-min grid
+    * values (kv1/kv2 = the k-th and (k+1)-th smallest, h the real-valued
+    * position): v = kv1 + (h − k)·(kv2 − kv1), with kv2 COALESCEd to kv1
+    * at the upper clamp. All operands are exact int64→double casts and
+    * dyadic fractions — exact IEEE, zero ROUND (the d47 argument). */
+  private def interpE(h: String, k: String, v1: String, v2: String): String =
+    s"CAST($v1 AS DOUBLE) + (($h) - CAST($k AS DOUBLE)) * " +
+    s"(CAST(COALESCE($v2, $v1) AS DOUBLE) - CAST($v1 AS DOUBLE))"
+
+  /** d49 — exact quantile INTERPOLATION TYPES (ClickHouse
+    * `quantileExactExclusive` (Hyndman-Fan type 6, h = (n+1)p) vs
+    * `quantileExactInclusive` (type 7, h = (n−1)p + 1 — what
+    * PERCENTILE_CONT computes) [public: CH docs; Hyndman & Fan 1996]) of
+    * value cents per event type, both types at p50 and p75 side by side.
+    * NO data-sized sort anywhere: the k-th smallest values come off the
+    * cents GRID (d28/d35 posture — groupBy the ≤ 49k-cell domain, one
+    * cumulative window, then `MIN(CASE WHEN cum ≥ k THEN c END)`
+    * conditional minima with per-group k EXPRESSIONS of n), and the
+    * interpolation fractions are dyadic at these p — exact in double on
+    * both engines (the d47 argument), zero ROUND. The identical SQL text
+    * runs on both sides (the d22 "same window SQL verbatim" class). */
+  val d49: Q = Q(
+    "d49_quantile_types",
+    s"""WITH g AS (
+      |  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, c,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY c ASC) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM g),
+      |k AS (
+      |  SELECT event_type AS et,
+      |    CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) AS k50i,
+      |    CAST(FLOOR(CAST(n + 1 AS DOUBLE) * 0.5) AS BIGINT) AS k50e,
+      |    CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.75) AS BIGINT) AS k75i,
+      |    CAST(FLOOR(CAST(n + 1 AS DOUBLE) * 0.75) AS BIGINT) AS k75e
+      |  FROM (SELECT DISTINCT event_type, n FROM w)),
+      |v AS (
+      |  SELECT w.event_type, MAX(w.n) AS n,
+      |    MIN(CASE WHEN cum >= k50i + 1 THEN c END) AS v50i1,
+      |    MIN(CASE WHEN cum >= k50i + 2 THEN c END) AS v50i2,
+      |    MIN(CASE WHEN cum >= k50e THEN c END) AS v50e1,
+      |    MIN(CASE WHEN cum >= k50e + 1 THEN c END) AS v50e2,
+      |    MIN(CASE WHEN cum >= k75i + 1 THEN c END) AS v75i1,
+      |    MIN(CASE WHEN cum >= k75i + 2 THEN c END) AS v75i2,
+      |    MIN(CASE WHEN cum >= k75e THEN c END) AS v75e1,
+      |    MIN(CASE WHEN cum >= k75e + 1 THEN c END) AS v75e2,
+      |    MAX(k50i) AS k50i, MAX(k50e) AS k50e,
+      |    MAX(k75i) AS k75i, MAX(k75e) AS k75e
+      |  FROM w JOIN k ON w.event_type = k.et
+      |  GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+      |  ${interpE("CAST(n - 1 AS DOUBLE) * 0.5", "k50i", "v50i1", "v50i2")} AS p50_inclusive,
+      |  ${interpE("CAST(n + 1 AS DOUBLE) * 0.5", "k50e", "v50e1", "v50e2")} AS p50_exclusive,
+      |  ${interpE("CAST(n - 1 AS DOUBLE) * 0.75", "k75i", "v75i1", "v75i2")} AS p75_inclusive,
+      |  ${interpE("CAST(n + 1 AS DOUBLE) * 0.75", "k75e", "v75e1", "v75e2")} AS p75_exclusive
+      |FROM v ORDER BY event_type ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql(Round11Ops.d49.sql)
+    })
+
+  def ops: Vector[Q] = Vector(j12, h35, e21, d45, d46, d47, h36, d48, h37, d49)
 }
