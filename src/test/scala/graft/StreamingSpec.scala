@@ -1562,6 +1562,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming weighted moments: replayed fixture equals batch d48 bit-for-bit") {
+    import graft.streaming.StreamingWeighted
+    import graft.streaming.StreamingWeighted.{WIn, WOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the batch query's own input: (return flag, quantity weight, price cents)
+    val rows = graft.engine.Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_quantity").cast("long"),
+              (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect()
+      .map(r => WIn(r.getString(0), r.getLong(1), r.getLong(2)))
+    val (b1, b2) = rows.splitAt(rows.length / 2) // additive state: any cut
+    val in = MemoryStream[WIn]
+    val q = StreamingWeighted.monitor(in.toDS()).writeStream
+      .format("memory").queryName("wmom_t").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val batch = graft.engine.Round11Ops.d48.fn(spark, sf0001).collect()
+        .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+      val perKeyN = rows.groupBy(_.key).map { case (k, v) => k -> v.length.toLong }
+      val last = spark.table("wmom_t").as[WOut].collect()
+        .filter(o => o.n_rows == perKeyN(o.key))
+        .map(o => o.key -> ((o.sum_w, o.avg_weighted, o.var_weighted))).toMap
+      assert(last == batch,
+        s"streaming weighted moments must equal batch d48: got $last, want $batch")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming retention flags equal the batch j06 cohort rule across micro-batches") {
     import graft.streaming.StreamingRetention
     import graft.streaming.StreamingRetention.{EventIn, RetentionFlags}
