@@ -350,9 +350,13 @@ object Round11Ops {
     * IEEE product+sum at these magnitudes), and the fence arithmetic is a
     * shared-text tree over them (1.5·IQR of dyadics is dyadic); the
     * per-row comparisons against exact fences are then exact too. Shape:
-    * one percentile agg per group (sort-based, grid-bounded groups), the
-    * 5-row fence frame broadcast back, one conditional count agg — the
-    * d28 posture with a Tukey head. */
+    * quartiles come OFF THE CENTS GRID (map-combined hash agg to
+    * ≤ |domain| cells, grid-sized cumulative windows, conditional minima
+    * — the d28/d49 fixed-state posture, NO data-sized percentile buffer
+    * anywhere), the 5-row fence frame broadcasts back, one conditional
+    * count agg closes. The oracle keeps PERCENTILE_CONT, so the grid
+    * conditional-min form and the sort-based interpolation are two
+    * INDEPENDENT formulations that must agree (the d34/j10 pairing). */
   val d47: Q = Q(
     "d47_tukey_outliers",
     s"""WITH e AS (
@@ -375,11 +379,34 @@ object Round11Ops {
       |GROUP BY e.event_type
       |ORDER BY e.event_type ASC NULLS LAST""".stripMargin,
     (s, dir) => {
+      // Spark side: quartiles OFF THE CENTS GRID (the d49 machinery) —
+      // Spark's builtin `percentile` buffers every group value (a
+      // data-sized sort-agg, wrong at 100 TB); the grid form is one
+      // map-combined hash agg to ≤ |domain| cells + grid-sized windows +
+      // conditional minima, and it reproduces PERCENTILE_CONT's type-7
+      // interpolation bit-exactly (proven by d49's inclusive columns).
+      // The oracle keeps PERCENTILE_CONT — two INDEPENDENT formulations
+      // must agree (the d34/j10 pairing).
       val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
       val ev = Tables.events(s, dir).select(col("event_type"), cents.as("c"))
-      val fences = ev.groupBy("event_type")
-        .agg(expr("CAST(percentile(c, 0.25D) AS DOUBLE)").as("q1"),
-             expr("CAST(percentile(c, 0.75D) AS DOUBLE)").as("q3"))
+      val wt = Window.partitionBy("event_type")
+      val wcum = wt.orderBy(asc("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def kE(p: String) = s"CAST(FLOOR(CAST(n - 1 AS DOUBLE) * $p) AS BIGINT)"
+      def vAt(off: Int, p: String) =
+        min(when(col("cum") >= expr(kE(p)) + off, col("c")))
+      val fences = ev.groupBy("event_type", "c")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(wcum))
+        .withColumn("n", sum("cnt").over(wt))
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+             vAt(1, "0.25").as("v25a"), vAt(2, "0.25").as("v25b"),
+             vAt(1, "0.75").as("v75a"), vAt(2, "0.75").as("v75b"),
+             max(expr(kE("0.25"))).as("k25"), max(expr(kE("0.75"))).as("k75"))
+        .select(col("event_type"),
+                expr(interpE("CAST(n - 1 AS DOUBLE) * 0.25", "k25", "v25a", "v25b")).as("q1"),
+                expr(interpE("CAST(n - 1 AS DOUBLE) * 0.75", "k75", "v75a", "v75b")).as("q3"))
         .withColumn("fence_lo", expr(fenceLoE))
         .withColumn("fence_hi", expr(fenceHiE))
       ev.join(broadcast(fences), "event_type")
