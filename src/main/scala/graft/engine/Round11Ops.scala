@@ -616,5 +616,59 @@ object Round11Ops {
       s.sql(Round11Ops.d49.sql)
     })
 
-  def ops: Vector[Q] = Vector(j12, h35, e21, d45, d46, d47, h36, d48, h37, d49)
+  // ---------------------------------------------------------------- e22
+
+  /** e22 — the rest of the time-decayed family (ClickHouse
+    * `exponentialTimeDecayedCount`/`Avg`/`Max` analogs [public: CH window-
+    * function docs]), completing e21 on the same exact power-of-two day
+    * grid: per user at the fixed reference instant,
+    *  - decayed COUNT = Σ 2^(30−age) (each event counts as its decay
+    *    weight — exact int64 in 2⁻³⁰ units, ≤ 2³⁰ per event),
+    *  - decayed MAX = max(cents · 2^(30−age)) (exact int64 — max commutes
+    *    with the positive scaling),
+    *  - decayed AVG = e21's decayed sum ÷ the decayed count — ONE float
+    *    division of bit-identical int64 units in which the 2⁻³⁰ scale
+    *    CANCELS, so the quotient is directly in cents.
+    * Same one-pass map-combined hash agg as e21; three extra longs of
+    * mergeable state. */
+  val e22: Q = Q(
+    "e22_time_decayed_family",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(POWER(2, 30 - ((epoch_us(TIMESTAMP '2024-01-31 00:00:00') - epoch_us(ts))
+      |                                 // 86400000000)) AS BIGINT)) AS BIGINT) AS dcount_units,
+      |    CAST(MAX(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * CAST(POWER(2, 30 - ((epoch_us(TIMESTAMP '2024-01-31 00:00:00') - epoch_us(ts))
+      |                            // 86400000000)) AS BIGINT)) AS BIGINT) AS dmax_units,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * CAST(POWER(2, 30 - ((epoch_us(TIMESTAMP '2024-01-31 00:00:00') - epoch_us(ts))
+      |                            // 86400000000)) AS BIGINT)) AS BIGINT) AS dsum_units,
+      |    COUNT(*) AS n
+      |  FROM events WHERE ts <= TIMESTAMP '2024-01-31 00:00:00' GROUP BY user_id)
+      |SELECT user_id, dcount_units, dmax_units,
+      |  CAST(dsum_units AS DOUBLE) / CAST(dcount_units AS DOUBLE) AS davg_cents,
+      |  CAST(n AS BIGINT) AS n_events
+      |FROM u
+      |ORDER BY user_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val tRef = lit("2024-01-31 00:00:00").cast("timestamp")
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val age = expr("(unix_micros(TIMESTAMP '2024-01-31 00:00:00') - unix_micros(ts)) div 86400000000")
+      val w = pow(lit(2.0), (lit(30) - age).cast("double")).cast("long")
+      Tables.events(s, dir)
+        .filter(col("ts") <= tRef)
+        .groupBy("user_id")
+        .agg(sum(w).cast("long").as("dcount_units"),
+             max(cents * w).cast("long").as("dmax_units"),
+             sum(cents * w).cast("long").as("dsum_units"),
+             count(lit(1)).cast("long").as("n_events"))
+        .select(col("user_id"), col("dcount_units"), col("dmax_units"),
+                (col("dsum_units").cast("double") / col("dcount_units").cast("double"))
+                  .as("davg_cents"),
+                col("n_events"))
+        .orderBy(asc_nulls_last("user_id"))
+    })
+
+  def ops: Vector[Q] =
+    Vector(j12, h35, e21, d45, d46, d47, h36, d48, h37, d49, e22)
 }
