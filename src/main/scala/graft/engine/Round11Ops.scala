@@ -669,6 +669,62 @@ object Round11Ops {
         .orderBy(asc_nulls_last("user_id"))
     })
 
+  // ---------------------------------------------------------------- h38
+
+  /** Power-of-two floor as a generated 17-step CASE ladder (covers the
+    * cents domain ≤ 49 003 < 2¹⁶): LOG2-free on purpose — log is
+    * transcendental and its last ulp at exact powers of two is not
+    * cross-engine-guaranteed, while an integer threshold ladder is. */
+  private val exp2E: String =
+    (15 to 1 by -1).map(k => s"WHEN x >= ${1L << k} THEN ${1L << k}")
+      .mkString("CASE ", " ", " WHEN x >= 1 THEN 1 ELSE 0 END")
+
+  /** CH's fixed duration ladder [public: CH roundDuration docs]. */
+  private val durE: String =
+    Seq(36000, 18000, 7200, 3600, 1800, 1200, 600, 300, 240, 180, 120, 60,
+        30, 10, 1)
+      .map(t => s"WHEN s >= $t THEN $t").mkString("CASE ", " ", " ELSE 0 END")
+
+  /** CH's fixed age ladder [public: CH roundAge docs]. */
+  private val ageE: String =
+    Seq((55, 55), (45, 45), (35, 35), (25, 25), (18, 18), (17, 17), (1, 17))
+      .map { case (t, v) => s"WHEN a >= $t THEN $v" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** h38 — ClickHouse's non-arithmetic ROUNDING LADDERS (`roundToExp2`,
+    * `roundDuration`, `roundAge` analogs [public: CH rounding-function
+    * docs]): each a fixed threshold ladder, generated ONCE as shared CASE
+    * text instantiated into both dialects (the h23/d33 discipline) — all
+    * integer comparisons, map-only, zero float, zero transcendental (the
+    * obvious `2^FLOOR(LOG2 x)` form is deliberately avoided: LOG2's last
+    * ulp at exact powers is not cross-engine-guaranteed). Inputs derive
+    * deterministically from the event row (cents; cents as seconds mod
+    * a day; a 0–89 pseudo-age). */
+  val h38: Q = Q(
+    "h38_round_ladders",
+    s"""SELECT event_id, x AS cents,
+      |  CAST($exp2E AS BIGINT) AS exp2_floor,
+      |  CAST($durE AS BIGINT) AS dur_bucket,
+      |  CAST($ageE AS BIGINT) AS age_bucket
+      |FROM (
+      |  SELECT event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 86400 AS s,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 90 AS a
+      |  FROM events)
+      |ORDER BY event_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      Tables.events(s, dir)
+        .select(col("event_id"), cents.as("x"), (cents % 86400).as("s"),
+                (cents % 90).as("a"))
+        .select(col("event_id"), col("x").as("cents"),
+                expr(exp2E).cast("long").as("exp2_floor"),
+                expr(durE).cast("long").as("dur_bucket"),
+                expr(ageE).cast("long").as("age_bucket"))
+        .orderBy(asc_nulls_last("event_id"))
+    })
+
   def ops: Vector[Q] =
-    Vector(j12, h35, e21, d45, d46, d47, h36, d48, h37, d49, e22)
+    Vector(j12, h35, e21, d45, d46, d47, h36, d48, h37, d49, e22, h38)
 }
