@@ -725,6 +725,38 @@ object Round11Ops {
         .orderBy(asc_nulls_last("event_id"))
     })
 
+  // ---------------------------------------------------------------- h39
+
+  /** h39 — `gcd`/`lcm` scalar family (ClickHouse arithmetic functions
+    * [public: CH docs]) over order/customer/part key pairs. Spark has NO
+    * gcd builtin, so the Spark side runs the NATIVE codegen'd
+    * [[graft.functions.GcdExpression]] (`graft_gcd` — a tight Euclid loop
+    * in generated Java; a Scala UDF would box every row and break
+    * whole-stage codegen) while DuckDB's builtin `gcd` is the oracle —
+    * two independent implementations of a pure integer function that
+    * must agree bit-for-bit. `lcm` composes as `(a div gcd)·b` in BOTH
+    * dialects (divide first: the product overflows only if the true lcm
+    * does; keys ≤ ~10⁷ keep lcm ≤ ~10¹⁴ ≪ int64). Map-only. */
+  val h39: Q = Q(
+    "h39_gcd_lcm",
+    """SELECT o_orderkey,
+      |  CAST(gcd(o_orderkey, o_custkey) AS BIGINT) AS gcd_oc,
+      |  CAST(CASE WHEN gcd(o_orderkey, o_custkey) = 0 THEN 0
+      |       ELSE (o_orderkey // gcd(o_orderkey, o_custkey)) * o_custkey
+      |       END AS BIGINT) AS lcm_oc,
+      |  CAST(gcd(o_orderkey + 1, 360) AS BIGINT) AS gcd_360
+      |FROM orders
+      |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+                expr("graft_gcd(o_orderkey, o_custkey)").as("gcd_oc"),
+                expr("""CASE WHEN graft_gcd(o_orderkey, o_custkey) = 0 THEN 0L
+                       |ELSE (o_orderkey div graft_gcd(o_orderkey, o_custkey)) * o_custkey
+                       |END""".stripMargin.replace("\n", " ")).as("lcm_oc"),
+                expr("graft_gcd(o_orderkey + 1, 360)").as("gcd_360"))
+        .orderBy(asc_nulls_last("o_orderkey")))
+
   def ops: Vector[Q] =
-    Vector(j12, h35, e21, d45, d46, d47, h36, d48, h37, d49, e22, h38)
+    Vector(j12, h35, e21, d45, d46, d47, h36, d48, h37, d49, e22, h38, h39)
 }

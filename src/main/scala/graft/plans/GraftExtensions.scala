@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{AdcScoreExpression, ChargeExpression, DotProductExpression, LongDistanceExpression, PackBytesExpression, UnitVectorExpression}
+import graft.functions.{AdcScoreExpression, ChargeExpression, DotProductExpression, GcdExpression, LongDistanceExpression, PackBytesExpression, UnitVectorExpression}
 
 /** Engine extension point (SURVEY §4 "custom code actually needed" item 2).
   *
@@ -57,6 +57,16 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
             LongDistanceExpression(children(0), children(1), mode)
           }))
       }
+    ext.injectFunction((
+      new FunctionIdentifier("graft_gcd"),
+      new ExpressionInfo(classOf[GcdExpression].getName, "graft_gcd"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_gcd(bigint, bigint)")
+        val Seq(a, b) = children.map(c =>
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            c, org.apache.spark.sql.types.LongType))
+        GcdExpression(a, b)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_unit"),
       new ExpressionInfo(classOf[UnitVectorExpression].getName, "graft_unit"),

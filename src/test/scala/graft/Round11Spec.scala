@@ -107,6 +107,42 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("graft_gcd: codegen compiles; values match BigInt.gcd; edge semantics") {
+    // compile-proof with fallback disabled (the PackBytes discipline)
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val rows = spark.range(1, 2000)
+        .selectExpr("id", "(id * 2654435761L) % 9999991 AS b",
+                    "graft_gcd(id, (id * 2654435761L) % 9999991) AS g")
+        .collect()
+      rows.foreach { r =>
+        val want = BigInt(r.getLong(0)).gcd(BigInt(r.getLong(1))).toLong
+        assert(r.getLong(2) == want,
+          s"gcd(${r.getLong(0)}, ${r.getLong(1)}) = ${r.getLong(2)}, want $want")
+      }
+      // edges: gcd(0, x) = |x|; gcd(x, 0) = |x|; negatives fold to abs;
+      // NULL propagates
+      val e = spark.sql(
+        """SELECT graft_gcd(0L, 42L) AS a, graft_gcd(42L, 0L) AS b,
+          |  graft_gcd(-12L, 18L) AS c, graft_gcd(0L, 0L) AS d,
+          |  graft_gcd(CAST(NULL AS BIGINT), 5L) AS e""".stripMargin)
+        .collect().head
+      assert(e.getLong(0) == 42L && e.getLong(1) == 42L)
+      assert(e.getLong(2) == 6L, "negatives fold to |x|")
+      assert(e.getLong(3) == 0L)
+      assert(e.isNullAt(4), "NULL input propagates")
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      prevFactory match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   /** Synthesize an events fixture dir from (user, µs, type, value) tuples
     * (the DeterminismSpec legacy-dispatch trick) so adversarial boundary
     * cases can run through the DECLARED query functions verbatim. */
