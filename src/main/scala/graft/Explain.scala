@@ -38,7 +38,8 @@ object Explain {
                // broadcast-fence join, chained array prefix folds
                "j12_sequence_match_time", "h35_multi_search",
                "e21_time_decayed_sum", "d45_kmv_set_ops", "d46_corr_matrix",
-               "d47_tukey_outliers", "h36_arr_cumsum_nonneg")
+               "d47_tukey_outliers", "h36_arr_cumsum_nonneg",
+               "d49_quantile_types", "h39_gcd_lcm")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
