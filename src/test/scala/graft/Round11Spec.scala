@@ -107,6 +107,27 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("r11 exact-sum queries are invariant under shuffle-partition count") {
+    // the merge-order-immunity claims (d46/d48's decimal-routed power
+    // sums, e21's additive integer units) made physical: different
+    // partition counts force different partial-aggregate merge orders;
+    // the collected results must be IDENTICAL, not approximately equal
+    import graft.engine.Round11Ops
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(q: graft.engine.Q, parts: String): Seq[org.apache.spark.sql.Row] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      q.fn(spark, sf0001).collect().toSeq
+    }
+    try {
+      for (q <- Seq(Round11Ops.d46, Round11Ops.d48, Round11Ops.e21,
+                    Round11Ops.d45)) {
+        val a = run(q, "3")
+        val b = run(q, "17")
+        assert(a == b, s"${q.name} diverged across partition counts")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("graft_gcd: codegen compiles; values match BigInt.gcd; edge semantics") {
     // compile-proof with fallback disabled (the PackBytes discipline)
     val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
