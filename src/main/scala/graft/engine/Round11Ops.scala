@@ -757,6 +757,43 @@ object Round11Ops {
                 expr("graft_gcd(o_orderkey + 1, 360)").as("gcd_360"))
         .orderBy(asc_nulls_last("o_orderkey")))
 
+  // ---------------------------------------------------------------- h40
+
+  /** bitmaskToList as generated shared text: 21 bits cover the order-key
+    * domain (max 149 999 < 2²⁰ at sf0.1; documented bound — widen the
+    * range literal for larger domains). Per-bit extraction is the
+    * portable `(x div 2^k) % 2` (no shift operators — h15/h30's
+    * power-of-two discipline), trailing comma trimmed. */
+  private val maskListE: String =
+    (0 to 20).map(k => s"CASE WHEN (x // ${1L << k}) % 2 = 1 THEN '${1L << k},' ELSE '' END")
+      .mkString("TRIM(TRAILING ',' FROM CONCAT(", ", ", "))")
+  // TRIM(TRAILING … FROM …) is the h32-proven shared spelling; two-arg
+  // RTRIM is NOT portable — Spark takes (trimStr, str), DuckDB (str, chars)
+  // (caught live by the selfcheck on this query's first draft).
+
+  /** h40 — bit-test family (ClickHouse `bitTest`/`bitTestAll`/
+    * `bitTestAny`/`bitmaskToList` analogs [public: CH bit-function
+    * docs]) over order keys: k-th-bit extraction via the portable
+    * power-of-two div/mod (both engines' integer `div` truncates — the
+    * h15 fact), mask tests via the shared `&` operator (proven by h15),
+    * and the powers-of-two decomposition as ONE generated 21-term CONCAT
+    * ladder (the h38 discipline). All integer/string, map-only, shared
+    * text in both dialects (only `//` ↔ `div` differs). */
+  val h40: Q = Q(
+    "h40_bit_test",
+    s"""SELECT o_orderkey,
+      |  CAST((x // 8) % 2 AS INT) AS bit3,
+      |  CAST(CASE WHEN (x & 11) = 11 THEN 1 ELSE 0 END AS INT) AS test_all_11,
+      |  CAST(CASE WHEN (x & 96) <> 0 THEN 1 ELSE 0 END AS INT) AS test_any_96,
+      |  $maskListE AS mask_list
+      |FROM (SELECT o_orderkey, o_orderkey AS x FROM orders)
+      |ORDER BY o_orderkey ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val sql = Round11Ops.h40.sql.replace("//", "div")
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(sql)
+    })
+
   def ops: Vector[Q] =
-    Vector(j12, h35, e21, d45, d46, d47, h36, d48, h37, d49, e22, h38, h39)
+    Vector(j12, h35, e21, d45, d46, d47, h36, d48, h37, d49, e22, h38, h39, h40)
 }
