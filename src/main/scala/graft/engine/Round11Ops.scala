@@ -794,6 +794,68 @@ object Round11Ops {
       s.sql(sql)
     })
 
+  // ---------------------------------------------------------------- d50
+
+  /** d50 — `groupArrayIntersect` analog (ClickHouse 24.x array
+    * aggregates [public: CH docs]): per language, the tokens present in
+    * EVERY one of that language's 5 longest documents (the intersection
+    * of the per-doc token sets; the top-5 restriction keeps the fixture
+    * non-degenerate — over ALL docs the 31-token vocab intersects to ∅ in
+    * every language, observed before shipping), serialized sorted per
+    * rule 6. Relationally the intersection never materializes per row:
+    * top-5 filter (row_number ≤ 5 → Spark's WindowGroupLimit pushdown) →
+    * distinct (lang, doc, token) → (lang, token) presence count → keep
+    * tokens present 5× — two map-combined hash aggs, the d30
+    * presence-count discipline; vs CH's in-aggregate set-intersection
+    * state, reproduced without per-group set buffers. Empty
+    * intersections render '' on both sides (DuckDB's FILTERed list is
+    * NULL there — COALESCE'd; a recorded dialect edge). */
+  val d50: Q = Q(
+    "d50_group_array_intersect",
+    """WITH top5 AS (
+      |  SELECT lang, doc_id, text FROM (
+      |    SELECT lang, doc_id, text,
+      |      ROW_NUMBER() OVER (PARTITION BY lang
+      |        ORDER BY n_chars DESC, doc_id ASC) AS rn
+      |    FROM documents) WHERE rn <= 5),
+      |dt AS (
+      |  SELECT DISTINCT lang, doc_id, t.tok
+      |  FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM top5) t),
+      |pc AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n_present
+      |       FROM dt GROUP BY 1, 2)
+      |SELECT lang, CAST(5 AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_present = 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_common,
+      |  COALESCE(ARRAY_TO_STRING(
+      |    list_sort(list(tok) FILTER (WHERE n_present = 5)), '|'), '')
+      |    AS common_toks
+      |FROM pc
+      |GROUP BY lang
+      |ORDER BY lang ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val wTop = Window.partitionBy("lang")
+        .orderBy(desc("n_chars"), asc("doc_id"))
+      val dt = Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("doc_id"),
+                explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+      dt.groupBy("lang", "tok")
+        .agg(count(lit(1)).cast("long").as("n_present"))
+        .groupBy("lang")
+        .agg(sum(when(col("n_present") === 5, 1).otherwise(0))
+               .cast("long").as("n_common"),
+             coalesce(array_join(array_sort(collect_list(
+               when(col("n_present") === 5, col("tok")))), "|"), lit(""))
+               .as("common_toks"))
+        .select(col("lang"), lit(5L).as("n_docs"), col("n_common"),
+                col("common_toks"))
+        .orderBy(asc_nulls_last("lang"))
+    })
+
   def ops: Vector[Q] =
-    Vector(j12, h35, e21, d45, d46, d47, h36, d48, h37, d49, e22, h38, h39, h40)
+    Vector(j12, h35, e21, d45, d46, d47, h36, d48, h37, d49, e22, h38, h39,
+           h40, d50)
 }
