@@ -120,7 +120,8 @@ class Round11Spec extends SparkSpec {
     }
     try {
       for (q <- Seq(Round11Ops.d46, Round11Ops.d48, Round11Ops.e21,
-                    Round11Ops.d45)) {
+                    Round11Ops.d45, Round11Ops.d47, Round11Ops.d49,
+                    Round11Ops.d50, Round11Ops.e22, Round11Ops.j12)) {
         val a = run(q, "3")
         val b = run(q, "17")
         assert(a == b, s"${q.name} diverged across partition counts")
