@@ -855,7 +855,51 @@ object Round11Ops {
         .orderBy(asc_nulls_last("lang"))
     })
 
+  // ---------------------------------------------------------------- d51
+
+  /** d51 — `groupArraySorted(N)` analog (ClickHouse 24.x array
+    * aggregates [public: CH docs]): per event type the 5 SMALLEST value
+    * cents in ascending order, serialized per rule 6 — the by-VALUE
+    * bottom-k sibling of d31's by-hash sample. Relationally a rank
+    * window (`row_number ≤ 5` → Spark's WindowGroupLimit pushdown: only
+    * per-partition top-5 candidates reach the exchange — the bounded
+    * mergeable state CH keeps in its aggregate, recovered by the
+    * optimizer) + a sorted-struct serialization; ties broken on the
+    * (c, event_id) total order so both engines pick identical rows.
+    * All integer/string. */
+  val d51: Q = Q(
+    "d51_group_array_sorted",
+    """SELECT event_type,
+      |  ARRAY_TO_STRING(list(CAST(c AS VARCHAR) ORDER BY c ASC, event_id ASC), '|')
+      |    AS smallest5,
+      |  CAST(COUNT(*) AS BIGINT) AS n_kept
+      |FROM (
+      |  SELECT event_type, c, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY c ASC, event_id ASC) AS rn
+      |  FROM (SELECT event_type, event_id,
+      |          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |        FROM events))
+      |WHERE rn <= 5
+      |GROUP BY event_type
+      |ORDER BY event_type ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(asc("c"), asc("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+                (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy("event_type")
+        .agg(array_join(transform(
+               array_sort(collect_list(struct(col("c"), col("event_id")))),
+               p => p.getField("c").cast("string")), "|").as("smallest5"),
+             count(lit(1)).cast("long").as("n_kept"))
+        .orderBy(asc_nulls_last("event_type"))
+    })
+
   def ops: Vector[Q] =
     Vector(j12, h35, e21, d45, d46, d47, h36, d48, h37, d49, e22, h38, h39,
-           h40, d50)
+           h40, d50, d51)
 }
