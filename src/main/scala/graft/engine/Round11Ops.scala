@@ -4,16 +4,33 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** SURVEY §2.1 round-11 additions — the remaining ClickHouse-surface
-  * families the r10 sweep left uncovered:
+/** SURVEY §2.1 round-11 additions — sixteen ClickHouse-surface families
+  * the r10 sweep left uncovered, each bit-exact against the DuckDB oracle
+  * at sf0.001/0.01/0.1:
   *
-  *  - `j12_sequence_match_time` — `sequenceMatch` with a `(?t<=N)` TIME
-  *    constraint (j07 covers the loose/adjacent forms; the time-conditioned
-  *    form is the one CH's docs lead with).
-  *  - `h35_multi_search` — the string-search function family
-  *    (`countSubstrings`, `multiSearchAny`, `position`, `hasToken`).
-  *  - `e21_time_decayed_sum` — `exponentialTimeDecayedSum` analog on an
-  *    exact power-of-two decay grid (zero float accumulation).
+  *  - `j12_sequence_match_time` — `sequenceMatch` with a `(?t<=N)` time
+  *    constraint (one running-max window, no pair join).
+  *  - `h35_multi_search` / `h37_arr_membership` — the string-search and
+  *    array-membership function families (map-only builtins).
+  *  - `e21_time_decayed_sum` / `e22_time_decayed_family` — the
+  *    `exponentialTimeDecayed{Sum,Count,Avg,Max}` family on an exact
+  *    power-of-two day grid (zero float accumulation).
+  *  - `d45_kmv_set_ops` — theta-sketch union/intersection/Jaccard from
+  *    bounded KmvSketch states (lemmas pinned in Round11Spec).
+  *  - `d46_corr_matrix` / `d48_weighted_moments` — matrix and weighted
+  *    moment aggregates over exact power sums (the decimal(38,0) escape
+  *    exercised under the oracle gate).
+  *  - `d47_tukey_outliers` / `d49_quantile_types` — grid-based exact
+  *    quantiles (type-6/7 interpolation, Tukey fences), no data-sized
+  *    percentile buffer anywhere.
+  *  - `h36_arr_cumsum_nonneg` — the clamped array scan via its
+  *    running-min closed form.
+  *  - `h38_round_ladders` / `h40_bit_test` — CH's rounding ladders and
+  *    bit-test family as generated shared CASE/CONCAT text.
+  *  - `h39_gcd_lcm` — the native codegen'd [[graft.functions.GcdExpression]]
+  *    against DuckDB's builtin gcd (two independent implementations).
+  *  - `d50_group_array_intersect` / `d51_group_array_sorted` — CH 24.x
+  *    array aggregates via presence-count / WindowGroupLimit shapes.
   *
   * Every query follows the SURVEY §2 determinism rules (explicit NULLS,
   * total ORDER BY, integer-exact arithmetic end-to-end).
