@@ -916,7 +916,41 @@ object Round11Ops {
         .orderBy(asc_nulls_last("event_type"))
     })
 
+  // ---------------------------------------------------------------- e23
+
+  /** e23 — lag/lead with explicit OFFSETS and DEFAULT values (the full
+    * ClickHouse `lagInFrame(x, n, default)`/`leadInFrame` signature
+    * [public: CH window-function docs]; e03 covers the offset-1
+    * no-default form): value cents two rows back and three rows ahead
+    * with integer sentinels, and the previous event type with a string
+    * default — the "filled edges" form dashboards reach for. Same
+    * three-argument spelling in both engines; exact integers/strings,
+    * one window pass. */
+  val e23: Q = Q(
+    "e23_lag_lead_defaults",
+    """SELECT event_id, user_id,
+      |  LAG(c, 2, -1) OVER w AS prev2_c,
+      |  LEAD(c, 3, -1) OVER w AS next3_c,
+      |  LAG(event_type, 1, 'none') OVER w AS prev_type
+      |FROM (SELECT event_id, user_id, event_type, ts,
+      |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |      FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |ORDER BY event_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+                cents.as("c"))
+        .select(col("event_id"), col("user_id"),
+                lag(col("c"), 2, -1L).over(w).as("prev2_c"),
+                lead(col("c"), 3, -1L).over(w).as("next3_c"),
+                lag(col("event_type"), 1, "none").over(w).as("prev_type"))
+        .orderBy(asc_nulls_last("event_id"))
+    })
+
   def ops: Vector[Q] =
     Vector(j12, h35, e21, d45, d46, d47, h36, d48, h37, d49, e22, h38, h39,
-           h40, d50, d51)
+           h40, d50, d51, e23)
 }
