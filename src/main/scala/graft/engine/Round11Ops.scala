@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** SURVEY §2.1 round-11 additions — sixteen ClickHouse-surface families
+/** SURVEY §2.1 round-11 additions — seventeen ClickHouse-surface families
   * the r10 sweep left uncovered, each bit-exact against the DuckDB oracle
   * at sf0.001/0.01/0.1:
   *
@@ -31,6 +31,8 @@ import org.apache.spark.sql.functions._
   *    against DuckDB's builtin gcd (two independent implementations).
   *  - `d50_group_array_intersect` / `d51_group_array_sorted` — CH 24.x
   *    array aggregates via presence-count / WindowGroupLimit shapes.
+  *  - `e23_lag_lead_defaults` — the full lagInFrame(x, n, default)
+  *    signature (explicit offsets + defaults).
   *
   * Every query follows the SURVEY §2 determinism rules (explicit NULLS,
   * total ORDER BY, integer-exact arithmetic end-to-end).
