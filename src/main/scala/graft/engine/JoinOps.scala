@@ -419,7 +419,8 @@ object JoinOps {
         .select(col("user_id"), col("event_id").as("error_id"),
                 unix_micros(col("ts")).as("t0"))
       graft.operators.RangeJoin
-        .binnedPointJoin(iv, pt, "user_id", "s0", "e0", "t0", binUs)
+        .binnedPointJoin(iv, pt, "user_id", "s0", "e0", "t0", binUs,
+                         idCols = Seq("purchase_id"))
         .groupBy("purchase_id")
         .agg(count(col("error_id")).as("n_errors_2h"))
         .orderBy(asc_nulls_last("purchase_id"))

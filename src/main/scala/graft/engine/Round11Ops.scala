@@ -452,22 +452,30 @@ object Round11Ops {
     * explode/shuffle on the Spark side (only the oracle unnests to
     * windows). Elements quantize FIRST onto the exact integer grid
     * (`FLOOR(x · 2¹⁴)` — the r10 zero-divergence recipe), so every
-    * subsequent op is pure int64: zero float anywhere. */
+    * subsequent op is pure int64: zero float anywhere. The oracle LEFT
+    * JOINs its unnest-aggregate back to `embeddings` and COALESCEs to ''
+    * so an empty embedding yields the same empty-string row the Spark
+    * side's `array_join([])` produces, instead of vanishing from the
+    * unnest (r8 advice). */
   val h36: Q = Q(
     "h36_arr_cumsum_nonneg",
-    """SELECT vec_id,
-      |  ARRAY_TO_STRING(list(cs - LEAST(0, rm) ORDER BY i), '|') AS cum_nonneg,
-      |  ARRAY_TO_STRING(list(rm ORDER BY i), '|') AS run_min
-      |FROM (
-      |  SELECT vec_id, i, cs,
-      |    MIN(cs) OVER (PARTITION BY vec_id ORDER BY i) AS rm
+    """WITH scans AS (
+      |  SELECT vec_id,
+      |    ARRAY_TO_STRING(list(cs - LEAST(0, rm) ORDER BY i), '|') AS cum_nonneg,
+      |    ARRAY_TO_STRING(list(rm ORDER BY i), '|') AS run_min
       |  FROM (
-      |    SELECT vec_id, i, SUM(u) OVER (PARTITION BY vec_id ORDER BY i) AS cs
+      |    SELECT vec_id, i, cs,
+      |      MIN(cs) OVER (PARTITION BY vec_id ORDER BY i) AS rm
       |    FROM (
-      |      SELECT vec_id, t.i AS i,
-      |        CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 16384) AS BIGINT) AS u
-      |      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i))))
-      |GROUP BY vec_id
+      |      SELECT vec_id, i, SUM(u) OVER (PARTITION BY vec_id ORDER BY i) AS cs
+      |      FROM (
+      |        SELECT vec_id, t.i AS i,
+      |          CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 16384) AS BIGINT) AS u
+      |        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i))))
+      |  GROUP BY vec_id)
+      |SELECT e.vec_id, COALESCE(s.cum_nonneg, '') AS cum_nonneg,
+      |  COALESCE(s.run_min, '') AS run_min
+      |FROM embeddings e LEFT JOIN scans s USING (vec_id)
       |ORDER BY vec_id ASC NULLS LAST""".stripMargin,
     (s, dir) => {
       val u = transform(col("embedding"),
@@ -828,7 +836,12 @@ object Round11Ops {
     * presence-count discipline; vs CH's in-aggregate set-intersection
     * state, reproduced without per-group set buffers. Empty
     * intersections render '' on both sides (DuckDB's FILTERed list is
-    * NULL there — COALESCE'd; a recorded dialect edge). */
+    * NULL there — COALESCE'd; a recorded dialect edge). `n_docs` is the
+    * ACTUAL per-language top-window size (= LEAST(5, doc count)), and the
+    * presence threshold compares against it — a language with fewer than
+    * 5 documents still intersects correctly instead of always reporting
+    * ∅ against a literal 5 (r8 advice); the language-count-sized doc-count
+    * frame joins back by broadcast. */
   val d50: Q = Q(
     "d50_group_array_intersect",
     """WITH top5 AS (
@@ -837,39 +850,45 @@ object Round11Ops {
       |      ROW_NUMBER() OVER (PARTITION BY lang
       |        ORDER BY n_chars DESC, doc_id ASC) AS rn
       |    FROM documents) WHERE rn <= 5),
+      |nd AS (SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |       FROM top5 GROUP BY lang),
       |dt AS (
       |  SELECT DISTINCT lang, doc_id, t.tok
       |  FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
       |        FROM top5) t),
       |pc AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n_present
       |       FROM dt GROUP BY 1, 2)
-      |SELECT lang, CAST(5 AS BIGINT) AS n_docs,
-      |  CAST(SUM(CASE WHEN n_present = 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |SELECT lang, n_docs,
+      |  CAST(SUM(CASE WHEN n_present = n_docs THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_common,
       |  COALESCE(ARRAY_TO_STRING(
-      |    list_sort(list(tok) FILTER (WHERE n_present = 5)), '|'), '')
+      |    list_sort(list(tok) FILTER (WHERE n_present = n_docs)), '|'), '')
       |    AS common_toks
-      |FROM pc
-      |GROUP BY lang
+      |FROM pc JOIN nd USING (lang)
+      |GROUP BY lang, n_docs
       |ORDER BY lang ASC NULLS LAST""".stripMargin,
     (s, dir) => {
       val wTop = Window.partitionBy("lang")
         .orderBy(desc("n_chars"), asc("doc_id"))
-      val dt = Tables.documents(s, dir)
+      val top5 = Tables.documents(s, dir)
         .withColumn("rn", row_number().over(wTop))
         .filter(col("rn") <= 5)
+      val nd = top5.groupBy("lang")
+        .agg(countDistinct("doc_id").cast("long").as("n_docs"))
+      val dt = top5
         .select(col("lang"), col("doc_id"),
                 explode(split(col("text"), " ")).as("tok"))
         .distinct()
       dt.groupBy("lang", "tok")
         .agg(count(lit(1)).cast("long").as("n_present"))
-        .groupBy("lang")
-        .agg(sum(when(col("n_present") === 5, 1).otherwise(0))
+        .join(broadcast(nd), Seq("lang"))
+        .groupBy("lang", "n_docs")
+        .agg(sum(when(col("n_present") === col("n_docs"), 1).otherwise(0))
                .cast("long").as("n_common"),
              coalesce(array_join(array_sort(collect_list(
-               when(col("n_present") === 5, col("tok")))), "|"), lit(""))
-               .as("common_toks"))
-        .select(col("lang"), lit(5L).as("n_docs"), col("n_common"),
+               when(col("n_present") === col("n_docs"), col("tok")))), "|"),
+               lit("")).as("common_toks"))
+        .select(col("lang"), col("n_docs"), col("n_common"),
                 col("common_toks"))
         .orderBy(asc_nulls_last("lang"))
     })

