@@ -187,4 +187,58 @@ class PlanShapeSpec extends SparkSpec {
         s"${q.name}: the grid agg must sit BELOW the windows:\n$p")
     }
   }
+
+  test("d45: one two-phase sketch agg, one-row algebra — no window, no join") {
+    // the theta-sketch scale contract: the ONLY shuffle is the
+    // map-combined 2-sketch agg's single-partition exchange (each partial
+    // is <= 2x64 longs); union/theta/intersection are array expressions
+    // over the ONE result row — no rank window over the distinct hash
+    // sets (that's the oracle's independent formulation, data-sized) and
+    // no self-join for the intersection
+    val p = executedPlan(graft.engine.Round11Ops.d45.fn(spark, sf0001))
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Window"), s"d45 must not window the hash sets:\n$p")
+    assert(!p.contains("Join"), s"d45 must not join for the intersection:\n$p")
+    val exchanges = "\\bExchange\\b".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"d45 plans exactly the sketch agg's exchange, got $exchanges:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"d45's sketches must flow through the two-phase object hash agg:\n$p")
+  }
+
+  test("d47: grid quartiles + broadcast fence join — no percentile buffer") {
+    // the Tukey scale contract: quartiles come off the cents GRID (raw
+    // rows map-combine to <= |domain| cells; the cum/total windows see
+    // grid-sized input), the 5-row fence frame joins back by BROADCAST,
+    // and no data-sized percentile sort-agg buffer appears anywhere —
+    // Spark's builtin `percentile` silently reappearing would be the
+    // 100x regression sf0.1 can't see
+    val p = executedPlan(graft.engine.Round11Ops.d47.fn(spark, sf0001))
+      .split("== Initial Plan ==").head
+    assert(!p.toLowerCase.contains("percentile"),
+      s"d47 must not plan a data-sized percentile buffer:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d47's fence frame must join back by broadcast:\n$p")
+    assert("partial_sum".r.findAllIn(p).nonEmpty,
+      s"d47: grid counts must map-side combine:\n$p")
+    val firstWindow = p.indexOf("Window")
+    assert(firstWindow >= 0 && p.substring(firstWindow).contains("HashAggregate"),
+      s"d47: the grid agg must sit BELOW the windows:\n$p")
+  }
+
+  test("d51: WindowGroupLimit prunes both sides of the rank exchange") {
+    // the bottom-k scale contract: Spark's WindowGroupLimit pushdown must
+    // appear BELOW the rank window on both the map side (pre-shuffle
+    // per-partition top-5) and the reduce side — it silently disappearing
+    // (e.g. a filter rewrite breaking the rn <= k pattern match) would
+    // ship every row through the rank exchange, a 100x scale regression
+    // invisible at sf0.1
+    val p = executedPlan(graft.engine.Round11Ops.d51.fn(spark, sf0001))
+      .split("== Initial Plan ==").head
+    val wgl = "WindowGroupLimit".r.findAllIn(p).length
+    assert(wgl == 2,
+      s"d51 needs the partial+final WindowGroupLimit pair, got $wgl:\n$p")
+    assert(p.indexOf("Window") < p.indexOf("WindowGroupLimit"),
+      s"d51: the group limit must sit below the rank window:\n$p")
+  }
 }
