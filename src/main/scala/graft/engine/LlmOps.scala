@@ -127,7 +127,12 @@ object LlmOps {
         .orderBy(asc_nulls_last("lang"), asc_nulls_last("source")))
 
   /** k07 — embedding-cosine near-dup: same-label pairs with cosine ≥ 0.4
-    * (label is the blocking key; exact within block). */
+    * (label is the blocking key; exact within block). The `label` column
+    * is a FIXTURE crutch standing in for real clustering — the 100 TB
+    * route is [[graft.api.Dedup.embeddingCosinePairs]] (SemDeDup shape:
+    * k-means/IVF cluster ids as the blocking key, multi-probe for
+    * boundary pairs), recall-pinned ≥ 0.9 against this query's exact
+    * pairs in ScaleOpsSpec. */
   val k07: Q = Q(
     "k07_cosine_neardup",
     """SELECT a.vec_id AS id1, b.vec_id AS id2,

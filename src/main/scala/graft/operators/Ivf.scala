@@ -48,6 +48,31 @@ object Ivf {
       .select(col("vec_id"), col("__b.cid").as("cid"), col("__b.cos").as("cos"))
   }
 
+  /** [[assign]]'s multi-probe form: the `nprobe` nearest centroids per
+    * corpus vector (cosine, ties broken by lowest cid) — `nprobe` rows per
+    * vec_id. This is the blocking step of the SemDeDup-shaped embedding
+    * dedup ([[graft.api.Dedup.embeddingCosinePairs]]): a near-dup pair
+    * sitting astride a cluster boundary is found iff some probed cluster
+    * contains both sides, and probing >1 cluster per vector is what buys
+    * that recall. Shape: same broadcast centroid scoring as [[assign]],
+    * then ONE hash agg whose per-vector state is the K scored structs
+    * (bounded by the centroid count — at 100 TB that is a few thousand,
+    * and the partial side still combines per vec_id before the shuffle),
+    * sorted and sliced to `nprobe`. No rank window, no data-sized sort. */
+  def assignTopN(embeddings: DataFrame, centroids: DataFrame,
+                 nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val scored = graft.api.Similarity.scoreAgainstCentroids(
+      embeddings, "vec_id", "embedding", centroids, "cid", "embedding",
+      barrier = false)
+    scored.groupBy("vec_id")
+      .agg(slice(reverse(array_sort(collect_list(
+             struct(col("cos"), (-col("cid")).as("negcid"), col("cid"))))),
+           1, nprobe).as("__top"))
+      .select(col("vec_id"), explode(col("__top")).as("__t"))
+      .select(col("vec_id"), col("__t.cid").as("cid"), col("__t.cos").as("cos"))
+  }
+
   /** Deterministic Lloyd refinement of [[firstKCentroids]]: `iters` rounds
     * of assign → per-cluster element-wise mean. No RNG anywhere — init is
     * the firstK set and the iteration count is fixed, so reruns agree (up

@@ -254,6 +254,64 @@ class ScaleOpsSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("SemDeDup embedding dedup: IVF-blocked pairs, recall >= 0.9 vs exact k07, no cross-cluster all-pairs") {
+    import graft.api.Dedup
+    val e = Tables.embeddings(spark, sf0001).cache()
+    // the exact reference: k07's declared brute-force pairs (label-blocked,
+    // cos >= 0.4) — the fixture crutch this composition replaces
+    val exact = LlmOps.k07.fn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must contain near-dup pairs")
+    val cents = Ivf.kmeansCentroids(e, 8, iters = 2)
+    val got = Dedup.embeddingCosinePairs(e, "vec_id", "embedding",
+        cents, threshold = 0.4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    info(s"semdedup recall at nprobe=2: $recall (${got.size} found, ${exact.size} exact)")
+    assert(recall >= 0.9, s"IVF-blocked recall must be >= 0.9, got $recall")
+    // precision is structural: candidate generation is approximate, the
+    // SCORE is the same exact dot k07 computes — every found pair must be
+    // a true cos >= 0.4 pair (checked against the unblocked brute force,
+    // which is a SUPERSET of label-blocked k07)
+    val allPairs = graft.api.Similarity.cosinePairs(
+        e.withColumn("__one", lit(1)), "vec_id", "embedding", "__one", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(allPairs), "every emitted pair must be a true near-dup")
+    // plan pin: pairs form ONLY within a probed cluster — the self-join is
+    // an equi-join keyed on the cluster id, never a cross-cluster
+    // cartesian; the only nested-loop is the deliberate tiny centroid
+    // broadcast in the scoring step
+    val p = {
+      val df = Dedup.embeddingCosinePairs(e, "vec_id", "embedding",
+        cents, threshold = 0.4, nprobe = 2)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    // the tiny centroid broadcast appears once per self-join BRANCH (the
+    // a and b sides each score the corpus) — anything beyond those two
+    // means a data-sized side started nest-looping
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 2, s"only the centroid broadcast may nest-loop, got $bnlj:\n$p")
+    assert(p.contains("hashpartitioning(__blk"),
+      s"the pair join must co-partition on the cluster id:\n$p")
+    // the one-call pipeline: representatives keep the smallest id per
+    // component, singletons survive, and the kept set is duplicate-free at
+    // the pinned recall (every kept pair is NOT a found near-dup pair)
+    val kept = Dedup.keepRepresentativesByEmbedding(
+        e, "vec_id", "embedding", threshold = 0.4, k = 8, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.size < e.count(),
+      s"dedup must keep a strict non-empty subset, kept ${kept.size}")
+    got.foreach { case (a, b) =>
+      assert(!(kept(a) && kept(b)),
+        s"near-dup pair ($a,$b) must not both survive") }
+    val inPairs = got.flatMap(pr => Seq(pr._1, pr._2))
+    val singletons = e.collect().map(_.getLong(0)).toSet -- inPairs
+    assert(singletons.subsetOf(kept), "singletons always survive")
+    e.unpersist()
+  }
+
   test("OPQ rotation: orthonormal, cuts PQ quantization error (measured -14%)") {
     val e = Tables.embeddings(spark, sf001).cache()
     val (m, ksub, dim) = (8, 16, 64)
