@@ -76,22 +76,19 @@ object Round11Ops {
       |  CAST(n_events AS BIGINT) AS n_events
       |FROM m
       |ORDER BY user_id ASC NULLS LAST""".stripMargin,
-    (s, dir) => {
-      val wp = Window.partitionBy("user_id")
-        .orderBy(asc_nulls_last("ts"), asc_nulls_last("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val hit = col("event_type") === "purchase" &&
-        col("prev_signup").isNotNull &&
-        col("ts") <= col("prev_signup") + expr("INTERVAL 1 HOUR")
-      Tables.events(s, dir)
-        .withColumn("prev_signup",
-          max(when(col("event_type") === "signup", col("ts"))).over(wp))
+    (s, dir) =>
+      // compiled from the CH grammar: (?t<=N) = the nearest-preceding
+      // running-max closed form this query originally hand-derived
+      graft.operators.SequenceMatch.withMatch(
+          Tables.events(s, dir), "user_id", unix_micros(col("ts")),
+          col("event_id"),
+          Seq(col("event_type") === "signup", col("event_type") === "purchase"),
+          "(?1)(?t<=3600)(?2)", "__hit")
         .groupBy("user_id")
-        .agg(max(when(hit, 1).otherwise(0)).cast("int").as("m_within"),
-             sum(when(hit, 1).otherwise(0)).cast("long").as("n_within"),
+        .agg(max(col("__hit")).cast("int").as("m_within"),
+             sum(col("__hit")).cast("long").as("n_within"),
              count(lit(1)).cast("long").as("n_events"))
-        .orderBy(asc_nulls_last("user_id"))
-    })
+        .orderBy(asc_nulls_last("user_id")))
 
   // ---------------------------------------------------------------- h35
 

@@ -233,14 +233,10 @@ object Round8gOps {
 
   /** The strict-order funnel fold: acc is the chain state (0–3 = level,
     * 10+level = aborted), s the mapped step index of the event (1–3, 0
-    * for non-funnel events). Used by the Spark `aggregate` HOF (and,
-    * verbatim in Scala, by StreamingStrictFunnel.step). */
-  private val strictStep =
-    """CASE WHEN acc >= 10 THEN acc
-      |     WHEN acc = 3 THEN 3
-      |     WHEN acc = 0 THEN (CASE WHEN s = 1 THEN 1 ELSE 0 END)
-      |     WHEN s = acc + 1 THEN acc + 1
-      |     ELSE 10 + acc END""".stripMargin.replace("\n", " ")
+    * for non-funnel events). Canonical k-step form lives in
+    * [[graft.operators.SequenceMatch.strictStepSql]] (and, verbatim in
+    * Scala, StreamingStrictFunnel.step). */
+  private def strictStep = graft.operators.SequenceMatch.strictStepSql(3)
 
   /** j10 — strict-order window funnel (ClickHouse `windowFunnel`
     * `strict_order` mode family [public: CH parametric-aggregate docs]):
@@ -286,24 +282,18 @@ object Round8gOps {
       |  CAST(COUNT(*) AS BIGINT) AS n_users
       |FROM f GROUP BY 1
       |ORDER BY funnel_level ASC NULLS LAST""".stripMargin,
-    (s, dir) => {
-      val l = Tables.events(s, dir)
-        .select(col("user_id"),
-                struct(expr("unix_micros(ts)").as("t"), col("event_id").as("i"),
-                       when(col("event_type") === "signup", 1)
-                         .when(col("event_type") === "click", 2)
-                         .when(col("event_type") === "purchase", 3)
-                         .otherwise(0).as("s")).as("p"))
-        .groupBy("user_id")
-        .agg(transform(array_sort(collect_list(col("p"))), p => p("s")).as("es"))
-      l.select(col("user_id"),
-               expr(s"aggregate(es, 0, (acc, s) -> $strictStep)").as("st"))
-        .select(when(col("st") >= 10, col("st") - 10).otherwise(col("st"))
-                  .cast("int").as("funnel_level"))
+    (s, dir) =>
+      // compiled by the shared funnel machinery: strict_order mode = the
+      // sorted per-key fold over [[strictStep]] this query introduced
+      graft.operators.SequenceMatch.funnelLevels(
+          Tables.events(s, dir), "user_id", col("ts"), col("event_id"),
+          Seq(col("event_type") === "signup", col("event_type") === "click",
+              col("event_type") === "purchase"),
+          window = None, mode = "strict_order")
+        .select(col("funnel_level"))
         .groupBy("funnel_level")
         .agg(count(lit(1)).cast("long").as("n_users"))
-        .orderBy(asc_nulls_last("funnel_level"))
-    })
+        .orderBy(asc_nulls_last("funnel_level")))
 
   def ops: Vector[Q] = Vector(e19, d31, e20, j10)
 }

@@ -529,15 +529,11 @@ object Round9Ops {
     * events are pre-filtered — in strict_dedup they neither advance nor
     * interrupt). A repeat of an ALREADY-MATCHED condition interrupts at the
     * reached level; an event whose condition is not yet reached (e.g. a
-    * purchase at level 1) is ignored. */
-  private val dedupStep =
-    """CASE WHEN acc >= 10 THEN acc
-      |     WHEN acc = 3 THEN 3
-      |     WHEN acc = 0 THEN (CASE WHEN s = 1 THEN 1 ELSE 0 END)
-      |     WHEN acc = 1 THEN (CASE WHEN s = 2 THEN 2 WHEN s = 1 THEN 11 ELSE 1 END)
-      |     WHEN s = 3 THEN 3
-      |     WHEN s = 1 OR s = 2 THEN 12
-      |     ELSE acc END""".stripMargin.replace("\n", " ")
+    * purchase at level 1) is ignored. Canonical k-step form lives in
+    * [[graft.operators.SequenceMatch.dedupStepSql]] (case-equivalent to
+    * the original three-level CASE this query shipped with: advance on
+    * s = acc+1, abort on s <= acc, ignore the rest). */
+  private def dedupStep = graft.operators.SequenceMatch.dedupStepSql(3)
 
   /** j11 — strict-dedup window funnel (ClickHouse `windowFunnel`
     * `strict_dedup` mode [public: CH parametric-aggregate docs]): signup →
@@ -584,26 +580,18 @@ object Round9Ops {
       |  FROM w4 GROUP BY user_id)
       |SELECT CAST(lvl AS INT) AS funnel_level, CAST(COUNT(*) AS BIGINT) AS n_users
       |FROM u GROUP BY 1 ORDER BY funnel_level ASC NULLS LAST""".stripMargin,
-    (s, dir) => {
-      val l = Tables.events(s, dir)
-        .select(col("user_id"), expr("unix_micros(ts)").as("t"),
-                when(col("event_type") === "signup", 1)
-                  .when(col("event_type") === "click", 2)
-                  .when(col("event_type") === "purchase", 3)
-                  .otherwise(0).as("s"))
-        .where(col("s") > 0)
-        .select(col("user_id"), (col("t") * 8 + col("s")).as("k"))
-        .groupBy("user_id")
-        .agg(transform(array_sort(collect_list(col("k"))),
-                       k => k % 8).as("es"))
-      l.select(col("user_id"),
-               expr(s"aggregate(es, 0, (acc, s) -> $dedupStep)").as("st"))
-        .select(when(col("st") >= 10, col("st") - 10).otherwise(col("st"))
-                  .cast("int").as("funnel_level"))
+    (s, dir) =>
+      // compiled by the shared funnel machinery: strict_dedup mode = the
+      // composite-key fold over [[dedupStep]] this query introduced
+      graft.operators.SequenceMatch.funnelLevels(
+          Tables.events(s, dir), "user_id", col("ts"), col("event_id"),
+          Seq(col("event_type") === "signup", col("event_type") === "click",
+              col("event_type") === "purchase"),
+          window = None, mode = "strict_dedup")
+        .select(col("funnel_level"))
         .groupBy("funnel_level")
         .agg(count(lit(1)).cast("long").as("n_users"))
-        .orderBy(asc_nulls_last("funnel_level"))
-    })
+        .orderBy(asc_nulls_last("funnel_level")))
 
   // ---------------------------------------------------------------- k37
 

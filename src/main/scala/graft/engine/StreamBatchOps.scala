@@ -105,26 +105,17 @@ object StreamBatchOps {
       |SELECT funnel_level, CAST(COUNT(*) AS BIGINT) AS n_users
       |FROM lv GROUP BY funnel_level
       |ORDER BY funnel_level ASC NULLS LAST""".stripMargin,
-    (s, dir) => {
-      val wu = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
-      Tables.events(s, dir)
-        .withColumn("l1",
-          min(when(col("event_type") === "signup", col("ts"))).over(wu))
-        .withColumn("l2",
-          min(when(col("event_type") === "view" && col("ts") > col("l1") &&
-                   col("ts") <= col("l1") + expr("INTERVAL 6 HOUR"),
-                   col("ts"))).over(wu))
-        .withColumn("l3",
-          min(when(col("event_type") === "purchase" && col("ts") > col("l2") &&
-                   col("ts") <= col("l1") + expr("INTERVAL 6 HOUR"),
-                   col("ts"))).over(wu))
-        .groupBy("user_id")
-        .agg(max(when(col("l3").isNotNull, 3).when(col("l2").isNotNull, 2)
-                   .when(col("l1").isNotNull, 1).otherwise(0)).as("funnel_level"))
+    (s, dir) =>
+      // compiled by the shared funnel machinery: base mode = the chained
+      // window-minima plan this query originally hand-derived
+      graft.operators.SequenceMatch.funnelLevels(
+          Tables.events(s, dir), "user_id", col("ts"), col("event_id"),
+          Seq(col("event_type") === "signup", col("event_type") === "view",
+              col("event_type") === "purchase"),
+          Some(expr("INTERVAL 6 HOUR")), mode = "base")
         .groupBy("funnel_level")
         .agg(count(lit(1)).as("n_users"))
-        .orderBy(asc_nulls_last("funnel_level"))
-    })
+        .orderBy(asc_nulls_last("funnel_level")))
 
   /** j06 — retention analog [public: ClickHouse retention]: per user, was
     * there ANY activity in weeks 0/1/2 after the first signup; aggregated
@@ -193,16 +184,24 @@ object StreamBatchOps {
       |      FROM events GROUP BY 1)
       |ORDER BY user_id ASC NULLS LAST""".stripMargin,
     (s, dir) => {
-      val seq = concat_ws(" ", transform(
-        array_sort(collect_list(struct(col("ts"), col("event_id"),
-                                       col("event_type")))),
-        x => x.getField("event_type")))
-      Tables.events(s, dir).groupBy("user_id")
-        .agg(seq.as("seq"), count(lit(1)).as("n_events"))
-        .select(col("user_id"),
-                col("seq").like("%signup%purchase%").cast("int").as("m_loose"),
-                col("seq").like("%signup purchase%").cast("int").as("m_adjacent"),
-                col("n_events"))
+      // compiled from the CH grammar: the loose form is the .*-gap plan
+      // (rn-chained window minima), the adjacent form the lead-conjunction
+      // run plan; both share ONE ordered per-key exchange, replacing the
+      // original string render with the same oracle (the LIKE scans over
+      // the rendered stream define identical semantics — the type names
+      // are substring-free of each other)
+      import graft.operators.SequenceMatch
+      val conds = Seq(col("event_type") === "signup",
+                      col("event_type") === "purchase")
+      val base = Tables.events(s, dir)
+      val m1 = SequenceMatch.withMatch(base, "user_id", unix_micros(col("ts")),
+        col("event_id"), conds, "(?1).*(?2)", "__m_loose")
+      val m2 = SequenceMatch.withMatch(m1, "user_id", unix_micros(col("ts")),
+        col("event_id"), conds, "(?1)(?2)", "__m_adj")
+      m2.groupBy("user_id")
+        .agg(max(col("__m_loose")).cast("int").as("m_loose"),
+             max(col("__m_adj")).cast("int").as("m_adjacent"),
+             count(lit(1)).as("n_events"))
         .orderBy(asc_nulls_last("user_id"))
     })
 
@@ -234,22 +233,12 @@ object StreamBatchOps {
       |    FROM events)
       |  GROUP BY user_id)
       |ORDER BY user_id ASC NULLS LAST""".stripMargin,
-    (s, dir) => {
-      val w = Window.partitionBy("user_id")
-        .orderBy(asc_nulls_last("ts"), asc_nulls_last("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, dir)
-        .select(col("user_id"),
-          sum(when(col("event_type") === "purchase", 1).otherwise(0)).over(w).as("cum_b"),
-          sum(when(col("event_type") === "signup", 1).otherwise(0)).over(w).as("cum_a"))
-        .groupBy("user_id")
-        .agg(max(col("cum_b")).as("total_b"),
-             max(col("cum_b") - col("cum_a")).as("max_excess"))
-        .select(col("user_id"),
-          (col("total_b") - greatest(lit(0L), col("max_excess")))
-            .cast("long").as("n_chains"))
-        .orderBy(asc_nulls_last("user_id"))
-    })
+    (s, dir) =>
+      // compiled by the shared sequenceCount bracket closed form
+      graft.operators.SequenceMatch.countChains(
+          Tables.events(s, dir), "user_id", col("ts"), col("event_id"),
+          col("event_type") === "signup", col("event_type") === "purchase")
+        .orderBy(asc_nulls_last("user_id")))
 
   def ops: Vector[Q] = Vector(j01, j02, j03, j05, j06, j07, j08)
 }

@@ -1,0 +1,305 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Compiler from the ClickHouse `sequenceMatch`/`sequenceCount`/
+  * `windowFunnel` pattern grammar [public: CH parametric-aggregate docs]
+  * to the repo's window/fold closed forms — the unification the r8
+  * verdict asked for: j05/j07/j08/j10/j11/j12 each hand-derived one
+  * pattern shape; this compiles the shapes from the grammar, the six
+  * queries route through it (their oracle entries are the regression
+  * fixtures), and arbitrary user patterns of the supported forms get the
+  * same scale-safe plans.
+  *
+  * Grammar (a pattern is a string of these, starting and ending with a
+  * step, gaps strictly between steps):
+  *  - `(?N)`      — an event matching condition N (1-based into `conds`)
+  *  - `.*`        — any number of events of any kind in between
+  *  - `(?t<=N)` / `(?t<N)` / `(?t>=N)` / `(?t>N)` — the two surrounding
+  *    step events must be separated by (at most / less than / at least /
+  *    more than) N seconds; intervening events are allowed (the j12
+  *    semantics)
+  *
+  * Compiled plans, by pattern shape:
+  *  - steps and `.*` gaps only (any length, adjacency runs allowed):
+  *    row positions from ONE ordered per-key window; each maximal
+  *    adjacency run becomes a lead-conjunction flag; runs chain through
+  *    greedy per-key `min(position)` windows (greedy-earliest is optimal
+  *    for position-only constraints — the classical subsequence
+  *    argument). All windows share one hash exchange on the key; per-key
+  *    state is O(pattern), never O(events).
+  *  - the two-step time-constrained form `(?A)(?t OP N)(?B)`: the j12
+  *    closed form, generalized to all four operators. The pair
+  *    minimizing (for upper bounds) or maximizing (for lower bounds) the
+  *    gap uses the NEAREST resp. EARLIEST preceding A-event, so one
+  *    running max resp. min window decides existence — no pair join, no
+  *    state machine. (Longer time-constrained patterns are rejected:
+  *    greedy chaining is NOT optimal under time constraints — a later
+  *    first-step event can satisfy an upper bound the earliest one
+  *    misses — and the correct general form needs per-prefix Pareto
+  *    state. Loud `require` beats a silently wrong plan.)
+  *
+  * The `windowFunnel` modes (base / strict_order / strict_dedup) and the
+  * `sequenceCount('(?1).*(?2)')` bracket closed form live here too, as
+  * [[funnelLevels]] and [[countChains]] — they are pattern-adjacent
+  * aggregates over the same per-key orders, and j05/j08/j10/j11 route
+  * through them.
+  */
+object SequenceMatch {
+
+  sealed trait Tok
+  final case class Step(n: Int) extends Tok
+  case object AnyGap extends Tok
+  final case class TimeGap(op: String, micros: Long) extends Tok
+
+  /** Parse a pattern against `nConds` available conditions; loud on any
+    * malformed or out-of-range token, on gaps at the ends, and on two
+    * adjacent gaps. */
+  def parse(pattern: String, nConds: Int): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < pattern.length) {
+      if (pattern.startsWith(".*", i)) { out += AnyGap; i += 2 }
+      else if (pattern.startsWith("(?t", i)) {
+        val close = pattern.indexOf(')', i)
+        require(close > 0, s"unterminated '(?t' at $i in '$pattern'")
+        val body = pattern.substring(i + 3, close)
+        val op = body.takeWhile(c => c == '<' || c == '>' || c == '=')
+        val num = body.drop(op.length)
+        require(Set("<=", "<", ">=", ">")(op),
+          s"unsupported time operator '$op' in '$pattern' (supported: <= < >= >)")
+        require(num.nonEmpty && num.forall(_.isDigit),
+          s"bad time bound '$num' in '$pattern'")
+        out += TimeGap(op, num.toLong * 1000000L)
+        i = close + 1
+      } else if (pattern.startsWith("(?", i)) {
+        val close = pattern.indexOf(')', i)
+        require(close > 0, s"unterminated '(?' at $i in '$pattern'")
+        val num = pattern.substring(i + 2, close)
+        require(num.nonEmpty && num.forall(_.isDigit),
+          s"bad step number '$num' in '$pattern'")
+        val n = num.toInt
+        require(n >= 1 && n <= nConds,
+          s"step (?$n) out of range 1..$nConds in '$pattern'")
+        out += Step(n)
+        i = close + 1
+      } else require(false, s"unexpected '${pattern(i)}' at $i in '$pattern'")
+    }
+    val toks = out.result()
+    require(toks.nonEmpty, s"empty pattern")
+    require(toks.head.isInstanceOf[Step] && toks.last.isInstanceOf[Step],
+      s"pattern must start and end with a step: '$pattern'")
+    toks.sliding(2).foreach {
+      case Vector(a, b) =>
+        require(a.isInstanceOf[Step] || b.isInstanceOf[Step],
+          s"two adjacent gaps in '$pattern'")
+      case _ =>
+    }
+    toks
+  }
+
+  /** Adds per-row 0/1 column `outCol`: does the pattern match within this
+    * row's key? For position-only patterns the flag is a per-key
+    * constant; for time-constrained patterns it marks the closing rows
+    * (key-level match = `max(outCol)` — how j12/j13 aggregate it).
+    * `tsMicros` must be an integer-comparable event time (µs); `tie`
+    * breaks ties into the total per-key order both engines share. */
+  def withMatch(df: DataFrame, keyCol: String, tsMicros: Column, tie: Column,
+                conds: Seq[Column], pattern: String, outCol: String): DataFrame = {
+    val toks = parse(pattern, conds.length)
+    if (toks.exists(_.isInstanceOf[TimeGap])) {
+      require(toks.length == 3 && toks(1).isInstanceOf[TimeGap],
+        "time-constrained patterns support exactly the two-step form " +
+        s"(?A)(?t OP N)(?B); got '$pattern' — greedy chaining is not " +
+        "optimal under time constraints, so longer forms are rejected " +
+        "rather than compiled wrong")
+      val a = toks(0).asInstanceOf[Step].n
+      val tg = toks(1).asInstanceOf[TimeGap]
+      val b = toks(2).asInstanceOf[Step].n
+      val wPrev = Window.partitionBy(keyCol)
+        .orderBy(tsMicros.asc_nulls_last, tie.asc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // nearest preceding A minimizes the gap (decides upper bounds);
+      // earliest preceding A maximizes it (decides lower bounds)
+      val prev = tg.op match {
+        case "<=" | "<" => max(when(conds(a - 1), tsMicros)).over(wPrev)
+        case ">" | ">=" => min(when(conds(a - 1), tsMicros)).over(wPrev)
+      }
+      val gapOk = tg.op match {
+        case "<=" => tsMicros <= col("__sm_prev") + tg.micros
+        case "<"  => tsMicros < col("__sm_prev") + tg.micros
+        case ">"  => tsMicros > col("__sm_prev") + tg.micros
+        case ">=" => tsMicros >= col("__sm_prev") + tg.micros
+      }
+      df.withColumn("__sm_prev", prev)
+        .withColumn(outCol,
+          (conds(b - 1) && col("__sm_prev").isNotNull && gapOk).cast("int"))
+        .drop("__sm_prev")
+    } else {
+      // maximal adjacency runs separated by .* gaps
+      val runs: Vector[Vector[Int]] = {
+        val rs = Vector.newBuilder[Vector[Int]]
+        var cur = Vector.newBuilder[Int]
+        toks.foreach {
+          case Step(n) => cur += n
+          case AnyGap  => rs += cur.result(); cur = Vector.newBuilder[Int]
+          case _: TimeGap => // unreachable
+        }
+        rs += cur.result()
+        rs.result()
+      }
+      val wOrd = Window.partitionBy(keyCol)
+        .orderBy(tsMicros.asc_nulls_last, tie.asc_nulls_last)
+      val wKey = Window.partitionBy(keyCol)
+      var out = df.withColumn("__sm_rn", row_number().over(wOrd).cast("long"))
+      runs.zipWithIndex.foreach { case (run, ri) =>
+        val flag = run.zipWithIndex.map { case (stepN, off) =>
+          if (off == 0) conds(stepN - 1)
+          else lead(conds(stepN - 1).cast("int"), off).over(wOrd) === 1
+        }.reduce(_ && _)
+        out = out.withColumn(s"__sm_run$ri", flag)
+      }
+      var prevEnd: Column = null
+      runs.zipWithIndex.foreach { case (run, ri) =>
+        val hitHere =
+          if (ri == 0) col(s"__sm_run$ri")
+          else col(s"__sm_run$ri") && col("__sm_rn") > prevEnd
+        out = out.withColumn(s"__sm_m$ri",
+          min(when(hitHere, col("__sm_rn"))).over(wKey))
+        prevEnd = col(s"__sm_m$ri") + lit(run.length - 1L)
+      }
+      val dropCols = "__sm_rn" +:
+        runs.indices.flatMap(i => Seq(s"__sm_run$i", s"__sm_m$i"))
+      out.withColumn(outCol,
+          col(s"__sm_m${runs.length - 1}").isNotNull.cast("int"))
+        .drop(dropCols: _*)
+    }
+  }
+
+  /** `sequenceCount('(?1).*(?2)')`: the number of non-overlapping
+    * A-then-B chains per key, via the bracket-matching closed form
+    * (j08's derivation): greedy left-to-right matching = bracket
+    * matching, so matched closers = total B − max prefix excess of B
+    * over A. One cumulative window + one hash agg. */
+  def countChains(df: DataFrame, keyCol: String, ts: Column, tie: Column,
+                  condA: Column, condB: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(ts.asc_nulls_last, tie.asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol),
+        sum(when(condB, 1).otherwise(0)).over(w).as("cum_b"),
+        sum(when(condA, 1).otherwise(0)).over(w).as("cum_a"))
+      .groupBy(keyCol)
+      .agg(max(col("cum_b")).as("total_b"),
+           max(col("cum_b") - col("cum_a")).as("max_excess"))
+      .select(col(keyCol),
+        (col("total_b") - greatest(lit(0L), col("max_excess")))
+          .cast("long").as("n_chains"))
+  }
+
+  /** The strict-order funnel fold for `k` steps: acc is the chain state
+    * (0–k = level, 10+level = aborted), s the mapped step of the event
+    * (1–k, 0 for non-funnel events); any event that is not the next step
+    * aborts a started chain. For k = 3 this is byte-identical to the
+    * string j10 shipped with (and StreamingStrictFunnel mirrors in
+    * Scala). The 10+level abort marker requires k <= 9. */
+  def strictStepSql(k: Int): String = {
+    require(k >= 1 && k <= 9, s"strict funnel supports 1..9 steps, got $k")
+    s"CASE WHEN acc >= 10 THEN acc " +
+    s"     WHEN acc = $k THEN $k " +
+    s"     WHEN acc = 0 THEN (CASE WHEN s = 1 THEN 1 ELSE 0 END) " +
+    s"     WHEN s = acc + 1 THEN acc + 1 " +
+    s"     ELSE 10 + acc END"
+  }
+
+  /** The strict-dedup funnel fold for `k` steps: a repeat of an
+    * already-matched step (s <= acc) aborts; a not-yet-reached step is
+    * ignored; non-funnel events are pre-filtered. For k = 3 this is
+    * semantically identical to j11's hand-rolled three-level CASE
+    * (checked case-by-case in its scaladoc). */
+  def dedupStepSql(k: Int): String = {
+    require(k >= 1 && k <= 7, s"strict_dedup funnel supports 1..7 steps, got $k")
+    s"CASE WHEN acc >= 10 THEN acc " +
+    s"     WHEN acc = $k THEN $k " +
+    s"     WHEN acc = 0 THEN (CASE WHEN s = 1 THEN 1 ELSE 0 END) " +
+    s"     WHEN s = acc + 1 THEN acc + 1 " +
+    s"     WHEN s >= 1 AND s <= acc THEN 10 + acc " +
+    s"     ELSE acc END"
+  }
+
+  /** ClickHouse `windowFunnel` levels per key, `mode` ∈ base |
+    * strict_order | strict_dedup. Returns (keyCol, funnel_level).
+    *
+    *  - base: deepest step reached with strictly increasing times, every
+    *    step within `window` of the FIRST step-1 event — chained per-key
+    *    window minima sharing one exchange (j05's plan).
+    *  - strict_order: once started, the chain must run over consecutive
+    *    events; ANY intervening event aborts at the reached level — the
+    *    sorted per-key fold over [[strictStepSql]] (j10's plan; state is
+    *    one int, the collect is bounded by a key's event count).
+    *  - strict_dedup: a repeat of an already-matched step aborts;
+    *    non-funnel events neither advance nor interrupt — the composite
+    *    µs·8+step key fold over [[dedupStepSql]] (j11's plan; same-µs
+    *    ties order by step index, exactly its declared semantics).
+    */
+  def funnelLevels(df: DataFrame, keyCol: String, ts: Column, tie: Column,
+                   conds: Seq[Column], window: Option[Column] = None,
+                   mode: String = "base"): DataFrame = {
+    val k = conds.length
+    require(k >= 1, "at least one funnel step")
+    def stepOf: Column = {
+      var c: Column = when(conds(0), 1)
+      for (i <- 2 to k) c = c.when(conds(i - 1), i)
+      c.otherwise(0)
+    }
+    mode match {
+      case "base" =>
+        require(window.isDefined, "base mode needs the funnel window interval")
+        val win = window.get
+        val wu = Window.partitionBy(keyCol)
+        var out = df.withColumn("__f_l1", min(when(conds(0), ts)).over(wu))
+        for (i <- 2 to k)
+          out = out.withColumn(s"__f_l$i",
+            min(when(conds(i - 1) && ts > col(s"__f_l${i - 1}") &&
+                     ts <= col("__f_l1") + win, ts)).over(wu))
+        var lvl: Column = when(col(s"__f_l$k").isNotNull, k)
+        for (i <- k - 1 to 1 by -1) lvl = lvl.when(col(s"__f_l$i").isNotNull, i)
+        out.groupBy(keyCol)
+          .agg(max(lvl.otherwise(0)).as("funnel_level"))
+      case "strict_order" =>
+        val l = df
+          .select(col(keyCol),
+                  struct(unix_micros(ts).as("t"), tie.as("i"),
+                         stepOf.as("s")).as("__p"))
+          .groupBy(keyCol)
+          .agg(transform(array_sort(collect_list(col("__p"))),
+                         p => p("s")).as("__es"))
+        l.select(col(keyCol),
+                 expr(s"aggregate(__es, 0, (acc, s) -> ${strictStepSql(k)})")
+                   .as("__st"))
+          .select(col(keyCol),
+                  when(col("__st") >= 10, col("__st") - 10).otherwise(col("__st"))
+                    .cast("int").as("funnel_level"))
+      case "strict_dedup" =>
+        require(k <= 7, s"strict_dedup composite key holds 1..7 steps, got $k")
+        val l = df
+          .select(col(keyCol), unix_micros(ts).as("__t"), stepOf.as("__s"))
+          .where(col("__s") > 0)
+          .select(col(keyCol), (col("__t") * 8 + col("__s")).as("__k"))
+          .groupBy(keyCol)
+          .agg(transform(array_sort(collect_list(col("__k"))),
+                         kk => kk % 8).as("__es"))
+        l.select(col(keyCol),
+                 expr(s"aggregate(__es, 0, (acc, s) -> ${dedupStepSql(k)})")
+                   .as("__st"))
+          .select(col(keyCol),
+                  when(col("__st") >= 10, col("__st") - 10).otherwise(col("__st"))
+                    .cast("int").as("funnel_level"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown funnel mode '$other' (base | strict_order | strict_dedup)")
+    }
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SequenceMatch
+import graft.operators.SequenceMatch.{AnyGap, Step, TimeGap}
+
+/** Unit coverage for the sequenceMatch pattern compiler. The six declared
+  * queries (j05/j07/j08/j10/j11/j12) are its oracle-gated regression
+  * fixtures; this spec covers the grammar itself and the synthetic edge
+  * cases the fixture can't force — above all the non-greedy
+  * time-constraint case that motivates the closed-form plans. */
+class SequenceMatchSpec extends SparkSpec {
+
+  private val S = 1000000L // one second in micros
+
+  private def events(rows: (Long, Long, Long, String)*) = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("k", "ts", "id", "e")
+  }
+
+  private def conds = Seq(col("e") === "a", col("e") === "b", col("e") === "c")
+
+  private def matchedKeys(df: org.apache.spark.sql.DataFrame,
+                          pattern: String): Set[Long] = {
+    val sp = spark
+    import sp.implicits._
+    SequenceMatch.withMatch(df, "k", col("ts"), col("id"), conds, pattern, "m")
+      .groupBy("k").agg(max("m").as("m"))
+      .filter(col("m") === 1).select("k").as[Long].collect().toSet
+  }
+
+  test("parse: tokens, bounds, and malformed patterns") {
+    assert(SequenceMatch.parse("(?1).*(?2)", 2) ==
+      Vector(Step(1), AnyGap, Step(2)))
+    assert(SequenceMatch.parse("(?1)(?t<=3600)(?2)", 2) ==
+      Vector(Step(1), TimeGap("<=", 3600L * S), Step(2)))
+    assert(SequenceMatch.parse("(?1)(?2)(?3)", 3) ==
+      Vector(Step(1), Step(2), Step(3)))
+    intercept[IllegalArgumentException](SequenceMatch.parse("(?3)", 2))
+    intercept[IllegalArgumentException](SequenceMatch.parse("(?1).*", 1))
+    intercept[IllegalArgumentException](SequenceMatch.parse(".*(?1)", 1))
+    intercept[IllegalArgumentException](SequenceMatch.parse("(?1).*.*(?2)", 2))
+    intercept[IllegalArgumentException](SequenceMatch.parse("(?1)(?t==5)(?2)", 2))
+    intercept[IllegalArgumentException](SequenceMatch.parse("(?1)(?t<=x)(?2)", 2))
+    intercept[IllegalArgumentException](SequenceMatch.parse("(?1", 1))
+    intercept[IllegalArgumentException](SequenceMatch.parse("xx", 1))
+  }
+
+  test("subsequence patterns: .* gaps chain greedily and correctly") {
+    // key 1: a..b..c in order; key 2: c before a,b (no a-b-c chain);
+    // key 3: a and c only
+    val df = events(
+      (1L, 1 * S, 1, "a"), (1L, 2 * S, 2, "x"), (1L, 3 * S, 3, "b"),
+      (1L, 4 * S, 4, "c"),
+      (2L, 1 * S, 5, "c"), (2L, 2 * S, 6, "a"), (2L, 3 * S, 7, "b"),
+      (3L, 1 * S, 8, "a"), (3L, 2 * S, 9, "c"))
+    assert(matchedKeys(df, "(?1).*(?2).*(?3)") == Set(1L))
+    assert(matchedKeys(df, "(?1).*(?2)") == Set(1L, 2L))
+    assert(matchedKeys(df, "(?1).*(?3)") == Set(1L, 3L))
+    assert(matchedKeys(df, "(?3)") == Set(1L, 2L, 3L))
+  }
+
+  test("adjacency runs: consecutive steps must be stream-consecutive") {
+    // key 1: a b adjacent, then c later; key 2: a x b — the run breaks
+    val df = events(
+      (1L, 1 * S, 1, "a"), (1L, 2 * S, 2, "b"), (1L, 5 * S, 3, "x"),
+      (1L, 6 * S, 4, "c"),
+      (2L, 1 * S, 5, "a"), (2L, 2 * S, 6, "x"), (2L, 3 * S, 7, "b"),
+      (2L, 4 * S, 8, "c"))
+    assert(matchedKeys(df, "(?1)(?2)") == Set(1L))
+    assert(matchedKeys(df, "(?1)(?2).*(?3)") == Set(1L))
+    assert(matchedKeys(df, "(?1).*(?2).*(?3)") == Set(1L, 2L))
+    // same-ts rows order by the tie column — b(id=11) follows a(id=10)
+    val tied = events((9L, 1 * S, 10, "a"), (9L, 1 * S, 11, "b"))
+    assert(matchedKeys(tied, "(?1)(?2)") == Set(9L))
+  }
+
+  test("(?t<=N): the non-greedy case the closed form exists for") {
+    // a@0, a@90, b@100: greedy-earliest picks a@0 (gap 100 > 20 s) and
+    // would MISS the a@90→b match; the nearest-preceding running max
+    // finds it. This is exactly why longer time-constrained patterns are
+    // rejected instead of greedily compiled.
+    val df = events(
+      (1L, 0 * S, 1, "a"), (1L, 90 * S, 2, "a"), (1L, 100 * S, 3, "b"),
+      (2L, 0 * S, 4, "a"), (2L, 100 * S, 5, "b")) // only gap 100: no match
+    assert(matchedKeys(df, "(?1)(?t<=20)(?2)") == Set(1L))
+    assert(matchedKeys(df, "(?1)(?t<20)(?2)") == Set(1L))
+    assert(matchedKeys(df, "(?1)(?t<=100)(?2)") == Set(1L, 2L))
+    assert(matchedKeys(df, "(?1)(?t<100)(?2)") == Set(1L))
+  }
+
+  test("(?t>N): cooldown uses the earliest preceding step, maximizing the gap") {
+    // a@0, b@10 (gap 10), b@200 (gap 200 from the FIRST a)
+    val df = events(
+      (1L, 0 * S, 1, "a"), (1L, 10 * S, 2, "b"), (1L, 200 * S, 3, "b"),
+      (2L, 0 * S, 4, "a"), (2L, 10 * S, 5, "b")) // max gap 10: no cooldown hit
+    assert(matchedKeys(df, "(?1)(?t>100)(?2)") == Set(1L))
+    assert(matchedKeys(df, "(?1)(?t>=200)(?2)") == Set(1L))
+    assert(matchedKeys(df, "(?1)(?t>200)(?2)") == Set.empty[Long])
+    assert(matchedKeys(df, "(?1)(?t>5)(?2)") == Set(1L, 2L))
+  }
+
+  test("longer time-constrained patterns are rejected loudly, not compiled wrong") {
+    val df = events((1L, 0 * S, 1, "a"))
+    val err = intercept[IllegalArgumentException] {
+      SequenceMatch.withMatch(df, "k", col("ts"), col("id"), conds,
+        "(?1)(?t<=10)(?2)(?t<=10)(?3)", "m")
+    }
+    assert(err.getMessage.contains("two-step form"))
+  }
+
+  test("countChains: bracket-matching closed form on adversarial orders") {
+    val sp = spark
+    import sp.implicits._
+    def chains(rows: (Long, Long, Long, String)*): Map[Long, Long] =
+      SequenceMatch.countChains(events(rows: _*), "k", col("ts"), col("id"),
+          col("e") === "a", col("e") === "b")
+        .as[(Long, Long)].collect().toMap
+    assert(chains((1L, 1 * S, 1, "a"), (1L, 2 * S, 2, "b"),
+                  (1L, 3 * S, 3, "a"), (1L, 4 * S, 4, "b")) == Map(1L -> 2L))
+    assert(chains((1L, 1 * S, 1, "b"), (1L, 2 * S, 2, "b"),
+                  (1L, 3 * S, 3, "a"), (1L, 4 * S, 4, "a")) == Map(1L -> 0L))
+    assert(chains((1L, 1 * S, 1, "a"), (1L, 2 * S, 2, "b"),
+                  (1L, 3 * S, 3, "b")) == Map(1L -> 1L))
+    assert(chains((1L, 1 * S, 1, "b"), (1L, 2 * S, 2, "a"),
+                  (1L, 3 * S, 3, "b"), (1L, 4 * S, 4, "b")) == Map(1L -> 1L))
+  }
+
+  test("generated k-step folds reproduce the shipped 3-step fold strings") {
+    // j10 shipped this exact text; StreamingStrictFunnel mirrors it in
+    // Scala — the generator must never drift for k = 3
+    assert(SequenceMatch.strictStepSql(3).replaceAll("\\s+", " ").trim ==
+      ("CASE WHEN acc >= 10 THEN acc WHEN acc = 3 THEN 3 " +
+       "WHEN acc = 0 THEN (CASE WHEN s = 1 THEN 1 ELSE 0 END) " +
+       "WHEN s = acc + 1 THEN acc + 1 ELSE 10 + acc END"))
+    intercept[IllegalArgumentException](SequenceMatch.strictStepSql(10))
+    intercept[IllegalArgumentException](SequenceMatch.dedupStepSql(8))
+  }
+}
