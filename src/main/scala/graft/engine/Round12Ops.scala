@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   *    constraint (cooldown) form, compiled to the earliest-preceding
   *    running-min closed form.
   *
+  * Plus the CH array-surface stragglers the r8 verdict listed:
+  *
+  *  - `e24_group_array_moving_avg` — `groupArrayMovingAvg(5)` on the
+  *    e17 bounded-frame recipe (CH divides by the WINDOW SIZE even over
+  *    the short prefix — integer division, exact).
+  *  - `h41_arr_compact_zip` — `arrayCompact` (consecutive-dup removal as
+  *    an indexed filter HOF, no explode) + `arrayZip` (a real two-array
+  *    `zip_with`).
+  *
   * Every query follows the SURVEY §2 determinism rules (explicit NULLS,
   * total ORDER BY, integer-exact arithmetic end-to-end).
   */
@@ -69,5 +78,85 @@ object Round12Ops {
              count(lit(1)).cast("long").as("n_events"))
         .orderBy(asc_nulls_last("user_id")))
 
-  def ops: Vector[Q] = Vector(j13)
+  // ---------------------------------------------------------------- e24
+
+  /** e24 — `groupArrayMovingAvg(5)` analog (ClickHouse parametric
+    * aggregates [public: CH docs]), completing e17's `groupArrayMovingSum`
+    * twin: per user (the e17 %7 slice keeps output bounded), each event's
+    * 5-frame moving average of value cents in (ts, event_id) order.
+    * Faithful CH detail: the divisor is the WINDOW SIZE (5), not the
+    * actual element count — the first 4 elements of each group average
+    * over a short prefix divided by the full 5, and the division is
+    * INTEGER (CH truncates toward zero for integer sources; cents are
+    * positive so floor = truncate on both engines). One bounded-frame
+    * window over the e17 exchange shape — per-row state is 5 longs at any
+    * scale, all int64, zero float. */
+  val e24: Q = Q(
+    "e24_group_array_moving_avg",
+    """SELECT user_id, event_id,
+      |  CAST(SUM(cents) OVER w AS BIGINT) AS msum5_cents,
+      |  CAST(SUM(cents) OVER w // 5 AS BIGINT) AS mavg5_cents
+      |FROM (SELECT user_id, event_id, ts,
+      |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |      FROM events WHERE user_id % 7 = 0)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      Tables.events(s, dir)
+        .where(col("user_id") % 7 === 0)
+        .select(col("user_id"), col("event_id"), col("ts"),
+                (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .withColumn("msum5_cents", sum(col("cents")).over(w).cast("long"))
+        .withColumn("mavg5_cents", expr("msum5_cents div 5").cast("long"))
+        .select("user_id", "event_id", "msum5_cents", "mavg5_cents")
+        .orderBy(asc_nulls_last("user_id"), asc_nulls_last("event_id"))
+    })
+
+  // ---------------------------------------------------------------- h41
+
+  /** h41 — `arrayCompact` + `arrayZip` analogs (ClickHouse array
+    * functions [public: CH array-function docs]) over the tokenized
+    * documents. `arrayCompact` removes CONSECUTIVE duplicate tokens —
+    * compiled as an INDEXED `filter` HOF (keep position i iff i = 0 or
+    * t[i] ≠ t[i−1]) — map-only, no explode, no shuffle beyond the final
+    * sort; the dialect edge is the lambda index base (Spark 0-based `[]`
+    * access vs DuckDB 1-based), handled per side. `arrayZip` is a REAL
+    * two-array `zip_with` (tokens ⊗ their per-token char lengths,
+    * rendered `tok:len`) — the Spark side exercises the codegen'd
+    * `zip_with` builtin, the oracle the equivalent single-pass
+    * transform. All-string/int, rule-6 serialization. */
+  val h41: Q = Q(
+    "h41_arr_compact_zip",
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |c AS (SELECT doc_id, t,
+      |        list_filter(t, (x, i) -> i = 1 OR x <> t[i - 1]) AS ct
+      |      FROM s)
+      |SELECT doc_id,
+      |  CAST(len(t) AS INT) AS n_toks,
+      |  CAST(len(ct) AS INT) AS n_compact,
+      |  ARRAY_TO_STRING(ct, '|') AS compact_toks,
+      |  ARRAY_TO_STRING(list_transform(t,
+      |    x -> x || ':' || CAST(LEN(x) AS VARCHAR)), '|') AS zipped
+      |FROM c
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"),
+                size(col("t")).cast("int").as("n_toks"),
+                expr("filter(t, (x, i) -> i = 0 OR x != t[i - 1])").as("ct"),
+                zip_with(col("t"),
+                         transform(col("t"), x => length(x)),
+                         (a, b) => concat(a, lit(":"), b.cast("string")))
+                  .as("z"))
+        .select(col("doc_id"), col("n_toks"),
+                size(col("ct")).cast("int").as("n_compact"),
+                array_join(col("ct"), "|").as("compact_toks"),
+                array_join(col("z"), "|").as("zipped"))
+        .orderBy(asc_nulls_last("doc_id")))
+
+  def ops: Vector[Q] = Vector(j13, e24, h41)
 }
