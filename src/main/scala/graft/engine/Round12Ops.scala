@@ -158,5 +158,115 @@ object Round12Ops {
                 array_join(col("z"), "|").as("zipped"))
         .orderBy(asc_nulls_last("doc_id")))
 
-  def ops: Vector[Q] = Vector(j13, e24, h41)
+  // ---------------------------------------------------------------- j14
+
+  /** j14 — mixed-gap sequence match
+    * (`sequenceMatch('(?1).*(?2)(?3)')(...)` analog [public: CH
+    * parametric-aggregate docs]): a signup anywhere before an ADJACENT
+    * click→purchase pair — the pattern form mixing a `.*` gap with an
+    * adjacency run, which neither j07 (single-gap forms) nor j10 (pure
+    * runs) declared. The Spark side is COMPILED from the grammar by
+    * [[graft.operators.SequenceMatch.withMatch]] (rn-chained window
+    * minima + a lead-conjunction run flag, one shared per-user
+    * exchange); the ORACLE is the independent string-render formulation
+    * (j07's original recipe): the per-user event-type string in
+    * (ts, event_id) order LIKE-scanned for `%signup%click purchase%` —
+    * two formulations must agree (the d34/j10 pairing). The five type
+    * names are substring-free of each other, so the LIKE is exact. */
+  val j14: Q = Q(
+    "j14_sequence_match_mixed",
+    """SELECT user_id,
+      |  CAST(seq LIKE '%signup%click purchase%' AS INT) AS m_mixed,
+      |  CAST(n AS BIGINT) AS n_events
+      |FROM (SELECT user_id,
+      |        STRING_AGG(event_type, ' ' ORDER BY ts, event_id) AS seq,
+      |        COUNT(*) AS n
+      |      FROM events GROUP BY 1)
+      |ORDER BY user_id ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      graft.operators.SequenceMatch.withMatch(
+          Tables.events(s, dir), "user_id", unix_micros(col("ts")),
+          col("event_id"),
+          Seq(col("event_type") === "signup", col("event_type") === "click",
+              col("event_type") === "purchase"),
+          "(?1).*(?2)(?3)", "__hit")
+        .groupBy("user_id")
+        .agg(max(col("__hit")).cast("int").as("m_mixed"),
+             count(lit(1)).cast("long").as("n_events"))
+        .orderBy(asc_nulls_last("user_id")))
+
+  // ---------------------------------------------------------------- d52
+
+  /** d52 — `groupUniqArray` analog (ClickHouse aggregate-function docs
+    * [public]): per event type, the sorted DISTINCT user ids serialized
+    * per rule 6, plus the distinct count — d11's collect_sorted keeps
+    * duplicates, this is the set form CH users reach for beside it.
+    * Spark `collect_set` is a hash-set aggregate state (bounded by the
+    * per-group distinct cardinality, mergeable map-side); the sort is a
+    * per-group array sort at emission, never a data-sized exchange
+    * order. */
+  val d52: Q = Q(
+    "d52_group_uniq_array",
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_uniq,
+      |  ARRAY_TO_STRING(list_sort(list_distinct(list(user_id))), '|') AS uniq_users
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").cast("long").as("n_uniq"),
+             array_join(array_sort(collect_set(col("user_id"))), "|")
+               .as("uniq_users"))
+        .orderBy(asc_nulls_last("event_type")))
+
+  // ---------------------------------------------------------------- h42
+
+  /** h42 — scalar array SET operations (ClickHouse `arrayIntersect` /
+    * `arrayUnion`-shape / `arrayExcept`-shape analogs [public: CH
+    * array-function docs]) between each document's odd-position and
+    * even-position token sets (the index-parity split gives every doc two
+    * non-trivial operand arrays with no slicing-dialect edge). All three
+    * results are SORTED before serialization, because the engines'
+    * element-order conventions differ (Spark's builtins keep first-array
+    * order; the DuckDB side is composed from filter/distinct) — the
+    * sorted set is the well-defined value (an EMPTY set renders NULL in
+    * the DuckDB composition — COALESCE'd to '', the d50 dialect edge;
+    * observed live on doc 110's empty intersection). Map-only codegen'd
+    * builtins on the Spark side: array_intersect/array_union/
+    * array_except. */
+  val h42: Q = Q(
+    "h42_arr_set_ops",
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(string_split(text, ' '), (x, i) -> i % 2 = 1)) AS a,
+      |    list_distinct(list_filter(string_split(text, ' '), (x, i) -> i % 2 = 0)) AS b
+      |  FROM documents)
+      |SELECT doc_id,
+      |  COALESCE(ARRAY_TO_STRING(list_sort(list_distinct(
+      |    list_filter(a, x -> list_contains(b, x)))), '|'), '') AS inter_toks,
+      |  COALESCE(ARRAY_TO_STRING(list_sort(list_distinct(list_concat(a, b))), '|'),
+      |    '') AS union_toks,
+      |  COALESCE(ARRAY_TO_STRING(list_sort(list_distinct(
+      |    list_filter(a, x -> NOT list_contains(b, x)))), '|'), '') AS except_toks
+      |FROM s
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+                array_distinct(expr(
+                  "filter(split(text, ' '), (x, i) -> i % 2 = 0)")).as("a"),
+                array_distinct(expr(
+                  "filter(split(text, ' '), (x, i) -> i % 2 = 1)")).as("b"))
+        .select(col("doc_id"),
+                array_join(array_sort(array_intersect(col("a"), col("b"))), "|")
+                  .as("inter_toks"),
+                array_join(array_sort(array_union(col("a"), col("b"))), "|")
+                  .as("union_toks"),
+                array_join(array_sort(array_except(col("a"), col("b"))), "|")
+                  .as("except_toks"))
+        .orderBy(asc_nulls_last("doc_id")))
+
+  def ops: Vector[Q] = Vector(j13, e24, h41, j14, d52, h42)
 }

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
+  TimerValues, TTLConfig, ValueState}
+
+/** Streaming time-constrained sequence match: the unbounded-stream twin of
+  * the batch `j12_sequence_match_time` (`(?1)(?t<=N)(?2)`) and
+  * `j13_sequence_match_cooldown` (`(?1)(?t>N)(?2)`) declared queries —
+  * the two-step forms the [[graft.operators.SequenceMatch]] compiler
+  * emits as running-max / running-min window plans.
+  *
+  * The batch closed forms ARE the streaming state: an upper-bound
+  * constraint is decided by each B-event's NEAREST preceding A (one
+  * running max = the LAST A seen), a lower-bound one by the EARLIEST
+  * preceding A (one running min = the FIRST A seen). So per-key state is
+  * exactly (lastA, firstA, hit, nHits, nEvents) — five scalars,
+  * independent of stream length, the same bounded-state class as the
+  * funnel family.
+  *
+  * Ordering contract (shared by the family): cross-batch order is arrival
+  * order; within a micro-batch rows sort by (ts_micros, event_id). With
+  * in-order delivery the first/last-A running extrema equal the batch
+  * window's, so emissions match the batch queries exactly (pinned in
+  * StreamingSpec against j12 AND j13 across a batch cut). An A arriving
+  * LATE (out of timestamp order) narrows/widens the extrema differently
+  * than the batch rule — the standard watermark trade, same as
+  * StreamingRetention's anchor. A B-event is checked BEFORE any A-update
+  * from the same row (the batch frame is `1 PRECEDING`, excluding the
+  * current row — an event can't precede itself).
+  */
+object StreamingSequenceMatch {
+
+  final case class EIn(user_id: Long, ts_micros: Long, event_id: Long,
+                       event_type: String)
+  final case class SeqState(lastA: Long, firstA: Long, hit: Int,
+                            nHits: Long, nEvents: Long)
+  final case class SeqOut(user_id: Long, matched: Int, n_hits: Long,
+                          n_events: Long)
+
+  private val Unset = Long.MinValue
+
+  /** `op` ∈ "<=", "<", ">", ">=" — the time constraint of the pattern
+    * `(?A)(?t OP boundSeconds)(?B)`, µs-exact like the batch forms. */
+  final class Processor(typeA: String, typeB: String, op: String,
+                        boundMicros: Long, ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, EIn, SeqOut] {
+    require(Set("<=", "<", ">", ">=")(op), s"unsupported time operator '$op'")
+    @transient private var st: ValueState[SeqState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SeqState](
+        "seqmatch", Encoders.product[SeqState], ttl)
+
+    private def gapOk(prevA: Long, ts: Long): Boolean =
+      prevA != Unset && (op match {
+        case "<=" => ts <= prevA + boundMicros
+        case "<"  => ts < prevA + boundMicros
+        case ">"  => ts > prevA + boundMicros
+        case ">=" => ts >= prevA + boundMicros
+      })
+
+    override def handleInputRows(key: Long, rows: Iterator[EIn],
+                                 timerValues: TimerValues): Iterator[SeqOut] = {
+      var s = Option(st.get()).getOrElse(SeqState(Unset, Unset, 0, 0L, 0L))
+      rows.toArray.sortBy(e => (e.ts_micros, e.event_id)).foreach { e =>
+        if (e.event_type == typeB) {
+          val prev = if (op == "<=" || op == "<") s.lastA else s.firstA
+          if (gapOk(prev, e.ts_micros))
+            s = s.copy(hit = 1, nHits = s.nHits + 1L)
+        }
+        if (e.event_type == typeA) {
+          val first = if (s.firstA == Unset) e.ts_micros else s.firstA
+          s = s.copy(lastA = e.ts_micros, firstA = first)
+        }
+        s = s.copy(nEvents = s.nEvents + 1L)
+      }
+      st.update(s)
+      Iterator.single(SeqOut(key, s.hit, s.nHits, s.nEvents))
+    }
+  }
+
+  /** Per-user running match state over an unbounded event stream (RocksDB
+    * state store provider required). Defaults mirror the batch j12:
+    * signup → purchase within one hour. */
+  def matched(events: Dataset[EIn],
+              typeA: String = "signup", typeB: String = "purchase",
+              op: String = "<=", boundMicros: Long = 3600L * 1000000L,
+              ttl: TTLConfig = TTLConfig.NONE)
+             (implicit s: SparkSession): Dataset[SeqOut] = {
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new Processor(typeA, typeB, op, boundMicros, ttl),
+                          StreamOps.timeModeFor(ttl), OutputMode.Update())
+  }
+}

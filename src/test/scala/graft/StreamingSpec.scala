@@ -1671,6 +1671,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming sequence match equals batch j12 (<=) and j13 (>) across a batch cut") {
+    import graft.streaming.StreamingSequenceMatch
+    import graft.streaming.StreamingSequenceMatch.{EIn, SeqOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the batch queries' own input, replayed IN ORDER with an arbitrary cut
+    val rows = graft.engine.Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+              col("event_type"))
+      .collect()
+      .map(r => EIn(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(e => (e.ts_micros, e.event_id))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    for ((qname, op, batchDf) <- Seq(
+        ("j12", "<=", graft.engine.Round11Ops.j12.fn(spark, sf0001)),
+        ("j13", ">", graft.engine.Round12Ops.j13.fn(spark, sf0001)))) {
+      val in = MemoryStream[EIn]
+      val q = StreamingSequenceMatch.matched(in.toDS(), op = op).writeStream
+        .format("memory").queryName(s"seqm_$qname").outputMode(OutputMode.Update).start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+        val batch = batchDf.collect()
+          .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3))))
+          .toMap
+        val last = spark.table(s"seqm_$qname").as[SeqOut].collect()
+          .groupBy(_.user_id).map { case (u, os) =>
+            val o = os.maxBy(_.n_events)
+            u -> ((o.matched, o.n_hits, o.n_events)) }
+        // EQUALITY, no tolerance: the running extrema ARE the batch
+        // window closed forms over the same exact µs integers
+        assert(last == batch,
+          s"streaming $qname twin must equal batch: got $last, want $batch")
+      } finally {
+        q.stop()
+      }
+    }
+    prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("time-decay contribution matches batch semantics outside the 30-day grid") {
     import graft.streaming.StreamingTimeDecay._
     // on-grid boundary values: age 0 → cents·2^30, age 30 → cents·2^0
