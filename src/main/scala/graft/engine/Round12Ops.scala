@@ -12,14 +12,27 @@ import org.apache.spark.sql.functions._
   *    constraint (cooldown) form, compiled to the earliest-preceding
   *    running-min closed form.
   *
-  * Plus the CH array-surface stragglers the r8 verdict listed:
+  *  - `j14_sequence_match_mixed` — the mixed `.*`-gap + adjacency-run
+  *    pattern form, compiled vs an independent string-render oracle.
+  *
+  * Plus the CH array-surface stragglers the r8 verdict listed and their
+  * round-12 siblings:
   *
   *  - `e24_group_array_moving_avg` — `groupArrayMovingAvg(5)` on the
   *    e17 bounded-frame recipe (CH divides by the WINDOW SIZE even over
   *    the short prefix — integer division, exact).
+  *  - `e25_running_distinct` — `runningAccumulate(uniqExactState)` via
+  *    the first-occurrence-flag cumsum closed form.
   *  - `h41_arr_compact_zip` — `arrayCompact` (consecutive-dup removal as
   *    an indexed filter HOF, no explode) + `arrayZip` (a real two-array
   *    `zip_with`).
+  *  - `h42_arr_set_ops` — scalar array intersect/union/except, sorted
+  *    sets (engine element orders differ).
+  *  - `d52_group_uniq_array` — `groupUniqArray`, the distinct-set form
+  *    beside d11's duplicate-keeping collect.
+  *  - `k39_chunk_dup_fraction` — the Gopher/RefinedWeb/Dolma
+  *    paragraph-level cross-corpus dedup metric over k35's chunk
+  *    discipline (k30's across-corpus complement).
   *
   * Every query follows the SURVEY §2 determinism rules (explicit NULLS,
   * total ORDER BY, integer-exact arithmetic end-to-end).
@@ -268,5 +281,100 @@ object Round12Ops {
                   .as("except_toks"))
         .orderBy(asc_nulls_last("doc_id")))
 
-  def ops: Vector[Q] = Vector(j13, e24, h41, j14, d52, h42)
+  // ---------------------------------------------------------------- e25
+
+  /** e25 — running DISTINCT count (ClickHouse
+    * `runningAccumulate(uniqExactState(...))` analog [public: CH docs]):
+    * per user (the e17 %7 slice), each event's count of distinct event
+    * types seen SO FAR in (ts, event_id) order. Windowed count-distinct
+    * doesn't exist in either engine's window set; the closed form is the
+    * FIRST-OCCURRENCE flag (row_number = 1 over (user, type)) cumulated
+    * by the ordered per-user window — two exchanges ((user,type) then
+    * user), each a plain hash partition, per-key window state one long.
+    * All integer. */
+  val e25: Q = Q(
+    "e25_running_distinct",
+    """SELECT user_id, event_id, run_uniq_types FROM (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY user_id ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS run_uniq_types
+      |  FROM (SELECT user_id, event_id, ts,
+      |          ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                             ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) AS rn
+      |        FROM events WHERE user_id % 7 = 0))
+      |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val wFirst = Window.partitionBy("user_id", "event_type")
+        .orderBy(asc_nulls_last("ts"), asc_nulls_last("event_id"))
+      val wCum = Window.partitionBy("user_id")
+        .orderBy(asc_nulls_last("ts"), asc_nulls_last("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .where(col("user_id") % 7 === 0)
+        .withColumn("rn", row_number().over(wFirst))
+        .withColumn("run_uniq_types",
+          sum(when(col("rn") === 1, 1).otherwise(0)).over(wCum).cast("long"))
+        .select("user_id", "event_id", "run_uniq_types")
+        .orderBy(asc_nulls_last("user_id"), asc_nulls_last("event_id"))
+    })
+
+  // ---------------------------------------------------------------- k39
+
+  /** k39 — cross-document chunk-duplication fraction (the paragraph-level
+    * dedup metric of large-corpus cleaning [public: Rae et al. 2021
+    * (Gopher/MassiveText); Penedo et al. 2023 (RefinedWeb); Soldaini et
+    * al. 2024 (Dolma)] — documents whose "paragraphs" mostly appear
+    * elsewhere in the corpus are boilerplate/mirror pages and get
+    * dropped). The fixture corpus has no paragraph marks, so the
+    * paragraph unit is the NON-overlapping 20-token chunk (k35's chunk
+    * discipline, stride = size): md5 each chunk, count DISTINCT documents
+    * per chunk hash corpus-wide, and per document report the fraction of
+    * its chunks appearing in ≥ 2 documents. k30 measures WITHIN-doc
+    * repetition; this is the ACROSS-corpus complement. The drop flag
+    * compares integers (10·n_dup ≥ 3·n_chunks, threshold 0.3) — no float
+    * decides it; the fraction is one division of bit-identical ints.
+    * Shape: linear explode → one hash-count on the chunk digest → a
+    * digest-keyed join back → per-doc agg; every exchange is a plain
+    * hash partition on digest or doc id, state bounded by chunk counts. */
+  val k39: Q = Q(
+    "k39_chunk_dup_fraction",
+    """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id,
+      |        MD5(ARRAY_TO_STRING(toks[st : LEAST(st + 19, LEN(toks))], ' ')) AS h
+      |      FROM (SELECT doc_id, UNNEST(RANGE(1, LEN(toks) + 1, 20)) AS st, toks
+      |            FROM t)),
+      |g AS (SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+      |      FROM c GROUP BY h),
+      |d AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |        CAST(SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      |      FROM c JOIN g USING (h) GROUP BY c.doc_id)
+      |SELECT doc_id, n_chunks, n_dup,
+      |  CAST(n_dup AS DOUBLE) / CAST(n_chunks AS DOUBLE) AS dup_frac,
+      |  CAST(CASE WHEN 10 * n_dup >= 3 * n_chunks THEN 1 ELSE 0 END AS INT)
+      |    AS drop_flag
+      |FROM d
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val c = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("__t"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(__t), 20), " +
+          "st -> md5(concat_ws(' ', slice(__t, st, 20))))")).as("h"))
+      val g = c.groupBy("h")
+        .agg(countDistinct("doc_id").cast("long").as("nd"))
+      c.join(g, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_chunks"),
+             sum(when(col("nd") >= 2, 1).otherwise(0)).cast("long").as("n_dup"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+                (col("n_dup").cast("double") / col("n_chunks").cast("double"))
+                  .as("dup_frac"),
+                when(lit(10) * col("n_dup") >= lit(3) * col("n_chunks"), 1)
+                  .otherwise(0).cast("int").as("drop_flag"))
+        .orderBy(asc_nulls_last("doc_id"))
+    })
+
+  def ops: Vector[Q] = Vector(j13, e24, h41, j14, d52, h42, e25, k39)
 }
