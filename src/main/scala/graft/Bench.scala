@@ -60,7 +60,9 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
-    def r3(x: Double): String = "%.3f".format(x)
+    // Locale.ROOT: a comma-decimal default locale would render "69,830"
+    // and break the one machine-parsed JSON line
+    def r3(x: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, x)
     val medians = names.map { case (n, _) => n -> median(passes.map(_(n))) }
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")

@@ -32,14 +32,15 @@ object ScaleProbe {
                   replicas: Int): Unit = {
     val base = graft.engine.Tables.documents(spark, sfDir)
     val reps = (0 until replicas).map { r =>
+      // suffix once, derive n_chars from the SAME expression result so
+      // the two can never drift
       base.select(
         (col("doc_id") + lit(5000L * r)).as("doc_id"),
         concat_ws(" ", transform(split(col("text"), " "),
           t => concat(t, lit(s"_$r")))).as("text"),
         col("lang"),
-        concat(col("source"), lit(s"-$r")).as("source"),
-        length(concat_ws(" ", transform(split(col("text"), " "),
-          t => concat(t, lit(s"_$r"))))).cast("long").as("n_chars"))
+        concat(col("source"), lit(s"-$r")).as("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }
     reps.reduce(_ unionByName _)
       .repartition(32)
@@ -74,8 +75,9 @@ object ScaleProbe {
       val n = SparkEntry.queries(name)(spark, dir).count()
       ((System.nanoTime() - t0) / 1e9, n)
     }
-    // warm both inputs once (file listing, codegen), then measure
-    Queries.foreach { q => run(q, sfDir) }
+    // warm BOTH inputs once (file listing, codegen, first-touch scan) so
+    // neither side's measurement carries asymmetric cold-start cost
+    Queries.foreach { q => run(q, sfDir); run(q, outDir) }
     val rows1x = Queries.map(q => q -> run(q, sfDir)).toMap
     val rows10x = Queries.map(q => q -> run(q, outDir)).toMap
     Queries.foreach { q =>

@@ -231,13 +231,6 @@ object Round8gOps {
         .orderBy(asc_nulls_last("user_id"))
     })
 
-  /** The strict-order funnel fold: acc is the chain state (0–3 = level,
-    * 10+level = aborted), s the mapped step index of the event (1–3, 0
-    * for non-funnel events). Canonical k-step form lives in
-    * [[graft.operators.SequenceMatch.strictStepSql]] (and, verbatim in
-    * Scala, StreamingStrictFunnel.step). */
-  private def strictStep = graft.operators.SequenceMatch.strictStepSql(3)
-
   /** j10 — strict-order window funnel (ClickHouse `windowFunnel`
     * `strict_order` mode family [public: CH parametric-aggregate docs]):
     * signup → click → purchase, where once the chain starts it must run
@@ -247,7 +240,7 @@ object Round8gOps {
     * before the first 'signup' are ignored (the search start). The
     * j05 base funnel answers "did the steps happen in order"; this
     * answers "did they happen as an unbroken sequence". The Spark side
-    * runs the fold state machine via the `aggregate` HOF ([[strictStep]]).
+    * runs the fold state machine via the `aggregate` HOF ([[graft.operators.SequenceMatch.strictStepSql]]).
     * The ORACLE is an INDEPENDENT closed-form derivation — first-signup
     * row + LEAD(1)/LEAD(2) over the time order — which is both a
     * stronger check (two formulations must agree) and a necessity:
@@ -284,7 +277,7 @@ object Round8gOps {
       |ORDER BY funnel_level ASC NULLS LAST""".stripMargin,
     (s, dir) =>
       // compiled by the shared funnel machinery: strict_order mode = the
-      // sorted per-key fold over [[strictStep]] this query introduced
+      // sorted per-key fold over [[graft.operators.SequenceMatch.strictStepSql]] this query introduced
       graft.operators.SequenceMatch.funnelLevels(
           Tables.events(s, dir), "user_id", col("ts"), col("event_id"),
           Seq(col("event_type") === "signup", col("event_type") === "click",

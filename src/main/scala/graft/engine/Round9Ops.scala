@@ -524,17 +524,6 @@ object Round9Ops {
 
   // ---------------------------------------------------------------- j11
 
-  /** The strict-dedup funnel fold: acc is the chain state (0–3 = level,
-    * 10+level = aborted), s the mapped step of the event (1–3; non-funnel
-    * events are pre-filtered — in strict_dedup they neither advance nor
-    * interrupt). A repeat of an ALREADY-MATCHED condition interrupts at the
-    * reached level; an event whose condition is not yet reached (e.g. a
-    * purchase at level 1) is ignored. Canonical k-step form lives in
-    * [[graft.operators.SequenceMatch.dedupStepSql]] (case-equivalent to
-    * the original three-level CASE this query shipped with: advance on
-    * s = acc+1, abort on s <= acc, ignore the rest). */
-  private def dedupStep = graft.operators.SequenceMatch.dedupStepSql(3)
-
   /** j11 — strict-dedup window funnel (ClickHouse `windowFunnel`
     * `strict_dedup` mode [public: CH parametric-aggregate docs]): signup →
     * click → purchase, where a REPEAT of an already-matched step interrupts
@@ -544,7 +533,7 @@ object Round9Ops {
     * mode family: j05 is the base windowed funnel (and already carries the
     * strict-increase `>` comparison), j10 is strict_order; this is
     * strict_dedup. The Spark side runs the fold state machine via the
-    * `aggregate` HOF ([[dedupStep]]; shared verbatim with
+    * `aggregate` HOF ([[graft.operators.SequenceMatch.dedupStepSql]]; shared verbatim with
     * [[graft.streaming.StreamingDedupFunnel]]); the ORACLE is an independent
     * chained-window-min closed form over the composite key k = µs·8 + s
     * (same-µs ties are totally ordered by step index; ×8 keeps 2024-epoch
@@ -582,7 +571,7 @@ object Round9Ops {
       |FROM u GROUP BY 1 ORDER BY funnel_level ASC NULLS LAST""".stripMargin,
     (s, dir) =>
       // compiled by the shared funnel machinery: strict_dedup mode = the
-      // composite-key fold over [[dedupStep]] this query introduced
+      // composite-key fold over [[graft.operators.SequenceMatch.dedupStepSql]] this query introduced
       graft.operators.SequenceMatch.funnelLevels(
           Tables.events(s, dir), "user_id", col("ts"), col("event_id"),
           Seq(col("event_type") === "signup", col("event_type") === "click",

@@ -706,14 +706,15 @@ class ApiSpec extends SparkSpec {
       .groupBy("iv_id").count().as[(Long, Long)].collect().toMap
     assert(gotShuffled == wantRows,
       "idCols collapse must be exact on a repartitioned interval frame")
-    // and WITHOUT idCols, a plan Spark itself marks non-deterministic is
-    // rejected loudly instead of silently corrupting the collapse
+    // and WITHOUT idCols the fallback materializes the id-stamped frame
+    // (lazy localCheckpoint), so even an order-unstable/non-deterministic
+    // upstream collapses exactly — both branches read one evaluation
     val nonDet = ivs.withColumn("r", org.apache.spark.sql.functions.rand(42))
-    val err = intercept[IllegalArgumentException] {
-      graft.operators.RangeJoin
-        .binnedPointJoin(nonDet, pts, "k", "s", "e", "p", binWidth = 10L)
-    }
-    assert(err.getMessage.contains("idCols"),
-      s"guard message should point at idCols: ${err.getMessage}")
+      .repartition(7)
+    val gotNonDet = graft.operators.RangeJoin
+      .binnedPointJoin(nonDet, pts, "k", "s", "e", "p", binWidth = 10L)
+      .groupBy("iv_id").count().as[(Long, Long)].collect().toMap
+    assert(gotNonDet == wantRows,
+      "fallback collapse must be exact on a non-deterministic repartitioned frame")
   }
 }
