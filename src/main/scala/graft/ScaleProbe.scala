@@ -28,6 +28,11 @@ object ScaleProbe {
   final val Queries = Seq("k02_near_dedup_jaccard", "k23_dedup_clusters",
                           "k25_dedup_clusters_star", "k32_containment_neardup")
 
+  /** The embedding heavies: label-blocked pair queries scale exactly 10×
+    * under replica-disjoint labels; k16 is the linear IVF assign. */
+  final val EmbQueries = Seq("k07_cosine_neardup", "k38_quantized_distances",
+                             "k16_ivf_assign")
+
   def buildCorpus(spark: SparkSession, sfDir: String, outDir: String,
                   replicas: Int): Unit = {
     val base = graft.engine.Tables.documents(spark, sfDir)
@@ -45,6 +50,26 @@ object ScaleProbe {
     reps.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  /** 10× embeddings: vectors replicated VERBATIM (so every copy is an
+    * exact cos = 1 near-dup of its replica-0 twin — the closed-form
+    * hook for the SemDeDup probe below), vec_ids offset per replica,
+    * labels made replica-disjoint so the label-blocked declared queries
+    * (k07/k38) scale exactly 10× in output. */
+  def buildEmbeddings(spark: SparkSession, sfDir: String, outDir: String,
+                      replicas: Int): Unit = {
+    val base = graft.engine.Tables.embeddings(spark, sfDir)
+    val n = base.count()
+    val reps = (0 until replicas).map { r =>
+      base.select(
+        (col("vec_id") + lit(n * r)).as("vec_id"),
+        col("embedding"),
+        (col("label") + lit(10 * r)).cast("int").as("label"))
+    }
+    reps.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -87,6 +112,43 @@ object ScaleProbe {
       println(f"SCALE|$q|sf0.1=$t1%.2fs/$n1%d rows|x10=$t10%.2fs/$n10%d rows|" +
         f"timeRatio=${t10 / t1}%.1f|rows10xExact=$exact10x")
     }
+
+    // ---- embedding stack: declared heavies + the SemDeDup one-call ----
+    buildEmbeddings(spark, sfDir, outDir, replicas = 10)
+    EmbQueries.foreach { q => run(q, sfDir); run(q, outDir) }
+    val e1x = EmbQueries.map(q => q -> run(q, sfDir)).toMap
+    val e10x = EmbQueries.map(q => q -> run(q, outDir)).toMap
+    EmbQueries.foreach { q =>
+      val (t1, n1) = e1x(q)
+      val (t10, n10) = e10x(q)
+      // k16's output is one row per CENTROID (fixed 8), not per vector —
+      // its closed form is equality, not 10×
+      val (ok, tag) =
+        if (q == "k16_ivf_assign") (n10 == n1, "rowsEqualExact")
+        else (n10 == 10 * n1, "rows10xExact")
+      println(f"SCALE|$q|sf0.1=$t1%.2fs/$n1%d rows|x10=$t10%.2fs/$n10%d rows|" +
+        f"timeRatio=${t10 / t1}%.1f|$tag=$ok")
+    }
+    // SemDeDup one-call at both scales. Closed-form check at 10×: every
+    // replica copy shares its twin's exact vector, hence its probed
+    // clusters, hence a found cos = 1 pair — so every component contains
+    // replica-0 members and every kept representative (min id) MUST be a
+    // replica-0 id.
+    def semdedup(dir: String): (Double, Long, Long) = {
+      val t0 = System.nanoTime()
+      val kept = graft.api.Dedup.keepRepresentativesByEmbedding(
+        graft.engine.Tables.embeddings(spark, dir), "vec_id", "embedding",
+        threshold = 0.4, k = 8, nprobe = 2)
+      val ids = kept.select("vec_id").collect().map(_.getLong(0))
+      ((System.nanoTime() - t0) / 1e9, ids.length.toLong,
+        ids.count(_ >= 2000).toLong)
+    }
+    semdedup(sfDir) // warm
+    val (st1, sn1, _) = semdedup(sfDir)
+    val (st10, sn10, nonRep0) = semdedup(outDir)
+    println(f"SCALE|semdedup_keepReps|sf0.1=$st1%.2fs/$sn1%d kept|" +
+      f"x10=$st10%.2fs/$sn10%d kept|timeRatio=${st10 / st1}%.1f|" +
+      f"keptOutsideReplica0=$nonRep0%d (must be 0)")
     spark.stop()
   }
 }

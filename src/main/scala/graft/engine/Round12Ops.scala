@@ -376,5 +376,40 @@ object Round12Ops {
         .orderBy(asc_nulls_last("doc_id"))
     })
 
-  def ops: Vector[Q] = Vector(j13, e24, h41, j14, d52, h42, e25, k39)
+  // ---------------------------------------------------------------- f05
+
+  /** f05 — `LIMIT n BY col` analog (ClickHouse's distinctive per-group
+    * limit clause [public: CH SELECT docs], distinct from LIMIT): the 2
+    * most recent events PER USER (the e17 %7 slice bounds output),
+    * keeping whole rows — relationally `row_number() ≤ n` over the group
+    * order, which Spark plans through the WindowGroupLimit pushdown (only
+    * per-partition top-n candidates reach the rank exchange — d51's
+    * plan-pinned shape, here on the row-preserving form CH users write
+    * daily). (ts DESC, event_id DESC) is a total order, so both engines
+    * keep identical rows; all integer/string. */
+  val f05: Q = Q(
+    "f05_limit_by",
+    """SELECT user_id, event_id, event_type,
+      |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE user_id % 7 = 0)
+      |WHERE rn <= 2
+      |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(desc("ts"), desc("event_id"))
+      Tables.events(s, dir)
+        .where(col("user_id") % 7 === 0)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+                (col("value").cast("decimal(18,2)") * 100).cast("long")
+                  .as("cents"))
+        .orderBy(asc_nulls_last("user_id"), asc_nulls_last("event_id"))
+    })
+
+  def ops: Vector[Q] = Vector(j13, e24, h41, j14, d52, h42, e25, k39, f05)
 }
