@@ -93,4 +93,88 @@ object StreamingSequenceMatch {
       .transformWithState(new Processor(typeA, typeB, op, boundMicros, ttl),
                           StreamOps.timeModeFor(ttl), OutputMode.Update())
   }
+
+  // -------------------------------------------------------------------
+  // Position patterns (steps / .* gaps / adjacency runs): the streaming
+  // NFA the compiler's batch window plans correspond to.
+  // -------------------------------------------------------------------
+
+  final case class NfaState(ever: Int, last: Int, nEvents: Long)
+  final case class NfaOut(user_id: Long, matched: Int, n_events: Long)
+
+  /** Compiled per-key NFA for a position pattern (any mix of steps, `.*`
+    * gaps, and adjacency runs — the same grammar
+    * [[graft.operators.SequenceMatch.parse]] accepts minus time
+    * constraints, which [[Processor]] handles). State per key is TWO INT
+    * BITMASKS + a counter, for ANY pattern up to 30 steps and any stream
+    * length: bit p of `ever` = "a length-p pattern prefix has matched
+    * ending at some past event", bit p of `last` = "… ending at the
+    * IMMEDIATELY PRECEDING event" (what an adjacency gap needs). One
+    * event updates both masks in O(pattern) bit ops. Both masks use
+    * pre-update values for the transition, so a prefix can never consume
+    * the same event twice — exactly the batch plan's strict `rn >`
+    * ordering. */
+  final class PatternProcessor(pattern: String, condTypes: Seq[String],
+                               ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, EIn, NfaOut] {
+    // (condIdx, adjacentToPrev) per flattened step
+    private val steps: Vector[(Int, Boolean)] = {
+      val toks = graft.operators.SequenceMatch.parse(pattern, condTypes.length)
+      require(!toks.exists(_.isInstanceOf[graft.operators.SequenceMatch.TimeGap]),
+        s"PatternProcessor handles position patterns; use Processor for '$pattern'")
+      val out = Vector.newBuilder[(Int, Boolean)]
+      var prevWasStep = false
+      toks.foreach {
+        case graft.operators.SequenceMatch.Step(n) =>
+          out += ((n - 1, prevWasStep)); prevWasStep = true
+        case _ => prevWasStep = false
+      }
+      out.result()
+    }
+    require(steps.length <= 30, s"pattern too long for int bitmask state")
+    private val full = steps.length
+
+    @transient private var st: ValueState[NfaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[NfaState](
+        "seqnfa", Encoders.product[NfaState], ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[EIn],
+                                 timerValues: TimerValues): Iterator[NfaOut] = {
+      var s = Option(st.get()).getOrElse(NfaState(0, 0, 0L))
+      rows.toArray.sortBy(e => (e.ts_micros, e.event_id)).foreach { e =>
+        var newLast = 0
+        var i = 0
+        while (i < full) {
+          val (condIdx, adj) = steps(i)
+          val prevOk =
+            if (i == 0) true
+            else if (adj) ((s.last >> i) & 1) == 1
+            else ((s.ever >> i) & 1) == 1
+          if (prevOk && e.event_type == condTypes(condIdx))
+            newLast |= 1 << (i + 1)
+          i += 1
+        }
+        s = NfaState(s.ever | newLast, newLast, s.nEvents + 1L)
+      }
+      st.update(s)
+      Iterator.single(NfaOut(key, (s.ever >> full) & 1, s.nEvents))
+    }
+  }
+
+  /** Per-user running pattern-match flag for a position pattern over an
+    * unbounded event stream — the streaming twin of
+    * [[graft.operators.SequenceMatch.withMatch]]'s subsequence/run plans
+    * (pinned equal to batch j07 and j14 across a batch cut in
+    * StreamingSpec). */
+  def patternMatched(events: Dataset[EIn], pattern: String,
+                     condTypes: Seq[String],
+                     ttl: TTLConfig = TTLConfig.NONE)
+                    (implicit s: SparkSession): Dataset[NfaOut] = {
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new PatternProcessor(pattern, condTypes, ttl),
+                          StreamOps.timeModeFor(ttl), OutputMode.Update())
+  }
 }

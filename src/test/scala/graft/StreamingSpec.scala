@@ -1719,6 +1719,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming pattern NFA equals batch j07 (loose+adjacent) and j14 (mixed) across a batch cut") {
+    import graft.streaming.StreamingSequenceMatch
+    import graft.streaming.StreamingSequenceMatch.{EIn, NfaOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rows = graft.engine.Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+              col("event_type"))
+      .collect()
+      .map(r => EIn(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(e => (e.ts_micros, e.event_id))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    // batch references: j07's two flags and j14's mixed flag, by user
+    val j07 = graft.engine.StreamBatchOps.j07.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    val j14 = graft.engine.Round12Ops.j14.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val cases = Seq(
+      ("loose", "(?1).*(?2)", Seq("signup", "purchase"),
+        (u: Long) => (j07(u)._1, j07(u)._3)),
+      ("adj", "(?1)(?2)", Seq("signup", "purchase"),
+        (u: Long) => (j07(u)._2, j07(u)._3)),
+      ("mixed", "(?1).*(?2)(?3)", Seq("signup", "click", "purchase"),
+        (u: Long) => j14(u)))
+    try {
+      for ((tag, pattern, conds, want) <- cases) {
+        val in = MemoryStream[EIn]
+        val q = StreamingSequenceMatch.patternMatched(in.toDS(), pattern, conds)
+          .writeStream.format("memory").queryName(s"nfa_$tag")
+          .outputMode(OutputMode.Update).start()
+        try {
+          in.addData(b1: _*); q.processAllAvailable()
+          in.addData(b2: _*); q.processAllAvailable()
+          val last = spark.table(s"nfa_$tag").as[NfaOut].collect()
+            .groupBy(_.user_id).map { case (u, os) =>
+              val o = os.maxBy(_.n_events); u -> ((o.matched, o.n_events)) }
+          val batch = last.keys.map(u => u -> want(u)).toMap
+          assert(last == batch,
+            s"NFA '$pattern' must equal batch: got $last, want $batch")
+        } finally { q.stop() }
+      }
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("time-decay contribution matches batch semantics outside the 30-day grid") {
     import graft.streaming.StreamingTimeDecay._
     // on-grid boundary values: age 0 → cents·2^30, age 30 → cents·2^0
