@@ -91,6 +91,64 @@ object Round12Ops {
              count(lit(1)).cast("long").as("n_events"))
         .orderBy(asc_nulls_last("user_id")))
 
+  // ---------------------------------------------------------------- j15
+
+  /** j15 — time-constrained sequence match IN CONTEXT
+    * (`sequenceMatch('(?1).*(?2)(?t<=3600)(?3)')` analog [public: CH
+    * parametric-aggregate docs]): a signup anywhere, then a purchase
+    * within 1 hour of a PRECEDING post-signup click — the single-time-
+    * constraint-with-prefix form the r9 compiler generalization unlocked
+    * (j12/j13 cover the bare two-step pairs). Compiled plan: greedy
+    * first-signup prefix (dominant — position constraints are monotone),
+    * nearest preceding VALID click (post-signup only) via one running-max
+    * window, bound check per purchase row; `n_hits` counts the closing
+    * purchases. The ORACLE is an independent hand-written rn-window
+    * formulation (first-signup rank join + conditional running max) —
+    * two formulations must agree. All comparisons exact µs integers. */
+  val j15: Q = Q(
+    "j15_sequence_match_context",
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) AS rn
+      |  FROM events),
+      |s1 AS (SELECT user_id, MIN(rn) AS r1 FROM o
+      |       WHERE event_type = 'signup' GROUP BY user_id),
+      |w AS (SELECT o.*, s1.r1 FROM o LEFT JOIN s1 USING (user_id)),
+      |v AS (
+      |  SELECT user_id, ts, event_type,
+      |    MAX(CASE WHEN event_type = 'click' AND rn > r1 THEN ts END) OVER
+      |      (PARTITION BY user_id ORDER BY rn ASC
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click
+      |  FROM w),
+      |m AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' AND prev_click IS NOT NULL
+      |              AND ts <= prev_click + INTERVAL 1 HOUR THEN 1 ELSE 0 END)
+      |      AS m_funnel,
+      |    SUM(CASE WHEN event_type = 'purchase' AND prev_click IS NOT NULL
+      |              AND ts <= prev_click + INTERVAL 1 HOUR THEN 1 ELSE 0 END)
+      |      AS n_hits,
+      |    COUNT(*) AS n_events
+      |  FROM v GROUP BY user_id)
+      |SELECT user_id, CAST(m_funnel AS INT) AS m_funnel,
+      |  CAST(n_hits AS BIGINT) AS n_hits,
+      |  CAST(n_events AS BIGINT) AS n_events
+      |FROM m
+      |ORDER BY user_id ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      graft.operators.SequenceMatch.withMatch(
+          Tables.events(s, dir), "user_id", unix_micros(col("ts")),
+          col("event_id"),
+          Seq(col("event_type") === "signup", col("event_type") === "click",
+              col("event_type") === "purchase"),
+          "(?1).*(?2)(?t<=3600)(?3)", "__hit")
+        .groupBy("user_id")
+        .agg(max(col("__hit")).cast("int").as("m_funnel"),
+             sum(col("__hit")).cast("long").as("n_hits"),
+             count(lit(1)).cast("long").as("n_events"))
+        .orderBy(asc_nulls_last("user_id")))
+
   // ---------------------------------------------------------------- e24
 
   /** e24 — `groupArrayMovingAvg(5)` analog (ClickHouse parametric
@@ -411,5 +469,5 @@ object Round12Ops {
         .orderBy(asc_nulls_last("user_id"), asc_nulls_last("event_id"))
     })
 
-  def ops: Vector[Q] = Vector(j13, e24, h41, j14, d52, h42, e25, k39, f05)
+  def ops: Vector[Q] = Vector(j13, e24, h41, j14, d52, h42, e25, k39, f05, j15)
 }

@@ -30,16 +30,19 @@ import org.apache.spark.sql.functions._
   *    for position-only constraints — the classical subsequence
   *    argument). All windows share one hash exchange on the key; per-key
   *    state is O(pattern), never O(events).
-  *  - the two-step time-constrained form `(?A)(?t OP N)(?B)`: the j12
-  *    closed form, generalized to all four operators. The pair
-  *    minimizing (for upper bounds) or maximizing (for lower bounds) the
-  *    gap uses the NEAREST resp. EARLIEST preceding A-event, so one
-  *    running max resp. min window decides existence — no pair join, no
-  *    state machine. (Longer time-constrained patterns are rejected:
-  *    greedy chaining is NOT optimal under time constraints — a later
-  *    first-step event can satisfy an upper bound the earliest one
-  *    misses — and the correct general form needs per-prefix Pareto
-  *    state. Loud `require` beats a silently wrong plan.)
+  *  - AT MOST ONE time constraint anywhere in the pattern (r9 widened
+  *    from the two-step-only form): the greedy prefix before the
+  *    constrained pair dominates (position-only constraints are
+  *    monotone), the pair itself is the j12 closed form generalized to
+  *    all four operators — the gap-minimizing (upper bounds) or
+  *    -maximizing (lower bounds) opener is the NEAREST resp. EARLIEST
+  *    preceding VALID completion of the opening run, one running
+  *    max/min window over a frame offset by the run length — and the
+  *    earliest closing row dominates for the greedy suffix. No pair
+  *    join, no state machine. (TWO time constraints are rejected:
+  *    which opener is best then depends on both bounds jointly — the
+  *    feasible set is a Pareto frontier, not an extremum — and a greedy
+  *    compile would be silently wrong. Loud `require` instead.)
   *
   * The `windowFunnel` modes (base / strict_order / strict_dedup) and the
   * `sequenceCount('(?1).*(?2)')` bracket closed form live here too, as
@@ -101,81 +104,128 @@ object SequenceMatch {
   }
 
   /** Adds per-row 0/1 column `outCol`: does the pattern match within this
-    * row's key? For position-only patterns the flag is a per-key
-    * constant; for time-constrained patterns it marks the closing rows
-    * (key-level match = `max(outCol)` — how j12/j13 aggregate it).
-    * `tsMicros` must be an integer-comparable event time (µs); `tie`
-    * breaks ties into the total per-key order both engines share. */
+    * row's key? For patterns ending in a `.*`-reachable run the flag is a
+    * per-key constant; when a time-constrained pair CLOSES the pattern it
+    * marks the closing rows (key-level match = `max(outCol)` — how
+    * j12/j13 aggregate it). `tsMicros` must be an integer-comparable
+    * event time (µs); `tie` breaks ties into the total per-key order both
+    * engines share.
+    *
+    * Supported: any mix of steps, `.*` gaps, and adjacency runs, with AT
+    * MOST ONE time constraint anywhere. Why one is compilable and two are
+    * not: position-only constraints are monotone, so the greedy-earliest
+    * prefix DOMINATES (any event usable after some prefix choice is
+    * usable after the earliest one) — the set of valid time-pair openers
+    * is largest under the greedy prefix, the nearest/earliest PRECEDING
+    * valid opener then decides the single time bound exactly (j12's
+    * argument), and the earliest closing row dominates for the greedy
+    * suffix. A SECOND time constraint breaks dominance (which opener is
+    * best depends on both bounds jointly — the feasible set is a Pareto
+    * frontier, not an extremum), so it is rejected loudly rather than
+    * compiled wrong. */
   def withMatch(df: DataFrame, keyCol: String, tsMicros: Column, tie: Column,
                 conds: Seq[Column], pattern: String, outCol: String): DataFrame = {
     val toks = parse(pattern, conds.length)
-    if (toks.exists(_.isInstanceOf[TimeGap])) {
-      require(toks.length == 3 && toks(1).isInstanceOf[TimeGap],
-        "time-constrained patterns support exactly the two-step form " +
-        s"(?A)(?t OP N)(?B); got '$pattern' — greedy chaining is not " +
-        "optimal under time constraints, so longer forms are rejected " +
-        "rather than compiled wrong")
-      val a = toks(0).asInstanceOf[Step].n
-      val tg = toks(1).asInstanceOf[TimeGap]
-      val b = toks(2).asInstanceOf[Step].n
-      val wPrev = Window.partitionBy(keyCol)
-        .orderBy(tsMicros.asc_nulls_last, tie.asc_nulls_last)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      // nearest preceding A minimizes the gap (decides upper bounds);
-      // earliest preceding A maximizes it (decides lower bounds)
-      val prev = tg.op match {
-        case "<=" | "<" => max(when(conds(a - 1), tsMicros)).over(wPrev)
-        case ">" | ">=" => min(when(conds(a - 1), tsMicros)).over(wPrev)
-      }
-      val gapOk = tg.op match {
-        case "<=" => tsMicros <= col("__sm_prev") + tg.micros
-        case "<"  => tsMicros < col("__sm_prev") + tg.micros
-        case ">"  => tsMicros > col("__sm_prev") + tg.micros
-        case ">=" => tsMicros >= col("__sm_prev") + tg.micros
-      }
-      df.withColumn("__sm_prev", prev)
-        .withColumn(outCol,
-          (conds(b - 1) && col("__sm_prev").isNotNull && gapOk).cast("int"))
-        .drop("__sm_prev")
-    } else {
-      // maximal adjacency runs separated by .* gaps
-      val runs: Vector[Vector[Int]] = {
-        val rs = Vector.newBuilder[Vector[Int]]
-        var cur = Vector.newBuilder[Int]
-        toks.foreach {
-          case Step(n) => cur += n
-          case AnyGap  => rs += cur.result(); cur = Vector.newBuilder[Int]
-          case _: TimeGap => // unreachable
-        }
-        rs += cur.result()
-        rs.result()
-      }
-      val wOrd = Window.partitionBy(keyCol)
-        .orderBy(tsMicros.asc_nulls_last, tie.asc_nulls_last)
-      val wKey = Window.partitionBy(keyCol)
-      var out = df.withColumn("__sm_rn", row_number().over(wOrd).cast("long"))
-      runs.zipWithIndex.foreach { case (run, ri) =>
-        val flag = run.zipWithIndex.map { case (stepN, off) =>
-          if (off == 0) conds(stepN - 1)
-          else lead(conds(stepN - 1).cast("int"), off).over(wOrd) === 1
-        }.reduce(_ && _)
-        out = out.withColumn(s"__sm_run$ri", flag)
-      }
-      var prevEnd: Column = null
-      runs.zipWithIndex.foreach { case (run, ri) =>
+    // maximal adjacency runs + the gap (AnyGap | TimeGap) between each pair
+    val runs = Vector.newBuilder[Vector[Int]]
+    val gaps = Vector.newBuilder[Tok]
+    var cur = Vector.newBuilder[Int]
+    toks.foreach {
+      case Step(n) => cur += n
+      case g => runs += cur.result(); cur = Vector.newBuilder[Int]; gaps += g
+    }
+    runs += cur.result()
+    val rs = runs.result()
+    val gs = gaps.result()
+    val tCount = gs.count(_.isInstanceOf[TimeGap])
+    require(tCount <= 1,
+      s"at most ONE time constraint is compilable (got $tCount in " +
+      s"'$pattern') — a second breaks the greedy-dominance argument " +
+      "(Pareto state, not an extremum) and would compile WRONG, so it " +
+      "is rejected loudly")
+
+    val wOrd = Window.partitionBy(keyCol)
+      .orderBy(tsMicros.asc_nulls_last, tie.asc_nulls_last)
+    val wKey = Window.partitionBy(keyCol)
+    var out = df.withColumn("__sm_rn", row_number().over(wOrd).cast("long"))
+    rs.zipWithIndex.foreach { case (run, ri) =>
+      val flag = run.zipWithIndex.map { case (stepN, off) =>
+        if (off == 0) conds(stepN - 1)
+        else lead(conds(stepN - 1).cast("int"), off).over(wOrd) === 1
+      }.reduce(_ && _)
+      out = out.withColumn(s"__sm_run$ri", flag)
+    }
+
+    /** Greedy-chain runs [from, until) given the previous chain end
+      * position (null for none); returns the new prevEnd column. */
+    def chain(from: Int, until: Int, prevEnd0: Column): Column = {
+      var prevEnd = prevEnd0
+      for (ri <- from until until) {
         val hitHere =
-          if (ri == 0) col(s"__sm_run$ri")
+          if (prevEnd == null) col(s"__sm_run$ri")
           else col(s"__sm_run$ri") && col("__sm_rn") > prevEnd
         out = out.withColumn(s"__sm_m$ri",
           min(when(hitHere, col("__sm_rn"))).over(wKey))
-        prevEnd = col(s"__sm_m$ri") + lit(run.length - 1L)
+        prevEnd = col(s"__sm_m$ri") + lit(rs(ri).length - 1L)
       }
-      val dropCols = "__sm_rn" +:
-        runs.indices.flatMap(i => Seq(s"__sm_run$i", s"__sm_m$i"))
-      out.withColumn(outCol,
-          col(s"__sm_m${runs.length - 1}").isNotNull.cast("int"))
-        .drop(dropCols: _*)
+      prevEnd
     }
+
+    val tIdx = gs.indexWhere(_.isInstanceOf[TimeGap]) // gap rs(tIdx) → rs(tIdx+1)
+    val matchedCol: Column =
+      if (tIdx < 0) {
+        chain(0, rs.length, null)
+        col(s"__sm_m${rs.length - 1}").isNotNull.cast("int")
+      } else {
+        val tg = gs(tIdx).asInstanceOf[TimeGap]
+        val lenA = rs(tIdx).length
+        // completion time of an A-run occurrence starting at this row =
+        // ts of its LAST event (the step adjacent to the (?t))
+        out = out.withColumn("__sm_endts",
+          if (lenA == 1) tsMicros else lead(tsMicros, lenA - 1).over(wOrd))
+        // greedy prefix before the A-run, then its valid starts
+        val prefixEnd = chain(0, tIdx, null)
+        val validA =
+          if (prefixEnd == null) col(s"__sm_run$tIdx")
+          else col(s"__sm_run$tIdx") && col("__sm_rn") > prefixEnd
+        out = out.withColumn("__sm_validA", validA)
+        // frame offset −lenA: an A occurrence in frame ENDS strictly
+        // before this row. Nearest completion decides upper bounds,
+        // earliest decides lower bounds (ts monotone in rn).
+        val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -lenA)
+        val prev = tg.op match {
+          case "<=" | "<" =>
+            max(when(col("__sm_validA"), col("__sm_endts"))).over(wPrev)
+          case ">" | ">=" =>
+            min(when(col("__sm_validA"), col("__sm_endts"))).over(wPrev)
+        }
+        out = out.withColumn("__sm_prev", prev)
+        val gapOk = tg.op match {
+          case "<=" => tsMicros <= col("__sm_prev") + tg.micros
+          case "<"  => tsMicros < col("__sm_prev") + tg.micros
+          case ">"  => tsMicros > col("__sm_prev") + tg.micros
+          case ">=" => tsMicros >= col("__sm_prev") + tg.micros
+        }
+        val hitB = col(s"__sm_run${tIdx + 1}") &&
+          col("__sm_prev").isNotNull && gapOk
+        if (tIdx + 1 == rs.length - 1) {
+          // the time pair closes the pattern: per-row closing flag
+          // (exactly the j12/j13 shape when the prefix is empty)
+          hitB.cast("int")
+        } else {
+          out = out.withColumn("__sm_hit", hitB)
+          out = out.withColumn(s"__sm_m${tIdx + 1}",
+            min(when(col("__sm_hit"), col("__sm_rn"))).over(wKey))
+          chain(tIdx + 2, rs.length,
+            col(s"__sm_m${tIdx + 1}") + lit(rs(tIdx + 1).length - 1L))
+          col(s"__sm_m${rs.length - 1}").isNotNull.cast("int")
+        }
+      }
+    val dropCols = Seq("__sm_rn", "__sm_endts", "__sm_validA", "__sm_prev",
+        "__sm_hit") ++
+      rs.indices.flatMap(i => Seq(s"__sm_run$i", s"__sm_m$i"))
+    out.withColumn(outCol, matchedCol)
+      .drop(dropCols.filter(out.columns.contains): _*)
   }
 
   /** `sequenceCount('(?1).*(?2)')`: the number of non-overlapping

@@ -101,13 +101,40 @@ class SequenceMatchSpec extends SparkSpec {
     assert(matchedKeys(df, "(?1)(?t>5)(?2)") == Set(1L, 2L))
   }
 
-  test("longer time-constrained patterns are rejected loudly, not compiled wrong") {
-    val df = events((1L, 0 * S, 1, "a"))
+  test("one time constraint composes with .* gaps and runs; two are rejected") {
+    // (?1).*(?2)(?t<=20)(?3) — key 1 carries the OPENER trap: the
+    // greedy-earliest valid b (b@10) fails the bound, the nearest (b@90)
+    // passes; key 3 carries the VALIDITY trap: its only close b precedes
+    // the a, so no (?1)-prefixed opener exists despite a tight b→c gap
+    val df = events(
+      (1L, 0 * S, 1, "a"), (1L, 10 * S, 2, "b"), (1L, 90 * S, 3, "b"),
+      (1L, 100 * S, 4, "c"),
+      (2L, 0 * S, 5, "a"), (2L, 10 * S, 6, "b"), (2L, 100 * S, 7, "c"),
+      (3L, 90 * S, 8, "b"), (3L, 95 * S, 9, "a"), (3L, 100 * S, 10, "c"))
+    assert(matchedKeys(df, "(?1).*(?2)(?t<=20)(?3)") == Set(1L))
+    assert(matchedKeys(df, "(?1).*(?2)(?t<=90)(?3)") == Set(1L, 2L))
+    // lower bound + suffix: the pair must close early enough for a c AFTER
+    // the closing b — key 4 has one, key 5's c precedes the qualifying b
+    val df2 = events(
+      (4L, 0 * S, 1, "a"), (4L, 10 * S, 2, "b"), (4L, 60 * S, 3, "b"),
+      (4L, 70 * S, 4, "c"),
+      (5L, 0 * S, 5, "a"), (5L, 55 * S, 6, "c"), (5L, 60 * S, 7, "b"))
+    assert(matchedKeys(df2, "(?1)(?t>50)(?2).*(?3)") == Set(4L))
+    assert(matchedKeys(df2, "(?1)(?t>5)(?2).*(?3)") == Set(4L))
+    // adjacency run OPENING the pair: gap measured from the run's LAST
+    // event; an intervening event breaks the run, not the time check
+    val df3 = events(
+      (6L, 0 * S, 1, "a"), (6L, 1 * S, 2, "b"), (6L, 15 * S, 3, "c"),
+      (7L, 0 * S, 4, "a"), (7L, 1 * S, 5, "x"), (7L, 2 * S, 6, "b"),
+      (7L, 15 * S, 7, "c"))
+    assert(matchedKeys(df3, "(?1)(?2)(?t<=20)(?3)") == Set(6L))
+    assert(matchedKeys(df3, "(?1).*(?2)(?t<=20)(?3)") == Set(6L, 7L))
+    // two time constraints: rejected loudly (Pareto state, not extremum)
     val err = intercept[IllegalArgumentException] {
-      SequenceMatch.withMatch(df, "k", col("ts"), col("id"), conds,
-        "(?1)(?t<=10)(?2)(?t<=10)(?3)", "m")
+      SequenceMatch.withMatch(events((1L, 0 * S, 1, "a")), "k", col("ts"),
+        col("id"), conds, "(?1)(?t<=10)(?2)(?t<=10)(?3)", "m")
     }
-    assert(err.getMessage.contains("two-step form"))
+    assert(err.getMessage.contains("ONE time constraint"))
   }
 
   test("countChains: bracket-matching closed form on adversarial orders") {
