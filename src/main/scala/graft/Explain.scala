@@ -39,7 +39,14 @@ object Explain {
                "j12_sequence_match_time", "h35_multi_search",
                "e21_time_decayed_sum", "d45_kmv_set_ops", "d46_corr_matrix",
                "d47_tukey_outliers", "h36_arr_cumsum_nonneg",
-               "d49_quantile_types", "h39_gcd_lcm")
+               "d49_quantile_types", "h39_gcd_lcm",
+               // round-12 representatives: compiled sequence patterns
+               // (one shared key exchange), cross-corpus chunk dedup
+               // (digest-keyed join), running distinct, LIMIT BY
+               // (WindowGroupLimit), array compact/zip HOFs
+               "j14_sequence_match_mixed", "j15_sequence_match_context",
+               "k39_chunk_dup_fraction", "e25_running_distinct",
+               "f05_limit_by", "h41_arr_compact_zip")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

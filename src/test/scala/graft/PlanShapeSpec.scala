@@ -226,6 +226,23 @@ class PlanShapeSpec extends SparkSpec {
       s"d47: the grid agg must sit BELOW the windows:\n$p")
   }
 
+  test("compiled sequence patterns: all windows + the agg share ONE hash exchange, no join") {
+    // the compiler's scale contract: rn ranks, lead-conjunction run
+    // flags, chained per-key minima, the valid-opener running extremum,
+    // and the closing per-user agg ALL ride one hashpartitioning
+    // exchange on the key — a second data exchange or a join appearing
+    // means the compiled plan degraded (the oracle formulations DO join;
+    // the Spark side must not)
+    for (q <- Seq(graft.engine.Round12Ops.j13, graft.engine.Round12Ops.j14,
+                  graft.engine.Round12Ops.j15)) {
+      val p = executedPlan(q.fn(spark, sf0001)).split("== Initial Plan ==").head
+      assert(!p.contains("Join"), s"${q.name}: compiled plan must not join:\n$p")
+      val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(dataExchanges == 1,
+        s"${q.name}: one shared key exchange, got $dataExchanges:\n$p")
+    }
+  }
+
   test("d51: WindowGroupLimit prunes both sides of the rank exchange") {
     // the bottom-k scale contract: Spark's WindowGroupLimit pushdown must
     // appear BELOW the rank window on both the map side (pre-shuffle
