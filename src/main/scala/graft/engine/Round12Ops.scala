@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   *
   *  - `j14_sequence_match_mixed` — the mixed `.*`-gap + adjacency-run
   *    pattern form, compiled vs an independent string-render oracle.
+  *  - `j15_sequence_match_context` — one time constraint IN pattern
+  *    context (prefix + constrained pair), the form the r9 compiler
+  *    generalization unlocked, vs an independent rn-window oracle.
+  *  - `f05_limit_by` — CH's per-group `LIMIT n BY` clause on the
+  *    WindowGroupLimit shape.
+  *  - `h43_arr_sort_by` — `arraySort(lambda)` via the real comparator
+  *    `array_sort`, vs the padded-sort-key oracle formulation.
+  *  - `e26_nonneg_derivative` — `nonNegativeDerivative` with an
+  *    integer-decided clamp on e12's exact rate form.
   *
   * Plus the CH array-surface stragglers the r8 verdict listed and their
   * round-12 siblings:
@@ -469,5 +478,89 @@ object Round12Ops {
         .orderBy(asc_nulls_last("user_id"), asc_nulls_last("event_id"))
     })
 
-  def ops: Vector[Q] = Vector(j13, e24, h41, j14, d52, h42, e25, k39, f05, j15)
+  // ---------------------------------------------------------------- h43
+
+  /** h43 — `arraySort(lambda)` analog (ClickHouse's sort-by-key array
+    * function [public: CH array-function docs]): tokens sorted by
+    * (length ASC, lexicographic ASC). TWO INDEPENDENT formulations: the
+    * Spark side exercises the real three-arg `array_sort` COMPARATOR
+    * lambda (codegen'd; returns −1/0/1), the oracle the classic padded
+    * sort-key trick (`lpad(len,4,'0') || ':' || tok`, sort, strip — the
+    * fixture's tokens are colon-free, and 4 digits bound any fixture
+    * token length) — the two must agree element-for-element, which also
+    * pins that Spark's comparator sort is STABLE-equivalent here because
+    * the (length, value) key is total. Map-only, no shuffle beyond the
+    * final sort. */
+  val h43: Q = Q(
+    "h43_arr_sort_by",
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |SELECT doc_id,
+      |  ARRAY_TO_STRING(list_transform(
+      |    list_sort(list_transform(t,
+      |      x -> lpad(CAST(len(x) AS VARCHAR), 4, '0') || ':' || x)),
+      |    s -> substr(s, 6)), '|') AS by_len,
+      |  CAST(len(t) AS INT) AS n_toks
+      |FROM s
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"),
+                array_join(expr(
+                  """array_sort(t, (l, r) ->
+                    |  CASE WHEN length(l) < length(r) THEN -1
+                    |       WHEN length(l) > length(r) THEN 1
+                    |       WHEN l < r THEN -1 WHEN l > r THEN 1
+                    |       ELSE 0 END)""".stripMargin), "|").as("by_len"),
+                size(col("t")).cast("int").as("n_toks"))
+        .orderBy(asc_nulls_last("doc_id")))
+
+  // ---------------------------------------------------------------- e26
+
+  /** e26 — `nonNegativeDerivative(value, ts)` analog (ClickHouse window
+    * function [public: CH window-function docs]), completing e12's
+    * running derivative: the per-second rate of change of value cents per
+    * user, CLAMPED to 0 when the value decreased (the monotonic-counter
+    * reading — CH built it for Prometheus-style gauges). The clamp
+    * DECIDES on integers (Δcents ≤ 0), never on a float; the emitted
+    * rate is e12's proven exact form — one float division of two exact
+    * int64 casts (Δcents·1e6 / Δµs) — and first rows are NULL in both
+    * engines. One lag window on the e17 slice, all else map-only. */
+  val e26: Q = Q(
+    "e26_nonneg_derivative",
+    """SELECT user_id, event_id,
+      |  CASE WHEN d IS NULL THEN NULL
+      |       WHEN d <= 0 THEN 0.0
+      |       ELSE CAST(d * 1000000 AS DOUBLE) / CAST(dt AS DOUBLE) END
+      |    AS rate_cents_per_s
+      |FROM (
+      |  SELECT user_id, event_id,
+      |    c - LAG(c) OVER w AS d, us - LAG(us) OVER w AS dt
+      |  FROM (SELECT user_id, event_id, epoch_us(ts) AS us,
+      |          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |        FROM events WHERE user_id % 7 = 0)
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY us ASC NULLS LAST, event_id ASC NULLS LAST))
+      |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc_nulls_last("us"), asc_nulls_last("event_id"))
+      Tables.events(s, dir)
+        .where(col("user_id") % 7 === 0)
+        .select(col("user_id"), col("event_id"),
+                unix_micros(col("ts")).as("us"),
+                (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+        .withColumn("d", col("c") - lag("c", 1).over(w))
+        .withColumn("dt", col("us") - lag("us", 1).over(w))
+        .select(col("user_id"), col("event_id"),
+                when(col("d").isNull, lit(null).cast("double"))
+                  .when(col("d") <= 0, lit(0.0))
+                  .otherwise((col("d") * 1000000L).cast("double") /
+                             col("dt").cast("double"))
+                  .as("rate_cents_per_s"))
+        .orderBy(asc_nulls_last("user_id"), asc_nulls_last("event_id"))
+    })
+
+  def ops: Vector[Q] = Vector(j13, e24, h41, j14, d52, h42, e25, k39, f05,
+                              j15, h43, e26)
 }
