@@ -561,6 +561,95 @@ object Round12Ops {
         .orderBy(asc_nulls_last("user_id"), asc_nulls_last("event_id"))
     })
 
+  // ---------------------------------------------------------------- h44
+
+  /** h44 — `arrayRotateLeft` / `arrayShiftLeft` analogs (ClickHouse 23.8
+    * array functions [public: CH array-function docs]) over the tokenized
+    * documents: rotate by 3 (mod length — CH wraps) and shift by 3 with a
+    * `'_'` fill, length preserved. Pure slice/concat compositions —
+    * map-only, codegen'd, no explode; the only dialect care is slice
+    * OUT-OF-RANGE semantics (DuckDB's `t[4:n]` self-clamps, Spark's
+    * `slice(t, 4, len)` needs `greatest(0, n−3)` because a negative
+    * length THROWS — a recorded drift edge, handled per side). */
+  val h44: Q = Q(
+    "h44_arr_rotate_shift",
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |r AS (SELECT doc_id, t, len(t) AS n, 3 % len(t) AS k FROM s
+      |      WHERE len(t) > 0)
+      |SELECT doc_id,
+      |  ARRAY_TO_STRING(list_concat(t[k + 1:n], t[1:k]), '|') AS rot3,
+      |  ARRAY_TO_STRING(list_concat(t[4:n], ['_', '_', '_'][1:LEAST(3, n)]), '|')
+      |    AS shl3
+      |FROM r
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) > 0)
+        .withColumn("n", size(col("t")))
+        .withColumn("k", pmod(lit(3), col("n")))
+        .select(col("doc_id"),
+                array_join(concat(
+                  expr("slice(t, k + 1, n - k)"),
+                  expr("slice(t, 1, k)")), "|").as("rot3"),
+                array_join(concat(
+                  expr("slice(t, 4, greatest(0, n - 3))"),
+                  expr("slice(array('_', '_', '_'), 1, least(3, n))")), "|")
+                  .as("shl3"))
+        .orderBy(asc_nulls_last("doc_id")))
+
+  // ---------------------------------------------------------------- e27
+
+  /** e27 — `runningConcurrency(begin, end)` analog (ClickHouse
+    * [public: CH function docs]): for every purchase's 2-hour attention
+    * interval, how many of the SAME USER's intervals are open at its
+    * start — the per-row face of e16's sweep (e16 reports only the
+    * global max). Closed form: explode each interval into (+1 at start,
+    * −1 at end) sweep events, one cumulative window in (t, kind,
+    * event_id) order with ENDS BEFORE STARTS at equal t (kind 0 < 1 —
+    * the half-open [s, e) convention both engines share by the shared
+    * ORDER BY), keep the start rows. All integer; the explode is 2×
+    * linear, the window one per-user exchange. */
+  val e27: Q = Q(
+    "e27_running_concurrency",
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + 7200000000 AS e
+      |  FROM events WHERE event_type = 'purchase'),
+      |ev AS (
+      |  SELECT user_id, event_id, s AS t, 1 AS kind, 1 AS delta FROM iv
+      |  UNION ALL
+      |  SELECT user_id, event_id, e AS t, 0 AS kind, -1 AS delta FROM iv),
+      |c AS (
+      |  SELECT user_id, event_id, kind,
+      |    CAST(SUM(delta) OVER (PARTITION BY user_id
+      |      ORDER BY t ASC, kind ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS concurrency
+      |  FROM ev)
+      |SELECT user_id, event_id, concurrency
+      |FROM c WHERE kind = 1
+      |ORDER BY user_id ASC NULLS LAST, event_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val iv = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+                unix_micros(col("ts")).as("s"))
+        .withColumn("e", col("s") + 7200000000L)
+      val ev = iv.select(col("user_id"), col("event_id"), col("s").as("t"),
+                         lit(1).as("kind"), lit(1L).as("delta"))
+        .unionByName(iv.select(col("user_id"), col("event_id"),
+                               col("e").as("t"), lit(0).as("kind"),
+                               lit(-1L).as("delta")))
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("t"), asc("kind"), asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("concurrency", sum("delta").over(w).cast("long"))
+        .filter(col("kind") === 1)
+        .select("user_id", "event_id", "concurrency")
+        .orderBy(asc_nulls_last("user_id"), asc_nulls_last("event_id"))
+    })
+
   def ops: Vector[Q] = Vector(j13, e24, h41, j14, d52, h42, e25, k39, f05,
-                              j15, h43, e26)
+                              j15, h43, e26, h44, e27)
 }

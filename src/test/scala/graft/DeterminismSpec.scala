@@ -107,7 +107,12 @@ class DeterminismSpec extends SparkSpec {
       "c11_join_asof", "e04_win_running", "g02_union_distinct",
       "h11_hash_funcs", "i04_scd2", "k14_minhash_sig", "k15_lsh_candidates",
       "k16_ivf_assign", "k19_simhash_neardup", "k20_tfidf_topterms",
-      "j05_window_funnel")
+      "j05_window_funnel",
+      // round-12 representatives: compiled pattern windows, digest-join
+      // chunk dedup, set-collect sort, two-window running distinct,
+      // comparator array sort
+      "j15_sequence_match_context", "k39_chunk_dup_fraction",
+      "d52_group_uniq_array", "e25_running_distinct", "h43_arr_sort_by")
     val qs = graft.SparkEntry.queries
     sampled.foreach(n => assert(qs.contains(n), s"$n not declared"))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
