@@ -650,6 +650,54 @@ object Round12Ops {
         .orderBy(asc_nulls_last("user_id"), asc_nulls_last("event_id"))
     })
 
+  // ---------------------------------------------------------------- h45
+
+  /** h45 — `arrayFill(cond, arr)` analog (ClickHouse array functions
+    * [public: CH docs]): forward-fill — elements failing the condition
+    * (negative grid values here) are replaced by the LAST preceding
+    * element that passed; LEADING failures stay unchanged (the CH
+    * semantics). Elements quantize first onto h36's exact integer grid
+    * (`FLOOR(x·2¹⁴)`), so the whole op is int64. TWO INDEPENDENT
+    * formulations: the Spark side is ONE `aggregate` fold whose state is
+    * (filled-prefix, last-good) — map-only, no explode; the oracle
+    * unnests to an `IGNORE NULLS` running last_value window (the e10
+    * machinery). 15,556 of 32,000 fixture cells actually fill —
+    * non-degenerate on both branches. */
+  val h45: Q = Q(
+    "h45_arr_fill",
+    """WITH u AS (SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 16384) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |e AS (SELECT vec_id, t.i AS i, q[t.i] AS v
+      |      FROM u, unnest(generate_series(1, len(q))) AS t(i)),
+      |f AS (SELECT vec_id, i,
+      |        COALESCE(LAST_VALUE(CASE WHEN v >= 0 THEN v END IGNORE NULLS)
+      |          OVER (PARTITION BY vec_id ORDER BY i
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), v)
+      |          AS fv
+      |      FROM e)
+      |SELECT vec_id,
+      |  ARRAY_TO_STRING(list(CAST(fv AS VARCHAR) ORDER BY i), '|') AS filled
+      |FROM f GROUP BY vec_id
+      |ORDER BY vec_id ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.embeddings(s, dir)
+        .withColumn("q", transform(col("embedding"),
+          e => floor(e.cast("double") * 16384).cast("long")))
+        .select(col("vec_id"),
+                array_join(expr(
+                  """aggregate(q,
+                    |  named_struct('a', cast(array() as array<bigint>),
+                    |               'lg', cast(null as bigint)),
+                    |  (st, x) -> named_struct(
+                    |    'a', concat(st.a, array(CASE WHEN x >= 0 THEN x
+                    |                            ELSE coalesce(st.lg, x) END)),
+                    |    'lg', CASE WHEN x >= 0 THEN x ELSE st.lg END),
+                    |  st -> transform(st.a, v -> cast(v as string)))""".stripMargin),
+                  "|").as("filled"))
+        .orderBy(asc_nulls_last("vec_id")))
+
   def ops: Vector[Q] = Vector(j13, e24, h41, j14, d52, h42, e25, k39, f05,
-                              j15, h43, e26, h44, e27)
+                              j15, h43, e26, h44, e27, h45)
 }
