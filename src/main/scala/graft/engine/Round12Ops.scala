@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   *    `array_sort`, vs the padded-sort-key oracle formulation.
   *  - `e26_nonneg_derivative` — `nonNegativeDerivative` with an
   *    integer-decided clamp on e12's exact rate form.
+  *  - `e27_running_concurrency` — `runningConcurrency` as a ±1 sweep
+  *    with one cumulative per-user window (half-open tie pinned).
+  *  - `h44_arr_rotate_shift` — `arrayRotateLeft`/`arrayShiftLeft` with
+  *    the out-of-range slicing dialect edge handled per side.
+  *  - `h45_arr_fill` — `arrayFill` forward-fill as one struct-state
+  *    `aggregate` fold vs an IGNORE NULLS window oracle.
   *
   * Plus the CH array-surface stragglers the r8 verdict listed and their
   * round-12 siblings:
