@@ -704,6 +704,62 @@ object Round12Ops {
                   "|").as("filled"))
         .orderBy(asc_nulls_last("vec_id")))
 
+  // ---------------------------------------------------------------- d53
+
+  /** d53 — `mapPopulateSeries` analog (ClickHouse map functions [public:
+    * CH docs]): per event type, the (k → count) map of high-value rows'
+    * `props.k` JSON keys POPULATED over the full contiguous [min, max]
+    * key range with zeros — the step CH users run before plotting or
+    * joining sparse keyed series (the value > 200 slice leaves 333 of
+    * 471 cells to fill at sf0.01, so the fill path is hot, not
+    * decorative). Shape: one hash agg to the present cells, a per-type
+    * bounds agg (5 rows), a generated dense key spine (explode of
+    * `sequence(mn, mx)` — bounded by the key DOMAIN, not the data), and
+    * one left join back; serialized sorted per rule 6, all integer. */
+  val d53: Q = Q(
+    "d53_map_populate_series",
+    """WITH kv AS (
+      |  SELECT event_type, CAST(json_extract(props, 'k') AS BIGINT) AS k,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events WHERE value > 200 GROUP BY 1, 2),
+      |b AS (SELECT event_type, MIN(k) AS mn, MAX(k) AS mx FROM kv GROUP BY 1),
+      |g AS (SELECT b.event_type, t.k AS k
+      |      FROM b, unnest(generate_series(b.mn, b.mx)) AS t(k)),
+      |f AS (SELECT g.event_type, g.k, COALESCE(kv.n, 0) AS n
+      |      FROM g LEFT JOIN kv ON kv.event_type = g.event_type AND kv.k = g.k)
+      |SELECT event_type,
+      |  ARRAY_TO_STRING(list(CAST(k AS VARCHAR) || ':' || CAST(n AS VARCHAR)
+      |    ORDER BY k), '|') AS series,
+      |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_filled
+      |FROM f GROUP BY event_type
+      |ORDER BY event_type ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val kv = Tables.events(s, dir)
+        .filter(col("value") > 200)
+        .select(col("event_type"),
+                get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type", "k")
+        .agg(count(lit(1)).cast("long").as("n"))
+      val g = kv.groupBy("event_type")
+        .agg(min("k").as("mn"), max("k").as("mx"))
+        .select(col("event_type").as("g_type"),
+                explode(sequence(col("mn"), col("mx"))).as("g_k"))
+      g.join(kv, col("g_type") === col("event_type") && col("g_k") === col("k"),
+             "left")
+        .select(col("g_type").as("event_type"), col("g_k").as("k"),
+                coalesce(col("n"), lit(0L)).as("n"))
+        .groupBy("event_type")
+        .agg(array_join(transform(array_sort(collect_list(
+               struct(col("k"), col("n")))),
+               p => concat(p.getField("k").cast("string"), lit(":"),
+                           p.getField("n").cast("string"))), "|").as("series"),
+             count(lit(1)).cast("long").as("n_keys"),
+             sum(when(col("n") === 0, 1).otherwise(0)).cast("long")
+               .as("n_filled"))
+        .orderBy(asc_nulls_last("event_type"))
+    })
+
   def ops: Vector[Q] = Vector(j13, e24, h41, j14, d52, h42, e25, k39, f05,
-                              j15, h43, e26, h44, e27, h45)
+                              j15, h43, e26, h44, e27, h45, d53)
 }

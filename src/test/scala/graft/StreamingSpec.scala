@@ -1773,6 +1773,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming concurrency equals batch e27 across a batch cut") {
+    import graft.streaming.StreamingConcurrency
+    import graft.streaming.StreamingConcurrency.{IvIn, ConcOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the batch query's own intervals, replayed IN ORDER with a cut
+    val rows = graft.engine.Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"))
+      .collect()
+      .map(r => IvIn(r.getLong(0), r.getLong(1),
+                     r.getLong(1) + 7200000000L, r.getLong(2)))
+      .sortBy(iv => (iv.s_micros, iv.event_id))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[IvIn]
+    val q = StreamingConcurrency.concurrency(in.toDS()).writeStream
+      .format("memory").queryName("conc_t").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val batch = graft.engine.Round12Ops.e27.fn(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val got = spark.table("conc_t").as[ConcOut].collect()
+        .map(o => (o.user_id, o.event_id) -> o.concurrency).toMap
+      assert(got == batch,
+        s"streaming concurrency must equal batch e27: got ${got.size} rows")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("time-decay contribution matches batch semantics outside the 30-day grid") {
     import graft.streaming.StreamingTimeDecay._
     // on-grid boundary values: age 0 → cents·2^30, age 30 → cents·2^0
