@@ -36,11 +36,15 @@ object ScaleProbe {
   def buildCorpus(spark: SparkSession, sfDir: String, outDir: String,
                   replicas: Int): Unit = {
     val base = graft.engine.Tables.documents(spark, sfDir)
+    // replica id offset derived from the ACTUAL base count (not a fixture
+    // literal) so a larger SPARK_GRAFT_SF_DIR can never collide ids and
+    // silently break the closed-form gates — the r9 advice fix
+    val nBase = base.count()
     val reps = (0 until replicas).map { r =>
       // suffix once, derive n_chars from the SAME expression result so
       // the two can never drift
       base.select(
-        (col("doc_id") + lit(5000L * r)).as("doc_id"),
+        (col("doc_id") + lit(nBase * r)).as("doc_id"),
         concat_ws(" ", transform(split(col("text"), " "),
           t => concat(t, lit(s"_$r")))).as("text"),
         col("lang"),
@@ -133,7 +137,9 @@ object ScaleProbe {
     // replica copy shares its twin's exact vector, hence its probed
     // clusters, hence a found cos = 1 pair — so every component contains
     // replica-0 members and every kept representative (min id) MUST be a
-    // replica-0 id.
+    // replica-0 id, i.e. id < the ACTUAL base embedding count (derived,
+    // not the sf0.1 literal 2000 — the r9 advice fix).
+    val nEmbBase = graft.engine.Tables.embeddings(spark, sfDir).count()
     def semdedup(dir: String): (Double, Long, Long) = {
       val t0 = System.nanoTime()
       val kept = graft.api.Dedup.keepRepresentativesByEmbedding(
@@ -141,7 +147,7 @@ object ScaleProbe {
         threshold = 0.4, k = 8, nprobe = 2)
       val ids = kept.select("vec_id").collect().map(_.getLong(0))
       ((System.nanoTime() - t0) / 1e9, ids.length.toLong,
-        ids.count(_ >= 2000).toLong)
+        ids.count(_ >= nEmbBase).toLong)
     }
     semdedup(sfDir) // warm
     val (st1, sn1, _) = semdedup(sfDir)

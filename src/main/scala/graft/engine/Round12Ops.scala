@@ -173,10 +173,13 @@ object Round12Ops {
     * Faithful CH detail: the divisor is the WINDOW SIZE (5), not the
     * actual element count — the first 4 elements of each group average
     * over a short prefix divided by the full 5, and the division is
-    * INTEGER (CH truncates toward zero for integer sources; cents are
-    * positive so floor = truncate on both engines). One bounded-frame
-    * window over the e17 exchange shape — per-row state is 5 longs at any
-    * scale, all int64, zero float. */
+    * INTEGER. Both sides use FLOOR division (`//` in DuckDB; the
+    * `(s − pmod(s, 5)) div 5` identity in Spark, since Spark's `div`
+    * truncates toward zero and the two diverge on a negative moving sum
+    * — the r9 advice edge; floor keeps the query exact for ANY value
+    * range, no positivity precondition). One bounded-frame window over
+    * the e17 exchange shape — per-row state is 5 longs at any scale,
+    * all int64, zero float. */
   val e24: Q = Q(
     "e24_group_array_moving_avg",
     """SELECT user_id, event_id,
@@ -196,7 +199,8 @@ object Round12Ops {
         .select(col("user_id"), col("event_id"), col("ts"),
                 (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
         .withColumn("msum5_cents", sum(col("cents")).over(w).cast("long"))
-        .withColumn("mavg5_cents", expr("msum5_cents div 5").cast("long"))
+        .withColumn("mavg5_cents",
+          expr("(msum5_cents - pmod(msum5_cents, 5)) div 5").cast("long"))
         .select("user_id", "event_id", "msum5_cents", "mavg5_cents")
         .orderBy(asc_nulls_last("user_id"), asc_nulls_last("event_id"))
     })
@@ -667,8 +671,11 @@ object Round12Ops {
     * formulations: the Spark side is ONE `aggregate` fold whose state is
     * (filled-prefix, last-good) — map-only, no explode; the oracle
     * unnests to an `IGNORE NULLS` running last_value window (the e10
-    * machinery). 15,556 of 32,000 fixture cells actually fill —
-    * non-degenerate on both branches. */
+    * machinery), then LEFT JOINs back to embeddings with COALESCE('')
+    * so a vec with an EMPTY embedding array still emits its row (the
+    * h36/d50 empty-group dialect edge — the unnest CTE drops it, the
+    * Spark fold renders ''). 15,556 of 32,000 fixture cells actually
+    * fill — non-degenerate on both branches. */
   val h45: Q = Q(
     "h45_arr_fill",
     """WITH u AS (SELECT vec_id,
@@ -682,11 +689,13 @@ object Round12Ops {
       |          OVER (PARTITION BY vec_id ORDER BY i
       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), v)
       |          AS fv
-      |      FROM e)
-      |SELECT vec_id,
-      |  ARRAY_TO_STRING(list(CAST(fv AS VARCHAR) ORDER BY i), '|') AS filled
-      |FROM f GROUP BY vec_id
-      |ORDER BY vec_id ASC NULLS LAST""".stripMargin,
+      |      FROM e),
+      |g AS (SELECT vec_id,
+      |        ARRAY_TO_STRING(list(CAST(fv AS VARCHAR) ORDER BY i), '|') AS filled
+      |      FROM f GROUP BY vec_id)
+      |SELECT u.vec_id, COALESCE(g.filled, '') AS filled
+      |FROM u LEFT JOIN g USING (vec_id)
+      |ORDER BY u.vec_id ASC NULLS LAST""".stripMargin,
     (s, dir) =>
       Tables.embeddings(s, dir)
         .withColumn("q", transform(col("embedding"),
@@ -715,7 +724,13 @@ object Round12Ops {
     * decorative). Shape: one hash agg to the present cells, a per-type
     * bounds agg (5 rows), a generated dense key spine (explode of
     * `sequence(mn, mx)` — bounded by the key DOMAIN, not the data), and
-    * one left join back; serialized sorted per rule 6, all integer. */
+    * one left join back; serialized sorted per rule 6, all integer.
+    * The spine rides [[Guards.boundedSequence]] (span ≤ 1,000,000
+    * enforced per row at runtime): "bounded by the key domain" is only
+    * true when the domain is, and one outlier key (a timestamp-valued
+    * `k` in a single JSON blob) would otherwise explode ~10¹² rows
+    * before any filter could intervene — the r9 verdict watch item,
+    * closed with a loud runtime error instead of a silent bomb. */
   val d53: Q = Q(
     "d53_map_populate_series",
     """WITH kv AS (
@@ -744,7 +759,8 @@ object Round12Ops {
       val g = kv.groupBy("event_type")
         .agg(min("k").as("mn"), max("k").as("mx"))
         .select(col("event_type").as("g_type"),
-                explode(sequence(col("mn"), col("mx"))).as("g_k"))
+                explode(Guards.boundedSequence(col("mn"), col("mx"),
+                  1000000L, "d53 mapPopulateSeries")).as("g_k"))
       g.join(kv, col("g_type") === col("event_type") && col("g_k") === col("k"),
              "left")
         .select(col("g_type").as("event_type"), col("g_k").as("k"),

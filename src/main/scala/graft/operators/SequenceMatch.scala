@@ -22,6 +22,21 @@ import org.apache.spark.sql.functions._
   *    more than) N seconds; intervening events are allowed (the j12
   *    semantics)
   *
+  * DIALECT EDGE — adjacency vs ClickHouse [public: CH docs state
+  * "events that don't match any condition are skipped" before pattern
+  * evaluation]: adjacent steps like `(?1)(?2)` here demand
+  * STREAM-adjacency over ALL events by default (a non-condition event —
+  * e.g. a `view` between a click and a purchase — breaks the run),
+  * whereas CH tests adjacency only over the condition-matching
+  * subsequence. Both semantics are useful (stream-adjacency is the
+  * stricter "nothing at all in between"); pass
+  * `skipNonMatching = true` to [[withMatch]] for the CH-faithful form —
+  * it pre-filters to events matching ≥ 1 condition, which is exactly
+  * CH's skip rule and is semantics-preserving for `.*`/time gaps (they
+  * already allow arbitrary intervening events). j14 declares the
+  * stream-adjacency form (its string-render oracle agrees); j17 declares
+  * the CH-skip form.
+  *
   * Compiled plans, by pattern shape:
   *  - steps and `.*` gaps only (any length, adjacency runs allowed):
   *    row positions from ONE ordered per-key window; each maximal
@@ -121,10 +136,21 @@ object SequenceMatch {
     * argument), and the earliest closing row dominates for the greedy
     * suffix. A SECOND time constraint breaks dominance (which opener is
     * best depends on both bounds jointly — the feasible set is a Pareto
-    * frontier, not an extremum), so it is rejected loudly rather than
-    * compiled wrong. */
+    * frontier, not an extremum), so this PER-ROW form rejects it loudly
+    * rather than compiling wrong; the PER-KEY [[foldMatch]] decides
+    * multi-constraint patterns exactly via the bounded min/max-frontier
+    * fold.
+    *
+    * `skipNonMatching = true` selects the ClickHouse skip-rule dialect
+    * for adjacency (see the class scaladoc): events matching no
+    * condition are dropped BEFORE positions are assigned, so adjacent
+    * steps are adjacent within the condition-matching subsequence. The
+    * returned frame then contains only those events (flags on the
+    * surviving rows; per-key `max(outCol)` is unaffected). */
   def withMatch(df: DataFrame, keyCol: String, tsMicros: Column, tie: Column,
-                conds: Seq[Column], pattern: String, outCol: String): DataFrame = {
+                conds: Seq[Column], pattern: String, outCol: String,
+                skipNonMatching: Boolean = false): DataFrame = {
+    val src = if (skipNonMatching) df.where(conds.reduce(_ || _)) else df
     val toks = parse(pattern, conds.length)
     // maximal adjacency runs + the gap (AnyGap | TimeGap) between each pair
     val runs = Vector.newBuilder[Vector[Int]]
@@ -147,7 +173,7 @@ object SequenceMatch {
     val wOrd = Window.partitionBy(keyCol)
       .orderBy(tsMicros.asc_nulls_last, tie.asc_nulls_last)
     val wKey = Window.partitionBy(keyCol)
-    var out = df.withColumn("__sm_rn", row_number().over(wOrd).cast("long"))
+    var out = src.withColumn("__sm_rn", row_number().over(wOrd).cast("long"))
     rs.zipWithIndex.foreach { case (run, ri) =>
       val flag = run.zipWithIndex.map { case (stepN, off) =>
         if (off == 0) conds(stepN - 1)
@@ -226,6 +252,112 @@ object SequenceMatch {
       rs.indices.flatMap(i => Seq(s"__sm_run$i", s"__sm_m$i"))
     out.withColumn(outCol, matchedCol)
       .drop(dropCols.filter(out.columns.contains): _*)
+  }
+
+  /** Exact per-key decision for patterns with ANY number of time
+    * constraints — the form [[withMatch]] rejects (two `(?t…)` bounds
+    * break its greedy-dominance argument) but ClickHouse accepts daily;
+    * the r9 verdict's top item, closing the compiler's one loud
+    * limitation.
+    *
+    * Supported: every consecutive step pair separated by an explicit gap
+    * (`.*` or `(?t…)`); adjacency runs stay on [[withMatch]]'s compiled
+    * window path (≤ 1 time bound) or are rejected.
+    *
+    * WHY A BOUNDED FOLD IS EXACT (the Pareto frontier collapses to two
+    * scalars per position): process the per-key events in (ts, tie)
+    * order and let S_p = the set of timestamps of events that can
+    * complete pattern position p using only STRICTLY EARLIER events.
+    * A new event e at time t matching condition p+1 extends position p
+    * iff some t_prev ∈ S_p satisfies the gap constraint between p and
+    * p+1 — and every such constraint is ONE-SIDED in t_prev
+    * (`.*`: any element; `t−t_prev ≤/< N`: t_prev ≥/> t−N, decided by
+    * max S_p; `t−t_prev >/≥ N`: t_prev </≤ t−N, decided by min S_p).
+    * So (min S_p, max S_p) is a sufficient statistic: the fold state is
+    * 2 longs per position + 1 hit counter — O(pattern), never
+    * O(events) — and the decision is exact for ANY number of bounds,
+    * because unlike the per-row window compile it never commits to one
+    * opener. Unreached positions use ±2⁶² sentinels chosen so the gap
+    * comparisons auto-fail without explicit reached flags (real µs
+    * timestamps are ≪ 2⁶²).
+    *
+    * Plan shape: one hash exchange on the key (collect_list + count),
+    * one `array_sort`, one `aggregate` HOF — the j10/j11 sorted-fold
+    * posture; per-key memory is the key's event count during the fold,
+    * the aggregate state after it is 2·steps+1 longs.
+    *
+    * Returns one row per key: (keyCol, matched 0/1, n_hits = events
+    * completing the final position, n_events). `skipNonMatching = true`
+    * drops no-condition events first (a no-op on the fold — they never
+    * update state — but n_events then counts only condition-matching
+    * events, the CH skip-rule reading). */
+  def foldMatch(df: DataFrame, keyCol: String, tsMicros: Column, tie: Column,
+                conds: Seq[Column], pattern: String,
+                skipNonMatching: Boolean = false): DataFrame = {
+    val toks = parse(pattern, conds.length)
+    val hasAdjacency = toks.sliding(2).exists {
+      case Vector(_: Step, _: Step) => true
+      case _ => false
+    }
+    require(!hasAdjacency,
+      s"foldMatch needs an explicit gap (.* or (?t…)) between every step " +
+      s"pair (got an adjacency run in '$pattern') — adjacency depends on " +
+      "stream positions, not times, so it stays on the withMatch window " +
+      "path (one time bound) rather than this time-frontier fold")
+    val steps = toks.collect { case Step(n) => n }
+    val gaps = toks.collect { case g @ (AnyGap | TimeGap(_, _)) => g }
+    val k = steps.length
+
+    val MINS = 4611686018427387904L  // 2^62 — "unreached" min sentinel
+    val MAXS = -4611686018427387904L // −2^62 — "unreached" max sentinel
+    def minIdx(p: Int) = 2 * (p - 1)
+    def maxIdx(p: Int) = 2 * (p - 1) + 1
+    // can the current event e extend position p−1 → p? (p = 1: opener)
+    def via(p: Int): String = {
+      val stepCond = s"(e.m & ${1 << (steps(p - 1) - 1)}) != 0"
+      if (p == 1) stepCond
+      else gaps(p - 2) match {
+        case AnyGap =>
+          s"($stepCond AND acc[${minIdx(p - 1)}] < ${MINS}L)"
+        case TimeGap("<=", n) =>
+          s"($stepCond AND acc[${maxIdx(p - 1)}] >= e.t - ${n}L)"
+        case TimeGap("<", n) =>
+          s"($stepCond AND acc[${maxIdx(p - 1)}] > e.t - ${n}L)"
+        case TimeGap(">", n) =>
+          s"($stepCond AND acc[${minIdx(p - 1)}] < e.t - ${n}L)"
+        case TimeGap(">=", n) =>
+          s"($stepCond AND acc[${minIdx(p - 1)}] <= e.t - ${n}L)"
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+    }
+    val init = ((1 to k).flatMap(_ => Seq(s"${MINS}L", s"${MAXS}L")) :+ "0L")
+      .mkString(", ")
+    val slotCases = (1 to k).flatMap { p =>
+      Seq(s"WHEN j = ${minIdx(p)} THEN " +
+            s"IF(${via(p)}, LEAST(acc[${minIdx(p)}], e.t), acc[${minIdx(p)}])",
+          s"WHEN j = ${maxIdx(p)} THEN " +
+            s"IF(${via(p)}, GREATEST(acc[${maxIdx(p)}], e.t), acc[${maxIdx(p)}])")
+    } :+ s"ELSE acc[${2 * k}] + IF(${via(k)}, 1L, 0L)"
+    val foldExpr =
+      s"aggregate(__es, array($init), (acc, e) -> " +
+      s"transform(sequence(0, ${2 * k}), j -> CASE ${slotCases.mkString(" ")} END))"
+
+    val src = if (skipNonMatching) df.where(conds.reduce(_ || _)) else df
+    val mask = conds.zipWithIndex
+      .map { case (c, i) => when(c, lit(1 << i)).otherwise(lit(0)) }
+      .reduce(_ + _)
+    src
+      .select(col(keyCol),
+              struct(tsMicros.cast("long").as("t"), tie.as("i"),
+                     mask.as("m")).as("__p"))
+      .groupBy(keyCol)
+      .agg(array_sort(collect_list(col("__p"))).as("__es"),
+           count(lit(1)).cast("long").as("n_events"))
+      .withColumn("__fs", expr(foldExpr))
+      .select(col(keyCol),
+              (col("__fs").getItem(minIdx(k)) < MINS).cast("int").as("matched"),
+              col("__fs").getItem(2 * k).cast("long").as("n_hits"),
+              col("n_events"))
   }
 
   /** `sequenceCount('(?1).*(?2)')`: the number of non-overlapping
