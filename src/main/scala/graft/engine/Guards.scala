@@ -19,13 +19,22 @@ object Guards {
     * item). Implementation: `assert_true` rides inside the upper-bound
     * expression (NULL when the span is legal, a runtime error
     * otherwise), so the guard is evaluated on every row BEFORE its
-    * sequence materializes and costs one comparison. */
+    * sequence materializes and costs one comparison.
+    *
+    * NULL-SAFE (the r10 advice fix): `assert_true` throws on a NULL
+    * condition, so a bare `mx − mn <= maxSpan` would turn legal data —
+    * a group whose bounds aggregate to NULL (e.g. an event_type whose
+    * high-value rows all lack a numeric `props.k`) — into a job failure
+    * with a misleading "span exceeds" message. The condition rides
+    * inside `coalesce(…, true)`: NULL bounds pass the guard and fall
+    * through to `sequence`'s native NULL result (no rows), exactly the
+    * pre-guard and DuckDB behavior. */
   def boundedSequence(mn: Column, mx: Column, maxSpan: Long,
                       what: String): Column =
     sequence(
       mn,
       mx + coalesce(
-        assert_true(mx - mn <= lit(maxSpan),
+        assert_true(coalesce(mx - mn <= lit(maxSpan), lit(true)),
           concat(lit(s"$what: key span "), (mx - mn).cast("string"),
                  lit(s" exceeds the $maxSpan dense-spine guard — refusing " +
                      "to explode; pre-filter outlier keys or raise the " +

@@ -173,11 +173,16 @@ object Round12Ops {
     * Faithful CH detail: the divisor is the WINDOW SIZE (5), not the
     * actual element count — the first 4 elements of each group average
     * over a short prefix divided by the full 5, and the division is
-    * INTEGER. Both sides use FLOOR division (`//` in DuckDB; the
+    * INTEGER. Rounding dialect (DELIBERATE divergence from CH): both
+    * sides here use FLOOR division (`//` in DuckDB; the
     * `(s − pmod(s, 5)) div 5` identity in Spark, since Spark's `div`
     * truncates toward zero and the two diverge on a negative moving sum
-    * — the r9 advice edge; floor keeps the query exact for ANY value
-    * range, no positivity precondition). One bounded-frame window over
+    * — the r9 advice edge). ClickHouse `intDiv` TRUNCATES toward zero,
+    * so on a NEGATIVE 5-frame moving sum this query floors where CH
+    * would truncate — floor is chosen because it keeps the cross-engine
+    * pair exact for ANY value range with no positivity precondition; a
+    * CH-truncating variant is the same recipe with Spark's bare `div`
+    * and `CAST(TRUNC(SUM(...)/5) AS BIGINT)` in the oracle. One bounded-frame window over
     * the e17 exchange shape — per-row state is 5 longs at any scale,
     * all int64, zero float. */
   val e24: Q = Q(

@@ -258,7 +258,10 @@ object SequenceMatch {
     * constraints — the form [[withMatch]] rejects (two `(?t…)` bounds
     * break its greedy-dominance argument) but ClickHouse accepts daily;
     * the r9 verdict's top item, closing the compiler's one loud
-    * limitation.
+    * limitation. Declared consumer: `j16_sequence_match_two_bounds`
+    * (oracle: an independent per-position reachability formulation);
+    * SequenceMatchSpec pins the Pareto cases, the sentinel edges, and
+    * fold-vs-window agreement on every single-bound pattern.
     *
     * Supported: every consecutive step pair separated by an explicit gap
     * (`.*` or `(?t…)`); adjacency runs stay on [[withMatch]]'s compiled
@@ -307,6 +310,12 @@ object SequenceMatch {
     val steps = toks.collect { case Step(n) => n }
     val gaps = toks.collect { case g @ (AnyGap | TimeGap(_, _)) => g }
     val k = steps.length
+    // the condition bitmask is one LONG (an Int '1 << i' would silently
+    // wrap at 32+ conditions — condition 33 aliasing condition 1, the
+    // r10 advice hazard); cap loudly instead of aliasing
+    require(conds.length <= 62,
+      s"foldMatch packs conditions into one long bitmask — at most 62 " +
+      s"conditions (got ${conds.length})")
 
     val MINS = 4611686018427387904L  // 2^62 — "unreached" min sentinel
     val MAXS = -4611686018427387904L // −2^62 — "unreached" max sentinel
@@ -314,7 +323,7 @@ object SequenceMatch {
     def maxIdx(p: Int) = 2 * (p - 1) + 1
     // can the current event e extend position p−1 → p? (p = 1: opener)
     def via(p: Int): String = {
-      val stepCond = s"(e.m & ${1 << (steps(p - 1) - 1)}) != 0"
+      val stepCond = s"(e.m & ${1L << (steps(p - 1) - 1)}L) != 0"
       if (p == 1) stepCond
       else gaps(p - 2) match {
         case AnyGap =>
@@ -344,7 +353,7 @@ object SequenceMatch {
 
     val src = if (skipNonMatching) df.where(conds.reduce(_ || _)) else df
     val mask = conds.zipWithIndex
-      .map { case (c, i) => when(c, lit(1 << i)).otherwise(lit(0)) }
+      .map { case (c, i) => when(c, lit(1L << i)).otherwise(lit(0L)) }
       .reduce(_ + _)
     src
       .select(col(keyCol),

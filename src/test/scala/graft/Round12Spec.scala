@@ -65,4 +65,41 @@ class Round12Spec extends SparkSpec {
     // CH groupArrayMovingAvg divides by n=5 even over 1-3 elements
     assert(got == Map(1L -> 2L, 2L -> 6L, 3L -> 12L), s"prefix divisor: $got")
   }
+
+  test("d53 span guard: a pathological key range fails LOUDLY, not as a row bomb") {
+    val sp = spark
+    import sp.implicits._
+    // one outlier group whose span (10^12) would explode ~10^12 rows —
+    // the guard must kill the job with its own message BEFORE the
+    // sequence materializes
+    val bomb = Seq(("t1", 0L), ("t1", 1000000000000L)).toDF("g", "k")
+      .groupBy("g").agg(min("k").as("mn"), max("k").as("mx"))
+      .select(explode(graft.engine.Guards.boundedSequence(
+        col("mn"), col("mx"), 1000000L, "spec probe")))
+    // local mode surfaces the raise as SparkRuntimeException directly;
+    // cluster mode wraps it — intercept the common supertype, pin the text
+    val err = intercept[Exception] { bomb.count() }
+    assert(err.getMessage.contains("dense-spine guard"),
+      s"expected the guard's message, got: ${err.getMessage}")
+  }
+
+  test("d53 span guard: just-under-the-bound spans and NULL bounds pass through") {
+    val sp = spark
+    import sp.implicits._
+    // span exactly at the bound: allowed (guard is <=)
+    val ok = Seq(("t1", 0L), ("t1", 1000000L)).toDF("g", "k")
+      .groupBy("g").agg(min("k").as("mn"), max("k").as("mx"))
+      .select(explode(graft.engine.Guards.boundedSequence(
+        col("mn"), col("mx"), 1000000L, "spec probe")))
+    assert(ok.count() == 1000001L)
+    // NULL bounds (a group whose key column is all-NULL): the r10 advice
+    // fix — assert_true must NOT throw on the NULL condition; the
+    // sequence's native NULL result yields zero rows, like the oracle
+    val nul = Seq(("t1", Option.empty[Long]), ("t1", Option.empty[Long]))
+      .toDF("g", "k")
+      .groupBy("g").agg(min("k").as("mn"), max("k").as("mx"))
+      .select(explode_outer(graft.engine.Guards.boundedSequence(
+        col("mn"), col("mx"), 1000000L, "spec probe")))
+    assert(nul.count() == 1L && nul.head.isNullAt(0))
+  }
 }

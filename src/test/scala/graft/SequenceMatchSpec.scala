@@ -154,6 +154,107 @@ class SequenceMatchSpec extends SparkSpec {
                   (1L, 3 * S, 3, "b"), (1L, 4 * S, 4, "b")) == Map(1L -> 1L))
   }
 
+  private def foldOf(df: org.apache.spark.sql.DataFrame, pattern: String,
+                     skip: Boolean = false): Map[Long, (Int, Long, Long)] =
+    SequenceMatch.foldMatch(df, "k", col("ts"), col("id"), conds, pattern,
+        skipNonMatching = skip)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("foldMatch: two time bounds decided exactly where greedy commits wrong") {
+    // The Pareto case the per-row compiler rejects: S_2 = {b@5, b@15}.
+    // key 1, '(?1)(?t<=20)(?2)(?t>50)(?3)': c@60 needs a b BEFORE t−50=10
+    // — only b@5 (the MIN frontier); a compile committed to the nearest
+    // preceding b (15) would miss it.
+    // key 2, '(?1)(?t<=20)(?2)(?t<=20)(?3)': c@30 needs a b AT/after
+    // t−20=10 — only b@15 (the MAX frontier); a compile committed to the
+    // earliest valid b (5) would miss it. Keeping BOTH extrema is exactly
+    // why the fold is exact.
+    val df = events(
+      (1L, 0 * S, 1, "a"), (1L, 5 * S, 2, "b"), (1L, 15 * S, 3, "b"),
+      (1L, 60 * S, 4, "c"),
+      (2L, 0 * S, 5, "a"), (2L, 5 * S, 6, "b"), (2L, 15 * S, 7, "b"),
+      (2L, 30 * S, 8, "c"),
+      // key 3: the b→c gap (45) satisfies NEITHER pattern's last bound
+      (3L, 0 * S, 9, "a"), (3L, 5 * S, 10, "b"), (3L, 50 * S, 11, "c"))
+    val lower = foldOf(df, "(?1)(?t<=20)(?2)(?t>50)(?3)")
+    assert(lower(1L) == ((1, 1L, 4L)), s"min-frontier case: ${lower(1L)}")
+    assert(lower(2L)._1 == 0 && lower(3L)._1 == 0)
+    val upper = foldOf(df, "(?1)(?t<=20)(?2)(?t<=20)(?3)")
+    assert(upper(2L) == ((1, 1L, 4L)), s"max-frontier case: ${upper(2L)}")
+    assert(upper(1L)._1 == 0 && upper(3L)._1 == 0)
+  }
+
+  test("foldMatch: sentinel edges — unreached positions, equal ts, repeated condition") {
+    // unreached: only closing-condition events → no position ever
+    // completes, the ±2^62 sentinels must auto-fail every gap check
+    val only = events((1L, 1 * S, 1, "c"), (1L, 2 * S, 2, "c"))
+    assert(foldOf(only, "(?1).*(?2).*(?3)")(1L) == ((0, 0L, 2L)))
+    // equal timestamps: strictly-earlier chaining is by (ts, id) — the
+    // pre-update acc sees a@10(id=1) before b@10(id=2), and a zero gap
+    // passes <=0 but not >0
+    val tied = events((1L, 10 * S, 1, "a"), (1L, 10 * S, 2, "b"))
+    assert(foldOf(tied, "(?1)(?t<=0)(?2)")(1L)._1 == 1)
+    assert(foldOf(tied, "(?1)(?t>0)(?2)")(1L)._1 == 0)
+    // repeated condition '(?1).*(?1)': ONE event cannot complete both
+    // positions (acc is pre-update — strictly earlier events only)
+    val one = events((1L, 1 * S, 1, "a"))
+    val two = events((2L, 1 * S, 1, "a"), (2L, 2 * S, 2, "a"))
+    assert(foldOf(one, "(?1).*(?1)")(1L)._1 == 0)
+    assert(foldOf(two, "(?1).*(?1)")(2L) == ((1, 1L, 2L)))
+  }
+
+  test("foldMatch agrees with withMatch on every single-bound explicit-gap pattern") {
+    // deterministic pseudo-random stream (fixed seed), 6 keys × 40 events
+    val rnd = new scala.util.Random(42)
+    val rows = for (k <- 1L to 6L; i <- 1 to 40) yield
+      (k, rnd.nextInt(600).toLong * S, k * 1000 + i,
+       Seq("a", "b", "c", "x")(rnd.nextInt(4)))
+    val df = events(rows: _*)
+    for (p <- Seq("(?1).*(?2)", "(?1)(?t<=7)(?2)", "(?1)(?t<7)(?2)",
+                  "(?1)(?t>30)(?2)", "(?1)(?t>=30)(?2)",
+                  "(?1).*(?2)(?t<=50)(?3)", "(?1)(?t>10)(?2).*(?3)")) {
+      val viaWindow = matchedKeys(df, p)
+      val viaFold = foldOf(df, p).collect { case (k, (1, _, _)) => k }.toSet
+      assert(viaFold == viaWindow, s"pattern $p: fold $viaFold vs window $viaWindow")
+    }
+  }
+
+  test("foldMatch: adjacency and 63+ conditions are rejected loudly") {
+    val df = events((1L, 1 * S, 1, "a"))
+    val adj = intercept[IllegalArgumentException] {
+      SequenceMatch.foldMatch(df, "k", col("ts"), col("id"), conds, "(?1)(?2)")
+    }
+    assert(adj.getMessage.contains("explicit gap"))
+    val wide = intercept[IllegalArgumentException] {
+      SequenceMatch.foldMatch(df, "k", col("ts"), col("id"),
+        (1 to 63).map(i => col("e") === s"t$i"), "(?1).*(?2)")
+    }
+    assert(wide.getMessage.contains("62"))
+  }
+
+  test("skipNonMatching: the CH skip-rule dialect flips adjacency answers") {
+    // a view between click and purchase: stream-adjacency fails, the CH
+    // skip rule (non-condition events dropped before positions) matches —
+    // the j14-vs-CH divergence the mode exists to resolve
+    val sp = spark
+    import sp.implicits._
+    val df = events((1L, 1 * S, 1, "a"), (1L, 2 * S, 2, "x"),
+                    (1L, 3 * S, 3, "b"))
+    assert(matchedKeys(df, "(?1)(?2)") == Set.empty[Long])
+    val skipped = SequenceMatch.withMatch(df, "k", col("ts"), col("id"),
+        conds, "(?1)(?2)", "m", skipNonMatching = true)
+      .groupBy("k").agg(max("m").as("m"))
+      .filter(col("m") === 1).select("k").as[Long].collect().toSet
+    assert(skipped == Set(1L))
+    // and it is semantics-preserving for explicit gaps: same answer with .*
+    assert(matchedKeys(df, "(?1).*(?2)") == Set(1L))
+    // foldMatch's skip mode counts only condition-matching events
+    assert(foldOf(df, "(?1).*(?2)", skip = true)(1L) == ((1, 1L, 2L)))
+    assert(foldOf(df, "(?1).*(?2)")(1L) == ((1, 1L, 3L)))
+  }
+
   test("generated k-step folds reproduce the shipped 3-step fold strings") {
     // j10 shipped this exact text; StreamingStrictFunnel mirrors it in
     // Scala — the generator must never drift for k = 3
