@@ -46,7 +46,14 @@ object Explain {
                // (WindowGroupLimit), array compact/zip HOFs
                "j14_sequence_match_mixed", "j15_sequence_match_context",
                "k39_chunk_dup_fraction", "e25_running_distinct",
-               "f05_limit_by", "h41_arr_compact_zip")
+               "f05_limit_by", "h41_arr_compact_zip",
+               // round-13 representatives: the foldMatch sorted-fold
+               // (collect+aggregate HOF, one key exchange), the two-mode
+               // skip-dialect window pair, schema'd JSON parse + explode,
+               // real-MapType filter/apply HOFs, DESC WindowGroupLimit
+               "j16_sequence_match_two_bounds", "j17_sequence_match_ch_skip",
+               "h46_json_extract_schema", "h47_map_filter_apply",
+               "d54_group_array_last")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -36,10 +36,11 @@ object ScaleProbe {
   def buildCorpus(spark: SparkSession, sfDir: String, outDir: String,
                   replicas: Int): Unit = {
     val base = graft.engine.Tables.documents(spark, sfDir)
-    // replica id offset derived from the ACTUAL base count (not a fixture
-    // literal) so a larger SPARK_GRAFT_SF_DIR can never collide ids and
-    // silently break the closed-form gates — the r9 advice fix
-    val nBase = base.count()
+    // replica id offset derived from the ACTUAL max id + 1 (not the row
+    // count, which is only collision-proof for dense 0-based ids — the
+    // r10 advice fix: a sparse or 1-based fixture would otherwise let
+    // replicas collide and silently break the closed-form gates)
+    val nBase = base.agg(max(col("doc_id"))).head.getLong(0) + 1L
     val reps = (0 until replicas).map { r =>
       // suffix once, derive n_chars from the SAME expression result so
       // the two can never drift
@@ -47,6 +48,52 @@ object ScaleProbe {
         (col("doc_id") + lit(nBase * r)).as("doc_id"),
         concat_ws(" ", transform(split(col("text"), " "),
           t => concat(t, lit(s"_$r")))).as("text"),
+        col("lang"),
+        concat(col("source"), lit(s"-$r")).as("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    reps.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  /** SPARSE-corpus builder — the r9/r10 carried gap: the auto-selector's
+    * PPJoin/prefix branch had equality tests but no probe-scale measured
+    * point, because the replica corpus above keeps the fixture's
+    * dup-dense density (≈0.75) and the selector correctly never leaves
+    * the naive path there. Same replica mechanics, but every token ALSO
+    * carries a doc-group suffix (`doc_id % groups`): vocabulary grows
+    * ×groups while block sizes are unchanged, so blockDensity falls by
+    * ~groups under the 0.05 crossover and the selector flips to the
+    * prefix path — the honest model of a natural Zipf corpus (vocab
+    * grows with the corpus; density falls). Within-group pairs keep
+    * their EXACT Jaccard (both docs' tokens get the same suffix);
+    * cross-group overlap drops to zero — so the sparse 1× pair set is
+    * deterministic, and the 10× build (replica-disjoint vocab on top)
+    * must emit EXACTLY 10× its rows: the same correctness-gate-plus-
+    * timing design as the dense probe. */
+  def buildSparseCorpus(spark: SparkSession, sfDir: String, outDir: String,
+                        replicas: Int, groups: Int = 64): Unit = {
+    val base = graft.engine.Tables.documents(spark, sfDir)
+    val nBase = base.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val reps = (0 until replicas).map { r =>
+      // group by a HASH of the BASE doc_id — bound via withColumn BEFORE
+      // the offset projection, because a same-select reference to
+      // `doc_id` resolves against the offset ALIAS (measured: replica-1's
+      // copy of doc 0 hashed group 27 vs 44, breaking the exact-10×
+      // closed form by a few % per replica). Hashed, not `% groups`,
+      // because the fixture assigns `source` by a doc_id residue class —
+      // a bare modulus collapses to ~5 effective groups per source and
+      // the density never crosses the selector threshold (both traps
+      // measured by the first probe runs, kept here as the record).
+      base
+        .withColumn("__grp",
+          pmod(xxhash64(col("doc_id")), lit(groups)).cast("string"))
+        .select(
+        (col("doc_id") + lit(nBase * r)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit("_"), col("__grp"),
+                      lit(s"_$r")))).as("text"),
         col("lang"),
         concat(col("source"), lit(s"-$r")).as("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))
@@ -64,7 +111,8 @@ object ScaleProbe {
   def buildEmbeddings(spark: SparkSession, sfDir: String, outDir: String,
                       replicas: Int): Unit = {
     val base = graft.engine.Tables.embeddings(spark, sfDir)
-    val n = base.count()
+    // max(vec_id) + 1, not count() — same r10 advice fix as the corpus
+    val n = base.agg(max(col("vec_id"))).head.getLong(0) + 1L
     val reps = (0 until replicas).map { r =>
       base.select(
         (col("vec_id") + lit(n * r)).as("vec_id"),
@@ -86,7 +134,18 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").count()
+    // optional section args for local iteration: dense | sparse | emb
+    // (no args = all three, the full probe record)
+    val sections =
+      if (args.isEmpty) Set("dense", "sparse", "emb") else args.toSet
 
+    def run(name: String, dir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    if (sections("dense")) {
     buildCorpus(spark, sfDir, outDir, replicas = 10)
 
     // the auto-selector's measured decision at both scales
@@ -99,11 +158,6 @@ object ScaleProbe {
         s"blockDensity=${f"${stats.blockDensity}%.4f"}|prefersPrefix=$prefix")
     }
 
-    def run(name: String, dir: String): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, dir).count()
-      ((System.nanoTime() - t0) / 1e9, n)
-    }
     // warm BOTH inputs once (file listing, codegen, first-touch scan) so
     // neither side's measurement carries asymmetric cold-start cost
     Queries.foreach { q => run(q, sfDir); run(q, outDir) }
@@ -116,7 +170,37 @@ object ScaleProbe {
       println(f"SCALE|$q|sf0.1=$t1%.2fs/$n1%d rows|x10=$t10%.2fs/$n10%d rows|" +
         f"timeRatio=${t10 / t1}%.1f|rows10xExact=$exact10x")
     }
+    } // dense
 
+    if (sections("sparse")) {
+    // ---- sparse corpus: the prefix/crossover branch at probe scale ----
+    // (dense replicas above keep density ≈0.75 → naive path by design;
+    // these two builds flip the selector and measure the prefix path's
+    // own scaling, with the same exact-10× output gate)
+    val sparse1 = "/tmp/graft_sparse1"
+    val sparse10 = "/tmp/graft_sparse10"
+    buildSparseCorpus(spark, sfDir, sparse1, replicas = 1)
+    buildSparseCorpus(spark, sfDir, sparse10, replicas = 10)
+    for ((label, dir) <- Seq("sparse1x" -> sparse1, "sparse10x" -> sparse10)) {
+      val stats = graft.api.Dedup.corpusStats(
+        graft.engine.Tables.documents(spark, dir), "doc_id", "text", "source")
+      val prefix = graft.api.Dedup.prefersPrefixPath(stats)
+      println(s"SELECTOR|$label|nDocs=${stats.nDocs}|meanDf=${f"${stats.meanDf}%.2f"}|" +
+        s"candPerDoc=${f"${stats.candPerDoc}%.1f"}|" +
+        s"blockDensity=${f"${stats.blockDensity}%.4f"}|prefersPrefix=$prefix")
+    }
+    val SparseQueries = Seq("k02_near_dedup_jaccard", "k32_containment_neardup")
+    SparseQueries.foreach { q => run(q, sparse1); run(q, sparse10) } // warm
+    SparseQueries.foreach { q =>
+      val (t1, n1) = run(q, sparse1)
+      val (t10, n10) = run(q, sparse10)
+      println(f"SCALE|$q[sparse/prefix]|1x=$t1%.2fs/$n1%d rows|" +
+        f"x10=$t10%.2fs/$n10%d rows|timeRatio=${t10 / t1}%.1f|" +
+        f"rows10xExact=${n10 == 10 * n1}")
+    }
+    } // sparse
+
+    if (sections("emb")) {
     // ---- embedding stack: declared heavies + the SemDeDup one-call ----
     buildEmbeddings(spark, sfDir, outDir, replicas = 10)
     EmbQueries.foreach { q => run(q, sfDir); run(q, outDir) }
@@ -137,9 +221,12 @@ object ScaleProbe {
     // replica copy shares its twin's exact vector, hence its probed
     // clusters, hence a found cos = 1 pair — so every component contains
     // replica-0 members and every kept representative (min id) MUST be a
-    // replica-0 id, i.e. id < the ACTUAL base embedding count (derived,
-    // not the sf0.1 literal 2000 — the r9 advice fix).
-    val nEmbBase = graft.engine.Tables.embeddings(spark, sfDir).count()
+    // replica-0 id, i.e. id < the replica OFFSET BASE — the same
+    // max(vec_id)+1 the builder offsets by (count() would false-positive
+    // on sparse or 1-based ids — the r10 advice fix).
+    val nEmbBase =
+      graft.engine.Tables.embeddings(spark, sfDir)
+        .agg(max(col("vec_id"))).head.getLong(0) + 1L
     def semdedup(dir: String): (Double, Long, Long) = {
       val t0 = System.nanoTime()
       val kept = graft.api.Dedup.keepRepresentativesByEmbedding(
@@ -155,6 +242,7 @@ object ScaleProbe {
     println(f"SCALE|semdedup_keepReps|sf0.1=$st1%.2fs/$sn1%d kept|" +
       f"x10=$st10%.2fs/$sn10%d kept|timeRatio=${st10 / st1}%.1f|" +
       f"keptOutsideReplica0=$nonRep0%d (must be 0)")
+    } // emb
     spark.stop()
   }
 }

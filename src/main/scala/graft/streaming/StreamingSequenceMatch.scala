@@ -177,4 +177,98 @@ object StreamingSequenceMatch {
       .transformWithState(new PatternProcessor(pattern, condTypes, ttl),
                           StreamOps.timeModeFor(ttl), OutputMode.Update())
   }
+
+  // -------------------------------------------------------------------
+  // Multi-time-constraint patterns: the streaming twin of foldMatch.
+  // -------------------------------------------------------------------
+
+  final case class FoldState(slots: Seq[Long], nHits: Long, nEvents: Long)
+
+  /** Streaming twin of [[graft.operators.SequenceMatch.foldMatch]] (batch
+    * consumer: `j16_sequence_match_two_bounds`): patterns with ANY number
+    * of `(?t…)` time constraints, explicit gaps between all steps. The
+    * batch fold's sufficient statistic IS the streaming state — (min,
+    * max) completion time per pattern position, 2·k longs + two counters,
+    * independent of stream length — because every gap constraint is
+    * one-sided in t_prev (the foldMatch scaladoc's frontier argument; the
+    * fold is a left fold over the (ts, event_id) order, so it streams by
+    * construction). Transitions read the PRE-update frontier, exactly the
+    * batch fold's strictly-earlier chaining: an event can never extend a
+    * prefix it just completed. Same ±2⁶² unreached sentinels, same
+    * µs-exact comparisons. In-order delivery ⇒ emissions equal the batch
+    * query exactly (pinned against j16 across a batch cut in
+    * StreamingSpec); a late event narrows the frontier the standard
+    * watermark way, like [[Processor]]. */
+  final class FoldProcessor(pattern: String, condTypes: Seq[String],
+                            ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, EIn, SeqOut] {
+    import graft.operators.SequenceMatch.{AnyGap, Step, TimeGap}
+    private val toks =
+      graft.operators.SequenceMatch.parse(pattern, condTypes.length)
+    require(!toks.sliding(2).exists {
+        case Vector(_: Step, _: Step) => true
+        case _ => false
+      },
+      s"FoldProcessor needs an explicit gap between every step pair in " +
+      s"'$pattern' — adjacency runs are PatternProcessor's NFA territory")
+    private val steps = toks.collect { case Step(n) => n - 1 }
+    private val gaps = toks.collect { case g @ (AnyGap | TimeGap(_, _)) => g }
+    private val k = steps.length
+    private val MinS = 4611686018427387904L  // 2^62 — unreached min sentinel
+    private val MaxS = -4611686018427387904L // −2^62 — unreached max sentinel
+
+    @transient private var st: ValueState[FoldState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FoldState](
+        "seqfold", Encoders.product[FoldState], ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[EIn],
+                                 timerValues: TimerValues): Iterator[SeqOut] = {
+      var s = Option(st.get()).getOrElse(
+        FoldState(Seq.tabulate(2 * k)(i => if (i % 2 == 0) MinS else MaxS),
+                  0L, 0L))
+      val slots = s.slots.toArray
+      var nHits = s.nHits
+      var nEvents = s.nEvents
+      rows.toArray.sortBy(e => (e.ts_micros, e.event_id)).foreach { e =>
+        val t = e.ts_micros
+        // can e extend position p−1 → p? PRE-update frontier (1-based p)
+        def via(p: Int): Boolean =
+          e.event_type == condTypes(steps(p - 1)) &&
+            (p == 1 || (gaps(p - 2) match {
+              case AnyGap          => slots(2 * (p - 2)) < MinS
+              case TimeGap("<=", n) => slots(2 * (p - 2) + 1) >= t - n
+              case TimeGap("<", n)  => slots(2 * (p - 2) + 1) > t - n
+              case TimeGap(">", n)  => slots(2 * (p - 2)) < t - n
+              case TimeGap(">=", n) => slots(2 * (p - 2)) <= t - n
+              case other => throw new IllegalStateException(s"unreachable: $other")
+            }))
+        val hits = (1 to k).filter(via)
+        hits.foreach { p =>
+          slots(2 * (p - 1)) = math.min(slots(2 * (p - 1)), t)
+          slots(2 * (p - 1) + 1) = math.max(slots(2 * (p - 1) + 1), t)
+        }
+        if (hits.contains(k)) nHits += 1L
+        nEvents += 1L
+      }
+      s = FoldState(slots.toSeq, nHits, nEvents)
+      st.update(s)
+      Iterator.single(SeqOut(key, if (slots(2 * (k - 1)) < MinS) 1 else 0,
+                             nHits, nEvents))
+    }
+  }
+
+  /** Per-user running multi-bound match state over an unbounded stream —
+    * defaults mirror the batch j16 pattern. */
+  def foldMatched(events: Dataset[EIn],
+                  pattern: String = "(?1)(?t<=14400)(?2)(?t>86400)(?3)",
+                  condTypes: Seq[String] = Seq("signup", "click", "purchase"),
+                  ttl: TTLConfig = TTLConfig.NONE)
+                 (implicit s: SparkSession): Dataset[SeqOut] = {
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FoldProcessor(pattern, condTypes, ttl),
+                          StreamOps.timeModeFor(ttl), OutputMode.Update())
+  }
 }

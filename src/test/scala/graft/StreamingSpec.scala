@@ -1719,6 +1719,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming fold match equals batch j16 (two time bounds) across a batch cut") {
+    import graft.streaming.StreamingSequenceMatch
+    import graft.streaming.StreamingSequenceMatch.{EIn, SeqOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rows = graft.engine.Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+              col("event_type"))
+      .collect()
+      .map(r => EIn(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(e => (e.ts_micros, e.event_id))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[EIn]
+    // defaults = the batch j16 pattern and conditions
+    val q = StreamingSequenceMatch.foldMatched(in.toDS()).writeStream
+      .format("memory").queryName("seqfold_j16")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val batch = graft.engine.Round13Ops.j16.fn(spark, sf0001).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val last = spark.table("seqfold_j16").as[SeqOut].collect()
+        .groupBy(_.user_id).map { case (u, os) =>
+          val o = os.maxBy(_.n_events)
+          u -> ((o.matched, o.n_hits, o.n_events)) }
+      // EQUALITY, no tolerance: the (min, max) frontier IS the batch
+      // fold's aggregate state over the same exact µs integers
+      assert(last == batch,
+        s"streaming j16 twin must equal batch: got $last, want $batch")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming pattern NFA equals batch j07 (loose+adjacent) and j14 (mixed) across a batch cut") {
     import graft.streaming.StreamingSequenceMatch
     import graft.streaming.StreamingSequenceMatch.{EIn, NfaOut}
