@@ -243,6 +243,34 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("j16 foldMatch: one key exchange, no join, no window — the sorted-fold posture") {
+    // the multi-bound fold's scale contract: per-key collect + one
+    // aggregate HOF on ONE hashpartitioning exchange; the oracle's
+    // reachability formulation joins — the Spark side must not, and a
+    // window or second exchange appearing means the fold degraded into
+    // the per-row compile's shape
+    val p = executedPlan(graft.engine.Round13Ops.j16.fn(spark, sf0001))
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"j16 must not join:\n$p")
+    assert(!p.contains("WindowExec") && !"\\bWindow\\b".r.findFirstIn(p).isDefined,
+      s"j16 must not window:\n$p")
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(dataExchanges == 1, s"j16: one key exchange, got $dataExchanges:\n$p")
+  }
+
+  test("f06/d54: WindowGroupLimit prunes both sides of their rank exchanges") {
+    // the offset form (rn > n AND rn <= n+m) and the DESC mirror must
+    // keep the same pushdown d51 pins — the filter rewrite drifting out
+    // of the rn <= k pattern match would silently ship every row through
+    // the rank exchange
+    for (q <- Seq(graft.engine.Round13Ops.f06, graft.engine.Round13Ops.d54)) {
+      val p = executedPlan(q.fn(spark, sf0001)).split("== Initial Plan ==").head
+      val wgl = "WindowGroupLimit".r.findAllIn(p).length
+      assert(wgl == 2,
+        s"${q.name} needs the partial+final WindowGroupLimit pair, got $wgl:\n$p")
+    }
+  }
+
   test("d51: WindowGroupLimit prunes both sides of the rank exchange") {
     // the bottom-k scale contract: Spark's WindowGroupLimit pushdown must
     // appear BELOW the rank window on both the map side (pre-shuffle
