@@ -53,7 +53,8 @@ object Explain {
                // real-MapType filter/apply HOFs, DESC WindowGroupLimit
                "j16_sequence_match_two_bounds", "j17_sequence_match_ch_skip",
                "h46_json_extract_schema", "h47_map_filter_apply",
-               "d54_group_array_last")
+               "d54_group_array_last", "j18_sequence_count_bounded",
+               "k40_unigram_logprob")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

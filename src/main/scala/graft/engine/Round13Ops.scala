@@ -342,5 +342,111 @@ object Round13Ops {
                 col("n_total"))
         .orderBy(asc_nulls_last("day")))
 
-  def ops: Vector[Q] = Vector(j16, j17, h46, f06, d54, h47)
+  // ---------------------------------------------------------------- j18
+
+  /** j18 — time-bounded `sequenceCount` analog
+    * (`sequenceCount('(?1)(?t<=14400)(?2)')` [public: CH
+    * parametric-aggregate docs]): the number of SPAN-DISJOINT
+    * signup→click chains with the click within 4 hours, per user —
+    * j08 counts the unbounded `.*` form via bracket matching; this is
+    * the time-constrained member, computed by
+    * [[graft.operators.SequenceMatch.countChainsBounded]]'s 2-long
+    * restart fold (best-opener-since-restart + count; the
+    * earliest-ending greedy is both CH's documented restart behavior
+    * and provably count-maximal — the interval-scheduling exchange
+    * argument). Non-trivial at sf0.01: 130 chains over 90 of 150 users,
+    * max 4 per user. The ORACLE is an independent implementation of the
+    * same deterministic automaton — a recursive CTE advancing every
+    * user one event per step (b09's recursion posture; state columns,
+    * not a fold) — so the two sides share only the semantics, not the
+    * mechanism. All comparisons exact µs integers; ties break on
+    * event_id. */
+  val j18: Q = Q(
+    "j18_sequence_count_bounded",
+    """WITH RECURSIVE o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) AS rn
+      |  FROM events),
+      |mx AS (SELECT user_id, MAX(rn) AS mrn FROM o GROUP BY user_id),
+      |st AS (
+      |  SELECT user_id, 0 AS rn, CAST(NULL AS TIMESTAMP) AS besta, 0 AS cnt
+      |  FROM mx
+      |  UNION ALL
+      |  SELECT st.user_id, st.rn + 1,
+      |    CASE WHEN o.event_type = 'click' AND st.besta IS NOT NULL
+      |              AND o.ts <= st.besta + INTERVAL 14400 SECOND THEN NULL
+      |         WHEN o.event_type = 'signup'
+      |           THEN GREATEST(COALESCE(st.besta, o.ts), o.ts)
+      |         ELSE st.besta END,
+      |    st.cnt + CASE WHEN o.event_type = 'click' AND st.besta IS NOT NULL
+      |                   AND o.ts <= st.besta + INTERVAL 14400 SECOND
+      |                  THEN 1 ELSE 0 END
+      |  FROM st JOIN o ON o.user_id = st.user_id AND o.rn = st.rn + 1)
+      |SELECT st.user_id AS user_id, CAST(st.cnt AS BIGINT) AS n_chains,
+      |  CAST(mx.mrn AS BIGINT) AS n_events
+      |FROM st JOIN mx ON st.user_id = mx.user_id AND st.rn = mx.mrn
+      |ORDER BY st.user_id ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      graft.operators.SequenceMatch.countChainsBounded(
+          Tables.events(s, dir), "user_id", unix_micros(col("ts")),
+          col("event_id"),
+          col("event_type") === "signup", col("event_type") === "click",
+          "<=", 14400L * 1000000L)
+        .orderBy(asc_nulls_last("user_id")))
+
+  // ---------------------------------------------------------------- k40
+
+  /** k40 — unigram-LM log-probability quality filter (the CCNet-style
+    * perplexity proxy [public: Wenzek et al. 2020, "CCNet: Extracting
+    * high quality monolingual datasets"; CCNet thresholds a KenLM
+    * perplexity — the corpus-unigram mean negative log-likelihood is its
+    * model-free analog]): per document, mean −ln p(token) under the
+    * CORPUS unigram distribution; boilerplate built from common tokens
+    * scores low (predictable), rare-token-heavy docs score high — the
+    * filter axis k36's WITHIN-doc entropy cannot see (k36 measures
+    * self-repetition; this measures corpus-typicality). Shape: tokens
+    * explode → vocab-sized corpus counts + a 1-row total (broadcast) →
+    * per-(doc, token-type) join → per-doc agg over ≤vocab terms. The
+    * `ln` rides the k20/k36 recipe: both engines evaluate IEEE ln on
+    * the SAME double (ct/tot of exact integers), and ROUND 4 absorbs
+    * the ≤1-ulp divergence; the drop flag decides on the ROUNDED value
+    * so both engines compare identical doubles. */
+  val k40: Q = Q(
+    "k40_unigram_logprob",
+    """WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      |             FROM documents),
+      |tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |cf AS (SELECT t, COUNT(*) AS ct FROM tok GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS tot FROM tok),
+      |per AS (
+      |  SELECT tf.doc_id, SUM(tf.c) AS n_tok,
+      |    -SUM(tf.c * LN(CAST(ct AS DOUBLE) / tot)) AS nll
+      |  FROM tf JOIN cf ON tf.t = cf.t CROSS JOIN n
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+      |  ROUND(nll / n_tok, 4) AS mean_nll,
+      |  CAST(CASE WHEN ROUND(nll / n_tok, 4) > 3.45 THEN 1 ELSE 0 END AS INT)
+      |    AS high_surprise
+      |FROM per ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      val cf = tok.groupBy("t").agg(count(lit(1)).as("ct"))
+      val tot = tok.agg(count(lit(1)).as("tot"))
+      tf.join(cf, "t")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+             (-sum(col("c") * log(col("ct").cast("double") / col("tot"))))
+               .as("nll"))
+        .select(col("doc_id"), col("n_tokens"),
+                round(col("nll") / col("n_tokens"), 4).as("mean_nll"),
+                when(round(col("nll") / col("n_tokens"), 4) > 3.45, 1)
+                  .otherwise(0).cast("int").as("high_surprise"))
+        .orderBy(asc_nulls_last("doc_id"))
+    })
+
+  def ops: Vector[Q] = Vector(j16, j17, h46, f06, d54, h47, j18, k40)
 }

@@ -369,6 +369,69 @@ object SequenceMatch {
               col("n_events"))
   }
 
+  /** `sequenceCount('(?1)(?t OP N)(?2)')`: the number of SPAN-DISJOINT
+    * time-bounded A-then-B chains per key — the time-constrained member
+    * of the sequenceCount family ([[countChains]] covers the unbounded
+    * `.*` form; ClickHouse's `sequenceCount` accepts the same `(?t…)`
+    * tokens `sequenceMatch` does and restarts the search AFTER each
+    * matched chain [public: CH parametric-aggregate docs], i.e. chains
+    * occupy disjoint event spans).
+    *
+    * WHY AN O(1)-STATE FOLD IS EXACT AND MAXIMAL: with disjoint spans,
+    * the classical interval-scheduling exchange argument applies —
+    * repeatedly taking the EARLIEST-ENDING valid chain maximizes the
+    * count. The earliest-ending chain closes at the first B with ANY
+    * valid opener since the last restart, and validity of "some opener"
+    * is decided by ONE running extremum of opener times since restart
+    * (upper bounds `<=`/`<`: the LATEST A — it minimizes the gap; lower
+    * bounds `>`/`>=`: the EARLIEST A — it maximizes it). So the fold
+    * state is (best-opener-since-restart, count): 2 longs per key,
+    * reset on each match, any stream length. The B-check reads the
+    * PRE-update opener (an event cannot chain with itself); ties break
+    * on the (ts, tie) total order both engines share.
+    *
+    * Plan shape: the j10/j11 sorted-fold posture — one hash exchange
+    * (collect_list + count), one `array_sort`, one `aggregate` HOF.
+    * Declared consumer: `j18_sequence_count_bounded` (oracle: an
+    * independent recursive-CTE step simulation). Returns one row per
+    * key: (keyCol, n_chains, n_events). */
+  def countChainsBounded(df: DataFrame, keyCol: String, tsMicros: Column,
+                         tie: Column, condA: Column, condB: Column,
+                         op: String, boundMicros: Long): DataFrame = {
+    require(Set("<=", "<", ">", ">=")(op),
+      s"unsupported time operator '$op' (supported: <= < >= >)")
+    // max-mode for upper bounds (sentinel −2^62, test acc[0] > sentinel),
+    // min-mode for lower bounds (sentinel +2^62, test acc[0] < sentinel)
+    val upper = op == "<=" || op == "<"
+    val sent = if (upper) "-4611686018427387904L" else "4611686018427387904L"
+    val isSet = if (upper) s"acc[0] > $sent" else s"acc[0] < $sent"
+    val gapOk = op match {
+      case "<=" => s"e.t <= acc[0] + ${boundMicros}L"
+      case "<"  => s"e.t < acc[0] + ${boundMicros}L"
+      case ">"  => s"e.t > acc[0] + ${boundMicros}L"
+      case ">=" => s"e.t >= acc[0] + ${boundMicros}L"
+    }
+    val ext = if (upper) "GREATEST" else "LEAST"
+    val matchB = s"(e.b = 1 AND $isSet AND $gapOk)"
+    val foldExpr =
+      s"aggregate(__es, array($sent, 0L), (acc, e) -> " +
+      s"transform(sequence(0, 1), j -> CASE " +
+      s"WHEN j = 0 THEN (CASE WHEN $matchB THEN $sent " +
+      s"                      WHEN e.a = 1 THEN $ext(acc[0], e.t) " +
+      s"                      ELSE acc[0] END) " +
+      s"ELSE acc[1] + IF($matchB, 1L, 0L) END))"
+    df.select(col(keyCol),
+              struct(tsMicros.cast("long").as("t"), tie.as("i"),
+                     condA.cast("int").as("a"), condB.cast("int").as("b"))
+                .as("__p"))
+      .groupBy(keyCol)
+      .agg(array_sort(collect_list(col("__p"))).as("__es"),
+           count(lit(1)).cast("long").as("n_events"))
+      .withColumn("__fs", expr(foldExpr))
+      .select(col(keyCol), col("__fs").getItem(1).cast("long").as("n_chains"),
+              col("n_events"))
+  }
+
   /** `sequenceCount('(?1).*(?2)')`: the number of non-overlapping
     * A-then-B chains per key, via the bracket-matching closed form
     * (j08's derivation): greedy left-to-right matching = bracket

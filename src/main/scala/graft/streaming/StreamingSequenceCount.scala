@@ -74,4 +74,79 @@ object StreamingSequenceCount {
       .transformWithState(new Processor(openType, closeType, ttl),
                           StreamOps.timeModeFor(ttl), OutputMode.Update())
   }
+
+  // -------------------------------------------------------------------
+  // Time-bounded span-disjoint counting: the streaming twin of
+  // SequenceMatch.countChainsBounded (batch consumer: j18).
+  // -------------------------------------------------------------------
+
+  final case class BoundedState(bestA: Long, n: Long, nEvents: Long)
+  final case class BoundedCount(user_id: Long, n_chains: Long, n_events: Long)
+
+  /** Streaming twin of
+    * [[graft.operators.SequenceMatch.countChainsBounded]]: span-disjoint
+    * time-bounded A→B chains counted by the SAME 2-long restart
+    * automaton the batch fold runs — best-opener-since-restart (LATEST
+    * A for upper bounds, EARLIEST for lower) + count — so it streams by
+    * construction; the fold is already a left fold in (ts, tie) order.
+    * In-order delivery ⇒ emissions equal the batch j18 exactly (pinned
+    * across a batch cut in StreamingSpec). */
+  final class BoundedProcessor(typeA: String, typeB: String, op: String,
+                               boundMicros: Long,
+                               ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, EventIn, BoundedCount] {
+    require(Set("<=", "<", ">", ">=")(op), s"unsupported time operator '$op'")
+    private val upper = op == "<=" || op == "<"
+    // max-mode sentinel −2^62 / min-mode +2^62 — the batch fold's values
+    private val Sent =
+      if (upper) -4611686018427387904L else 4611686018427387904L
+    @transient private var st: ValueState[BoundedState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[BoundedState](
+        "boundedchain", Encoders.product[BoundedState], ttl)
+
+    private def isSet(bestA: Long): Boolean =
+      if (upper) bestA > Sent else bestA < Sent
+
+    private def gapOk(bestA: Long, t: Long): Boolean = op match {
+      case "<=" => t <= bestA + boundMicros
+      case "<"  => t < bestA + boundMicros
+      case ">"  => t > bestA + boundMicros
+      case ">=" => t >= bestA + boundMicros
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[EventIn],
+                                 timerValues: TimerValues): Iterator[BoundedCount] = {
+      var s = Option(st.get()).getOrElse(BoundedState(Sent, 0L, 0L))
+      rows.toArray.sortBy(e => (e.ts_micros, e.event_id)).foreach { e =>
+        // B-check BEFORE the A-update (an event cannot chain with itself)
+        if (e.event_type == typeB && isSet(s.bestA) &&
+            gapOk(s.bestA, e.ts_micros))
+          s = s.copy(bestA = Sent, n = s.n + 1L)
+        else if (e.event_type == typeA)
+          s = s.copy(bestA =
+            if (!isSet(s.bestA)) e.ts_micros
+            else if (upper) math.max(s.bestA, e.ts_micros)
+            else math.min(s.bestA, e.ts_micros))
+        s = s.copy(nEvents = s.nEvents + 1L)
+      }
+      st.update(s)
+      Iterator.single(BoundedCount(key, s.n, s.nEvents))
+    }
+  }
+
+  /** Per-user running span-disjoint bounded chain count — defaults mirror
+    * the batch j18 (signup→click within 4 hours). */
+  def boundedChainCounts(events: Dataset[EventIn],
+                         typeA: String = "signup", typeB: String = "click",
+                         op: String = "<=",
+                         boundMicros: Long = 14400L * 1000000L,
+                         ttl: TTLConfig = TTLConfig.NONE)
+                        (implicit s: SparkSession): Dataset[BoundedCount] = {
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new BoundedProcessor(typeA, typeB, op, boundMicros, ttl),
+                          StreamOps.timeModeFor(ttl), OutputMode.Update())
+  }
 }

@@ -31,7 +31,8 @@ class PlanShapeSpec extends SparkSpec {
       "h25_bar_render",      // 1-row global-max broadcast for the bar scale
       "k03_sim_topk_cosine", // 1-row probe vector broadcast
       "k16_ivf_assign",      // 8-row centroid set broadcast (IVF coarse scoring)
-      "k20_tfidf_topterms")  // 1-row corpus-count broadcast for idf
+      "k20_tfidf_topterms",  // 1-row corpus-count broadcast for idf
+      "k40_unigram_logprob") // 1-row corpus-token-total broadcast for ln p
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val df = fn(spark, sf0001)
@@ -243,19 +244,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("j16 foldMatch: one key exchange, no join, no window — the sorted-fold posture") {
-    // the multi-bound fold's scale contract: per-key collect + one
-    // aggregate HOF on ONE hashpartitioning exchange; the oracle's
-    // reachability formulation joins — the Spark side must not, and a
-    // window or second exchange appearing means the fold degraded into
-    // the per-row compile's shape
-    val p = executedPlan(graft.engine.Round13Ops.j16.fn(spark, sf0001))
-      .split("== Initial Plan ==").head
-    assert(!p.contains("Join"), s"j16 must not join:\n$p")
-    assert(!p.contains("WindowExec") && !"\\bWindow\\b".r.findFirstIn(p).isDefined,
-      s"j16 must not window:\n$p")
-    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(dataExchanges == 1, s"j16: one key exchange, got $dataExchanges:\n$p")
+  test("j16/j18 folds: one key exchange, no join, no window — the sorted-fold posture") {
+    // the fold family's scale contract: per-key collect + one aggregate
+    // HOF on ONE hashpartitioning exchange; the oracle formulations join
+    // (reachability CTEs / recursive steps) — the Spark side must not,
+    // and a window or second exchange appearing means the fold degraded
+    // into the per-row compile's shape
+    for (q <- Seq(graft.engine.Round13Ops.j16, graft.engine.Round13Ops.j18)) {
+      val p = executedPlan(q.fn(spark, sf0001)).split("== Initial Plan ==").head
+      assert(!p.contains("Join"), s"${q.name} must not join:\n$p")
+      assert(!p.contains("WindowExec") && !"\\bWindow\\b".r.findFirstIn(p).isDefined,
+        s"${q.name} must not window:\n$p")
+      val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(dataExchanges == 1,
+        s"${q.name}: one key exchange, got $dataExchanges:\n$p")
+    }
   }
 
   test("f06/d54: WindowGroupLimit prunes both sides of their rank exchanges") {

@@ -255,6 +255,38 @@ class SequenceMatchSpec extends SparkSpec {
     assert(foldOf(df, "(?1).*(?2)")(1L) == ((1, 1L, 3L)))
   }
 
+  test("countChainsBounded: span-disjoint greedy with restart, both bound directions") {
+    val sp = spark
+    import sp.implicits._
+    def counts(op: String, boundSec: Long, rows: (Long, Long, Long, String)*): Map[Long, Long] =
+      SequenceMatch.countChainsBounded(events(rows: _*), "k", col("ts"),
+          col("id"), col("e") === "a", col("e") === "b", op, boundSec * S)
+        .select("k", "n_chains").as[(Long, Long)].collect().toMap
+    // the opener extremum: A@0, A@60, B@100 with <=50 — only the LATEST
+    // A (60) is in bound; a first-A-only automaton would count 0
+    assert(counts("<=", 50, (1L, 0 * S, 1, "a"), (1L, 60 * S, 2, "a"),
+                  (1L, 100 * S, 3, "b")) == Map(1L -> 1L))
+    // restart: two full chains back-to-back
+    assert(counts("<=", 15, (1L, 0 * S, 1, "a"), (1L, 10 * S, 2, "b"),
+                  (1L, 20 * S, 3, "a"), (1L, 30 * S, 4, "b")) == Map(1L -> 2L))
+    // SPAN-disjoint (the CH restart rule): A@0, A@5, B@10, B@12 — the
+    // first match consumes the span THROUGH B@10, discarding A@5, so the
+    // second B has no opener; an event-disjoint maximal matching would
+    // find 2 — this pins which semantics ships
+    assert(counts("<=", 20, (1L, 0 * S, 1, "a"), (1L, 5 * S, 2, "a"),
+                  (1L, 10 * S, 3, "b"), (1L, 12 * S, 4, "b")) == Map(1L -> 1L))
+    // lower bound uses the EARLIEST opener and restarts the same way
+    assert(counts(">", 50, (1L, 0 * S, 1, "a"), (1L, 5 * S, 2, "b"),
+                  (1L, 100 * S, 3, "b")) == Map(1L -> 1L))
+    assert(counts(">", 50, (2L, 0 * S, 1, "a"), (2L, 60 * S, 2, "b"),
+                  (2L, 70 * S, 3, "a"), (2L, 140 * S, 4, "b")) == Map(2L -> 2L))
+    // equal-ts tie: the A sorts first by id, a zero gap passes <=0
+    assert(counts("<=", 0, (3L, 10 * S, 1, "a"), (3L, 10 * S, 2, "b")) ==
+      Map(3L -> 1L))
+    // no events matching either condition: zero chains, not an error
+    assert(counts("<=", 10, (4L, 1 * S, 1, "x")) == Map(4L -> 0L))
+  }
+
   test("generated k-step folds reproduce the shipped 3-step fold strings") {
     // j10 shipped this exact text; StreamingStrictFunnel mirrors it in
     // Scala — the generator must never drift for k = 3

@@ -1764,6 +1764,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming bounded chain count equals batch j18 across a batch cut") {
+    import graft.streaming.StreamingSequenceCount
+    import graft.streaming.StreamingSequenceCount.{EventIn, BoundedCount}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rows = graft.engine.Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+              col("event_type"))
+      .collect()
+      .map(r => EventIn(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(e => (e.ts_micros, e.event_id))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[EventIn]
+    // defaults = the batch j18 pattern (signup→click within 4 hours)
+    val q = StreamingSequenceCount.boundedChainCounts(in.toDS()).writeStream
+      .format("memory").queryName("bounded_j18")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val batch = graft.engine.Round13Ops.j18.fn(spark, sf0001).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val last = spark.table("bounded_j18").as[BoundedCount].collect()
+        .groupBy(_.user_id).map { case (u, os) =>
+          val o = os.maxBy(_.n_events); u -> ((o.n_chains, o.n_events)) }
+      // EQUALITY: the 2-long restart automaton IS the batch fold's state
+      assert(last == batch,
+        s"streaming j18 twin must equal batch: got $last, want $batch")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming pattern NFA equals batch j07 (loose+adjacent) and j14 (mixed) across a batch cut") {
     import graft.streaming.StreamingSequenceMatch
     import graft.streaming.StreamingSequenceMatch.{EIn, NfaOut}
