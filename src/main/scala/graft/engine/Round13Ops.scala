@@ -448,5 +448,74 @@ object Round13Ops {
         .orderBy(asc_nulls_last("doc_id"))
     })
 
-  def ops: Vector[Q] = Vector(j16, j17, h46, f06, d54, h47, j18, k40)
+  // ---------------------------------------------------------------- h48
+
+  /** h48 — `mapAdd` / `mapSubtract` analogs (ClickHouse map functions
+    * [public: CH map-function docs]) via the real `map_zip_with` HOF —
+    * h47 covers filter/apply on ONE map; this is the two-map key-wise
+    * ARITHMETIC whose whole point is ASYMMETRIC key sets (CH merges key
+    * unions, absent keys read 0): per day, map A = event types' counts
+    * of high-value rows (value > 150), map B = counts of near-zero rows
+    * (value < 1). At sf0.01 every asymmetry class is populated — 45
+    * cells A-only, 6 B-only, 1 in NEITHER map, and the subtraction goes
+    * negative in 21 cells — so the `coalesce(x, 0)` union semantics are
+    * load-bearing, not decorative. `map_zip_with` merges the key union
+    * in one codegen'd pass; the d25 sorted serialization renders (keys
+    * unique + prefix-free ⇒ string sort = key order, negative values
+    * inside the value region never reorder keys). The oracle computes
+    * the same cells by direct conditional aggregation — no map type
+    * anywhere on its side. All integer counts; the float predicates
+    * compare raw doubles against shared literals (the d53 recipe). */
+  val h48: Q = Q(
+    "h48_map_arithmetic",
+    """WITH per AS (
+      |  SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, event_type,
+      |    SUM(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS a,
+      |    SUM(CASE WHEN value < 1 THEN 1 ELSE 0 END) AS b
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day,
+      |  STRING_AGG(CASE WHEN a + b > 0
+      |                  THEN event_type || ':' || CAST(a + b AS VARCHAR) END,
+      |             ',' ORDER BY event_type ASC) AS add_map,
+      |  STRING_AGG(CASE WHEN a + b > 0
+      |                  THEN event_type || ':' || CAST(a - b AS VARCHAR) END,
+      |             ',' ORDER BY event_type ASC) AS sub_map,
+      |  CAST(SUM(CASE WHEN a + b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keys
+      |FROM per GROUP BY day
+      |ORDER BY day ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(sum(when(col("value") > 150, 1).otherwise(0)).cast("long").as("a"),
+             sum(when(col("value") < 1, 1).otherwise(0)).cast("long").as("b"))
+        .groupBy("day")
+        .agg(map_from_entries(collect_list(
+               when(col("a") > 0, struct(col("event_type"), col("a")))))
+               .as("ma"),
+             map_from_entries(collect_list(
+               when(col("b") > 0, struct(col("event_type"), col("b")))))
+               .as("mb"))
+        .withColumn("madd", expr(
+          "map_zip_with(ma, mb, (k, x, y) -> coalesce(x, 0L) + coalesce(y, 0L))"))
+        .withColumn("msub", expr(
+          "map_zip_with(ma, mb, (k, x, y) -> coalesce(x, 0L) - coalesce(y, 0L))"))
+        .select(col("day"),
+                array_join(sort_array(expr(
+                  "transform(map_entries(madd), " +
+                  "e -> concat(e.key, ':', cast(e.value as string)))")), ",")
+                  .as("r_add"),
+                array_join(sort_array(expr(
+                  "transform(map_entries(msub), " +
+                  "e -> concat(e.key, ':', cast(e.value as string)))")), ",")
+                  .as("r_sub"),
+                expr("cardinality(madd)").cast("long").as("n_keys"))
+        .select(col("day"),
+                when(col("r_add") === "", lit(null).cast("string"))
+                  .otherwise(col("r_add")).as("add_map"),
+                when(col("r_sub") === "", lit(null).cast("string"))
+                  .otherwise(col("r_sub")).as("sub_map"),
+                col("n_keys"))
+        .orderBy(asc_nulls_last("day")))
+
+  def ops: Vector[Q] = Vector(j16, j17, h46, f06, d54, h47, j18, k40, h48)
 }
