@@ -54,7 +54,12 @@ object Explain {
                "j16_sequence_match_two_bounds", "j17_sequence_match_ch_skip",
                "h46_json_extract_schema", "h47_map_filter_apply",
                "d54_group_array_last", "j18_sequence_count_bounded",
-               "k40_unigram_logprob", "h48_map_arithmetic")
+               "k40_unigram_logprob", "h48_map_arithmetic",
+               // round-13 close: distributed Gopher gate (explode + two
+               // stacked aggs + doc_id join), bounded topKWeighted collect,
+               // map-only all-occurrences regexp
+               "k41_gopher_quality_gate", "d55_topk_weighted",
+               "h49_extract_all")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -517,5 +517,156 @@ object Round13Ops {
                 col("n_keys"))
         .orderBy(asc_nulls_last("day")))
 
-  def ops: Vector[Q] = Vector(j16, j17, h46, f06, d54, h47, j18, k40, h48)
+  // ---------------------------------------------------------------- k41
+
+  /** k41 — Gopher-style hard quality GATE (the rule-based document filter
+    * [public: Rae et al. 2021, "Scaling Language Models: Methods, Analysis
+    * & Insights from Training Gopher", Table A1 quality rules]): unlike
+    * k09's soft composite SCORE and k37's repetition metrics, this is the
+    * binary keep/drop gate a pretraining pipeline actually applies, with
+    * per-rule flags so drops are attributable. Rules adapted to rules that
+    * BIND on this fixture (each populates both flag values at sf0.01, probed
+    * before declaring): word count ≥ 50 (Gopher's 50–100k band, 223/500
+    * fail), ≥ 2 distinct stopwords present (Gopher's stop-word rule, 50/500
+    * fail), top-token mass fraction ≤ 0.1 (the repetition-family analog of
+    * Gopher's duplicate-line fractions — the fixture has no line structure;
+    * 188/500 fail). Shape: the concentration leg explodes tokens →
+    * per-(doc, type) counts → per-doc max/sum — O(tokens) DISTRIBUTED (the
+    * all-array alternative `array_max(transform(array_distinct...))` is
+    * O(types²) per doc and was rejected: a 100 TB corpus has MB-scale
+    * documents); both legs join co-partitioned on doc_id. Flags decide on
+    * the RAW mc/n quotient (exact-integer operands ⇒ identical IEEE
+    * division both engines); the display ratio rounds at 9 where dyadic
+    * token counts (16/32/64) terminate earlier, so no round-tie exists
+    * (the k09 precedent). */
+  val k41: Q = Q(
+    "k41_gopher_quality_gate",
+    """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+      |base AS (
+      |  SELECT doc_id, CAST(LEN(toks) AS INT) AS n_tokens,
+      |    CAST(LEN(list_filter(['a', 'the', 'of', 'and', 'to', 'value', 'data'],
+      |      w -> list_contains(toks, w))) AS INT) AS n_stop_kinds
+      |  FROM t),
+      |tok AS (SELECT doc_id, UNNEST(toks) AS w FROM t),
+      |c AS (SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |conc AS (SELECT doc_id, MAX(c) AS mc, SUM(c) AS n FROM c GROUP BY 1)
+      |SELECT b.doc_id, b.n_tokens, b.n_stop_kinds,
+      |  ROUND(CAST(mc AS DOUBLE) / n, 9) AS top_frac,
+      |  CAST(CASE WHEN b.n_tokens >= 50 THEN 1 ELSE 0 END AS INT) AS wc_ok,
+      |  CAST(CASE WHEN b.n_stop_kinds >= 2 THEN 1 ELSE 0 END AS INT) AS stop_ok,
+      |  CAST(CASE WHEN CAST(mc AS DOUBLE) / n <= 0.1 THEN 1 ELSE 0 END AS INT)
+      |    AS conc_ok,
+      |  CAST(CASE WHEN b.n_tokens >= 50 AND b.n_stop_kinds >= 2
+      |             AND CAST(mc AS DOUBLE) / n <= 0.1 THEN 1 ELSE 0 END AS INT)
+      |    AS keep
+      |FROM base b JOIN conc USING (doc_id)
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val base = docs.select(
+        col("doc_id"), size(col("toks")).cast("int").as("n_tokens"),
+        expr("size(filter(array('a', 'the', 'of', 'and', 'to', 'value', 'data'), " +
+             "w -> array_contains(toks, w)))").cast("int").as("n_stop_kinds"))
+      val conc = docs
+        .select(col("doc_id"), explode(col("toks")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("mc"), sum(col("c")).as("n"))
+      val frac = col("mc").cast("double") / col("n")
+      base.join(conc, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_stop_kinds"),
+                round(frac, 9).as("top_frac"),
+                when(col("n_tokens") >= 50, 1).otherwise(0).cast("int").as("wc_ok"),
+                when(col("n_stop_kinds") >= 2, 1).otherwise(0).cast("int")
+                  .as("stop_ok"),
+                when(frac <= 0.1, 1).otherwise(0).cast("int").as("conc_ok"),
+                when(col("n_tokens") >= 50 && col("n_stop_kinds") >= 2 &&
+                     frac <= 0.1, 1).otherwise(0).cast("int").as("keep"))
+        .orderBy(asc_nulls_last("doc_id"))
+    })
+
+  // ---------------------------------------------------------------- d55
+
+  /** d55 — exact `topKWeighted` analog (ClickHouse `topK`/`topKWeighted`
+    * [public: CH parametric-aggregate docs] — CH's is an approximate
+    * filtered-space-saving sketch; this is the exact deterministic form,
+    * correct whenever the grouped domain fits an executor, which per-lang
+    * sources always do — the SKETCH form for unbounded domains is the
+    * Tier-2 `HeavyHitters` Misra-Gries operator, already guarantee-tested):
+    * per lang, the top-3 sources by total character mass, rendered in rank
+    * order with deterministic ties (weight DESC, source ASC). Shape: two
+    * stacked hash aggregations — (lang, source) sum then per-lang
+    * collect of a SOURCE-COUNT-bounded list (≤20 structs/lang; this is the
+    * d11 bounded-collect posture, NOT an unbounded groupArray) — sort /
+    * slice / render are per-group array ops after the exchange. The sort
+    * key embeds the negated weight so one ascending `array_sort` yields
+    * (weight DESC, source ASC) without a comparator lambda. */
+  val d55: Q = Q(
+    "d55_topk_weighted",
+    """WITH w AS (SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS wt
+      |           FROM documents GROUP BY 1, 2),
+      |r AS (SELECT lang, source, wt,
+      |        ROW_NUMBER() OVER (PARTITION BY lang
+      |                           ORDER BY wt DESC, source ASC) AS rn
+      |      FROM w)
+      |SELECT lang,
+      |  STRING_AGG(source || ':' || CAST(wt AS VARCHAR), ',' ORDER BY rn ASC)
+      |    AS top_sources,
+      |  CAST(MAX(wt) AS BIGINT) AS top_weight,
+      |  CAST(COUNT(*) AS BIGINT) AS k
+      |FROM r WHERE rn <= 3
+      |GROUP BY lang ORDER BY lang ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang", "source")
+        .agg(sum(col("n_chars")).cast("long").as("wt"))
+        .groupBy("lang")
+        .agg(slice(array_sort(collect_list(struct(
+               (-col("wt")).as("nw"), col("source").as("source"),
+               col("wt").as("wt")))), 1, 3).as("top"))
+        .select(col("lang"),
+                array_join(transform(col("top"),
+                  e => concat(e("source"), lit(":"),
+                              e("wt").cast("string"))), ",").as("top_sources"),
+                element_at(col("top"), 1)("wt").as("top_weight"),
+                size(col("top")).cast("long").as("k"))
+        .orderBy(asc_nulls_last("lang")))
+
+  // ---------------------------------------------------------------- h49
+
+  /** h49 — `extractAll` / `countMatches` / group-extract family (ClickHouse
+    * string-search functions [public: CH string-functions docs]) via the
+    * codegen'd `regexp_extract_all` (h02 covers single-match regexp ops;
+    * this is the ALL-occurrences form): every 'ar'-infixed token occurrence
+    * in order (1758 occurrences over sf0.01, 38 docs with zero — the empty
+    * case is populated), its count, and the first 'sp'-stem capture group.
+    * Cross-engine edges normalized: DuckDB `array_to_string([])` is NULL
+    * while Spark `array_join` gives '' — the zero-match doc emits NULL on
+    * BOTH sides via an explicit guard; no-match `regexp_extract` is '' on
+    * both engines (probed). The pattern stays in RE2∩Java char-class
+    * territory (both leftmost-greedy here) — no lookaround, no \b. */
+  val h49: Q = Q(
+    "h49_extract_all",
+    """SELECT doc_id,
+      |  CAST(LEN(regexp_extract_all(text, '[a-z]*ar[a-z]*', 0)) AS INT)
+      |    AS n_matches,
+      |  CASE WHEN LEN(regexp_extract_all(text, '[a-z]*ar[a-z]*', 0)) = 0
+      |       THEN NULL
+      |       ELSE array_to_string(regexp_extract_all(text, '[a-z]*ar[a-z]*', 0),
+      |                            ',') END AS matches,
+      |  regexp_extract(text, 'sp([a-z]+)', 1) AS first_sp
+      |FROM documents ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val all = regexp_extract_all(col("text"), lit("[a-z]*ar[a-z]*"), lit(0))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+                size(all).cast("int").as("n_matches"),
+                when(size(all) === 0, lit(null).cast("string"))
+                  .otherwise(array_join(all, ",")).as("matches"),
+                regexp_extract(col("text"), "sp([a-z]+)", 1).as("first_sp"))
+        .orderBy(asc_nulls_last("doc_id"))
+    })
+
+  def ops: Vector[Q] =
+    Vector(j16, j17, h46, f06, d54, h47, j18, k40, h48, k41, d55, h49)
 }

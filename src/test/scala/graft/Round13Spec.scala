@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Adversarial edge pins for the round-13 declared queries — cases the
+  * fixture data cannot force (probed: sf0.01 has ZERO equal-weight
+  * (lang, source) ties for d55 and no doc sitting exactly on a k41 rule
+  * boundary), exercised on synthesized frames through the same expressions
+  * the declared queries compile to. */
+class Round13Spec extends SparkSpec {
+
+  test("d55 tie-break: equal weights render source-ASC; slice caps at 3") {
+    val sp = spark
+    import sp.implicits._
+    // lang "x": b and a TIE at weight 7 (a must render first), then c 5,
+    // d 3 — four sources, so the slice must drop d. lang "y": one source.
+    val df = Seq(("x", "b", 7L), ("x", "a", 7L), ("x", "c", 5L),
+                 ("x", "d", 3L), ("y", "solo", 9L))
+      .toDF("lang", "source", "wt")
+    val got = df.groupBy("lang")
+      .agg(slice(array_sort(collect_list(struct(
+             (-col("wt")).as("nw"), col("source").as("source"),
+             col("wt").as("wt")))), 1, 3).as("top"))
+      .select(col("lang"),
+              array_join(transform(col("top"),
+                e => concat(e("source"), lit(":"),
+                            e("wt").cast("string"))), ",").as("r"),
+              element_at(col("top"), 1)("wt").as("mx"),
+              size(col("top")).as("k"))
+      .as[(String, String, Long, Int)].collect()
+      .map { case (l, r, mx, k) => l -> ((r, mx, k)) }.toMap
+    assert(got("x") == (("a:7,b:7,c:5", 7L, 3)),
+      s"tie/slice order broken: ${got("x")}")
+    assert(got("y") == (("solo:9", 9L, 1)), s"singleton broken: ${got("y")}")
+  }
+
+  test("k41 rule boundaries: thresholds are inclusive exactly as declared") {
+    val sp = spark
+    import sp.implicits._
+    // doc 1: EXACTLY 50 tokens (wc_ok = 1), all-distinct except the two
+    //   stopwords 'a'/'the' once each (stop kinds = 2 → stop_ok = 1),
+    //   mc = 1, n = 50 → frac 0.02 ≤ 0.1 → keep = 1 on every boundary.
+    // doc 2: 49 tokens → wc_ok = 0; ONE stopword kind ('a' twice — kind
+    //   count is DISTINCT kinds, not occurrences) → stop_ok = 0.
+    // doc 3: 10 all-distinct tokens → mc/n = 1/10; the correctly-rounded
+    //   double quotient EQUALS the 0.1 literal, so the ≤ boundary is
+    //   INCLUSIVE → conc_ok = 1. doc 4: one dup in 10 → 0.2 → conc_ok = 0.
+    val d1 = ("a the " + (1 to 48).map(i => s"w$i").mkString(" "), 1L)
+    val d2 = ("a a " + (1 to 47).map(i => s"w$i").mkString(" "), 2L)
+    val d3 = ((1 to 10).map(i => s"w$i").mkString(" "), 3L)
+    val d4 = ("w1 w1 " + (2 to 9).map(i => s"w$i").mkString(" "), 4L)
+    val docs = Seq(d1, d2, d3, d4).toDF("text", "doc_id")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val base = docs.select(
+      col("doc_id"), size(col("toks")).as("n_tokens"),
+      expr("size(filter(array('a', 'the', 'of', 'and', 'to', 'value', 'data'), " +
+           "w -> array_contains(toks, w)))").as("n_stop_kinds"))
+    val conc = docs.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("mc"), sum(col("c")).as("n"))
+    val frac = col("mc").cast("double") / col("n")
+    val got = base.join(conc, "doc_id")
+      .select(col("doc_id"),
+              when(col("n_tokens") >= 50, 1).otherwise(0).as("wc"),
+              when(col("n_stop_kinds") >= 2, 1).otherwise(0).as("st"),
+              when(frac <= 0.1, 1).otherwise(0).as("co"))
+      .as[(Long, Int, Int, Int)].collect()
+      .map { case (id, wc, st, co) => id -> ((wc, st, co)) }.toMap
+    assert(got(1L) == ((1, 1, 1)), s"doc1 all-pass boundary: ${got(1L)}")
+    assert(got(2L) == ((0, 0, 1)), s"doc2 49-tok/1-kind: ${got(2L)}")
+    assert(got(3L) == ((0, 0, 1)), s"doc3 frac==0.1 inclusive: ${got(3L)}")
+    assert(got(4L) == ((0, 0, 0)), s"doc4 frac 0.2: ${got(4L)}")
+  }
+
+  test("h49 zero-match doc: matches NULL (both-engine norm), first_sp empty") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "spark part"), (2L, "zz qq")).toDF("doc_id", "text")
+    val all = regexp_extract_all(col("text"), lit("[a-z]*ar[a-z]*"), lit(0))
+    val got = df.select(col("doc_id"),
+        size(all).as("n"),
+        when(size(all) === 0, lit(null).cast("string"))
+          .otherwise(array_join(all, ",")).as("m"),
+        regexp_extract(col("text"), "sp([a-z]+)", 1).as("g"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), Option(r.getString(2)), r.getString(3)))).toMap
+    assert(got(1L) == ((2, Some("spark,part"), "ark")),
+      s"match doc broken: ${got(1L)}")
+    // zero-match: matches must be NULL (DuckDB array_to_string([]) is NULL —
+    // the Spark '' is normalized TO null, not the reverse); the no-match
+    // regexp_extract is '' on BOTH engines (probed), so it stays ''.
+    assert(got(2L) == ((0, None, "")), s"zero-match doc broken: ${got(2L)}")
+  }
+}
