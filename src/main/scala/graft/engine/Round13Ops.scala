@@ -534,11 +534,17 @@ object Round13Ops {
     * per-(doc, type) counts → per-doc max/sum — O(tokens) DISTRIBUTED (the
     * all-array alternative `array_max(transform(array_distinct...))` is
     * O(types²) per doc and was rejected: a 100 TB corpus has MB-scale
-    * documents); both legs join co-partitioned on doc_id. Flags decide on
-    * the RAW mc/n quotient (exact-integer operands ⇒ identical IEEE
-    * division both engines); the display ratio rounds at 9 where dyadic
-    * token counts (16/32/64) terminate earlier, so no round-tie exists
-    * (the k09 precedent). */
+    * documents). ONE scan, ONE explode, NO join: after the (doc, type)
+    * count aggregation every token type appears once per doc, so counting
+    * stopword rows THERE is exactly the distinct-kind count, n_tokens is
+    * the count sum, and the whole gate folds into the two stacked
+    * aggregations (a first cut joined a separate per-doc array leg to the
+    * concentration leg — a second full scan plus a document-count-sized
+    * join, both deleted by this derivation). Flags decide on the RAW mc/n
+    * quotient (exact-integer operands ⇒ identical IEEE division both
+    * engines); the display ratio rounds at 9 where dyadic token counts
+    * (16/32/64) terminate earlier, so no round-tie exists (the k09
+    * precedent). */
   val k41: Q = Q(
     "k41_gopher_quality_gate",
     """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
@@ -562,18 +568,16 @@ object Round13Ops {
       |FROM base b JOIN conc USING (doc_id)
       |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      val base = docs.select(
-        col("doc_id"), size(col("toks")).cast("int").as("n_tokens"),
-        expr("size(filter(array('a', 'the', 'of', 'and', 'to', 'value', 'data'), " +
-             "w -> array_contains(toks, w)))").cast("int").as("n_stop_kinds"))
-      val conc = docs
-        .select(col("doc_id"), explode(col("toks")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max(col("c")).as("mc"), sum(col("c")).as("n"))
+      val stops = Seq("a", "the", "of", "and", "to", "value", "data")
       val frac = col("mc").cast("double") / col("n")
-      base.join(conc, "doc_id")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as("mc"), sum(col("c")).as("n"),
+             sum(when(col("w").isin(stops: _*), 1).otherwise(0)).cast("int")
+               .as("n_stop_kinds"))
+        .withColumn("n_tokens", col("n").cast("int"))
         .select(col("doc_id"), col("n_tokens"), col("n_stop_kinds"),
                 round(frac, 9).as("top_frac"),
                 when(col("n_tokens") >= 50, 1).otherwise(0).cast("int").as("wc_ok"),

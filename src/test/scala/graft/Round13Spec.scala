@@ -49,19 +49,20 @@ class Round13Spec extends SparkSpec {
     val d2 = ("a a " + (1 to 47).map(i => s"w$i").mkString(" "), 2L)
     val d3 = ((1 to 10).map(i => s"w$i").mkString(" "), 3L)
     val d4 = ("w1 w1 " + (2 to 9).map(i => s"w$i").mkString(" "), 4L)
-    val docs = Seq(d1, d2, d3, d4).toDF("text", "doc_id")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val base = docs.select(
-      col("doc_id"), size(col("toks")).as("n_tokens"),
-      expr("size(filter(array('a', 'the', 'of', 'and', 'to', 'value', 'data'), " +
-           "w -> array_contains(toks, w)))").as("n_stop_kinds"))
-    val conc = docs.select(col("doc_id"), explode(col("toks")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("mc"), sum(col("c")).as("n"))
+    val stops = Seq("a", "the", "of", "and", "to", "value", "data")
     val frac = col("mc").cast("double") / col("n")
-    val got = base.join(conc, "doc_id")
+    // the declared query's single-leg derivation: after the (doc, type)
+    // count agg each type appears once per doc, so counting stopword ROWS
+    // there is the distinct-KIND count (doc 2's 'a a' must count 1, not 2)
+    val got = Seq(d1, d2, d3, d4).toDF("text", "doc_id")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("mc"), sum(col("c")).as("n"),
+           sum(when(col("w").isin(stops: _*), 1).otherwise(0))
+             .as("n_stop_kinds"))
       .select(col("doc_id"),
-              when(col("n_tokens") >= 50, 1).otherwise(0).as("wc"),
+              when(col("n") >= 50, 1).otherwise(0).as("wc"),
               when(col("n_stop_kinds") >= 2, 1).otherwise(0).as("st"),
               when(frac <= 0.1, 1).otherwise(0).as("co"))
       .as[(Long, Int, Int, Int)].collect()
