@@ -59,7 +59,7 @@ object Explain {
                // stacked aggs + doc_id join), bounded topKWeighted collect,
                // map-only all-occurrences regexp
                "k41_gopher_quality_gate", "d55_topk_weighted",
-               "h49_extract_all")
+               "h49_extract_all", "k42_embedding_diversity")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

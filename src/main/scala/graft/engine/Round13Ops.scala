@@ -671,6 +671,66 @@ object Round13Ops {
         .orderBy(asc_nulls_last("doc_id"))
     })
 
+  // ---------------------------------------------------------------- k42
+
+  /** k42 — per-cluster embedding DIVERSITY without pair enumeration (the
+    * SemDeDup-adjacent corpus statistic [public: Abbas et al. 2023 measure
+    * within-cluster pairwise similarity to pick dedup thresholds]): the sum
+    * of all pairwise dot products inside a label, computed LINEARLY via the
+    * Gram identity 2·Σ_{i<j} vᵢ·vⱼ = ‖Σᵢvᵢ‖² − Σᵢ‖vᵢ‖² — the 100 TB point
+    * of the query: per-label pair counts are O(n²) (2k vectors/label = 2M
+    * pairs; 1M = half a trillion) but both identity terms are ONE linear
+    * pass. The ORACLE deliberately runs the O(n²) formulation (explicit
+    * label-blocked pair join, affordable at fixture scale) — two
+    * independent formulations of the same integer, the d34/j10 pairing.
+    * Exactness: the k38 FLOOR quantization at scale 2¹² (|x| ≤ 0.526
+    * probed ⇒ |q| ≤ 2152 < 2¹²), so S_dim ≤ n·2¹², Σ_dim S_dim² ≤
+    * 64·n²·2²⁴ — int64-exact through n ≈ 5·10⁵ vectors per label
+    * (document bound; beyond it the same identity runs decimal-routed).
+    * All outputs exact integers — zero float anywhere. Plan: a map-only
+    * norms leg (`aggregate` HOF self-dot, no explode) + a posexplode
+    * per-dimension sum leg (two stacked aggs), joined on the
+    * label-cardinality-sized key (broadcast). Singleton labels fall out
+    * of the identity as exactly 0 (oracle: LEFT JOIN + COALESCE). */
+  val k42: Q = Q(
+    "k42_embedding_diversity",
+    """WITH q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 4096.0) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |        CAST(SUM(CAST(list_sum(list_transform(v, x -> x * x))
+      |                      AS BIGINT)) AS BIGINT) AS sum_norms_q
+      |      FROM q GROUP BY label),
+      |p AS (SELECT a.label AS label,
+      |        CAST(SUM(CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+      |          i -> a.v[i] * b.v[i])) AS BIGINT)) AS BIGINT) AS dots
+      |      FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+      |      GROUP BY a.label)
+      |SELECT n.label, n.n_vecs, n.sum_norms_q,
+      |  CAST(COALESCE(2 * p.dots, 0) AS BIGINT) AS pair_dot_sum_x2
+      |FROM n LEFT JOIN p ON n.label = p.label
+      |ORDER BY n.label ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val q = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(4096.0)).cast("long")).as("v"))
+      val norms = q
+        .withColumn("nq", expr("aggregate(v, 0L, (acc, x) -> acc + x * x)"))
+        .groupBy("label")
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+             sum(col("nq")).as("sum_norms_q"))
+      val gram = q
+        .select(col("label"), posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy("label", "p").agg(sum(col("x")).as("sd"))
+        .groupBy("label").agg(sum(col("sd") * col("sd")).as("gram2"))
+      norms.join(broadcast(gram), "label")
+        .select(col("label"), col("n_vecs"), col("sum_norms_q"),
+                (col("gram2") - col("sum_norms_q")).as("pair_dot_sum_x2"))
+        .orderBy(asc_nulls_last("label"))
+    })
+
   def ops: Vector[Q] =
-    Vector(j16, j17, h46, f06, d54, h47, j18, k40, h48, k41, d55, h49)
+    Vector(j16, j17, h46, f06, d54, h47, j18, k40, h48, k41, d55, h49, k42)
 }

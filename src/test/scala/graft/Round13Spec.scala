@@ -73,6 +73,29 @@ class Round13Spec extends SparkSpec {
     assert(got(4L) == ((0, 0, 0)), s"doc4 frac 0.2: ${got(4L)}")
   }
 
+  test("k42 Gram identity: singleton label is exactly 0; hand case agrees") {
+    val sp = spark
+    import sp.implicits._
+    // label 1: v1=(1,2), v2=(3,-1), v3=(0,5) → pairwise dots 3-2=1,
+    //   0+10=10, 0-5=-5 → sum 6 → x2 = 12; norms 5+10+25 = 40;
+    //   gram2 = (1+3+0)² + (2-1+5)² = 16+36 = 52; 52-40 = 12 ✓
+    // label 2: singleton → identity must give exactly 0
+    val q = Seq((1L, 1, Seq(1L, 2L)), (2L, 1, Seq(3L, -1L)),
+                (3L, 1, Seq(0L, 5L)), (4L, 2, Seq(7L, 9L)))
+      .toDF("vec_id", "label", "v")
+    val norms = q
+      .withColumn("nq", expr("aggregate(v, 0L, (acc, x) -> acc + x * x)"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("nq")).as("sn"))
+    val gram = q.select(col("label"), posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy("label", "p").agg(sum(col("x")).as("sd"))
+      .groupBy("label").agg(sum(col("sd") * col("sd")).as("g2"))
+    val got = norms.join(gram, "label")
+      .select(col("label"), (col("g2") - col("sn")).as("x2"))
+      .as[(Int, Long)].collect().toMap
+    assert(got == Map(1 -> 12L, 2 -> 0L), s"Gram identity broken: $got")
+  }
+
   test("h49 zero-match doc: matches NULL (both-engine norm), first_sp empty") {
     val sp = spark
     import sp.implicits._
