@@ -261,6 +261,28 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("k41 join-free, k42 one broadcast join — the round-13-close postures") {
+    // k41's rewrite derived the stopword-kind count inside the
+    // concentration leg, deleting a second documents scan and a
+    // document-count-sized join; this pin keeps it deleted. k42's only
+    // join is the label-cardinality-sized broadcast of the gram leg — a
+    // shuffle join appearing there means the tiny side stopped
+    // broadcasting and the query picked up a data-sized exchange
+    val pk41 = executedPlan(
+      graft.engine.Round13Ops.k41.fn(spark, sf0001))
+      .split("== Initial Plan ==").head
+    assert(!pk41.contains("Join"), s"k41 must not join:\n$pk41")
+    assert("Scan parquet".r.findAllIn(pk41).length == 1,
+      s"k41 must scan documents once:\n$pk41")
+    val pk42 = executedPlan(
+      graft.engine.Round13Ops.k42.fn(spark, sf0001))
+      .split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(pk42).length == 1 &&
+           "(?<!Broadcast)HashJoin".r.findAllIn(pk42).isEmpty &&
+           !pk42.contains("SortMergeJoin"),
+      s"k42: exactly one broadcast join, no shuffle join:\n$pk42")
+  }
+
   test("f06/d54: WindowGroupLimit prunes both sides of their rank exchanges") {
     // the offset form (rn > n AND rn <= n+m) and the DESC mirror must
     // keep the same pushdown d51 pins — the filter rewrite drifting out
