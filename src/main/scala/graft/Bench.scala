@@ -77,8 +77,18 @@ object Bench {
     // the driver archives only a ~2000-char stdout tail and its JSON parse
     // has come back null every round (sbt/log4j chatter shares the stream) —
     // so ALSO write the line to BENCH.json files the driver/judge can read
-    // whole: the repo root (committed history) and the bench CWD
-    for (p <- Seq("BENCH.json", sys.props.getOrElse("user.dir", ".") + "/BENCH.json").distinct)
+    // whole: the bench CWD and the repo root (committed history). The repo
+    // root is found by walking up from CWD to the first dir holding .git —
+    // a bare "BENCH.json" resolves against user.dir too, so the old second
+    // entry only hit the repo root when the bench HAPPENED to run there.
+    def repoRoot(from: java.io.File): Option[java.io.File] =
+      Iterator.iterate(from.getAbsoluteFile)(_.getParentFile)
+        .takeWhile(_ != null)
+        .find(d => new java.io.File(d, ".git").exists())
+    val cwd = new java.io.File(sys.props.getOrElse("user.dir", "."))
+    val targets = Seq(new java.io.File(cwd, "BENCH.json")) ++
+      repoRoot(cwd).map(r => new java.io.File(r, "BENCH.json"))
+    for (p <- targets.map(_.getAbsolutePath).distinct)
       try {
         val w = new java.io.PrintWriter(p, "UTF-8")
         try w.println(line) finally w.close()

@@ -135,9 +135,16 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").count()
     // optional section args for local iteration: dense | sparse | emb
-    // (no args = all three, the full probe record)
+    // (no args = all three, the full probe record). Unknown names fail
+    // LOUDLY: a typo'd section would otherwise select nothing and the
+    // probe would exit 0 looking like a clean run with no measurements.
+    val known = Set("dense", "sparse", "emb")
+    val unknown = args.toSet.diff(known)
+    require(unknown.isEmpty,
+      s"unknown probe section(s) ${unknown.mkString(", ")}; " +
+        s"valid: ${known.mkString(", ")}")
     val sections =
-      if (args.isEmpty) Set("dense", "sparse", "emb") else args.toSet
+      if (args.isEmpty) known else args.toSet
 
     def run(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()

@@ -174,19 +174,37 @@ object Round13Ops {
     * formulations must agree on every user. Parsing is Jackson-backed
     * codegen'd `JsonToStructs` (no UDF); the array build is one
     * sorted-struct collect per user — state bounded by a user's events,
-    * the same posture as every j-block fold. */
+    * the same posture as every j-block fold.
+    *
+    * DIRTY-DATA POSTURE (not just the clean fixture): the array leg only
+    * admits rows whose `props` PARSES (`from_json` non-null — NULL or
+    * malformed props would otherwise poison the whole per-user array
+    * document, and a NULL element would be silently dropped by
+    * `array_join`, undercounting `n_items`), and the oracle mirrors the
+    * guard with `json_valid`; `n_items` counts exactly the admitted rows
+    * on both engines. The legs meet in a LEFT join from the all-users
+    * row path (its groupBy sees every user), so a user with zero
+    * parseable props still reports `n_items = 0` instead of vanishing. */
   val h46: Q = Q(
     "h46_json_extract_schema",
     """SELECT user_id,
-      |  CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-      |  CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k,
-      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |  CAST(SUM(CASE WHEN props IS NOT NULL AND json_valid(props)
+      |           THEN CAST(json_extract(props, '$.k') AS INT) END) AS BIGINT)
+      |    AS sum_k,
+      |  CAST(MAX(CASE WHEN props IS NOT NULL AND json_valid(props)
+      |           THEN CAST(json_extract(props, '$.k') AS INT) END) AS INT)
+      |    AS max_k,
+      |  CAST(COUNT(CASE WHEN props IS NOT NULL AND json_valid(props)
+      |             THEN 1 END) AS BIGINT) AS n_items
       |FROM events GROUP BY user_id
       |ORDER BY user_id ASC NULLS LAST""".stripMargin,
     (s, dir) => {
       val ev = Tables.events(s, dir)
       val arrSchema = ArrayType(StructType(Seq(StructField("k", IntegerType))))
+      val rowStruct = from_json(col("props"), "k INT",
+                                Map.empty[String, String])
       val arrPath = ev
+        .filter(col("props").isNotNull && rowStruct.isNotNull)
         .groupBy("user_id")
         .agg(concat(lit("["),
                array_join(transform(
@@ -199,13 +217,12 @@ object Round13Ops {
         .agg(sum(col("e.k")).cast("long").as("sum_k"),
              count(lit(1)).cast("long").as("n_items"))
       val rowPath = ev
-        .select(col("user_id"),
-                from_json(col("props"), "k INT", Map.empty[String, String])
-                  .getField("k").as("k"))
+        .select(col("user_id"), rowStruct.getField("k").as("k"))
         .groupBy("user_id")
         .agg(max(col("k")).cast("int").as("max_k"))
-      arrPath.join(rowPath, "user_id")
-        .select(col("user_id"), col("sum_k"), col("max_k"), col("n_items"))
+      rowPath.join(arrPath, Seq("user_id"), "left")
+        .select(col("user_id"), col("sum_k"), col("max_k"),
+                coalesce(col("n_items"), lit(0L)).cast("long").as("n_items"))
         .orderBy(asc_nulls_last("user_id"))
     })
 
@@ -301,14 +318,17 @@ object Round13Ops {
     * prefix-free, so sorting the `k:v` strings IS key order). A day
     * whose entries ALL fail the predicate serializes as NULL on both
     * engines (DuckDB STRING_AGG skips all-NULL groups; the Spark side
-    * maps the empty render to NULL explicitly). Values ride the exact
-    * decimal route end-to-end; the whole transform chain is codegen'd
-    * HOFs on a vocab-sized frame (5 types × days). */
+    * maps the empty render to NULL explicitly). Values ride decimal(18,2)
+    * (the f06/d54 route: inputs are 2-dp, so ·100 is integral BY
+    * CONSTRUCTION and the BIGINT cast cannot hit the Spark-truncates /
+    * DuckDB-rounds divergence a sub-cent residue under 18,6 could); the
+    * whole transform chain is codegen'd HOFs on a vocab-sized frame
+    * (5 types × days). */
   val h47: Q = Q(
     "h47_map_filter_apply",
     """WITH per AS (
       |  SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, event_type,
-      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 100 AS BIGINT) AS sum_c
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_c
       |  FROM events GROUP BY 1, 2)
       |SELECT day,
       |  STRING_AGG(CASE WHEN sum_c % 2 = 0
@@ -323,7 +343,7 @@ object Round13Ops {
     (s, dir) =>
       Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-        .agg((sum(col("value").cast("decimal(18,6)")) * lit(100)).cast("long")
+        .agg((sum(col("value").cast("decimal(18,2)")) * lit(100)).cast("long")
                .as("sum_c"))
         .groupBy("day")
         .agg(map_from_entries(collect_list(
