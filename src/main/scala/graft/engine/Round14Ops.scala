@@ -1,0 +1,343 @@
+package graft.engine
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-14 declared queries — the r11 verdict's brief items 3 and 4:
+  * the named ClickHouse-sibling tail, each on an existing recipe, plus
+  * the EXACT REGIMES of the two law-pinned sketches put under the
+  * driver's oracle gate.
+  *
+  *  - `h50_arr_enumerate_dense` — CH `arrayEnumerateDense` (h22's
+  *    sibling: first-occurrence DENSE index instead of per-value
+  *    occurrence number).
+  *  - `h51_map_keys_values` — CH `mapKeys`/`mapValues`/`mapContains`
+  *    over h47's real MapType build.
+  *  - `j19_sequence_next_node_back` — CH `sequenceNextNode` backward
+  *    direction with `tail` and `last_match` bases (j09 declares only
+  *    forward-after-first).
+  *  - `e28_delta_sum_timestamp` — CH `deltaSumTimestamp` (e15's
+  *    timestamp-deduplicating sibling).
+  *  - `d56_group_array_insert_at` — CH `groupArrayInsertAt(default, n)`
+  *    (position-addressed array build with default fill).
+  *  - `d57_topk_exact_regime` — `HeavyHitters` (CH `topK`) in its
+  *    capacity ≥ |domain| regime, where Misra-Gries is EXACT under any
+  *    merge order — the d26/d34 closed-form discipline applied to the
+  *    last unoracled sketch family.
+  *  - `d58_histogram_exact_regime` — `AdaptiveHistogram` (CH
+  *    `histogram(N)`) in its ≤ N-distinct regime, where the result IS
+  *    the exact value histogram under any fold/merge order.
+  *
+  * Every query follows the SURVEY §2 determinism rules (explicit NULLS,
+  * total ORDER BY, integer-exact arithmetic end-to-end).
+  */
+object Round14Ops {
+
+  // ---------------------------------------------------------------- h50
+
+  /** h50 — `arrayEnumerateDense` analog [public: CH array-function
+    * docs]: for each element, the 1-based index of its FIRST occurrence
+    * in first-seen order — `[10,20,10,30] → [1,2,1,3]` — over the
+    * document's 20-token prefix, h22's recipe (h22 numbers the k-th
+    * repeat; this numbers the distinct VALUE). Spark side is map-only
+    * array HOFs: dense(t) = |distinct(prefix up to t's first
+    * occurrence)| via `array_position` + `array_distinct` — O(prefix²)
+    * per row on a bounded prefix, no explode, no shuffle. The ORACLE
+    * takes the relational road instead (explode → first-position window
+    * → DENSE_RANK over first positions): two independent formulations
+    * of the same function. */
+  val h50: Q = Q(
+    "h50_arr_enumerate_dense",
+    """SELECT doc_id,
+      |  ARRAY_TO_STRING(list(CAST(d AS VARCHAR) ORDER BY i), '|') AS dense_idx,
+      |  ARRAY_TO_STRING(list(tok ORDER BY i), '|') AS toks
+      |FROM (
+      |  SELECT doc_id, i, tok,
+      |    DENSE_RANK() OVER (PARTITION BY doc_id ORDER BY fp) AS d
+      |  FROM (
+      |    SELECT doc_id, i, tok, MIN(i) OVER (PARTITION BY doc_id, tok) AS fp
+      |    FROM (
+      |      SELECT doc_id, t.i AS i, toks[t.i] AS tok
+      |      FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+      |           unnest(generate_series(1, LEAST(len(toks), 20))) AS t(i))))
+      |GROUP BY doc_id
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val pfx = slice(split(col("text"), " "), 1, 20)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), pfx.as("toks20"))
+        .select(col("doc_id"),
+                array_join(transform(col("toks20"), t =>
+                  size(array_distinct(
+                    slice(col("toks20"), lit(1),
+                          array_position(col("toks20"), t).cast("int"))))),
+                  "|").as("dense_idx"),
+                array_join(col("toks20"), "|").as("toks"))
+        .orderBy(asc_nulls_last("doc_id"))
+    })
+
+  // ---------------------------------------------------------------- h51
+
+  /** h51 — `mapKeys` / `mapValues` / `mapContains` analogs [public: CH
+    * map-function docs] over h47's real per-day MapType build
+    * (event_type → cents, decimal(18,2)-exact): the key list (sorted —
+    * Spark's map iteration order is build-dependent, so the declared
+    * face is the SORTED render), the value total via the `aggregate`
+    * HOF over `map_values` (exact longs), and the membership probe
+    * `map_contains_key`. The oracle never builds a map: keys/values
+    * aggregate straight off the vocab-sized (day, type) frame — 30
+    * days × ≤5 types, everything downstream of one hash agg. */
+  val h51: Q = Q(
+    "h51_map_keys_values",
+    """WITH per AS (
+      |  SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, event_type,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day,
+      |  STRING_AGG(event_type, ',' ORDER BY event_type ASC) AS keys,
+      |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(sum_c) AS BIGINT) AS vals_total,
+      |  MAX(event_type = 'click') AS has_click
+      |FROM per GROUP BY day
+      |ORDER BY day ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg((sum(col("value").cast("decimal(18,2)")) * lit(100)).cast("long")
+               .as("sum_c"))
+        .groupBy("day")
+        .agg(map_from_entries(collect_list(
+               struct(col("event_type"), col("sum_c")))).as("m"))
+        .select(col("day"),
+                array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
+                expr("cardinality(m)").cast("long").as("n_keys"),
+                expr("aggregate(map_values(m), CAST(0 AS BIGINT), " +
+                     "(acc, x) -> acc + x)").as("vals_total"),
+                map_contains_key(col("m"), lit("click")).as("has_click"))
+        .orderBy(asc_nulls_last("day")))
+
+  // ---------------------------------------------------------------- j19
+
+  /** j19 — `sequenceNextNode` BACKWARD direction [public: CH parametric
+    * -aggregate docs; j09 declares forward/head]: per user, the event
+    * type immediately BEFORE (a) the user's last event (base `tail`)
+    * and (b) the user's last 'click' (base `last_match`) — the "what
+    * led here" reading. One ordered window (the shared lag) plus two
+    * whole-partition maxima over the SAME user_id partitioning, so all
+    * three Window operators ride one exchange; the base row is found by
+    * key equality against the partition max — no second ordered pass,
+    * no join. NULL prev = the base row was the user's first event; a
+    * user with no clicks reports NULL prev_last_click and n_clicks
+    * disambiguates the two NULL readings. */
+  val j19: Q = Q(
+    "j19_sequence_next_node_back",
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) AS prev_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rnd,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts DESC, event_id DESC) AS rnt
+      |  FROM events)
+      |SELECT user_id,
+      |  MAX(CASE WHEN rnd = 1 THEN prev_type END) AS prev_tail,
+      |  MAX(CASE WHEN event_type = 'click' AND rnt = 1 THEN prev_type END)
+      |    AS prev_last_click,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clicks
+      |FROM o GROUP BY user_id
+      |ORDER BY user_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      val wAll = Window.partitionBy("user_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("key", struct(col("ts"), col("event_id")))
+        .withColumn("last_key", max(col("key")).over(wAll))
+        .withColumn("last_click_key",
+          max(when(col("event_type") === "click", col("key"))).over(wAll))
+        .groupBy("user_id")
+        .agg(max(when(col("key") === col("last_key"), col("prev_type")))
+               .as("prev_tail"),
+             max(when(col("key") === col("last_click_key"), col("prev_type")))
+               .as("prev_last_click"),
+             sum(when(col("event_type") === "click", 1).otherwise(0))
+               .cast("long").as("n_clicks"))
+        .orderBy(asc_nulls_last("user_id"))
+    })
+
+  // ---------------------------------------------------------------- e28
+
+  /** e28 — `deltaSumTimestamp` analog [public: CH aggregate-function
+    * docs]: e15's counter-delta sum computed over TIMESTAMP-DEDUPLICATED
+    * rows — CH built the function for materialized-view parts where
+    * rows sharing a (coarse) timestamp must collapse to one before
+    * differencing. The declared face coarsens to the HOUR (426 duplicate
+    * (user, hour) groups at sf0.01, so the dedup genuinely bites):
+    * within each (user, hour) only the FIRST row in (ts, event_id)
+    * order participates; diffs then ride e15's exact decimal(18,2) →
+    * integer-hundredths route. Two window passes, (user, hour) then
+    * (user) — the second exchange subsumes the per-user aggregate;
+    * n_dropped (from a user-keyed count join, 150 keys) makes the
+    * dedup visible in the result itself. */
+  val e28: Q = Q(
+    "e28_delta_sum_timestamp",
+    """WITH k AS (
+      |  SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,2)) AS v,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('hour', ts)
+      |      ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) AS rn
+      |  FROM events),
+      |d AS (
+      |  SELECT user_id,
+      |    v - LAG(v) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) AS d
+      |  FROM k WHERE rn = 1),
+      |t AS (SELECT user_id, COUNT(*) AS n_total FROM events GROUP BY user_id)
+      |SELECT d.user_id AS user_id,
+      |  CAST(SUM(GREATEST(d, CAST(0 AS DECIMAL(18,2)))) * 100 AS BIGINT) / 100.0
+      |    AS delta_sum,
+      |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  CAST(MAX(t.n_total) - COUNT(*) AS BIGINT) AS n_dropped
+      |FROM d JOIN t ON d.user_id = t.user_id
+      |GROUP BY d.user_id
+      |ORDER BY user_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val wh = Window.partitionBy(col("user_id"), date_trunc("hour", col("ts")))
+        .orderBy(asc("ts"), asc("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      val kept = ev
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("value").cast("decimal(18,2)").as("v"))
+        .withColumn("rn", row_number().over(wh))
+        .filter(col("rn") === 1)
+        .withColumn("d", col("v") - lag(col("v"), 1).over(w))
+        .groupBy("user_id")
+        .agg(((sum(greatest(col("d"), lit(0).cast("decimal(18,2)"))) * lit(100))
+                .cast("long") / lit(100.0)).as("delta_sum"),
+             count(lit(1)).cast("long").as("n_kept"))
+      val totals = ev.groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_total"))
+      kept.join(totals, "user_id")
+        .select(col("user_id"), col("delta_sum"), col("n_kept"),
+                (col("n_total") - col("n_kept")).cast("long").as("n_dropped"))
+        .orderBy(asc_nulls_last("user_id"))
+    })
+
+  // ---------------------------------------------------------------- d56
+
+  /** d56 — `groupArrayInsertAt(default, size)(value, pos)` analog
+    * [public: CH aggregate-function docs]: a position-addressed array
+    * build — per event type, 24 hourly slots where slot h carries the
+    * MINIMUM cents observed at hour h (CH leaves the multi-insert
+    * winner undefined; the declared face pins the deterministic MIN)
+    * and empty slots render the default '-'. Spark shape: (type, hour)
+    * hash agg → per-type `map_from_entries` → a `sequence(0, 23)` spine
+    * probed with `element_at` — the insert-at semantics recovered from
+    * a map + fixed spine, no per-position UNION, no second scan. The
+    * oracle builds the spine relationally (generate_series × distinct
+    * types, LEFT JOIN). Slot count is a LITERAL 24 (hour of day), so
+    * the render is bounded by construction — no d53-style runtime span
+    * guard needed. */
+  val d56: Q = Q(
+    "d56_group_array_insert_at",
+    """WITH per AS (
+      |  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+      |    MIN(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+      |  FROM events GROUP BY 1, 2),
+      |sp AS (SELECT UNNEST(generate_series(0, 23)) AS h),
+      |ty AS (SELECT DISTINCT event_type FROM events)
+      |SELECT ty.event_type AS event_type,
+      |  ARRAY_TO_STRING(list(COALESCE(CAST(p.v AS VARCHAR), '-') ORDER BY sp.h),
+      |                  '|') AS slots,
+      |  CAST(COUNT(p.v) AS BIGINT) AS n_filled
+      |FROM ty CROSS JOIN sp
+      |LEFT JOIN per p ON p.event_type = ty.event_type AND p.h = sp.h
+      |GROUP BY ty.event_type
+      |ORDER BY event_type ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).as("h"))
+        .agg(min((col("value").cast("decimal(18,2)") * 100).cast("long"))
+               .as("v"))
+        .groupBy("event_type")
+        .agg(map_from_entries(collect_list(struct(col("h"), col("v"))))
+               .as("m"),
+             count(lit(1)).cast("long").as("n_filled"))
+        .select(col("event_type"),
+                array_join(transform(sequence(lit(0), lit(23)), i =>
+                  coalesce(element_at(col("m"), i).cast("string"), lit("-"))),
+                  "|").as("slots"),
+                col("n_filled"))
+        .orderBy(asc_nulls_last("event_type")))
+
+  // ---------------------------------------------------------------- d57
+
+  /** d57 — [[graft.operators.HeavyHitters]] in its EXACT regime (the
+    * r11 verdict item: the last sketch family not yet under the oracle
+    * gate). Misra-Gries with capacity ≥ |value domain| never fires the
+    * decrement (reduce inserts below capacity) and never trims (merge's
+    * union stays ≤ capacity), so every counter is the TRUE count under
+    * ANY partial-aggregate merge order — the same closed-form-regime
+    * discipline d26 (uniqUpTo) and d34 (KMV) used. Declared face: per
+    * day, top-3 event types by exact count through the full udaf →
+    * merge → finish → posexplode path (capacity 64 ≥ 5 types), ties
+    * broken (count DESC, value ASC) identically by `finish` and the
+    * oracle's ROW_NUMBER. The approximate regime stays Tier-2
+    * (guarantee-pinned in PropertiesSpec) because its boundary ties are
+    * merge-order-dependent BY DESIGN. */
+  val d57: Q = Q(
+    "d57_topk_exact_regime",
+    """SELECT day, value, approx_count, rank FROM (
+      |  SELECT day, value, approx_count,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY day
+      |      ORDER BY approx_count DESC, value ASC) AS INT) AS rank
+      |  FROM (
+      |    SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+      |      event_type AS value, CAST(COUNT(*) AS BIGINT) AS approx_count
+      |    FROM events GROUP BY 1, 2))
+      |WHERE rank <= 3
+      |ORDER BY day ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      graft.operators.HeavyHitters.topKPerGroup(
+          Tables.events(s, dir).select(to_date(col("ts")).as("day"),
+                                       col("event_type")),
+          Seq("day"), "event_type", k = 3, capacity = 64)
+        .withColumn("rank", col("rank").cast("int"))
+        .orderBy(asc_nulls_last("day"), asc_nulls_last("rank")))
+
+  // ---------------------------------------------------------------- d58
+
+  /** d58 — [[graft.operators.AdaptiveHistogram]] in its EXACT regime
+    * (the verdict item's second sketch): with ≤ N distinct input values
+    * the Ben-Haim/Tom-Tov summary IS the exact value histogram —
+    * identical-centroid neighbors collapse exactly and gap-merges only
+    * fire above capacity, so the result is merge-order-free (the
+    * spec-pinned law, now oracle-gated). Declared face: 64-bin
+    * histogram of `l_quantity` (exactly 50 distinct integral values)
+    * per return flag, through the full udaf partial/merge path, bins
+    * exploded to scalar rows; the bin value is recovered as the exact
+    * integer `sum div count` (every member equals the centroid in this
+    * regime). The oracle is the plain exact GROUP BY histogram. */
+  val d58: Q = Q(
+    "d58_histogram_exact_regime",
+    """SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY 1, 2
+      |ORDER BY l_returnflag ASC NULLS LAST, qty ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      graft.operators.AdaptiveHistogram.byGroup(
+          Tables.lineitem(s, dir)
+            .select(col("l_returnflag"),
+                    col("l_quantity").cast("long").as("q")),
+          "l_returnflag", "q", n = 64)
+        .select(col("l_returnflag"), explode(col("hist")).as("b"))
+        .select(col("l_returnflag"),
+                expr("b.sum div b.count").as("qty"),
+                col("b.count").as("n"))
+        .orderBy(asc_nulls_last("l_returnflag"), asc_nulls_last("qty")))
+
+  def ops: Vector[Q] = Vector(h50, h51, j19, e28, d56, d57, d58)
+}

@@ -311,4 +311,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.indexOf("Window") < p.indexOf("WindowGroupLimit"),
       s"d51: the group limit must sit below the rank window:\n$p")
   }
+
+  test("h50: map-only — no join, no explode, no key exchange") {
+    // the dense enumeration rides per-row array HOFs over the bounded
+    // prefix; only the presentation sort exchanges. A relational rewrite
+    // (the oracle's explode + two windows) sneaking in would show up as
+    // Generate/Window/hash exchanges here and cost 20x the rows at scale.
+    val p = executedPlan(graft.engine.Round14Ops.h50.fn(spark, sf0001))
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Join") && !p.contains("Generate") &&
+           !p.contains("Window"), s"h50 must stay map-only:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"h50 must not key-exchange:\n$p")
+  }
+
+  test("j19: the lag window, both base maxima, and the agg share ONE key exchange") {
+    // scaladoc claim pinned: all three Window operators and the closing
+    // per-user agg partition on user_id, so exactly one hashpartitioning
+    // exchange moves data
+    val p = executedPlan(graft.engine.Round14Ops.j19.fn(spark, sf0001))
+      .split("== Initial Plan ==").head
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(dataExchanges == 1,
+      s"j19: one shared user_id exchange, got $dataExchanges:\n$p")
+    assert(!p.contains("Join"), s"j19 must not join:\n$p")
+  }
+
+  test("d57/d58: exact-regime sketches aggregate once — one key exchange, no window") {
+    // the sketch queries' scale contract: partial Misra-Gries / histogram
+    // states merge through ONE hashpartitioning exchange (bounded
+    // per-state payload), and the rank/bins come from the aggregate's own
+    // output — a ranking-window rewrite would sort the raw rows instead
+    for (q <- Seq(graft.engine.Round14Ops.d57, graft.engine.Round14Ops.d58)) {
+      val p = executedPlan(q.fn(spark, sf0001)).split("== Initial Plan ==").head
+      val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(dataExchanges == 1,
+        s"${q.name}: one agg exchange, got $dataExchanges:\n$p")
+      assert(!p.contains("Window"), s"${q.name} must not plan a window:\n$p")
+      assert(p.contains("ObjectHashAggregate"),
+        s"${q.name} should run the udaf through ObjectHashAggregate:\n$p")
+    }
+  }
 }
