@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output normally passes through sbt's logger, which prefixes
+// every line with "[info] " — that prefix is exactly what has kept the
+// driver's JSON parse of Bench's one-line stdout contract null since r8.
+// StdoutOutput hands the forked JVM sbt's RAW stdout instead: Bench's JSON
+// line reaches the driver unprefixed (Spark/log4j chatter already goes to
+// stderr).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

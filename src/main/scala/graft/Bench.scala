@@ -42,7 +42,13 @@ object Bench {
     graft.engine.Tables.names.foreach { n =>
       graft.engine.Tables.table(spark, sfDir, n).schema
     }
+    // optional args: run only the named queries (local iteration — the
+    // driver passes no args so its gate always times the full set; the
+    // BENCH.json files are only written for full runs so a filtered
+    // iteration can never masquerade as a round record)
+    val only = args.toSet
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
     val passes: Seq[Map[String, Double]] = (1 to runs).map { _ =>
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -88,7 +94,7 @@ object Bench {
     val cwd = new java.io.File(sys.props.getOrElse("user.dir", "."))
     val targets = Seq(new java.io.File(cwd, "BENCH.json")) ++
       repoRoot(cwd).map(r => new java.io.File(r, "BENCH.json"))
-    for (p <- targets.map(_.getAbsolutePath).distinct)
+    for (p <- targets.map(_.getAbsolutePath).distinct if only.isEmpty)
       try {
         val w = new java.io.PrintWriter(p, "UTF-8")
         try w.println(line) finally w.close()

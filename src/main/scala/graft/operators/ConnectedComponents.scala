@@ -87,7 +87,7 @@ object ConnectedComponents {
       .unionByName(base.select(col("__d").as("__v"), col("__s").as("__n")))
     var labels = vertices.select(col(vertexCol).as("__v"),
                                  col(vertexCol).as("__label"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: round 1's action materializes it
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -107,7 +107,8 @@ object ConnectedComponents {
         .groupBy("__v")
         .agg(min("__label").as("__label"),
              min(when(col("__own"), col("__label"))).as("__old"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the changed-count below is the
+                                // round's ONE job and materializes it
       val changed = next.filter(col("__label") =!= col("__old")).count()
       free(Seq(labels)) // previous round's checkpoint: next is materialized
       labels = next.select("__v", "__label")
@@ -133,19 +134,32 @@ object ConnectedComponents {
     out
   }
 
+  /** Edge-count gate below which a contraction pass BROADCASTS its label
+    * frame into the relabel joins (labels ≤ 2·edges rows ≈ 32 MB of
+    * (long, long) at the gate — bounded, known BEFORE the pass runs, and
+    * deliberately above Spark's 10 MB auto threshold, which can never
+    * fire here anyway: checkpointed LogicalRDDs carry no size stats).
+    * Beyond the gate the joins stay plain shuffles — the 100 TB posture. */
+  val broadcastEdgeGate: Long = 1000000L
+
   /** Connected components by iterated seed-and-contract — the fast path
     * for duplicate graphs, and the shape that wins at any scale where
     * components are dense (near-cliques). Each pass:
     *
     *   1. seed: label(v) = min(Γ(v) ∪ {v}) — ONE groupBy over the
-    *      symmetrized edges, no join (cheaper than a propagation round);
+    *      symmetrized edges, no join (cheaper than a propagation round;
+    *      an r12 A/B replaced the groupBy with an unordered window that
+    *      fuses the relabel — it measured WORSE, 2.4 → 2.7–3.1 s: the
+    *      window sorts/shuffles all 2·|E| rows where the seed agg
+    *      map-combines to ~|V|; the groupBy stays);
     *   2. contract: relabel both endpoints of every edge through the seed
     *      labels and drop loops/dups. label(v) is always in v's component,
     *      so contraction preserves component structure exactly; on a
     *      near-clique corpus the 354k-edge sf0.1 dup graph collapses to
     *      827 inter-star edges in pass 1 and to zero in pass 2. The two
-    *      relabel joins key the shrinking edge side against the label
-    *      frame — broadcastable locally, plain shuffle joins at 100 TB.
+    *      relabel joins BROADCAST the label frame below
+    *      [[broadcastEdgeGate]] (zero added exchanges; the gate is the
+    *      pass's own known edge count) and shuffle beyond it.
     *      ONE action per pass (the contracted-edge count materializes the
     *      persisted labels and edges together).
     *
@@ -185,10 +199,21 @@ object ConnectedComponents {
       val l = sym.groupBy("__v")
         .agg(least(min(col("__n")), first(col("__v"))).as("__l"))
         .localCheckpoint(false)
+      // relabel-join strategy, decided by the KNOWN pass size: the label
+      // frame holds ≤ 2·nEdges rows, so below the gate it broadcasts
+      // (the relabel joins then add ZERO exchanges — the edge side never
+      // re-shuffles; measured at sf0.1: the 354k-edge pass's two
+      // exchange+sort legs disappear). l is a checkpointed LogicalRDD
+      // with no size stats, so neither the static planner nor AQE can
+      // make this call — the explicit gate encodes what AQE would do
+      // with stats. Beyond the gate (real-cluster scale), plain shuffle
+      // joins: a broadcast there would be the OOM the GraftSession notes
+      // warn about.
+      val lSized = if (nEdges <= broadcastEdgeGate) broadcast(l) else l
       val e2 = e
-        .join(l.select(col("__v").as("__s2"), col("__l").as("__la")),
+        .join(lSized.select(col("__v").as("__s2"), col("__l").as("__la")),
               col("__a") === col("__s2"))
-        .join(l.select(col("__v").as("__d2"), col("__l").as("__lb")),
+        .join(lSized.select(col("__v").as("__d2"), col("__l").as("__lb")),
               col("__b") === col("__d2"))
         .select(col("__la").as("__a"), col("__lb").as("__b"))
         .filter(col("__a") =!= col("__b"))
@@ -321,13 +346,13 @@ object ConnectedComponents {
     var e = edges
       .select(col(srcCol).as("__a"), col(dstCol).as("__b"))
       .filter(col("__a") =!= col("__b"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false) // lazy: sig() materializes it
     var prevSig = sig(e)
     var iters = 0
     var converged = prevSig._1 == 0
     while (!converged && iters < maxIters) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
-      val s = sig(next)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val s = sig(next) // the round's ONE job: materializes the checkpoint
       free(Seq(e)) // previous round's checkpoint: next is materialized
       e = next
       converged = s == prevSig
