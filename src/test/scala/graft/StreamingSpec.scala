@@ -1946,4 +1946,132 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+  test("streaming unigram LM one-batch replay equals batch k40 (score + flag)") {
+    import graft.engine.{Round13Ops, Tables}
+    import graft.streaming.StreamingUnigramLm
+    import graft.streaming.StreamingUnigramLm.{DocIn, TokenHit, Tot}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).as[DocIn].collect()
+    val in = MemoryStream[DocIn]
+    val inT = MemoryStream[DocIn]
+    val q = StreamingUnigramLm.tokenHits(in.toDS()).writeStream
+      .format("memory").queryName("ulm_hits_t").outputMode(OutputMode.Update).start()
+    val qt = StreamingUnigramLm.corpusTotal(inT.toDS()).writeStream
+      .format("memory").queryName("ulm_tot_t").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(docs.toIndexedSeq) // whole corpus in ONE micro-batch
+      inT.addData(docs.toIndexedSeq)
+      q.processAllAvailable(); qt.processAllAvailable()
+      val tot = spark.table("ulm_tot_t").as[Tot].collect().map(_.tot).max
+      // sink-side rollup: mean_nll = -SUM(c * ln(ct/tot)) / SUM(c), the
+      // documented assembly of the emitted sufficient statistics
+      val streamed = spark.table("ulm_hits_t").as[TokenHit].collect()
+        .groupBy(_.doc_id).map { case (id, hs) =>
+          val n = hs.map(_.c).sum
+          val nll = -hs.map(h => h.c * math.log(h.ct.toDouble / tot)).sum
+          val mean = BigDecimal(nll / n)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          id -> ((n, mean, if (mean > 3.45) 1 else 0))
+        }
+      val batch = Round13Ops.k40.fn(spark, sf0001).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Double]("mean_nll"),
+            r.getAs[Int]("high_surprise")))).toMap
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"one-batch streaming rollup must equal batch k40; diff=" +
+          s"${(streamed.toSet -- batch.toSet).take(3)}")
+    } finally {
+      q.stop(); qt.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming unigram LM is probe-at-arrival: later docs shift later scores only") {
+    import graft.streaming.StreamingUnigramLm
+    import graft.streaming.StreamingUnigramLm.{DocIn, TokenHit, Tot}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[DocIn]
+    val inT = MemoryStream[DocIn]
+    val q = StreamingUnigramLm.tokenHits(in.toDS()).writeStream
+      .format("memory").queryName("ulm_xb_hits_t").outputMode(OutputMode.Update).start()
+    val qt = StreamingUnigramLm.corpusTotal(inT.toDS()).writeStream
+      .format("memory").queryName("ulm_xb_tot_t").outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: doc 1 "x y" scores against a 2-token corpus: ct(x)=ct(y)=1,
+      // tot=2, mean_nll = ln 2
+      in.addData(DocIn(1, "x y")); inT.addData(DocIn(1, "x y"))
+      q.processAllAvailable(); qt.processAllAvailable()
+      val t1 = spark.table("ulm_xb_tot_t").as[Tot].collect().map(_.tot).max
+      assert(t1 == 2L)
+      val h1 = spark.table("ulm_xb_hits_t").as[TokenHit].collect()
+        .filter(_.doc_id == 1L)
+      assert(h1.forall(_.ct == 1L), s"batch-1 counts: ${h1.toSeq}")
+      // batch 2: doc 2 "x z" — x now counts 2 of tot 4; doc 1's batch-1
+      // emissions are UNCHANGED (no retro re-score rows for doc 1)
+      in.addData(DocIn(2, "x z")); inT.addData(DocIn(2, "x z"))
+      q.processAllAvailable(); qt.processAllAvailable()
+      val t2 = spark.table("ulm_xb_tot_t").as[Tot].collect().map(_.tot).max
+      assert(t2 == 4L)
+      val hits = spark.table("ulm_xb_hits_t").as[TokenHit].collect()
+      assert(hits.count(_.doc_id == 1L) == 2, "doc 1 not re-emitted")
+      val d2 = hits.filter(_.doc_id == 2L).map(h => h.t -> h.ct).toMap
+      assert(d2 == Map("x" -> 2L, "z" -> 1L), s"doc 2 sees batch-2 state: $d2")
+    } finally {
+      q.stop(); qt.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming Gopher gate equals batch k41 flags on the fixture corpus") {
+    import graft.engine.{Round13Ops, Tables}
+    import graft.streaming.StreamingUnigramLm
+    import graft.streaming.StreamingUnigramLm.{DocIn, GateFlags}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).as[DocIn].collect()
+    val in = MemoryStream[DocIn]
+    val q = StreamingUnigramLm.gateFlags(in.toDS()).writeStream
+      .format("memory").queryName("gate_t").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(docs.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("gate_t").as[GateFlags].collect()
+        .map(g => g.doc_id ->
+          ((g.n_tokens, g.n_stop_kinds, g.top_frac, g.wc_ok, g.stop_ok,
+            g.conc_ok, g.keep))).toMap
+      val batch = Round13Ops.k41.fn(spark, sf0001).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Int]("n_tokens"), r.getAs[Int]("n_stop_kinds"),
+            r.getAs[Double]("top_frac"), r.getAs[Int]("wc_ok"),
+            r.getAs[Int]("stop_ok"), r.getAs[Int]("conc_ok"),
+            r.getAs[Int]("keep")))).toMap
+      assert(streamed == batch,
+        s"stateless gate must equal batch k41; diff=" +
+          s"${(streamed.toSet -- batch.toSet).take(3)}")
+    } finally q.stop()
+  }
 }
+
