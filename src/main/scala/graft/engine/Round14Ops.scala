@@ -339,5 +339,39 @@ object Round14Ops {
                 col("b.count").as("n"))
         .orderBy(asc_nulls_last("l_returnflag"), asc_nulls_last("qty")))
 
-  def ops: Vector[Q] = Vector(h50, h51, j19, e28, d56, d57, d58)
+  // ---------------------------------------------------------------- k43
+
+  /** k43 — the IVF PROBE path ([[graft.operators.Ivf.topKApprox]]) in its
+    * EXACT regime, under the oracle gate — the d57/d58 discipline applied
+    * to the similarity-search stack: with nprobe = |centroids| every
+    * cluster is probed, so the shortlist is the whole corpus REGARDLESS
+    * of what the quantizer learned and the answer is exactly brute force.
+    * The declared face drives the full probe machinery end-to-end —
+    * probe-cluster scoring, corpus assignment, broadcast cluster-id
+    * shortlist join, exact rescore, TakeOrderedAndProject — while the
+    * ORACLE is k03's independent brute-force formulation (DuckDB
+    * `list_cosine_similarity`, no IVF anywhere); rank order decided on
+    * the ROUND-4 similarity (the k03/k07 ≈1e-16 normalization-path
+    * absorption argument). The recall-degradation regime (nprobe <
+    * |centroids|) stays Tier-2, pinned by ScaleOpsSpec's recall floors —
+    * it is approximate BY DESIGN and has no SQL oracle. */
+  val k43: Q = Q(
+    "k43_ivf_probe_exact_regime",
+    """SELECT vec_id,
+      |  ROUND(list_cosine_similarity(
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |    (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+      |     FROM embeddings WHERE vec_id = 0)), 4) AS cos
+      |FROM embeddings
+      |WHERE vec_id <> 0
+      |ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS LAST
+      |LIMIT 10""".stripMargin,
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Ivf.topKApprox(
+        emb, graft.operators.Ivf.firstKCentroids(emb, 8),
+        probeId = 0L, k = 10, nprobe = 8, roundTo = 4)
+    })
+
+  def ops: Vector[Q] = Vector(h50, h51, j19, e28, d56, d57, d58, k43)
 }

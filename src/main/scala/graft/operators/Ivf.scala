@@ -518,9 +518,12 @@ object Ivf {
   }
 
   /** Top-k cosine neighbors of `probeId`, scanning only the nprobe nearest
-    * clusters. Returns (vec_id, cos) desc — compare with Ann.topKExact. */
+    * clusters. Returns (vec_id, cos) desc — compare with Ann.topKExact.
+    * `roundTo` sets the similarity rounding the rank order is decided on
+    * (6 for the Tier-2 recall comparisons; the declared exact-regime face
+    * k43 passes 4, the k03/k07 cross-engine determinism grain). */
   def topKApprox(embeddings: DataFrame, centroids: DataFrame, probeId: Long,
-                 k: Int = 10, nprobe: Int = 2): DataFrame = {
+                 k: Int = 10, nprobe: Int = 2, roundTo: Int = 6): DataFrame = {
     val probeRow = embeddings.filter(col("vec_id") === probeId)
     // nprobe nearest centroids of the probe vector
     val probeClusters = graft.api.Similarity.scoreAgainstCentroids(
@@ -542,7 +545,8 @@ object Ivf {
       .crossJoin(broadcast(probe))
       .select(col("vec_id"),
               round(graft.api.Similarity.dot(
-                graft.api.Similarity.normalize(col("embedding")), col("__p")), 6).as("cos"))
+                graft.api.Similarity.normalize(col("embedding")), col("__p")),
+                roundTo).as("cos"))
       .orderBy(desc_nulls_last("cos"), asc_nulls_last("vec_id"))
       .limit(k)
   }
