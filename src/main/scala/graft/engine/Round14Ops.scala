@@ -178,10 +178,13 @@ object Round14Ops {
     * (user, hour) groups at sf0.01, so the dedup genuinely bites):
     * within each (user, hour) only the FIRST row in (ts, event_id)
     * order participates; diffs then ride e15's exact decimal(18,2) →
-    * integer-hundredths route. Two window passes, (user, hour) then
-    * (user) — the second exchange subsumes the per-user aggregate;
-    * n_dropped (from a user-keyed count join, 150 keys) makes the
-    * dedup visible in the result itself. */
+    * integer-hundredths route. ONE exchange end-to-end (plan-pinned):
+    * the per-user total-count window runs FIRST, so hash(user_id)
+    * satisfies every later clustering — the (user, hour) rank window,
+    * the per-user lag window, and the closing aggregate all reuse it,
+    * and n_dropped (which makes the dedup visible in the result) rides
+    * along instead of costing a count join; the ORACLE keeps the join
+    * formulation — two independent shapes of the same answer. */
   val e28: Q = Q(
     "e28_delta_sum_timestamp",
     """WITH k AS (
@@ -204,25 +207,23 @@ object Round14Ops {
       |GROUP BY d.user_id
       |ORDER BY user_id ASC NULLS LAST""".stripMargin,
     (s, dir) => {
-      val ev = Tables.events(s, dir)
-      val wh = Window.partitionBy(col("user_id"), date_trunc("hour", col("ts")))
+      val wAll = Window.partitionBy("user_id")
+      val wh = Window.partitionBy(col("user_id"), col("hh"))
         .orderBy(asc("ts"), asc("event_id"))
       val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
-      val kept = ev
+      Tables.events(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"),
-                col("value").cast("decimal(18,2)").as("v"))
+                col("value").cast("decimal(18,2)").as("v"),
+                date_trunc("hour", col("ts")).as("hh"))
+        .withColumn("n_total", count(lit(1)).over(wAll))
         .withColumn("rn", row_number().over(wh))
         .filter(col("rn") === 1)
         .withColumn("d", col("v") - lag(col("v"), 1).over(w))
         .groupBy("user_id")
         .agg(((sum(greatest(col("d"), lit(0).cast("decimal(18,2)"))) * lit(100))
                 .cast("long") / lit(100.0)).as("delta_sum"),
-             count(lit(1)).cast("long").as("n_kept"))
-      val totals = ev.groupBy("user_id")
-        .agg(count(lit(1)).cast("long").as("n_total"))
-      kept.join(totals, "user_id")
-        .select(col("user_id"), col("delta_sum"), col("n_kept"),
-                (col("n_total") - col("n_kept")).cast("long").as("n_dropped"))
+             count(lit(1)).cast("long").as("n_kept"),
+             (max(col("n_total")) - count(lit(1))).cast("long").as("n_dropped"))
         .orderBy(asc_nulls_last("user_id"))
     })
 

@@ -337,6 +337,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"j19 must not join:\n$p")
   }
 
+  test("e28: total-count window first — one key exchange, no join") {
+    // hash(user_id) satisfies the (user, hour) rank window's clustering,
+    // the lag window's, and the closing agg's — so the whole
+    // dedup-then-fold chain moves data ONCE and n_dropped costs no join
+    val p = executedPlan(graft.engine.Round14Ops.e28.fn(spark, sf0001))
+      .split("== Initial Plan ==").head
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(dataExchanges == 1,
+      s"e28: one shared user_id exchange, got $dataExchanges:\n$p")
+    assert(!p.contains("Join"), s"e28 must not join:\n$p")
+  }
+
   test("d57/d58: exact-regime sketches aggregate once — one key exchange, no window") {
     // the sketch queries' scale contract: partial Misra-Gries / histogram
     // states merge through ONE hashpartitioning exchange (bounded
