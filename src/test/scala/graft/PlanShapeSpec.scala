@@ -32,7 +32,9 @@ class PlanShapeSpec extends SparkSpec {
       "k03_sim_topk_cosine", // 1-row probe vector broadcast
       "k16_ivf_assign",      // 8-row centroid set broadcast (IVF coarse scoring)
       "k20_tfidf_topterms",  // 1-row corpus-count broadcast for idf
-      "k40_unigram_logprob") // 1-row corpus-token-total broadcast for ln p
+      "k40_unigram_logprob", // 1-row corpus-token-total broadcast for ln p
+      "k43_ivf_probe_exact_regime") // k16's 8-row centroid broadcast +
+                                    // k03's 1-row probe broadcast, composed
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val df = fn(spark, sf0001)
