@@ -374,5 +374,114 @@ object Round14Ops {
         probeId = 0L, k = 10, nprobe = 8, roundTo = 4)
     })
 
-  def ops: Vector[Q] = Vector(h50, h51, j19, e28, d56, d57, d58, k43)
+  // ---------------------------------------------------------------- h52
+
+  /** h52 — `multiSearchAllPositions` / `multiSearchFirstPosition` /
+    * `multiSearchAny` analogs [public: CH string-search docs]: the
+    * positions of three needles in each document (1-based, 0 = absent —
+    * CH's convention, identical to `instr` on both engines), the
+    * smallest position among the found ones (NULL when none — the
+    * all-absent case is populated: ~22% of docs miss each needle), and
+    * the any-found flag. Map-only; the 0→sentinel→NULLIF route keeps
+    * `LEAST` total on both engines (mixed NULL handling in LEAST is a
+    * known cross-engine divergence — never fed one). */
+  val h52: Q = Q(
+    "h52_multi_search",
+    """SELECT doc_id,
+      |  CAST(instr(text, 'spark') AS INT) AS p_spark,
+      |  CAST(instr(text, 'hash') AS INT) AS p_hash,
+      |  CAST(instr(text, 'window') AS INT) AS p_window,
+      |  CAST(NULLIF(LEAST(
+      |    CASE WHEN instr(text, 'spark') = 0 THEN 2147483647
+      |         ELSE instr(text, 'spark') END,
+      |    CASE WHEN instr(text, 'hash') = 0 THEN 2147483647
+      |         ELSE instr(text, 'hash') END,
+      |    CASE WHEN instr(text, 'window') = 0 THEN 2147483647
+      |         ELSE instr(text, 'window') END), 2147483647) AS INT)
+      |    AS first_pos,
+      |  CAST(CASE WHEN instr(text, 'spark') + instr(text, 'hash')
+      |                 + instr(text, 'window') > 0
+      |            THEN 1 ELSE 0 END AS INT) AS any_found
+      |FROM documents
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      def p(needle: String) = instr(col("text"), needle).cast("int")
+      def sent(c: org.apache.spark.sql.Column) =
+        when(c === 0, lit(2147483647)).otherwise(c)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+                p("spark").as("p_spark"), p("hash").as("p_hash"),
+                p("window").as("p_window"))
+        .select(col("doc_id"), col("p_spark"), col("p_hash"), col("p_window"),
+                nullif(least(sent(col("p_spark")), sent(col("p_hash")),
+                             sent(col("p_window"))), lit(2147483647))
+                  .cast("int").as("first_pos"),
+                when(col("p_spark") + col("p_hash") + col("p_window") > 0, 1)
+                  .otherwise(0).cast("int").as("any_found"))
+        .orderBy(asc_nulls_last("doc_id"))
+    })
+
+  // ---------------------------------------------------------------- j20
+
+  /** j20 — `sequenceMatchEvents` analog [public: CH parametric-aggregate
+    * docs — the variant that returns the MATCHED EVENTS' timestamps, not
+    * just the boolean]: for the bounded pattern signup →(≤4h)→ click,
+    * the FIRST match's event times per user, defined deterministically
+    * as t1 = the earliest signup that a click completes within the
+    * bound, t2 = the earliest such click after t1 (left-to-right
+    * earliest-opener-that-succeeds — the reading under which j13's
+    * boolean is `t1 IS NOT NULL`). ONE window pass: a reversed
+    * running-min carries each row's NEXT click time as a RANGE frame
+    * over integer µs (`rangeBetween(1, ∞)` ⇔ strictly-later — a ROWS
+    * frame would diverge from the oracle's `c.t > s.t` on equal
+    * timestamps), signup rows test it against their own +4h bound,
+    * and the per-user agg takes the earliest qualifying signup with its
+    * click riding a min(struct) — no join, no explode, state one struct
+    * per row. The ORACLE is an independent pair-join formulation (every
+    * (signup, click) pair within bound → min signup → min click). All
+    * exact µs integers; 90 of 150 sf0.01 users match and the NULL
+    * (no-match) side is populated. */
+  val j20: Q = Q(
+    "j20_sequence_match_events",
+    """WITH s AS (SELECT user_id, epoch_us(ts) AS t FROM events
+      |           WHERE event_type = 'signup'),
+      |c AS (SELECT user_id, epoch_us(ts) AS t FROM events
+      |      WHERE event_type = 'click'),
+      |pair AS (
+      |  SELECT s.user_id, s.t AS t1, c.t AS t2
+      |  FROM s JOIN c ON c.user_id = s.user_id
+      |   AND c.t > s.t AND c.t <= s.t + 14400000000),
+      |m AS (SELECT user_id, MIN(t1) AS t1 FROM pair GROUP BY user_id),
+      |mm AS (
+      |  SELECT m.user_id, m.t1, MIN(p.t2) AS t2
+      |  FROM m JOIN pair p ON p.user_id = m.user_id AND p.t1 = m.t1
+      |  GROUP BY m.user_id, m.t1)
+      |SELECT u.user_id AS user_id, mm.t1 AS t1_us, mm.t2 AS t2_us,
+      |  CAST(CASE WHEN mm.t1 IS NULL THEN 0 ELSE 1 END AS INT) AS matched
+      |FROM (SELECT DISTINCT user_id FROM events) u
+      |LEFT JOIN mm ON mm.user_id = u.user_id
+      |ORDER BY user_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("t"))
+        .rangeBetween(1, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+                unix_micros(col("ts")).as("t"))
+        .withColumn("next_click",
+          min(when(col("event_type") === "click", col("t"))).over(w))
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup" &&
+                      col("next_click") <= col("t") + 14400000000L,
+                      struct(col("t"), col("next_click")))).as("m"))
+        .select(col("user_id"),
+                col("m.t").as("t1_us"),
+                col("m.next_click").as("t2_us"),
+                when(col("m").isNotNull, 1).otherwise(0).cast("int")
+                  .as("matched"))
+        .orderBy(asc_nulls_last("user_id"))
+    })
+
+  def ops: Vector[Q] = Vector(h50, h51, j19, e28, d56, d57, d58, k43,
+                              h52, j20)
 }

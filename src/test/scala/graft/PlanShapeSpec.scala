@@ -351,6 +351,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"e28 must not join:\n$p")
   }
 
+  test("j20: match events come off one window pass — no join, one key exchange") {
+    // the pair-join formulation (the ORACLE's road) is quadratic in
+    // per-user signup×click counts; the reversed running-min window is
+    // the linear shape, and the closing agg shares its user_id exchange
+    val p = executedPlan(graft.engine.Round14Ops.j20.fn(spark, sf0001))
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"j20 must not join:\n$p")
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(dataExchanges == 1,
+      s"j20: one shared user_id exchange, got $dataExchanges:\n$p")
+  }
+
   test("d57/d58: exact-regime sketches aggregate once — one key exchange, no window") {
     // the sketch queries' scale contract: partial Misra-Gries / histogram
     // states merge through ONE hashpartitioning exchange (bounded

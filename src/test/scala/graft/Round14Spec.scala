@@ -91,6 +91,36 @@ class Round14Spec extends SparkSpec {
       s"exact-regime counts/order broken: $out")
   }
 
+  test("j20 range frame: a same-timestamp click neither matches nor masks") {
+    val sp = spark
+    import sp.implicits._
+    // user 1: signup at t=100, click at t=100 (same ts — the oracle's
+    // c.t > s.t excludes it), click at t=200 (within bound) → the match
+    // must be (100, 200): the same-ts click must not match (rows-frame
+    // bug #1) and must not MASK the later valid click (rows-frame bug #2).
+    // user 2: signup at t=100, only a same-ts click → NO match.
+    val ev = Seq((1L, "signup", 100L), (1L, "click", 100L),
+                 (1L, "click", 200L),
+                 (2L, "signup", 100L), (2L, "click", 100L))
+      .toDF("user_id", "event_type", "t")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(asc("t"))
+      .rangeBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val got = ev
+      .withColumn("next_click",
+        min(when(col("event_type") === "click", col("t"))).over(w))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup" &&
+                    col("next_click") <= col("t") + 14400000000L,
+                    struct(col("t"), col("next_click")))).as("m"))
+      .select(col("user_id"), col("m.t"), col("m.next_click"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((Some(100L), Some(200L))),
+      s"tie must not mask the later click: ${got(1L)}")
+    assert(got(2L) == ((None, None)), s"same-ts-only must not match: ${got(2L)}")
+  }
+
   test("j19 backward bases: single-event user and clickless user edges") {
     val sp = spark
     import sp.implicits._
