@@ -85,7 +85,7 @@ object AdaptiveHistogram {
     * shared [[compress]] only when the insert exceeds capacity. Allocates
     * two Long arrays per row and NO BigInt on the fast path — the
     * measured 7× cut over routing every row through [[merge]]. */
-  private[operators] def insertOne(a: HistState, v: Long, n: Int): HistState = {
+  private[graft] def insertOne(a: HistState, v: Long, n: Int): HistState = {
     val len = a.sums.length
     var lo = 0
     var hi = len

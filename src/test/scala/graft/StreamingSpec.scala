@@ -2073,5 +2073,54 @@ class StreamingSpec extends SparkSpec {
           s"${(streamed.toSet -- batch.toSet).take(3)}")
     } finally q.stop()
   }
+  test("streaming histogram exact regime equals batch d58 across a batch cut") {
+    import graft.streaming.StreamingHistogram
+    import graft.streaming.StreamingHistogram.{BinOut, ValueIn}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the d58 input: (return flag, integral quantity), 50 distinct <= 64 bins
+    val rows = graft.engine.Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag").as("group"),
+              col("l_quantity").cast("long").as("v"))
+      .as[ValueIn].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[ValueIn]
+    val q = StreamingHistogram.histogram(in.toDS(), n = 64).writeStream
+      .format("memory").queryName("hist_t").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(b1.toIndexedSeq) // mid-corpus batch cut
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      // final per-group state = the last batch's emissions for that group
+      val streamed = spark.table("hist_t").as[BinOut].collect()
+        .groupBy(_.group).map { case (g, bs) =>
+          val last = bs.groupBy(_.rank).map { case (_, dups) => dups.last }
+          // exact regime: every member equals the centroid -> value = sum/count
+          g -> last.toSeq.sortBy(_.rank)
+            .map(b => (b.sum / b.count, b.count)).toVector
+        }
+      val batch = graft.engine.Round14Ops.d58.fn(spark, sf0001).collect()
+        .groupBy(_.getAs[String]("l_returnflag")).map { case (g, rs) =>
+          g -> rs.map(r => (r.getAs[Long]("qty"), r.getAs[Long]("n"))).toVector
+        }
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"streaming exact-regime histogram must equal batch d58: " +
+          s"streamOnly=${streamed.keySet -- batch.keySet}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
+
 
