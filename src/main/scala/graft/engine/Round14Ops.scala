@@ -482,6 +482,49 @@ object Round14Ops {
         .orderBy(asc_nulls_last("user_id"))
     })
 
+  // ---------------------------------------------------------------- d59
+
+  /** d59 — `quantileExactLow` / `quantileExactHigh` analogs [public: CH
+    * aggregate-function docs — the lower/higher-order-statistic members;
+    * d49 declares the interpolating types 6/7]: the two order statistics
+    * straddling rank p·(n−1), selected EXACTLY off the d49 cents grid —
+    * conditional minima against the cumulative window, k indices from
+    * FLOOR/CEIL of a dyadic product (p ∈ {0.5, 0.75} exact in double),
+    * NO data-sized sort, NO interpolation, ALL-INTEGER output (the
+    * zero-float class — stronger than d49, whose interpolation needs the
+    * dyadic-fraction argument). ONE SQL text runs verbatim on both
+    * engines (the d49/h30 shared-text discipline). */
+  val d59: Q = Q(
+    "d59_quantile_low_high",
+    """WITH g AS (
+      |  SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, c,
+      |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY c ASC) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM g),
+      |k AS (
+      |  SELECT event_type AS et,
+      |    CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) AS kl50,
+      |    CAST(CEIL(CAST(n - 1 AS DOUBLE) * 0.5) AS BIGINT) AS kh50,
+      |    CAST(FLOOR(CAST(n - 1 AS DOUBLE) * 0.75) AS BIGINT) AS kl75,
+      |    CAST(CEIL(CAST(n - 1 AS DOUBLE) * 0.75) AS BIGINT) AS kh75
+      |  FROM (SELECT DISTINCT event_type, n FROM w))
+      |SELECT w.event_type AS event_type, CAST(MAX(w.n) AS BIGINT) AS n_rows,
+      |  CAST(MIN(CASE WHEN cum >= kl50 + 1 THEN c END) AS BIGINT) AS p50_low,
+      |  CAST(MIN(CASE WHEN cum >= kh50 + 1 THEN c END) AS BIGINT) AS p50_high,
+      |  CAST(MIN(CASE WHEN cum >= kl75 + 1 THEN c END) AS BIGINT) AS p75_low,
+      |  CAST(MIN(CASE WHEN cum >= kh75 + 1 THEN c END) AS BIGINT) AS p75_high
+      |FROM w JOIN k ON w.event_type = k.et
+      |GROUP BY w.event_type
+      |ORDER BY event_type ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      s.sql(d59.sql)
+    })
+
   def ops: Vector[Q] = Vector(h50, h51, j19, e28, d56, d57, d58, k43,
-                              h52, j20)
+                              h52, j20, d59)
 }
