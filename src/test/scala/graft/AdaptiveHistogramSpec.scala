@@ -35,6 +35,44 @@ class AdaptiveHistogramSpec extends SparkSpec {
     }
   }
 
+  test("insertOne fold vs merge-of-partial-folds: exact regime equal, laws always (200 random trials)") {
+    // the r14 reduce() fast path must agree with merge() under EVERY
+    // fold/split order: in the exact regime (distinct <= n) bit-equal
+    // bins; in the compressed regime the conservation/shape laws
+    import graft.operators.AdaptiveHistogram.HistState
+    val rnd = new scala.util.Random(42)
+    def fold(vs: Seq[Long], n: Int): HistState =
+      vs.foldLeft(HistState(Array.empty[Long], Array.empty[Long]))(
+        (st, v) => graft.operators.AdaptiveHistogram.insertOne(st, v, n))
+    for (trial <- 1 to 200) {
+      val n = 2 + rnd.nextInt(15)
+      val domain = 1 + rnd.nextInt(25)
+      val vs = Seq.fill(5 + rnd.nextInt(60))(
+        (rnd.nextInt(domain) - domain / 2).toLong * (1 + rnd.nextInt(1000)))
+      val cut = rnd.nextInt(vs.length + 1)
+      val whole = fold(vs, n)
+      val merged = AdaptiveHistogram.Agg(n)
+        .merge(fold(vs.take(cut), n), fold(vs.drop(cut), n))
+      // laws, every regime
+      for (st <- Seq(whole, merged)) {
+        assert(st.sums.length <= n, s"trial $trial: ${st.sums.length} bins > $n")
+        assert(st.cnts.sum == vs.length, s"trial $trial: weight conservation")
+        assert(st.sums.sum == vs.sum, s"trial $trial: sum conservation")
+        val cents = st.sums.zip(st.cnts).map { case (s, c) => s.toDouble / c }
+        assert(cents.sameElements(cents.sorted), s"trial $trial: centroid order")
+      }
+      // exact regime: any fold/merge split gives the exact value histogram
+      if (vs.distinct.length <= n) {
+        val want = vs.groupBy(identity).toSeq.sortBy(_._1)
+          .map { case (v, occ) => (v * occ.length, occ.length.toLong) }
+        for (st <- Seq(whole, merged)) {
+          val got = st.sums.zip(st.cnts).toSeq
+          assert(got == want, s"trial $trial exact regime: $got != $want")
+        }
+      }
+    }
+  }
+
   test("compressed regime: laws hold under capacity pressure and reshuffling") {
     val n = 8
     Seq(cents, cents.repartition(13)).foreach { src =>
