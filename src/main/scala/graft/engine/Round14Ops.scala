@@ -525,6 +525,51 @@ object Round14Ops {
       s.sql(d59.sql)
     })
 
+  // ---------------------------------------------------------------- d60
+
+  /** d60 — the WEIGHTED Misra-Gries sketch
+    * ([[graft.operators.HeavyHitters.MisraGriesWeighted]], the CH
+    * `topKWeighted` sketch) in its EXACT regime — d57 gates the
+    * unweighted aggregator; this gates the weighted one, the last
+    * aggregator face not yet under the oracle: with capacity ≥ |domain|
+    * the weighted reduce always finds room (never the decrement branch)
+    * and the merge union never trims, so every counter is the TRUE
+    * weight total under any partial-merge order. Declared face: per day,
+    * top-3 event types by total value CENTS (the exact decimal(18,2)
+    * route feeding the weights), through the full udaf → merge → finish
+    * → posexplode path; ties (weight DESC, value ASC) identical to the
+    * oracle's ROW_NUMBER. d55 declares the same QUESTION through stacked
+    * exact aggs — two independent mechanisms for the family, both
+    * gated. */
+  val d60: Q = Q(
+    "d60_topk_weighted_exact_regime",
+    """SELECT day, value, approx_count, rank FROM (
+      |  SELECT day, value, approx_count,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY day
+      |      ORDER BY approx_count DESC, value ASC) AS INT) AS rank
+      |  FROM (
+      |    SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+      |      event_type AS value,
+      |      CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |           AS BIGINT) AS approx_count
+      |    FROM events GROUP BY 1, 2))
+      |WHERE rank <= 3
+      |ORDER BY day ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("event_type"),
+                (col("value").cast("decimal(18,2)") * 100).cast("long")
+                  .as("cents"))
+        .groupBy("day")
+        .agg(graft.operators.HeavyHitters.approxTopKWeighted(
+               col("event_type"), col("cents"), k = 3, capacity = 64)
+               .as("__tk"))
+        .select(col("day"), posexplode(col("__tk")))
+        .select(col("day"), col("col._1").as("value"),
+                col("col._2").as("approx_count"),
+                (col("pos") + 1).cast("int").as("rank"))
+        .orderBy(asc_nulls_last("day"), asc_nulls_last("rank")))
+
   def ops: Vector[Q] = Vector(h50, h51, j19, e28, d56, d57, d58, k43,
-                              h52, j20, d59)
+                              h52, j20, d59, d60)
 }
