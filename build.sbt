@@ -18,6 +18,12 @@ run / fork := true
 // line reaches the driver unprefixed (Spark/log4j chatter already goes to
 // stderr).
 run / outputStrategy := Some(StdoutOutput)
+// The second half of the same contract: after the forked run exits, sbt
+// prints "[success] Total time: …" to stdout, so the driver's last-line
+// parse of Bench's JSON has stayed null even with StdoutOutput. Suppress
+// the epilogue banner so the JSON line is the LAST stdout line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -47,6 +47,10 @@ object Bench {
     // BENCH.json files are only written for full runs so a filtered
     // iteration can never masquerade as a round record)
     val only = args.toSet
+    // fail loudly on typos: a misspelled name would otherwise select zero
+    // queries and exit 0 with an empty summary (same guard as ScaleProbe)
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
     val passes: Seq[Map[String, Double]] = (1 to runs).map { _ =>

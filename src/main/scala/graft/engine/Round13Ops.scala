@@ -176,15 +176,57 @@ object Round13Ops {
     * sorted-struct collect per user — state bounded by a user's events,
     * the same posture as every j-block fold.
     *
-    * DIRTY-DATA POSTURE (not just the clean fixture): the array leg only
-    * admits rows whose `props` PARSES (`from_json` non-null — NULL or
-    * malformed props would otherwise poison the whole per-user array
-    * document, and a NULL element would be silently dropped by
-    * `array_join`, undercounting `n_items`), and the oracle mirrors the
-    * guard with `json_valid`; `n_items` counts exactly the admitted rows
-    * on both engines. The legs meet in a LEFT join from the all-users
-    * row path (its groupBy sees every user), so a user with zero
-    * parseable props still reports `n_items = 0` instead of vanishing. */
+    * DIRTY-DATA POSTURE (not just the clean fixture): admission into the
+    * array leg is `try_parse_json(props).isNotNull` — the Spark-4 variant
+    * parse, which is TRUE for any well-formed JSON document (object,
+    * array, scalar, the `null` literal) and NULL for malformed text or
+    * SQL NULL, i.e. the exact mirror of the oracle's `json_valid`. (The
+    * earlier `from_json(...).isNotNull` guard was a NO-OP: PERMISSIVE
+    * `from_json` returns a non-null all-null-field struct for malformed
+    * input — r12 ADVICE.) A valid NON-OBJECT element (`[1,2]`, `5`,
+    * `null`) would still poison the per-user array document — probed:
+    * `from_json('[{"k":1},[1,2]]', array<struct>)` is NULL — so each
+    * admitted element contributes its RAW text when it is an object
+    * (trimmed text starts with `{`; valid JSON makes that test exact)
+    * and the placeholder `{}` otherwise, which parses to a null-`k`
+    * struct: counted by `n_items`, invisible to `sum_k` — precisely the
+    * oracle's `CAST(json_extract(non_object, '$.k') AS INT) IS NULL`
+    * semantics. Pinned on a synthetic dirty fixture in Round13Spec.
+    * The legs meet in a LEFT join from the all-users row path (its
+    * groupBy sees every user), so a user with zero parseable props
+    * still reports `n_items = 0` instead of vanishing. */
+  def h46Plan(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val arrSchema = ArrayType(StructType(Seq(StructField("k", IntegerType))))
+    val rowStruct = from_json(col("props"), "k INT",
+                              Map.empty[String, String])
+    val validJson = try_parse_json(col("props")).isNotNull
+    val elemText = when(startswith(ltrim(col("props")), lit("{")),
+                        col("props")).otherwise(lit("{}"))
+    val arrPath = ev
+      .filter(validJson)
+      .select(col("user_id"), col("event_id"), elemText.as("__elem"))
+      .groupBy("user_id")
+      .agg(concat(lit("["),
+             array_join(transform(
+               array_sort(collect_list(struct(col("event_id"), col("__elem")))),
+               p => p.getField("__elem")), ","),
+             lit("]")).as("doc"))
+      .select(col("user_id"),
+              explode(from_json(col("doc"), arrSchema)).as("e"))
+      .groupBy("user_id")
+      .agg(sum(col("e.k")).cast("long").as("sum_k"),
+           count(lit(1)).cast("long").as("n_items"))
+    val rowPath = ev
+      .select(col("user_id"),
+              when(validJson, rowStruct.getField("k")).as("k"))
+      .groupBy("user_id")
+      .agg(max(col("k")).cast("int").as("max_k"))
+    rowPath.join(arrPath, Seq("user_id"), "left")
+      .select(col("user_id"), col("sum_k"), col("max_k"),
+              coalesce(col("n_items"), lit(0L)).cast("long").as("n_items"))
+      .orderBy(asc_nulls_last("user_id"))
+  }
+
   val h46: Q = Q(
     "h46_json_extract_schema",
     """SELECT user_id,
@@ -198,33 +240,7 @@ object Round13Ops {
       |             THEN 1 END) AS BIGINT) AS n_items
       |FROM events GROUP BY user_id
       |ORDER BY user_id ASC NULLS LAST""".stripMargin,
-    (s, dir) => {
-      val ev = Tables.events(s, dir)
-      val arrSchema = ArrayType(StructType(Seq(StructField("k", IntegerType))))
-      val rowStruct = from_json(col("props"), "k INT",
-                                Map.empty[String, String])
-      val arrPath = ev
-        .filter(col("props").isNotNull && rowStruct.isNotNull)
-        .groupBy("user_id")
-        .agg(concat(lit("["),
-               array_join(transform(
-                 array_sort(collect_list(struct(col("event_id"), col("props")))),
-                 p => p.getField("props")), ","),
-               lit("]")).as("doc"))
-        .select(col("user_id"),
-                explode(from_json(col("doc"), arrSchema)).as("e"))
-        .groupBy("user_id")
-        .agg(sum(col("e.k")).cast("long").as("sum_k"),
-             count(lit(1)).cast("long").as("n_items"))
-      val rowPath = ev
-        .select(col("user_id"), rowStruct.getField("k").as("k"))
-        .groupBy("user_id")
-        .agg(max(col("k")).cast("int").as("max_k"))
-      rowPath.join(arrPath, Seq("user_id"), "left")
-        .select(col("user_id"), col("sum_k"), col("max_k"),
-                coalesce(col("n_items"), lit(0L)).cast("long").as("n_items"))
-        .orderBy(asc_nulls_last("user_id"))
-    })
+    (s, dir) => h46Plan(Tables.events(s, dir)))
 
   // ---------------------------------------------------------------- f06
 

@@ -115,4 +115,36 @@ class Round13Spec extends SparkSpec {
     // regexp_extract is '' on BOTH engines (probed), so it stays ''.
     assert(got(2L) == ((0, None, "")), s"zero-match doc broken: ${got(2L)}")
   }
+
+  test("h46 dirty props: admission mirrors json_valid; non-objects count but never sum") {
+    val sp = spark
+    import sp.implicits._
+    // user 1 — every admission class at once (the r12-ADVICE hazard set):
+    //   valid object with k        → counted, sums
+    //   valid object without k     → counted, no sum
+    //   valid object, k wrong type → counted, no sum (PERMISSIVE null field)
+    //   valid ARRAY  '[1,2]'       → json_valid TRUE  → counted, no sum
+    //   valid scalar '5'           → json_valid TRUE  → counted, no sum
+    //   JSON null literal 'null'   → json_valid TRUE  → counted, no sum
+    //   malformed '{bad'           → json_valid FALSE → invisible everywhere
+    //   SQL NULL                   → invisible everywhere
+    // user 2 — ONLY inadmissible rows: must still appear (left join) with
+    //   n_items = 0, sum_k/max_k NULL instead of vanishing.
+    val ev = Seq(
+      (1L, 10L, """{"k":3}"""), (1L, 11L, """{"j":9}"""),
+      (1L, 12L, """{"k":"x"}"""), (1L, 13L, """[1,2]"""),
+      (1L, 14L, """5"""), (1L, 15L, """null"""),
+      (1L, 16L, """{bad"""), (1L, 17L, null.asInstanceOf[String]),
+      (1L, 18L, """{"k":4}"""),
+      (2L, 20L, """{bad"""), (2L, 21L, null.asInstanceOf[String])
+    ).toDF("user_id", "event_id", "props")
+    val got = graft.engine.Round13Ops.h46Plan(ev).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Int]), r.getLong(3)))).toMap
+    // user 1: 7 json_valid rows admitted (all but '{bad' and SQL NULL),
+    // sum over the two integer ks only, max over the row path likewise
+    assert(got(1L) == ((Some(7L), Some(4), 7L)), s"user 1 broken: ${got(1L)}")
+    assert(got(2L) == ((None, None, 0L)), s"user 2 vanished/filled: ${got(2L)}")
+  }
 }
