@@ -595,8 +595,13 @@ object Round11Ops {
     * cumulative window, then `MIN(CASE WHEN cum ≥ k THEN c END)`
     * conditional minima with per-group k EXPRESSIONS of n), and the
     * interpolation fractions are dyadic at these p — exact in double on
-    * both engines (the d47 argument), zero ROUND. The identical SQL text
-    * runs on both sides (the d22 "same window SQL verbatim" class). */
+    * both engines (the d47 argument), zero ROUND. The Spark side is an
+    * INDEPENDENT DataFrame formulation (upgraded from the shared-text
+    * form per the r12 brief, d59's discipline): the k rank indices are
+    * inline expressions of the per-row `n` window column — no DISTINCT-n
+    * CTE, no join (the portable SQL needs both), one grid aggregate +
+    * two window specs + one final hash agg, interpolation applied as
+    * exact int64→double column arithmetic. */
   val d49: Q = Q(
     "d49_quantile_types",
     s"""WITH g AS (
@@ -636,8 +641,44 @@ object Round11Ops {
       |  ${interpE("CAST(n + 1 AS DOUBLE) * 0.75", "k75e", "v75e1", "v75e2")} AS p75_exclusive
       |FROM v ORDER BY event_type ASC NULLS LAST""".stripMargin,
     (s, dir) => {
-      Tables.events(s, dir).createOrReplaceTempView("events")
-      s.sql(Round11Ops.d49.sql)
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val g = Tables.events(s, dir)
+        .groupBy(col("event_type"), cents.as("c"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val wCum = Window.partitionBy("event_type").orderBy(asc("c"))
+      val wAll = Window.partitionBy("event_type")
+      val w = g.select(col("event_type"), col("c"),
+                       sum("cnt").over(wCum).as("cum"),
+                       sum("cnt").over(wAll).as("n"))
+      // type 7 (inclusive): h = (n-1)p, value ranks k+1 / k+2;
+      // type 6 (exclusive): h = (n+1)p, value ranks k / k+1 — both read
+      // off the same cumulative grid as conditional minima, k inline
+      def hI(p: Double): Column = (col("n") - 1).cast("double") * p
+      def hE(p: Double): Column = (col("n") + 1).cast("double") * p
+      def selAt(rank: Column): Column = min(when(col("cum") >= rank, col("c")))
+      def interp(h: Column, v1: Column, v2: Column): Column =
+        v1.cast("double") + (h - floor(h).cast("double")) *
+          (coalesce(v2, v1).cast("double") - v1.cast("double"))
+      val agg = w.groupBy("event_type")
+        .agg(max("n").cast("long").as("n_rows"),
+             selAt(floor(hI(0.5)).cast("long") + 1).as("v50i1"),
+             selAt(floor(hI(0.5)).cast("long") + 2).as("v50i2"),
+             selAt(floor(hE(0.5)).cast("long")).as("v50e1"),
+             selAt(floor(hE(0.5)).cast("long") + 1).as("v50e2"),
+             selAt(floor(hI(0.75)).cast("long") + 1).as("v75i1"),
+             selAt(floor(hI(0.75)).cast("long") + 2).as("v75i2"),
+             selAt(floor(hE(0.75)).cast("long")).as("v75e1"),
+             selAt(floor(hE(0.75)).cast("long") + 1).as("v75e2"))
+      def hA(p: Double, excl: Boolean): Column = {
+        val n = col("n_rows")
+        if (excl) (n + 1).cast("double") * p else (n - 1).cast("double") * p
+      }
+      agg.select(col("event_type"), col("n_rows"),
+          interp(hA(0.5, excl = false), col("v50i1"), col("v50i2")).as("p50_inclusive"),
+          interp(hA(0.5, excl = true), col("v50e1"), col("v50e2")).as("p50_exclusive"),
+          interp(hA(0.75, excl = false), col("v75i1"), col("v75i2")).as("p75_inclusive"),
+          interp(hA(0.75, excl = true), col("v75e1"), col("v75e2")).as("p75_exclusive"))
+        .orderBy(asc_nulls_last("event_type"))
     })
 
   // ---------------------------------------------------------------- e22

@@ -1,5 +1,6 @@
 package graft.engine
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -492,8 +493,13 @@ object Round14Ops {
     * FLOOR/CEIL of a dyadic product (p ∈ {0.5, 0.75} exact in double),
     * NO data-sized sort, NO interpolation, ALL-INTEGER output (the
     * zero-float class — stronger than d49, whose interpolation needs the
-    * dyadic-fraction argument). ONE SQL text runs verbatim on both
-    * engines (the d49/h30 shared-text discipline). */
+    * dyadic-fraction argument). The Spark side is an INDEPENDENT
+    * DataFrame formulation (r12 brief item 3 — it previously ran the
+    * oracle text verbatim): the k rank indices are computed INLINE as
+    * expressions of the per-row `n` window column, so the DataFrame plan
+    * has NO join at all where the portable SQL needs the DISTINCT-n CTE
+    * joined back — one grid aggregate, one exchange, two window specs,
+    * one final hash agg (pinned join-free in PlanShapeSpec). */
   val d59: Q = Q(
     "d59_quantile_low_high",
     """WITH g AS (
@@ -521,8 +527,28 @@ object Round14Ops {
       |GROUP BY w.event_type
       |ORDER BY event_type ASC NULLS LAST""".stripMargin,
     (s, dir) => {
-      Tables.events(s, dir).createOrReplaceTempView("events")
-      s.sql(d59.sql)
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val g = Tables.events(s, dir)
+        .groupBy(col("event_type"), cents.as("c"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val wCum = Window.partitionBy("event_type").orderBy(asc("c"))
+      val wAll = Window.partitionBy("event_type")
+      val w = g.select(col("event_type"), col("c"),
+                       sum("cnt").over(wCum).as("cum"),
+                       sum("cnt").over(wAll).as("n"))
+      def kOf(p: Double, up: Boolean): Column = {
+        val h = (col("n") - 1).cast("double") * p
+        (if (up) ceil(h) else floor(h)).cast("long")
+      }
+      def sel(k: Column): Column =
+        min(when(col("cum") >= k + 1, col("c"))).cast("long")
+      w.groupBy("event_type")
+        .agg(max("n").cast("long").as("n_rows"),
+             sel(kOf(0.5, up = false)).as("p50_low"),
+             sel(kOf(0.5, up = true)).as("p50_high"),
+             sel(kOf(0.75, up = false)).as("p75_low"),
+             sel(kOf(0.75, up = true)).as("p75_high"))
+        .orderBy(asc_nulls_last("event_type"))
     })
 
   // ---------------------------------------------------------------- d60
@@ -539,8 +565,17 @@ object Round14Ops {
     * route feeding the weights), through the full udaf → merge → finish
     * → posexplode path; ties (weight DESC, value ASC) identical to the
     * oracle's ROW_NUMBER. d55 declares the same QUESTION through stacked
-    * exact aggs — two independent mechanisms for the family, both
-    * gated. */
+    * exact aggs — two independent mechanisms for the family, both gated.
+    *
+    * WEIGHT DOMAIN (r12 ADVICE): Misra-Gries weights are positive by
+    * contract — the reduce skips `w <= 0` (a negative weight would break
+    * the decrement invariant), while a SUM oracle would include it. The
+    * face makes the domains identical BY CONSTRUCTION: both engines
+    * filter to `cents > 0` before aggregating (the fixture's only
+    * non-positive values are exact zeros — sf0.1 carries 6 — which a SUM
+    * ignores anyway; the filter also settles the would-be divergence
+    * where an all-zero (day, type) group appears as a 0-total oracle row
+    * but never enters the sketch). */
   val d60: Q = Q(
     "d60_topk_weighted_exact_regime",
     """SELECT day, value, approx_count, rank FROM (
@@ -552,7 +587,9 @@ object Round14Ops {
       |      event_type AS value,
       |      CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
       |           AS BIGINT) AS approx_count
-      |    FROM events GROUP BY 1, 2))
+      |    FROM events
+      |    WHERE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) > 0
+      |    GROUP BY 1, 2))
       |WHERE rank <= 3
       |ORDER BY day ASC NULLS LAST, rank ASC NULLS LAST""".stripMargin,
     (s, dir) =>
@@ -560,6 +597,7 @@ object Round14Ops {
         .select(to_date(col("ts")).as("day"), col("event_type"),
                 (col("value").cast("decimal(18,2)") * 100).cast("long")
                   .as("cents"))
+        .filter(col("cents") > 0)
         .groupBy("day")
         .agg(graft.operators.HeavyHitters.approxTopKWeighted(
                col("event_type"), col("cents"), k = 3, capacity = 64)

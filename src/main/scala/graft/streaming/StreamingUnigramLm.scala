@@ -101,12 +101,21 @@ object StreamingUnigramLm {
   }
 
   /** Running corpus token total, one row per micro-batch. The per-doc
-    * counts are pre-summed map-side; the singleton key sees one number
-    * per upstream partition, not the token stream. */
+    * counts are pre-summed map-side by an explicit mapPartitions fold
+    * (groupByKey + transformWithState performs NO partial aggregation on
+    * its own — r12 ADVICE), so the singleton key genuinely sees one
+    * number per non-empty upstream partition per batch, not one row per
+    * document. Empty partitions emit nothing, so an idle batch produces
+    * no spurious Tot row. */
   def corpusTotal(docs: Dataset[DocIn], ttl: TTLConfig = TTLConfig.NONE)
                  (implicit s: SparkSession): Dataset[Tot] = {
     import s.implicits._
-    docs.map(d => Count(d.text.split(' ').length.toLong))
+    docs.mapPartitions { it =>
+        var n = 0L
+        var any = false
+        it.foreach { d => any = true; n += d.text.split(' ').length.toLong }
+        if (any) Iterator.single(Count(n)) else Iterator.empty
+      }
       .groupByKey(_ => "")
       .transformWithState(new TotalProcessor(ttl), StreamOps.timeModeFor(ttl),
                           OutputMode.Update())

@@ -378,4 +378,20 @@ class PlanShapeSpec extends SparkSpec {
         s"${q.name} should run the udaf through ObjectHashAggregate:\n$p")
     }
   }
+
+  test("d49/d59: independent DataFrame quantile grids plan NO join") {
+    // r12 brief item 3: both faces previously ran the oracle SQL text
+    // verbatim, whose portable form needs a DISTINCT-n CTE joined back.
+    // The hand-built DataFrame plans compute the k rank indices inline
+    // off the per-row n window column — grid agg, shared event_type
+    // exchange for both window specs, final hash agg, zero joins. A Join
+    // reappearing here means the formulation regressed to the CTE shape.
+    for (q <- Seq(graft.engine.Round11Ops.d49, graft.engine.Round14Ops.d59)) {
+      val p = executedPlan(q.fn(spark, sf0001)).split("== Initial Plan ==").head
+      assert(!p.contains("Join"), s"${q.name} must not join:\n$p")
+      val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(dataExchanges <= 2,
+        s"${q.name}: grid agg + window exchanges only, got $dataExchanges:\n$p")
+    }
+  }
 }
