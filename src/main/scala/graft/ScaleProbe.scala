@@ -124,6 +124,34 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
+  /** The r12 one-exchange window shapes, probed on a 10× events build:
+    * both group per user, so under replica-disjoint user ids the output
+    * is exactly 10× and the per-user window work is unchanged — time
+    * should scale ~linearly (the one-exchange claim made measurable). */
+  final val EventQueries = Seq("e28_delta_sum_timestamp",
+                               "j20_sequence_match_events")
+
+  /** 10× events: rows replicated with user_id/event_id offset per replica
+    * (max+1 bases — the r10 advice fix), everything else verbatim, so
+    * every per-user query sees 10× disjoint users each with the original
+    * event history. */
+  def buildEvents(spark: SparkSession, sfDir: String, outDir: String,
+                  replicas: Int): Unit = {
+    val base = graft.engine.Tables.events(spark, sfDir)
+    val uBase = base.agg(max(col("user_id"))).head.getLong(0) + 1L
+    val eBase = base.agg(max(col("event_id"))).head.getLong(0) + 1L
+    val reps = (0 until replicas).map { r =>
+      base.select(
+        (col("event_id") + lit(eBase * r)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(uBase * r)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    reps.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outDir = "/tmp/graft_scale10"
@@ -138,7 +166,7 @@ object ScaleProbe {
     // (no args = all three, the full probe record). Unknown names fail
     // LOUDLY: a typo'd section would otherwise select nothing and the
     // probe would exit 0 looking like a clean run with no measurements.
-    val known = Set("dense", "sparse", "emb")
+    val known = Set("dense", "sparse", "emb", "events")
     val unknown = args.toSet.diff(known)
     require(unknown.isEmpty,
       s"unknown probe section(s) ${unknown.mkString(", ")}; " +
@@ -250,6 +278,19 @@ object ScaleProbe {
       f"x10=$st10%.2fs/$sn10%d kept|timeRatio=${st10 / st1}%.1f|" +
       f"keptOutsideReplica0=$nonRep0%d (must be 0)")
     } // emb
+
+    if (sections("events")) {
+    // ---- r12 window shapes: e28/j20 on a 10× user-disjoint events build
+    val ev10 = "/tmp/graft_events10"
+    buildEvents(spark, sfDir, ev10, replicas = 10)
+    EventQueries.foreach { q => run(q, sfDir); run(q, ev10) } // warm
+    EventQueries.foreach { q =>
+      val (t1, n1) = run(q, sfDir)
+      val (t10, n10) = run(q, ev10)
+      println(f"SCALE|$q|sf0.1=$t1%.2fs/$n1%d rows|x10=$t10%.2fs/$n10%d rows|" +
+        f"timeRatio=${t10 / t1}%.1f|rows10xExact=${n10 == 10 * n1}")
+    }
+    } // events
     spark.stop()
   }
 }

@@ -43,8 +43,16 @@ object Dedup {
     val lenOk =
       col("a.__sz") >= col("b.__sz") * threshold - 1e-9 &&
       col("b.__sz") >= col("a.__sz") * threshold - 1e-9
+    // SHUFFLE_HASH, not sort-merge: both sides already share one reused
+    // exchange (the repartition above), so the only difference is two
+    // full sorts of Σdf rows (SMJ) vs one per-partition hash map (SHJ).
+    // Measured at sf0.1: 3.8 → 1.7 s for the identical 354k-pair output.
+    // Partition payload is bounded by the same (token, block) groups the
+    // dense path is selected FOR (dup-dense bounded blocks — the sparse/
+    // Zipf route is tokenJaccardPairsPrefix and keeps SMJ for its
+    // unbounded-skew posture).
     val inter = tok.as("a")
-      .join(tok.as("b"),
+      .join(tok.as("b").hint("shuffle_hash"),
             col("a.__tok") === col("b.__tok") && col("a.__blk") === col("b.__blk") &&
             col("a.__id") < col("b.__id") && lenOk)
       .groupBy(col("a.__id").as("id1"), col("b.__id").as("id2"))
@@ -73,8 +81,10 @@ object Dedup {
       .select(col("__id"), col("__blk"), size(col("__ts")).as("__sz"),
               explode(col("__ts")).as("__tok"))
       .repartition(col("__tok"), col("__blk"))
+    // same SHUFFLE_HASH rationale as tokenJaccardPairs: reused exchange,
+    // dense-path-only (the scale route is tokenContainmentPairsPrefix)
     val inter = tok.as("a")
-      .join(tok.as("b"),
+      .join(tok.as("b").hint("shuffle_hash"),
             col("a.__tok") === col("b.__tok") && col("a.__blk") === col("b.__blk") &&
             col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("id1"), col("b.__id").as("id2"))
@@ -392,6 +402,11 @@ object Dedup {
     val lenOk =
       col("a.__sz") >= col("b.__sz") * threshold - 1e-9 &&
       col("b.__sz") >= col("a.__sz") * threshold - 1e-9
+    // NO shuffle-hash hint here (unlike the token joins): shingle keys
+    // are near-unique, so the per-partition hashed relation holds nearly
+    // every row of the partition keyed by long strings — measured SLOWER
+    // than the sort-merge (2.0 → 2.9 s at sf0.1); the token joins win
+    // with SHJ because their key domain is block-vocabulary-sized
     val inter = sh.as("a")
       .join(sh.as("b"),
             col("a.__sh") === col("b.__sh") && col("a.__blk") === col("b.__blk") &&

@@ -156,7 +156,7 @@ object ConnectedComponents {
     *      labels and drop loops/dups. label(v) is always in v's component,
     *      so contraction preserves component structure exactly; on a
     *      near-clique corpus the 354k-edge sf0.1 dup graph collapses to
-    *      827 inter-star edges in pass 1 and to zero in pass 2. The two
+    *      827 inter-star edges in pass 1, 32 in pass 2, zero in pass 3. The two
     *      relabel joins BROADCAST the label frame below
     *      [[broadcastEdgeGate]] (zero added exchanges; the gate is the
     *      pass's own known edge count) and shuffle beyond it.
@@ -191,7 +191,9 @@ object ConnectedComponents {
       .filter(col("__a") =!= col("__b")).localCheckpoint(false)
     junk += e
     var nEdges = e.count()
+    val nEdges0 = nEdges // gate basis for the final |V|-sized compose join
     var mappings = List.empty[DataFrame] // deepest level first; (__v, __l)
+    var exits = List.empty[Long] // edge count EXITING each pass (same order)
     var pass = 0
     while (nEdges > 0 && pass < maxContract) {
       val sym = e.select(col("__a").as("__v"), col("__b").as("__n"))
@@ -223,29 +225,40 @@ object ConnectedComponents {
       junk += l
       junk += e2
       mappings ::= l
+      exits ::= nEdges
       pass += 1
     }
     // finisher only if contraction didn't drain the graph (adversarial
-    // diameters); its vertex set is exactly the surviving edge endpoints —
-    // everything else resolves through the composed mappings. forceStar
-    // (the assignStarSeeded path) runs it unconditionally so the star
-    // algebra executes even on a drained remainder (then a no-op).
+    // diameters). forceStar (the assignStarSeeded path) runs it
+    // unconditionally so the star algebra executes even on a drained
+    // remainder (then a no-op). The finisher returns the RAW star roots
+    // (v → component min) off the fixpoint edges — component minima have
+    // no out-edge and are simply ABSENT, which the compose fold's
+    // coalesce already resolves to "own label", so no vertex-completion
+    // join, no endpoint-distinct, and no extra materialization job are
+    // paid here (they were three jobs of pure overhead — r12 brief).
     val roots: Option[DataFrame] =
       if (nEdges == 0 && !forceStar) None
-      else Some(assignStar(
-        e.select(col("__a").as("__l"))
-          .unionByName(e.select(col("__b").as("__l"))).distinct(),
-        e, "__l", "__a", "__b", maxIters)
-        .select(col("__l").as("__v"), col("component").as("__c")))
-    roots.foreach(junk += _) // the finisher's result is its own checkpoint
+      else {
+        val fix = starFixpoint(e, maxIters, knownDistinctCount = Some(nEdges))
+        junk += fix
+        Some(fix.groupBy("__a").agg(min("__b").as("__c"))
+          .select(col("__a").as("__v"), col("__c")))
+      }
     // compose top-down: component(level-i vertex) = component(label_i(v)),
-    // vertices absent from the level above are their own roots
-    val composed = mappings.foldLeft(roots) { (cur, m) =>
+    // vertices absent from the level above are their own roots. The
+    // composed side c is always the SMALLER side (≤ 2× the edges exiting
+    // that pass — tracked, so the bound is known, not estimated): below
+    // the same gate as the relabel joins it broadcasts, making the whole
+    // compose chain exchange-free; beyond it, shuffle joins (100 TB
+    // posture, same argument as the relabel gate).
+    val composed = mappings.zip(exits).foldLeft(roots) { case (cur, (m, nExit)) =>
       Some(cur match {
         case None => m.select(col("__v"), col("__l").as("__c"))
         case Some(c) =>
-          m.join(c.select(col("__v").as("__u"), col("__c")),
-                 col("__l") === col("__u"), "left")
+          val cc = c.select(col("__v").as("__u"), col("__c"))
+          val cSized = if (nExit <= broadcastEdgeGate) broadcast(cc) else cc
+          m.join(cSized, col("__l") === col("__u"), "left")
             .select(col("__v"), coalesce(col("__c"), col("__l")).as("__c"))
       })
     }
@@ -255,9 +268,13 @@ object ConnectedComponents {
         vertices.select(col(vertexCol), col(vertexCol).as("component"))
       case Some(c) =>
         // materialize the composed labels, then release every loop
-        // checkpoint: the only storage residue is the |V|-row result
+        // checkpoint: the only storage residue is the |V|-row result.
+        // c holds ≤ 2·nEdges0 rows (every vertex that ever touched an
+        // edge) — broadcast below the gate so the |V|-row side never
+        // re-shuffles for this join either.
+        val cSized = if (nEdges0 <= broadcastEdgeGate) broadcast(c) else c
         val out = vertices.select(col(vertexCol).as("__v0"))
-          .join(c, col("__v0") === col("__v"), "left")
+          .join(cSized, col("__v0") === col("__v"), "left")
           .select(col("__v0").as(vertexCol),
                   coalesce(col("__c"), col("__v0")).as("component"))
           .localCheckpoint()
@@ -266,21 +283,26 @@ object ConnectedComponents {
     }
   }
 
-  /** [[assignStar]] seeded with ONE seed-and-contract pass: the near-clique
-    * mass (the overwhelming majority of a dup graph) collapses in the seed
-    * pass — one groupBy plus two relabel joins — and the O(log² n) star
-    * alternation then runs only on the inter-star remainder (sf0.1 dup
-    * fixture: 354k edges → 827 after the seed pass), instead of paying
-    * per-round collect_set/explode over the full edge multiset. Labels are
+  /** [[assignStar]] seeded with TWO seed-and-contract passes: the
+    * near-clique mass (the overwhelming majority of a dup graph)
+    * collapses in the seed passes — each one groupBy plus two relabel
+    * joins — and the O(log² n) star alternation then runs only on the
+    * inter-star remainder (sf0.1 dup fixture: 354k edges → 827 after
+    * pass 1 → 32 after pass 2), instead of paying per-round
+    * collect_set/explode over the full edge multiset. Two passes, not
+    * one, because each star ROUND costs three exchanges while a contract
+    * pass costs two and shrinks the remainder quadratically on dup
+    * graphs — the star budget is the expensive finisher, so it should
+    * see the smallest remainder two cheap passes can produce. Labels are
     * identical to [[assign]]/[[assignStar]] (composition argument in
     * [[assignContracted]]; equality pinned in ApiSpec). The star finisher
     * runs unconditionally, so the star algebra is exercised end-to-end
-    * even when the seed pass drains the graph. */
+    * even when the seed passes drain the graph. */
   def assignStarSeeded(vertices: DataFrame, edges: DataFrame, vertexCol: String,
                        srcCol: String, dstCol: String,
                        maxIters: Int = 30): DataFrame =
     assignContracted(vertices, edges, vertexCol, srcCol, dstCol,
-                     maxContract = 1, maxIters = maxIters, forceStar = true)
+                     maxContract = 2, maxIters = maxIters, forceStar = true)
 
   /** Connected components by alternating large-star / small-star
     * contraction [public: Kiveris et al., "Connected Components in
@@ -302,10 +324,42 @@ object ConnectedComponents {
     * [[assign]] only needs orderable ids). */
   def assignStar(vertices: DataFrame, edges: DataFrame, vertexCol: String,
                  srcCol: String, dstCol: String, maxIters: Int = 30): DataFrame = {
+    // fixpoint edges are stars (v → component min); roots keep themselves.
+    // Materialize the labels and free the fixpoint edge checkpoint — the
+    // only storage residue is the |V|-row result (see [[freeResult]]).
+    val e = starFixpoint(
+      edges.select(col(srcCol).as("__a"), col(dstCol).as("__b")),
+      maxIters, knownDistinctCount = None)
+    val out = vertices.select(col(vertexCol).as("__v"))
+      .join(e.groupBy("__a").agg(min("__b").as("__r")),
+            col("__v") === col("__a"), "left")
+      .select(col("__v").as(vertexCol),
+              coalesce(col("__r"), col("__v")).as("component"))
+      .localCheckpoint()
+    free(Seq(e))
+    out
+  }
+
+  /** The large-star/small-star alternation run to its fixpoint over an
+    * (__a, __b) edge frame; returns the CHECKPOINTED fixpoint edges
+    * (caller frees). `knownDistinctCount` = Some(n) promises the input is
+    * already loop-free, distinct, and checkpointed with n edges (the
+    * contract-loop pass outputs) — the initial distinct + sig job is then
+    * skipped entirely and round 1 compares against a sentinel that can
+    * never match a real signature. Fails loudly if the round budget is
+    * exhausted before the fixpoint (the [[assign]] philosophy: silent
+    * unconverged stars would be silently wrong roots). */
+  private def starFixpoint(edges: DataFrame, maxIters: Int,
+                           knownDistinctCount: Option[Long]): DataFrame = {
     def symmetric(e: DataFrame): DataFrame =
       e.select(col("__a").as("__u"), col("__b").as("__n"))
         .unionByName(e.select(col("__b").as("__u"), col("__a").as("__n")))
-    // large-star: every neighbor v > u re-links to min(Γ(u) ∪ {u})
+    // large-star: every neighbor v > u re-links to min(Γ(u) ∪ {u}).
+    // NO intra-round distinct (r12 brief: fewer exchanges per round) —
+    // duplicate rows are harmless to the min/collect_set algebra
+    // downstream (smallStar's groupBys absorb them) and cannot compound:
+    // smallStar's round-boundary distinct re-canonicalizes the multiset
+    // before the next round and before sig() hashes it.
     def largeStar(e: DataFrame): DataFrame =
       symmetric(e)
         .groupBy("__u")
@@ -315,7 +369,6 @@ object ConnectedComponents {
         .filter(col("__n") > col("__u"))
         .select(col("__n").as("__a"), col("__m").as("__b"))
         .filter(col("__a") =!= col("__b"))
-        .distinct()
     // small-star: u and its strictly-smaller neighbors all link to their min
     def smallStar(e: DataFrame): DataFrame = {
       val g = symmetric(e)
@@ -343,32 +396,30 @@ object ConnectedComponents {
     // localCheckpoint per round: large/small-star each reference their
     // input twice, so untruncated lineage would double every round (the
     // same argument as assign's loop)
-    var e = edges
-      .select(col(srcCol).as("__a"), col(dstCol).as("__b"))
-      .filter(col("__a") =!= col("__b"))
-      .distinct().localCheckpoint(false) // lazy: sig() materializes it
-    var prevSig = sig(e)
+    var e = knownDistinctCount match {
+      case Some(_) => edges // caller's checkpoint; do NOT free it here
+      case None => edges.filter(col("__a") =!= col("__b"))
+        .distinct().localCheckpoint(false) // lazy: sig() materializes it
+    }
+    var ownsE = knownDistinctCount.isEmpty
+    var prevSig = knownDistinctCount match {
+      case Some(n) => (n, "") // sentinel hash: never equals a real sig
+      case None => sig(e)
+    }
     var iters = 0
     var converged = prevSig._1 == 0
     while (!converged && iters < maxIters) {
       val next = smallStar(largeStar(e)).localCheckpoint(false)
       val s = sig(next) // the round's ONE job: materializes the checkpoint
-      free(Seq(e)) // previous round's checkpoint: next is materialized
+      if (ownsE) free(Seq(e)) // previous round's checkpoint: next is materialized
       e = next
+      ownsE = true
       converged = s == prevSig
       prevSig = s
       iters += 1
     }
-    // fixpoint edges are stars (v → component min); roots keep themselves.
-    // Materialize the labels and free the fixpoint edge checkpoint — the
-    // only storage residue is the |V|-row result (see [[freeResult]]).
-    val out = vertices.select(col(vertexCol).as("__v"))
-      .join(e.groupBy("__a").agg(min("__b").as("__r")),
-            col("__v") === col("__a"), "left")
-      .select(col("__v").as(vertexCol),
-              coalesce(col("__r"), col("__v")).as("component"))
-      .localCheckpoint()
-    free(Seq(e))
-    out
+    require(converged,
+      s"star contraction did not converge in $maxIters rounds: raise maxIters")
+    e
   }
 }
