@@ -134,6 +134,18 @@ object ConnectedComponents {
     out
   }
 
+  /** Diagnostic trace of the LAST [[assignContracted]]/[[assignStar]] run
+    * on this thread: edge counts entering/produced by each contract pass
+    * and the star-finisher round count (−1 = finisher never ran). Written
+    * unconditionally (two longs and an int per run — free); read by the
+    * heavy-band regression spec, which pins the fixture's convergence
+    * TRAJECTORY (pair cardinality, pass counts, star rounds) instead of
+    * wall-clock — the r12 brief's CI-stable form of "did CC regress". */
+  final case class Trace(passEdges: Vector[Long], starRounds: Int)
+  private[graft] val lastTrace = new ThreadLocal[Trace] {
+    override def initialValue: Trace = Trace(Vector.empty, -1)
+  }
+
   /** Edge-count gate below which a contraction pass BROADCASTS its label
     * frame into the relabel joins (labels ≤ 2·edges rows ≈ 32 MB of
     * (long, long) at the gate — bounded, known BEFORE the pass runs, and
@@ -192,6 +204,7 @@ object ConnectedComponents {
     junk += e
     var nEdges = e.count()
     val nEdges0 = nEdges // gate basis for the final |V|-sized compose join
+    lastTrace.set(Trace(Vector(nEdges0), -1))
     var mappings = List.empty[DataFrame] // deepest level first; (__v, __l)
     var exits = List.empty[Long] // edge count EXITING each pass (same order)
     var pass = 0
@@ -227,6 +240,8 @@ object ConnectedComponents {
       mappings ::= l
       exits ::= nEdges
       pass += 1
+      lastTrace.set(lastTrace.get.copy(
+        passEdges = lastTrace.get.passEdges :+ nEdges))
     }
     // finisher only if contraction didn't drain the graph (adversarial
     // diameters). forceStar (the assignStarSeeded path) runs it
@@ -420,6 +435,7 @@ object ConnectedComponents {
     }
     require(converged,
       s"star contraction did not converge in $maxIters rounds: raise maxIters")
+    lastTrace.set(lastTrace.get.copy(starRounds = iters))
     e
   }
 }

@@ -271,4 +271,90 @@ object StreamingSequenceMatch {
       .transformWithState(new FoldProcessor(pattern, condTypes, ttl),
                           StreamOps.timeModeFor(ttl), OutputMode.Update())
   }
+
+  // -------------------------------------------------------------------
+  // sequenceMatchEvents: the streaming twin of batch j20 — the FIRST
+  // completed (A →(≤bound)→ B) match's event TIMES, not just the boolean.
+  // -------------------------------------------------------------------
+
+  final case class EvState(t1: Long, t2: Long, pending: Seq[Long],
+                           nEvents: Long)
+  final case class SeqEvOut(user_id: Long, t1_us: Option[Long],
+                            t2_us: Option[Long], matched: Int,
+                            n_events: Long)
+
+  /** Streaming twin of `j20_sequence_match_events`: per user, the first
+    * match's (t1, t2) under the batch definition — t1 = the earliest A
+    * that some strictly-later B completes within `boundMicros`, t2 = the
+    * earliest such B after t1.
+    *
+    * Why the first COMPLETING B settles both answers for good (the
+    * argument that makes this streamable with bounded state): let c be
+    * the first B that completes any (A, B) pair. (i) t1 is the earliest
+    * pending A qualifying against c — any A earlier than that was either
+    * never followed by a qualifying B before c (by c's minimality among
+    * Bs, since an earlier qualifying B would have completed it) or is
+    * already out of window for c, and every LATER B sits even further
+    * outside that A's window (windows are upper-bounded), so no earlier
+    * A can ever match. (ii) t2 = c itself: a B earlier than c inside
+    * t1's window would have completed t1, contradicting c's minimality.
+    * State is therefore (result once found) + the pending As within the
+    * trailing `boundMicros` horizon — time-bounded like a watermark
+    * window, NOT stream-length-bounded state; an A older than the
+    * horizon can never match and is pruned on every row. Ordering
+    * contract identical to [[Processor]] (in-order delivery ⇒ equals the
+    * batch query exactly; pinned against j20 across a batch cut in
+    * StreamingSpec). */
+  final class EventsProcessor(typeA: String, typeB: String,
+                              boundMicros: Long,
+                              ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, EIn, SeqEvOut] {
+    @transient private var st: ValueState[EvState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[EvState](
+        "seqevents", Encoders.product[EvState], ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[EIn],
+                                 timerValues: TimerValues): Iterator[SeqEvOut] = {
+      var s = Option(st.get()).getOrElse(EvState(Unset, Unset, Seq.empty, 0L))
+      rows.toArray.sortBy(e => (e.ts_micros, e.event_id)).foreach { e =>
+        val t = e.ts_micros
+        if (s.t1 == Unset) {
+          // B first (strictly-later semantics: a same-timestamp A cannot
+          // be completed by this B, so checking before the A-append is
+          // also consistent with the batch `c.t > s.t`)
+          if (e.event_type == typeB) {
+            val qual = s.pending.filter(a => t > a && t <= a + boundMicros)
+            if (qual.nonEmpty)
+              s = s.copy(t1 = qual.min, t2 = t, pending = Seq.empty)
+          }
+          if (s.t1 == Unset) {
+            val kept = s.pending.filter(_ + boundMicros >= t)
+            s = s.copy(pending =
+              if (e.event_type == typeA) kept :+ t else kept)
+          }
+        }
+        s = s.copy(nEvents = s.nEvents + 1L)
+      }
+      st.update(s)
+      Iterator.single(SeqEvOut(key,
+        if (s.t1 == Unset) None else Some(s.t1),
+        if (s.t2 == Unset) None else Some(s.t2),
+        if (s.t1 == Unset) 0 else 1, s.nEvents))
+    }
+  }
+
+  /** Per-user first-match event times over an unbounded stream — defaults
+    * mirror the batch j20 pattern (signup → click within 4 hours). */
+  def matchEvents(events: Dataset[EIn],
+                  typeA: String = "signup", typeB: String = "click",
+                  boundMicros: Long = 14400L * 1000000L,
+                  ttl: TTLConfig = TTLConfig.NONE)
+                 (implicit s: SparkSession): Dataset[SeqEvOut] = {
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new EventsProcessor(typeA, typeB, boundMicros, ttl),
+                          StreamOps.timeModeFor(ttl), OutputMode.Update())
+  }
 }

@@ -379,6 +379,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("j21: first-match chain windows share ONE key exchange, no join") {
+    // j19's recipe applied to the forward/first_match base: the lead
+    // windows and the whole-partition conditional MIN all cluster on
+    // user_id, as does the closing agg — one exchange end to end
+    val p = executedPlan(graft.engine.Round15Ops.j21.fn(spark, sf0001))
+      .split("== Initial Plan ==").head
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(dataExchanges == 1,
+      s"j21: one shared user_id exchange, got $dataExchanges:\n$p")
+    assert(!p.contains("Join"), s"j21 must not join:\n$p")
+  }
+
+  test("d61: bounding ratio is one hash aggregate — no window, no join") {
+    // the oracle needs two ROW_NUMBER windows (a data-sized sort); the
+    // DataFrame face reads both extremes as struct MIN/MAX in a single
+    // map-combined aggregate — the 100 TB shape for a two-point statistic
+    val p = executedPlan(graft.engine.Round15Ops.d61.fn(spark, sf0001))
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"d61 must stay a single aggregate:\n$p")
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(dataExchanges == 1,
+      s"d61: one agg exchange, got $dataExchanges:\n$p")
+  }
+
   test("d49/d59: independent DataFrame quantile grids plan NO join") {
     // r12 brief item 3: both faces previously ran the oracle SQL text
     // verbatim, whose portable form needs a DISTINCT-n CTE joined back.

@@ -32,6 +32,32 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("heavy band pinned: k23/k25 pair cardinality and CC convergence trajectory") {
+    // r12 brief item 5: the k-heavies have drifted with HOST noise three
+    // rounds running, so the clean-band expectation is encoded here in
+    // CI-stable form — the fixture's exact pair count and the contract
+    // loop's edge trajectory / star round count — instead of wall-clock.
+    // A REAL regression (edge blow-up, extra contract passes, a star
+    // path that stops converging in 2 rounds) fails sbt test; a noisy
+    // bench window does not.
+    val docs = Tables.documents(spark, sf0001)
+    val pairs = graft.api.Dedup.tokenJaccardPairsAuto(
+      docs, "doc_id", "text", "source", 0.6)
+    assert(pairs.count() == 3536L, "k02 edge cardinality moved at sf0.001")
+    graft.operators.ConnectedComponents.assignContracted(
+      docs.select("doc_id"), pairs, "doc_id", "id1", "id2").count()
+    val tc = graft.operators.ConnectedComponents.lastTrace.get
+    assert(tc.passEdges == Vector(3536L, 54L, 2L, 0L),
+      s"k23 contraction trajectory moved: ${tc.passEdges}")
+    assert(tc.starRounds == -1, s"k23 should drain without the star finisher: $tc")
+    graft.operators.ConnectedComponents.assignStarSeeded(
+      docs.select("doc_id"), pairs, "doc_id", "id1", "id2").count()
+    val ts = graft.operators.ConnectedComponents.lastTrace.get
+    assert(ts.passEdges == Vector(3536L, 54L, 2L),
+      s"k25 seed trajectory moved: ${ts.passEdges}")
+    assert(ts.starRounds == 2, s"k25 star finisher rounds moved: $ts")
+  }
+
   test("MinHashLSH recall ≥ 0.9 against exact token-Jaccard pairs (k02)") {
     val docs = Tables.documents(spark, sf0001)
     val exact = LlmOps.k02.fn(spark, sf0001)

@@ -1764,6 +1764,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming match events equals batch j20 (first-match t1/t2) across a batch cut") {
+    import graft.streaming.StreamingSequenceMatch
+    import graft.streaming.StreamingSequenceMatch.{EIn, SeqEvOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rows = graft.engine.Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+              col("event_type"))
+      .collect()
+      .map(r => EIn(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(e => (e.ts_micros, e.event_id))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[EIn]
+    // defaults = the batch j20 pattern (signup → click within 4 hours)
+    val q = StreamingSequenceMatch.matchEvents(in.toDS()).writeStream
+      .format("memory").queryName("seqevents_j20")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val batch = graft.engine.Round14Ops.j20.fn(spark, sf0001).collect()
+        .map(r => r.getLong(0) ->
+          ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+            Option(r.get(2)).map(_.asInstanceOf[Long]), r.getInt(3))))
+        .toMap
+      val last = spark.table("seqevents_j20").as[SeqEvOut].collect()
+        .groupBy(_.user_id).map { case (u, os) =>
+          val o = os.maxBy(_.n_events)
+          u -> ((o.t1_us, o.t2_us, o.matched)) }
+      // EQUALITY, no tolerance: the first-completing-B argument makes
+      // (t1, t2) batch-identical over the same exact µs integers — and
+      // the batch cut means matches straddling the cut are exercised
+      assert(last == batch,
+        s"streaming j20 twin must equal batch: got $last, want $batch")
+      // the NULL side must be populated on this fixture, or the pin is vacuous
+      assert(batch.values.exists(_._3 == 0) && batch.values.exists(_._3 == 1),
+        "fixture must exercise both matched and unmatched users")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming bounded chain count equals batch j18 across a batch cut") {
     import graft.streaming.StreamingSequenceCount
     import graft.streaming.StreamingSequenceCount.{EventIn, BoundedCount}
