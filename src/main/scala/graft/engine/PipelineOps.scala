@@ -186,11 +186,14 @@ object PipelineOps {
     * near-dup pairs, each doc labeled with its cluster's smallest doc_id.
     * The oracle states reachability as a recursive CTE; the plan is
     * ConnectedComponents.assignContracted — iterated seed-and-contract
-    * (the sf0.1 dup graph's 354k edges collapse to 827 after one pass and
-    * to zero after two), with the O(log² n) star finisher behind a pass
-    * budget for adversarial shapes. Measured vs the propagation variant
-    * at sf0.1 warm: 2.7 s vs 6.3 s on identical edges. This is THE
-    * consumer of the near-dup stack: pairs → clusters → keep one
+    * (the sf0.1 dup graph's 354k edges collapse to 827 after pass 1, 32
+    * after pass 2, zero after pass 3 — the trajectory is PINNED as the
+    * heavy-band regression spec in ScaleOpsSpec), with the O(log² n)
+    * star finisher behind a pass budget for adversarial shapes. Measured
+    * vs the propagation variant at sf0.1 warm: 1.7 s vs 5 s on identical
+    * edges (r15: the post-loop compose/final joins broadcast their
+    * bound-tracked small side below the edge gate). This is THE consumer
+    * of the near-dup stack: pairs → clusters → keep one
     * representative. */
   val k23: Q = Q(
     "k23_dedup_clusters",
@@ -260,16 +263,16 @@ object PipelineOps {
     * the SAME reachability oracle as k23, answered by the
     * adversarial-diameter CC variant (O(log² n) star rounds on any graph
     * shape — the path a 100 TB pipeline takes when the dup graph is not
-    * near-clique, e.g. chained template documents). One seed-and-contract
-    * pass first collapses the near-clique mass so the star alternation's
-    * per-round collect_set/explode runs on the small inter-star remainder,
+    * near-clique, e.g. chained template documents). TWO seed-and-contract
+    * passes first collapse the near-clique mass so the star alternation's
+    * per-round collect_set/explode runs on the tiny inter-star remainder
+    * (354k → 827 → 32 edges at sf0.1; trajectory pinned in ScaleOpsSpec),
     * not the full edge multiset (ConnectedComponents.assignStarSeeded).
-    * MEASURED (sf0.1, warm, single JVM, 3 reps): star 5.4–5.7 s, seeded
-    * 5.7–5.9 s, contracted 5.5–5.6 s — the ~4.4 s edge-set recompute
-    * dominates all three (declared queries stay independent by design)
-    * and the CC variants differ by < 0.5 s at this SF, so the seeding's
-    * value is asymptotic (the avoided full-multiset collect_set rounds
-    * grow with |E|; the remainder doesn't), not visible at sf0.1.
+    * The edge-set compute dominates the query (declared queries stay
+    * independent by design; the r15 SHUFFLE_HASH dense-path join cut it
+    * 3.8 → 1.7 s), so the seeding's remaining value is asymptotic (the
+    * avoided full-multiset collect_set rounds grow with |E|; the
+    * remainder doesn't).
     * Declaring it separately oracle-checks
     * the star + contraction composition end-to-end instead of only
     * spec-equal to the propagation variant; its rows are hash-identical to

@@ -200,8 +200,12 @@ object Round13Ops {
     val rowStruct = from_json(col("props"), "k INT",
                               Map.empty[String, String])
     val validJson = try_parse_json(col("props")).isNotNull
-    val elemText = when(startswith(ltrim(col("props")), lit("{")),
-                        col("props")).otherwise(lit("{}"))
+    // the JSON spec allows all four whitespace chars before the root
+    // token — a bare ltrim trims spaces only and would misroute a
+    // tab-prefixed object to the placeholder (counted, not summed)
+    val elemText = when(
+      startswith(expr("trim(LEADING ' \t\r\n' FROM props)"), lit("{")),
+      col("props")).otherwise(lit("{}"))
     val arrPath = ev
       .filter(validJson)
       .select(col("user_id"), col("event_id"), elemText.as("__elem"))

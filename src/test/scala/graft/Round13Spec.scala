@@ -135,16 +135,19 @@ class Round13Spec extends SparkSpec {
       (1L, 12L, """{"k":"x"}"""), (1L, 13L, """[1,2]"""),
       (1L, 14L, """5"""), (1L, 15L, """null"""),
       (1L, 16L, """{bad"""), (1L, 17L, null.asInstanceOf[String]),
-      (1L, 18L, """{"k":4}"""),
+      (1L, 18L, """{"k":4}"""), (1L, 19L, "\t {\"k\":5}"),
       (2L, 20L, """{bad"""), (2L, 21L, null.asInstanceOf[String])
     ).toDF("user_id", "event_id", "props")
     val got = graft.engine.Round13Ops.h46Plan(ev).collect()
       .map(r => r.getLong(0) ->
         ((Option(r.get(1)).map(_.asInstanceOf[Long]),
           Option(r.get(2)).map(_.asInstanceOf[Int]), r.getLong(3)))).toMap
-    // user 1: 7 json_valid rows admitted (all but '{bad' and SQL NULL),
-    // sum over the two integer ks only, max over the row path likewise
-    assert(got(1L) == ((Some(7L), Some(4), 7L)), s"user 1 broken: ${got(1L)}")
+    // user 1: 8 json_valid rows admitted (all but '{bad' and SQL NULL),
+    // sum over the three integer ks only (including the TAB-prefixed
+    // object — the JSON spec allows whitespace before the root token, so
+    // it must route to the raw-element leg, not the placeholder), max
+    // over the row path likewise
+    assert(got(1L) == ((Some(12L), Some(5), 8L)), s"user 1 broken: ${got(1L)}")
     assert(got(2L) == ((None, None, 0L)), s"user 2 vanished/filled: ${got(2L)}")
   }
 }
