@@ -138,8 +138,9 @@ object ScaleProbe {
   def buildEvents(spark: SparkSession, sfDir: String, outDir: String,
                   replicas: Int): Unit = {
     val base = graft.engine.Tables.events(spark, sfDir)
-    val uBase = base.agg(max(col("user_id"))).head.getLong(0) + 1L
-    val eBase = base.agg(max(col("event_id"))).head.getLong(0) + 1L
+    val maxes = base.agg(max(col("user_id")), max(col("event_id"))).head
+    val uBase = maxes.getLong(0) + 1L
+    val eBase = maxes.getLong(1) + 1L
     val reps = (0 until replicas).map { r =>
       base.select(
         (col("event_id") + lit(eBase * r)).as("event_id"),

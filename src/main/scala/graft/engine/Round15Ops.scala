@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   *    combination of `sequenceNextNode` not yet declared
   *    (forward/first_match): the event AFTER the first occurrence of a
   *    two-step chain, on j19's one-exchange window recipe.
-  *  - `d61_bounding_ratio` — CH `boundingRatio(x, y)`: the slope of the
-  *    segment between a group's min-x and max-x points, read off two
-  *    struct-ordered extremes in ONE hash aggregate; integer-exact
-  *    operands, one shared IEEE division.
+  *  - `d61_bounding_ratio_agg` — CH `boundingRatio(x, y)` in its
+  *    AGGREGATE shape (d27 declares the window form; this is the second
+  *    mechanism, the d55/d60 discipline): both extremes read as
+  *    struct-ordered MIN/MAX in ONE hash aggregate; integer-exact
+  *    operands, one shared IEEE division, NULLIF on the degenerate
+  *    dx = 0.
   *
   * Every query follows the SURVEY §2 determinism rules (explicit NULLS,
   * total ORDER BY, integer-exact arithmetic end-to-end).
@@ -60,39 +62,28 @@ object Round15Ops {
       |                 ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)))
       |GROUP BY user_id
       |ORDER BY user_id ASC NULLS LAST""".stripMargin,
-    (s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
-      val wAll = Window.partitionBy("user_id")
-      val isChain = col("event_type") === "click" && col("n1") === "view"
-      Tables.events(s, dir)
-        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-        .withColumn("n1", lead(col("event_type"), 1).over(w))
-        .withColumn("n2", lead(col("event_type"), 2).over(w))
-        .withColumn("key", struct(col("ts"), col("event_id")))
-        .withColumn("first_chain_key", min(when(isChain, col("key"))).over(wAll))
-        .groupBy("user_id")
-        .agg(max(when(col("key") === col("first_chain_key"), col("n2")))
-               .as("next_after_chain"),
-             sum(when(isChain, 1).otherwise(0)).cast("long").as("n_chains"))
-        .orderBy(asc_nulls_last("user_id"))
-    })
+    (s, dir) => j21Plan(Tables.events(s, dir)))
 
   // ---------------------------------------------------------------- d61
 
-  /** d61 — `boundingRatio(x, y)` analog [public: CH aggregate-function
-    * docs: the slope between a group's leftmost and rightmost points]:
-    * per event type over (x = epoch micros, y = value cents), the ratio
-    * (y_last − y_first) / (x_last − x_first) with first/last = min/max x,
-    * ties broken by event_id (CH leaves the equal-x winner undefined;
-    * the declared face pins the deterministic struct order). ONE hash
-    * aggregate: both extremes are struct-ordered MIN/MAX — no sort, no
-    * window, no join; the integer deltas ship alongside so the only
-    * float is ONE division of bit-identical int64-exact operands (the
-    * d44/e22 determinism class — same IEEE op on both engines, no
-    * ROUND). The ORACLE reads the extremes via two DESC/ASC ROW_NUMBERs
-    * instead — independent formulations. */
+  /** d61 — `boundingRatio(x, y)` in its AGGREGATE shape [public: CH
+    * aggregate-function docs]. NOT a new tail item: d27 (r8) already
+    * declares boundingRatio as per-user first/last slope through a
+    * WINDOW plan (exchange + sort + rn=1 filter). This face declares the
+    * SECOND mechanism for the family — the d55/d60 discipline — and it
+    * is the shape CH itself executes (boundingRatio IS an aggregate
+    * there): per event type over (x = epoch µs, y = value cents), both
+    * extremes read as struct-ordered MIN/MAX in ONE map-combined hash
+    * aggregate — no sort, no window, no join (plan-pinned; the 100 TB
+    * shape for a two-point statistic). Equal-x ties pinned by event_id
+    * (CH leaves them undefined). Integer deltas ship alongside; the only
+    * float is ONE division of int64-exact operands (the d44/e22 class)
+    * with dx = 0 → NULL via NULLIF on both engines — d27's pinned
+    * posture for the degenerate group (CH's nan as SQL NULL), pinned on
+    * a synthetic single-point group in Round15Spec. The ORACLE reads the
+    * extremes via two ASC/DESC ROW_NUMBERs — independent formulations. */
   val d61: Q = Q(
-    "d61_bounding_ratio",
+    "d61_bounding_ratio_agg",
     """WITH b AS (
       |  SELECT event_type, ts, event_id,
       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
@@ -108,27 +99,49 @@ object Round15Ops {
       |     - MAX(CASE WHEN rf = 1 THEN epoch_us(ts) END) AS BIGINT) AS dx_us,
       |  CAST(MAX(CASE WHEN rl = 1 THEN c END)
       |     - MAX(CASE WHEN rf = 1 THEN c END) AS DOUBLE)
-      |    / CAST(MAX(CASE WHEN rl = 1 THEN epoch_us(ts) END)
-      |         - MAX(CASE WHEN rf = 1 THEN epoch_us(ts) END) AS DOUBLE)
+      |    / CAST(NULLIF(MAX(CASE WHEN rl = 1 THEN epoch_us(ts) END)
+      |                - MAX(CASE WHEN rf = 1 THEN epoch_us(ts) END), 0) AS DOUBLE)
       |    AS bounding_ratio
       |FROM b GROUP BY event_type
       |ORDER BY event_type ASC NULLS LAST""".stripMargin,
-    (s, dir) => {
-      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
-      val agg = Tables.events(s, dir)
-        .select(col("event_type"),
-                struct(col("ts"), col("event_id"), cents.as("c"),
-                       unix_micros(col("ts")).as("us")).as("p"))
-        .groupBy("event_type")
-        .agg(min(col("p")).as("lo"), max(col("p")).as("hi"))
-      agg.select(col("event_type"),
-          (col("hi.c") - col("lo.c")).cast("long").as("dy_cents"),
-          (col("hi.us") - col("lo.us")).cast("long").as("dx_us"),
-          ((col("hi.c") - col("lo.c")).cast("double") /
-             (col("hi.us") - col("lo.us")).cast("double"))
-            .as("bounding_ratio"))
-        .orderBy(asc_nulls_last("event_type"))
-    })
+    (s, dir) => d61Plan(Tables.events(s, dir)))
+
+  /** The d61 plan body, factored so Round15Spec can drive the REAL plan
+    * on a synthetic frame (the h46Plan discipline). */
+  def d61Plan(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val agg = ev
+      .select(col("event_type"),
+              struct(col("ts"), col("event_id"), cents.as("c"),
+                     unix_micros(col("ts")).as("us")).as("p"))
+      .groupBy("event_type")
+      .agg(min(col("p")).as("lo"), max(col("p")).as("hi"))
+    agg.select(col("event_type"),
+        (col("hi.c") - col("lo.c")).cast("long").as("dy_cents"),
+        (col("hi.us") - col("lo.us")).cast("long").as("dx_us"),
+        ((col("hi.c") - col("lo.c")).cast("double") /
+           nullif(col("hi.us") - col("lo.us"), lit(0L)).cast("double"))
+          .as("bounding_ratio"))
+      .orderBy(asc_nulls_last("event_type"))
+  }
+
+  /** The j21 plan body, factored so Round15Spec can drive the REAL plan
+    * on a synthetic frame (the h46Plan discipline). */
+  def j21Plan(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    val wAll = Window.partitionBy("user_id")
+    val isChain = col("event_type") === "click" && col("n1") === "view"
+    ev.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("n1", lead(col("event_type"), 1).over(w))
+      .withColumn("n2", lead(col("event_type"), 2).over(w))
+      .withColumn("key", struct(col("ts"), col("event_id")))
+      .withColumn("first_chain_key", min(when(isChain, col("key"))).over(wAll))
+      .groupBy("user_id")
+      .agg(max(when(col("key") === col("first_chain_key"), col("n2")))
+             .as("next_after_chain"),
+           sum(when(isChain, 1).otherwise(0)).cast("long").as("n_chains"))
+      .orderBy(asc_nulls_last("user_id"))
+  }
 
   def ops: Vector[Q] = Vector(j21, d61)
 }

@@ -413,8 +413,13 @@ object ConnectedComponents {
     // same argument as assign's loop)
     var e = knownDistinctCount match {
       case Some(_) => edges // caller's checkpoint; do NOT free it here
-      case None => edges.filter(col("__a") =!= col("__b"))
-        .distinct().localCheckpoint(false) // lazy: sig() materializes it
+      case None =>
+        // standalone entry (public assignStar): start a FRESH trace so a
+        // prior assignContracted run's pass counts can't leak into this
+        // run's record (the Trace contract: the LAST run, never a blend)
+        lastTrace.set(Trace(Vector.empty, -1))
+        edges.filter(col("__a") =!= col("__b"))
+          .distinct().localCheckpoint(false) // lazy: sig() materializes it
     }
     var ownsE = knownDistinctCount.isEmpty
     var prevSig = knownDistinctCount match {

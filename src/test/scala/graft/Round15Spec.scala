@@ -3,8 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Adversarial edge pins for the round-15 declared queries — cases the
-  * fixture cannot force, exercised on synthesized frames through the same
-  * plans the declared queries compile to. */
+  * fixture cannot force, exercised on synthesized frames through the REAL
+  * declared plans ([[graft.engine.Round15Ops.j21Plan]]/[[
+  * graft.engine.Round15Ops.d61Plan]] — the h46Plan discipline: the spec
+  * drives the shipped plan body, not a hand copy that regressions could
+  * silently diverge from). */
 class Round15Spec extends SparkSpec {
 
   test("j21 NULL disambiguation: chain-at-tail vs no-chain vs chain-mid-stream") {
@@ -26,54 +29,37 @@ class Round15Spec extends SparkSpec {
       (3L, t(1), 30L, "click"), (3L, t(2), 31L, "error"),
       (3L, t(3), 32L, "view")
     ).toDF("user_id", "ts", "event_id", "event_type")
-    ev.createOrReplaceTempView("events_j21")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
-    val isChain = col("event_type") === "click" && col("n1") === "view"
-    val got = ev
-      .withColumn("n1", lead(col("event_type"), 1).over(w))
-      .withColumn("n2", lead(col("event_type"), 2).over(w))
-      .withColumn("key", struct(col("ts"), col("event_id")))
-      .withColumn("fck", min(when(isChain, col("key"))).over(wAll))
-      .groupBy("user_id")
-      .agg(max(when(col("key") === col("fck"), col("n2"))).as("nx"),
-           sum(when(isChain, 1).otherwise(0)).cast("long").as("nc"))
-      .collect().map(r => r.getLong(0) ->
+    val got = graft.engine.Round15Ops.j21Plan(ev).collect()
+      .map(r => r.getLong(0) ->
         ((Option(r.getString(1)), r.getLong(2)))).toMap
     assert(got(1L) == ((Some("purchase"), 2L)), s"first-match broken: ${got(1L)}")
     assert(got(2L) == ((None, 1L)), s"chain-at-tail broken: ${got(2L)}")
     assert(got(3L) == ((None, 0L)), s"no-chain broken: ${got(3L)}")
   }
 
-  test("d61 equal-x tie: the event_id struct order decides both extremes") {
+  test("d61 equal-x tie: event_id struct order decides extremes; dx=0 ratio is NULL") {
     val sp = spark
     import sp.implicits._
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val ts2 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
     // type "a": TWO rows at the min timestamp (ids 1, 2 — id 1 must win
     // lo) and TWO at the max (ids 3, 4 — id 4 must win hi): slope reads
-    // (c4 - c1) / dx. type "b": a single point — dx = 0, dy = 0 (the
-    // undefined-in-CH case pinned to the deterministic 0/0 the declared
-    // face computes).
+    // (c4 - c1) / dx. type "b": a single point — dx = 0, dy = 0, ratio
+    // must be NULL (d27's pinned NULLIF posture for the degenerate
+    // group: CH's nan as SQL NULL), never NaN/Infinity.
     val ev = Seq(
       ("a", ts, 1L, 10.00), ("a", ts, 2L, 99.00),
       ("a", ts2, 3L, 50.00), ("a", ts2, 4L, 70.00),
       ("b", ts, 5L, 42.00)
     ).toDF("event_type", "ts", "event_id", "value")
-    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
-    val got = ev
-      .select(col("event_type"),
-              struct(col("ts"), col("event_id"), cents.as("c"),
-                     unix_micros(col("ts")).as("us")).as("p"))
-      .groupBy("event_type")
-      .agg(min(col("p")).as("lo"), max(col("p")).as("hi"))
-      .select(col("event_type"),
-              (col("hi.c") - col("lo.c")).as("dy"),
-              (col("hi.us") - col("lo.us")).as("dx"))
-      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    assert(got("a") == ((7000L - 1000L, 3600000000L)),
+    val got = graft.engine.Round15Ops.d61Plan(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got("a") == ((7000L - 1000L, 3600000000L,
+                          Some(6000.0 / 3600000000.0))),
       s"tie-break extremes broken: ${got("a")}")
-    assert(got("b") == ((0L, 0L)), s"single-point group broken: ${got("b")}")
+    assert(got("b") == ((0L, 0L, None)),
+      s"single-point group must yield NULL ratio: ${got("b")}")
   }
 }
