@@ -357,4 +357,68 @@ object StreamingSequenceMatch {
       .transformWithState(new EventsProcessor(typeA, typeB, boundMicros, ttl),
                           StreamOps.timeModeFor(ttl), OutputMode.Update())
   }
+
+  // -------------------------------------------------------------------
+  // sequenceNextNode forward/first_match: the streaming twin of batch j21
+  // — the event AFTER the first adjacent (A, B) chain.
+  // -------------------------------------------------------------------
+
+  final case class NextNodeState(lastType: String, chainPending: Int,
+                                 next: String, found: Int, nChains: Long,
+                                 nEvents: Long)
+  final case class NextNodeOut(user_id: Long, next_after_chain: Option[String],
+                               n_chains: Long, n_events: Long)
+
+  /** Streaming twin of `j21_sequence_next_node_first_match`: per user, the
+    * event type immediately after the FIRST adjacent (A, B) chain, plus
+    * the total chain count. Adjacency is a property of consecutive rows
+    * in (ts, event_id) order, so the whole per-key state is O(1) — the
+    * previous event's type (to detect a chain straddling a batch cut),
+    * one "the first chain just completed, its successor hasn't arrived"
+    * flag (a chain ending exactly at a batch boundary), the found answer,
+    * and two counters. Same ordering contract as [[Processor]]; in-order
+    * delivery ⇒ emissions equal batch j21 exactly (pinned across a batch
+    * cut in StreamingSpec — the cut is placed mid-stream so straddling
+    * adjacencies are exercised). */
+  final class NextNodeProcessor(typeA: String, typeB: String,
+                                ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, EIn, NextNodeOut] {
+    @transient private var st: ValueState[NextNodeState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[NextNodeState](
+        "seqnextnode", Encoders.product[NextNodeState], ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[EIn],
+                                 timerValues: TimerValues): Iterator[NextNodeOut] = {
+      var s = Option(st.get()).getOrElse(NextNodeState("", 0, "", 0, 0L, 0L))
+      rows.toArray.sortBy(e => (e.ts_micros, e.event_id)).foreach { e =>
+        // the successor slot fills BEFORE this row can open a new chain:
+        // the answer is the event after the chain, whatever its type
+        if (s.chainPending == 1) {
+          s = s.copy(chainPending = 0, next = e.event_type, found = 1)
+        }
+        if (s.lastType == typeA && e.event_type == typeB) {
+          s = s.copy(nChains = s.nChains + 1L,
+                     chainPending = if (s.found == 0) 1 else s.chainPending)
+        }
+        s = s.copy(lastType = e.event_type, nEvents = s.nEvents + 1L)
+      }
+      st.update(s)
+      Iterator.single(NextNodeOut(key,
+        if (s.found == 1) Some(s.next) else None, s.nChains, s.nEvents))
+    }
+  }
+
+  /** Per-user next-node-after-first-chain over an unbounded stream —
+    * defaults mirror the batch j21 pattern (click → view). */
+  def nextNodeFirstMatch(events: Dataset[EIn],
+                         typeA: String = "click", typeB: String = "view",
+                         ttl: TTLConfig = TTLConfig.NONE)
+                        (implicit s: SparkSession): Dataset[NextNodeOut] = {
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new NextNodeProcessor(typeA, typeB, ttl),
+                          StreamOps.timeModeFor(ttl), OutputMode.Update())
+  }
 }

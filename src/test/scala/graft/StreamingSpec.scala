@@ -1815,6 +1815,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming next-node first-match equals batch j21 across a batch cut") {
+    import graft.streaming.StreamingSequenceMatch
+    import graft.streaming.StreamingSequenceMatch.{EIn, NextNodeOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rows = graft.engine.Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+              col("event_type"))
+      .collect()
+      .map(r => EIn(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(e => (e.ts_micros, e.event_id))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[EIn]
+    // defaults = the batch j21 pattern (click → view)
+    val q = StreamingSequenceMatch.nextNodeFirstMatch(in.toDS()).writeStream
+      .format("memory").queryName("seqnextnode_j21")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val batch = graft.engine.Round15Ops.j21.fn(spark, sf0001).collect()
+        .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(2))))
+        .toMap
+      val last = spark.table("seqnextnode_j21").as[NextNodeOut].collect()
+        .groupBy(_.user_id).map { case (u, os) =>
+          val o = os.maxBy(_.n_events)
+          u -> ((o.next_after_chain, o.n_chains)) }
+      // EQUALITY, no tolerance: adjacency is a consecutive-row property
+      // over the same (ts, event_id) total order; the mid-stream cut
+      // exercises chains straddling the batch boundary and a chain whose
+      // successor arrives in the next batch
+      assert(last == batch,
+        s"streaming j21 twin must equal batch: got $last, want $batch")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming bounded chain count equals batch j18 across a batch cut") {
     import graft.streaming.StreamingSequenceCount
     import graft.streaming.StreamingSequenceCount.{EventIn, BoundedCount}
