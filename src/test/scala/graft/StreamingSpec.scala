@@ -1862,6 +1862,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("j20/j21 twins: matches placed EXACTLY astride batch boundaries") {
+    // the fixture-replay pins above cut mid-stream wherever the halves
+    // land — this pin FORCES the adversarial placements: (j21) batch 1
+    // ends on the chain's A, batch 2 is exactly the B, batch 3 opens
+    // with the successor; (j20) the signup and its qualifying click
+    // arrive in different batches. State must carry each half across.
+    import graft.streaming.StreamingSequenceMatch
+    import graft.streaming.StreamingSequenceMatch.{EIn, NextNodeOut, SeqEvOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val M = 1000000L
+    try {
+      // j21: click | view | purchase across three batches
+      val in1 = MemoryStream[EIn]
+      val q1 = StreamingSequenceMatch.nextNodeFirstMatch(in1.toDS()).writeStream
+        .format("memory").queryName("straddle_j21")
+        .outputMode(OutputMode.Update).start()
+      try {
+        in1.addData(EIn(7L, 1L * M, 1L, "click")); q1.processAllAvailable()
+        in1.addData(EIn(7L, 2L * M, 2L, "view")); q1.processAllAvailable()
+        in1.addData(EIn(7L, 3L * M, 3L, "purchase")); q1.processAllAvailable()
+        val o = spark.table("straddle_j21").as[NextNodeOut].collect()
+          .maxBy(_.n_events)
+        assert(o.next_after_chain == Some("purchase") && o.n_chains == 1L,
+          s"j21 straddle broken: $o")
+      } finally q1.stop()
+      // j20: signup | click (within bound) across two batches
+      val in2 = MemoryStream[EIn]
+      val q2 = StreamingSequenceMatch.matchEvents(in2.toDS()).writeStream
+        .format("memory").queryName("straddle_j20")
+        .outputMode(OutputMode.Update).start()
+      try {
+        in2.addData(EIn(9L, 10L * M, 1L, "signup")); q2.processAllAvailable()
+        in2.addData(EIn(9L, 10L * M + 3600L * M, 2L, "click")); q2.processAllAvailable()
+        val o = spark.table("straddle_j20").as[SeqEvOut].collect()
+          .maxBy(_.n_events)
+        assert(o.t1_us == Some(10L * M) && o.t2_us == Some(10L * M + 3600L * M)
+                 && o.matched == 1,
+          s"j20 straddle broken: $o")
+      } finally q2.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming bounded chain count equals batch j18 across a batch cut") {
     import graft.streaming.StreamingSequenceCount
     import graft.streaming.StreamingSequenceCount.{EventIn, BoundedCount}
