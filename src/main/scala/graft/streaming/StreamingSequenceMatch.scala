@@ -391,22 +391,32 @@ object StreamingSequenceMatch {
 
     override def handleInputRows(key: Long, rows: Iterator[EIn],
                                  timerValues: TimerValues): Iterator[NextNodeOut] = {
-      var s = Option(st.get()).getOrElse(NextNodeState("", 0, "", 0, 0L, 0L))
+      // unpack into locals, rebuild once before st.update — the
+      // FoldProcessor hot-loop form (no per-row case-class churn)
+      val s0 = Option(st.get()).getOrElse(NextNodeState("", 0, "", 0, 0L, 0L))
+      var lastType = s0.lastType
+      var chainPending = s0.chainPending
+      var next = s0.next
+      var found = s0.found
+      var nChains = s0.nChains
+      var nEvents = s0.nEvents
       rows.toArray.sortBy(e => (e.ts_micros, e.event_id)).foreach { e =>
         // the successor slot fills BEFORE this row can open a new chain:
         // the answer is the event after the chain, whatever its type
-        if (s.chainPending == 1) {
-          s = s.copy(chainPending = 0, next = e.event_type, found = 1)
+        if (chainPending == 1) {
+          chainPending = 0; next = e.event_type; found = 1
         }
-        if (s.lastType == typeA && e.event_type == typeB) {
-          s = s.copy(nChains = s.nChains + 1L,
-                     chainPending = if (s.found == 0) 1 else s.chainPending)
+        if (lastType == typeA && e.event_type == typeB) {
+          nChains += 1L
+          if (found == 0) chainPending = 1
         }
-        s = s.copy(lastType = e.event_type, nEvents = s.nEvents + 1L)
+        lastType = e.event_type
+        nEvents += 1L
       }
-      st.update(s)
+      st.update(NextNodeState(lastType, chainPending, next, found,
+                              nChains, nEvents))
       Iterator.single(NextNodeOut(key,
-        if (s.found == 1) Some(s.next) else None, s.nChains, s.nEvents))
+        if (found == 1) Some(next) else None, nChains, nEvents))
     }
   }
 

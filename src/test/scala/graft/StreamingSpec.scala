@@ -16,6 +16,22 @@ class StreamingSpec extends SparkSpec {
   private def ts(minutes: Int): Timestamp =
     new Timestamp(1704067200000L + minutes * 60000L) // 2024-01-01 00:00 UTC
 
+  /** Run `body` with the RocksDB state-store provider set, restoring the
+    * prior conf afterwards — INCLUDING when query construction/start
+    * throws (the inline save/set/restore blocks the older tests carry
+    * leak the conf on a start failure because the .start() sits before
+    * the try; new transformWithState tests should use this instead). */
+  private def withRocksDbProvider[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   case class Ev(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
 
   test("tumbling agg with watermark drops late rows, accepts in-watermark rows") {
@@ -1771,9 +1787,6 @@ class StreamingSpec extends SparkSpec {
     import sp.implicits._
     implicit val s = spark
     implicit val sq = spark.sqlContext
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val rows = graft.engine.Tables.events(spark, sf0001)
       .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
               col("event_type"))
@@ -1781,37 +1794,33 @@ class StreamingSpec extends SparkSpec {
       .map(r => EIn(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .sortBy(e => (e.ts_micros, e.event_id))
     val (b1, b2) = rows.splitAt(rows.length / 2)
-    val in = MemoryStream[EIn]
-    // defaults = the batch j20 pattern (signup → click within 4 hours)
-    val q = StreamingSequenceMatch.matchEvents(in.toDS()).writeStream
-      .format("memory").queryName("seqevents_j20")
-      .outputMode(OutputMode.Update).start()
-    try {
-      in.addData(b1: _*); q.processAllAvailable()
-      in.addData(b2: _*); q.processAllAvailable()
-      val batch = graft.engine.Round14Ops.j20.fn(spark, sf0001).collect()
-        .map(r => r.getLong(0) ->
-          ((Option(r.get(1)).map(_.asInstanceOf[Long]),
-            Option(r.get(2)).map(_.asInstanceOf[Long]), r.getInt(3))))
-        .toMap
-      val last = spark.table("seqevents_j20").as[SeqEvOut].collect()
-        .groupBy(_.user_id).map { case (u, os) =>
-          val o = os.maxBy(_.n_events)
-          u -> ((o.t1_us, o.t2_us, o.matched)) }
-      // EQUALITY, no tolerance: the first-completing-B argument makes
-      // (t1, t2) batch-identical over the same exact µs integers — and
-      // the batch cut means matches straddling the cut are exercised
-      assert(last == batch,
-        s"streaming j20 twin must equal batch: got $last, want $batch")
-      // the NULL side must be populated on this fixture, or the pin is vacuous
-      assert(batch.values.exists(_._3 == 0) && batch.values.exists(_._3 == 1),
-        "fixture must exercise both matched and unmatched users")
-    } finally {
-      q.stop()
-      prevProvider match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+    withRocksDbProvider {
+      val in = MemoryStream[EIn]
+      // defaults = the batch j20 pattern (signup → click within 4 hours)
+      val q = StreamingSequenceMatch.matchEvents(in.toDS()).writeStream
+        .format("memory").queryName("seqevents_j20")
+        .outputMode(OutputMode.Update).start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+        val batch = graft.engine.Round14Ops.j20.fn(spark, sf0001).collect()
+          .map(r => r.getLong(0) ->
+            ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+              Option(r.get(2)).map(_.asInstanceOf[Long]), r.getInt(3))))
+          .toMap
+        val last = spark.table("seqevents_j20").as[SeqEvOut].collect()
+          .groupBy(_.user_id).map { case (u, os) =>
+            val o = os.maxBy(_.n_events)
+            u -> ((o.t1_us, o.t2_us, o.matched)) }
+        // EQUALITY, no tolerance: the first-completing-B argument makes
+        // (t1, t2) batch-identical over the same exact µs integers — and
+        // the batch cut means matches straddling the cut are exercised
+        assert(last == batch,
+          s"streaming j20 twin must equal batch: got $last, want $batch")
+        // the NULL side must be populated on this fixture, or the pin is vacuous
+        assert(batch.values.exists(_._3 == 0) && batch.values.exists(_._3 == 1),
+          "fixture must exercise both matched and unmatched users")
+      } finally q.stop()
     }
   }
 
@@ -1822,9 +1831,6 @@ class StreamingSpec extends SparkSpec {
     import sp.implicits._
     implicit val s = spark
     implicit val sq = spark.sqlContext
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val rows = graft.engine.Tables.events(spark, sf0001)
       .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
               col("event_type"))
@@ -1832,33 +1838,29 @@ class StreamingSpec extends SparkSpec {
       .map(r => EIn(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .sortBy(e => (e.ts_micros, e.event_id))
     val (b1, b2) = rows.splitAt(rows.length / 2)
-    val in = MemoryStream[EIn]
-    // defaults = the batch j21 pattern (click → view)
-    val q = StreamingSequenceMatch.nextNodeFirstMatch(in.toDS()).writeStream
-      .format("memory").queryName("seqnextnode_j21")
-      .outputMode(OutputMode.Update).start()
-    try {
-      in.addData(b1: _*); q.processAllAvailable()
-      in.addData(b2: _*); q.processAllAvailable()
-      val batch = graft.engine.Round15Ops.j21.fn(spark, sf0001).collect()
-        .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(2))))
-        .toMap
-      val last = spark.table("seqnextnode_j21").as[NextNodeOut].collect()
-        .groupBy(_.user_id).map { case (u, os) =>
-          val o = os.maxBy(_.n_events)
-          u -> ((o.next_after_chain, o.n_chains)) }
-      // EQUALITY, no tolerance: adjacency is a consecutive-row property
-      // over the same (ts, event_id) total order; the mid-stream cut
-      // exercises chains straddling the batch boundary and a chain whose
-      // successor arrives in the next batch
-      assert(last == batch,
-        s"streaming j21 twin must equal batch: got $last, want $batch")
-    } finally {
-      q.stop()
-      prevProvider match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+    withRocksDbProvider {
+      val in = MemoryStream[EIn]
+      // defaults = the batch j21 pattern (click → view)
+      val q = StreamingSequenceMatch.nextNodeFirstMatch(in.toDS()).writeStream
+        .format("memory").queryName("seqnextnode_j21")
+        .outputMode(OutputMode.Update).start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+        val batch = graft.engine.Round15Ops.j21.fn(spark, sf0001).collect()
+          .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(2))))
+          .toMap
+        val last = spark.table("seqnextnode_j21").as[NextNodeOut].collect()
+          .groupBy(_.user_id).map { case (u, os) =>
+            val o = os.maxBy(_.n_events)
+            u -> ((o.next_after_chain, o.n_chains)) }
+        // EQUALITY, no tolerance: adjacency is a consecutive-row property
+        // over the same (ts, event_id) total order; the mid-stream cut
+        // exercises chains straddling the batch boundary and a chain whose
+        // successor arrives in the next batch
+        assert(last == batch,
+          s"streaming j21 twin must equal batch: got $last, want $batch")
+      } finally q.stop()
     }
   }
 
@@ -1874,11 +1876,8 @@ class StreamingSpec extends SparkSpec {
     import sp.implicits._
     implicit val s = spark
     implicit val sq = spark.sqlContext
-    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val M = 1000000L
-    try {
+    withRocksDbProvider {
       // j21: click | view | purchase across three batches
       val in1 = MemoryStream[EIn]
       val q1 = StreamingSequenceMatch.nextNodeFirstMatch(in1.toDS()).writeStream
@@ -1907,11 +1906,6 @@ class StreamingSpec extends SparkSpec {
                  && o.matched == 1,
           s"j20 straddle broken: $o")
       } finally q2.stop()
-    } finally {
-      prevProvider match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 
