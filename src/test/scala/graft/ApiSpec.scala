@@ -525,6 +525,27 @@ class ApiSpec extends SparkSpec {
     }
     // edgeless graph: everything is its own component
     compare(Seq(5L, 6L), Seq.empty, "edgeless")
+    // the star path ALSO refuses silently-unconverged labels (r15: the
+    // require landed with the starFixpoint extraction — before it, an
+    // exhausted round budget returned wrong roots without a word)
+    intercept[IllegalArgumentException] {
+      graft.operators.ConnectedComponents.assignStar(
+        (1L to 40L).toDF("id"),
+        (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst"),
+        "id", "src", "dst", maxIters = 1).collect()
+    }
+    // a standalone assignStar run starts a FRESH trace — no blend of a
+    // prior contracted run's pass counts with this run's star rounds
+    graft.operators.ConnectedComponents.assignContracted(
+      (1L to 6L).toDF("id"), Seq((1L, 2L), (3L, 4L)).toDF("src", "dst"),
+      "id", "src", "dst").collect()
+    assert(graft.operators.ConnectedComponents.lastTrace.get.passEdges.nonEmpty)
+    graft.operators.ConnectedComponents.assignStar(
+      (1L to 4L).toDF("id"), Seq((1L, 2L)).toDF("src", "dst"),
+      "id", "src", "dst").collect()
+    val t = graft.operators.ConnectedComponents.lastTrace.get
+    assert(t.passEdges.isEmpty && t.starRounds >= 1,
+      s"standalone star run must not inherit contract pass counts: $t")
   }
 
   test("Publish.writeAuditPublish: failing audit retains staging, passing audit swaps atomically") {
