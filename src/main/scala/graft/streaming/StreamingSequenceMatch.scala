@@ -431,4 +431,131 @@ object StreamingSequenceMatch {
       .transformWithState(new NextNodeProcessor(typeA, typeB, ttl),
                           StreamOps.timeModeFor(ttl), OutputMode.Update())
   }
+
+  // -------------------------------------------------------------------
+  // The remaining sequenceNextNode bases, streamed — forward/head (j09)
+  // and backward/tail + backward/last_match (j19). With j21's twin these
+  // complete the base×direction grid's streaming coverage.
+  // -------------------------------------------------------------------
+
+  final case class HeadNextState(pending: Int, next: String, found: Int,
+                                 sawBase: Int, nEvents: Long)
+  final case class HeadNextOut(user_id: Long, has_base: Int,
+                               next_type: Option[String], n_events: Long)
+
+  /** Streaming twin of `j09_sequence_next_node` (forward, first 'signup'
+    * base): the event type immediately after the user's FIRST `typeA`.
+    * O(1) state — a successor-pending flag (the base ended a batch), the
+    * found answer, a saw-base flag (batch j09 emits NO row for users
+    * without the base; the parity pin filters on `has_base`). */
+  final class HeadNextProcessor(typeA: String, ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, EIn, HeadNextOut] {
+    @transient private var st: ValueState[HeadNextState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[HeadNextState](
+        "seqheadnext", Encoders.product[HeadNextState], ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[EIn],
+                                 timerValues: TimerValues): Iterator[HeadNextOut] = {
+      val s0 = Option(st.get()).getOrElse(HeadNextState(0, "", 0, 0, 0L))
+      var pending = s0.pending
+      var next = s0.next
+      var found = s0.found
+      var sawBase = s0.sawBase
+      var nEvents = s0.nEvents
+      rows.toArray.sortBy(e => (e.ts_micros, e.event_id)).foreach { e =>
+        if (pending == 1) { pending = 0; next = e.event_type; found = 1 }
+        if (sawBase == 0 && e.event_type == typeA) {
+          sawBase = 1; pending = 1
+        }
+        nEvents += 1L
+      }
+      st.update(HeadNextState(pending, next, found, sawBase, nEvents))
+      Iterator.single(HeadNextOut(key, sawBase,
+        if (found == 1) Some(next) else None, nEvents))
+    }
+  }
+
+  /** Per-user next-after-first-base over an unbounded stream — defaults
+    * mirror the batch j09 (first 'signup'). */
+  def nextNodeHead(events: Dataset[EIn], typeA: String = "signup",
+                   ttl: TTLConfig = TTLConfig.NONE)
+                  (implicit s: SparkSession): Dataset[HeadNextOut] = {
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new HeadNextProcessor(typeA, ttl),
+                          StreamOps.timeModeFor(ttl), OutputMode.Update())
+  }
+
+  final case class TailPrevState(lastType: String, prevOfLast: String,
+                                 hasPrev: Int, prevLastClick: String,
+                                 hasPrevClick: Int, nClicks: Long,
+                                 nEvents: Long)
+  final case class TailPrevOut(user_id: Long, prev_tail: Option[String],
+                               prev_last_click: Option[String],
+                               n_clicks: Long, n_events: Long)
+
+  /** Streaming twin of `j19_sequence_next_node_back` (backward with the
+    * `tail` and `last_match` bases): the RUNNING "what led here" answers —
+    * the event type before the CURRENT last event, and before the most
+    * recent `clickType`. Both answers are properties of the two most
+    * recent rows (tail) / the predecessor captured as each click arrives
+    * (last_match), so per-key state is O(1): lastType, its predecessor,
+    * the last click's predecessor, presence flags, two counters. At any
+    * batch-at-once replay the emission equals batch j19 exactly (pinned
+    * across a cut); mid-stream emissions are the same definition applied
+    * to the stream-so-far — the probe-at-arrival contract the family
+    * documents. A base row that is the user's FIRST event reports NULL,
+    * exactly the batch's LAG-at-partition-head NULL. */
+  final class TailPrevProcessor(clickType: String,
+                                ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, EIn, TailPrevOut] {
+    @transient private var st: ValueState[TailPrevState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TailPrevState](
+        "seqtailprev", Encoders.product[TailPrevState], ttl)
+
+    override def handleInputRows(key: Long, rows: Iterator[EIn],
+                                 timerValues: TimerValues): Iterator[TailPrevOut] = {
+      val s0 = Option(st.get()).getOrElse(
+        TailPrevState("", "", 0, "", 0, 0L, 0L))
+      var lastType = s0.lastType
+      var prevOfLast = s0.prevOfLast
+      var hasPrev = s0.hasPrev
+      var prevLastClick = s0.prevLastClick
+      var hasPrevClick = s0.hasPrevClick
+      var nClicks = s0.nClicks
+      var nEvents = s0.nEvents
+      rows.toArray.sortBy(e => (e.ts_micros, e.event_id)).foreach { e =>
+        if (e.event_type == clickType) {
+          nClicks += 1L
+          // the click's predecessor: NULL when the click opens the stream
+          if (nEvents > 0L) { prevLastClick = lastType; hasPrevClick = 1 }
+          else { prevLastClick = ""; hasPrevClick = 0 }
+        }
+        if (nEvents > 0L) { prevOfLast = lastType; hasPrev = 1 }
+        lastType = e.event_type
+        nEvents += 1L
+      }
+      st.update(TailPrevState(lastType, prevOfLast, hasPrev, prevLastClick,
+                              hasPrevClick, nClicks, nEvents))
+      Iterator.single(TailPrevOut(key,
+        if (hasPrev == 1) Some(prevOfLast) else None,
+        if (hasPrevClick == 1) Some(prevLastClick) else None,
+        nClicks, nEvents))
+    }
+  }
+
+  /** Per-user running backward next-node over an unbounded stream —
+    * defaults mirror the batch j19 ('click' as the last_match base). */
+  def nextNodeBack(events: Dataset[EIn], clickType: String = "click",
+                   ttl: TTLConfig = TTLConfig.NONE)
+                  (implicit s: SparkSession): Dataset[TailPrevOut] = {
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TailPrevProcessor(clickType, ttl),
+                          StreamOps.timeModeFor(ttl), OutputMode.Update())
+  }
 }

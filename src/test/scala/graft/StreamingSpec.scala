@@ -1909,6 +1909,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming head/back next-node equal batch j09/j19 across a batch cut") {
+    import graft.streaming.StreamingSequenceMatch
+    import graft.streaming.StreamingSequenceMatch.{EIn, HeadNextOut, TailPrevOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val rows = graft.engine.Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+              col("event_type"))
+      .collect()
+      .map(r => EIn(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(e => (e.ts_micros, e.event_id))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    withRocksDbProvider {
+      // j09: next after the first signup — batch emits rows ONLY for
+      // users with a signup; the twin's has_base flag carries that
+      val in1 = MemoryStream[EIn]
+      val q1 = StreamingSequenceMatch.nextNodeHead(in1.toDS()).writeStream
+        .format("memory").queryName("headnext_j09")
+        .outputMode(OutputMode.Update).start()
+      try {
+        in1.addData(b1: _*); q1.processAllAvailable()
+        in1.addData(b2: _*); q1.processAllAvailable()
+        val batch = graft.engine.Round8Ops.j09.fn(spark, sf0001).collect()
+          .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+        val last = spark.table("headnext_j09").as[HeadNextOut].collect()
+          .groupBy(_.user_id).map { case (u, os) => u -> os.maxBy(_.n_events) }
+        val withBase = last.collect { case (u, o) if o.has_base == 1 =>
+          u -> o.next_type }
+        assert(withBase == batch,
+          s"streaming j09 twin must equal batch: got $withBase, want $batch")
+        assert(last.exists(_._2.has_base == 0) || batch.size == last.size,
+          "has_base must distinguish users batch j09 omits")
+      } finally q1.stop()
+      // j19: prev-of-tail and prev-of-last-click, running answers
+      val in2 = MemoryStream[EIn]
+      val q2 = StreamingSequenceMatch.nextNodeBack(in2.toDS()).writeStream
+        .format("memory").queryName("tailprev_j19")
+        .outputMode(OutputMode.Update).start()
+      try {
+        in2.addData(b1: _*); q2.processAllAvailable()
+        in2.addData(b2: _*); q2.processAllAvailable()
+        val batch = graft.engine.Round14Ops.j19.fn(spark, sf0001).collect()
+          .map(r => r.getLong(0) ->
+            ((Option(r.getString(1)), Option(r.getString(2)), r.getLong(3))))
+          .toMap
+        val last = spark.table("tailprev_j19").as[TailPrevOut].collect()
+          .groupBy(_.user_id).map { case (u, os) =>
+            val o = os.maxBy(_.n_events)
+            u -> ((o.prev_tail, o.prev_last_click, o.n_clicks)) }
+        assert(last == batch,
+          s"streaming j19 twin must equal batch: got $last, want $batch")
+      } finally q2.stop()
+    }
+  }
+
   test("streaming bounded chain count equals batch j18 across a batch cut") {
     import graft.streaming.StreamingSequenceCount
     import graft.streaming.StreamingSequenceCount.{EventIn, BoundedCount}
