@@ -438,7 +438,7 @@ object StreamingSequenceMatch {
   // complete the base×direction grid's streaming coverage.
   // -------------------------------------------------------------------
 
-  final case class HeadNextState(pending: Int, next: String, found: Int,
+  final case class HeadNextState(pending: Int, next: String,
                                  sawBase: Int, nEvents: Long)
   final case class HeadNextOut(user_id: Long, has_base: Int,
                                next_type: Option[String], n_events: Long)
@@ -458,22 +458,24 @@ object StreamingSequenceMatch {
 
     override def handleInputRows(key: Long, rows: Iterator[EIn],
                                  timerValues: TimerValues): Iterator[HeadNextOut] = {
-      val s0 = Option(st.get()).getOrElse(HeadNextState(0, "", 0, 0, 0L))
+      val s0 = Option(st.get()).getOrElse(HeadNextState(0, "", 0, 0L))
       var pending = s0.pending
       var next = s0.next
-      var found = s0.found
       var sawBase = s0.sawBase
       var nEvents = s0.nEvents
       rows.toArray.sortBy(e => (e.ts_micros, e.event_id)).foreach { e =>
-        if (pending == 1) { pending = 0; next = e.event_type; found = 1 }
+        if (pending == 1) { pending = 0; next = e.event_type }
         if (sawBase == 0 && e.event_type == typeA) {
           sawBase = 1; pending = 1
         }
         nEvents += 1L
       }
-      st.update(HeadNextState(pending, next, found, sawBase, nEvents))
+      st.update(HeadNextState(pending, next, sawBase, nEvents))
+      // "found" is derivable — the machine only visits (sawBase, pending)
+      // = (0,0) → (1,1) → (1,0), so the answer exists iff the base was
+      // seen AND its successor slot has been consumed
       Iterator.single(HeadNextOut(key, sawBase,
-        if (found == 1) Some(next) else None, nEvents))
+        if (sawBase == 1 && pending == 0) Some(next) else None, nEvents))
     }
   }
 
@@ -531,9 +533,9 @@ object StreamingSequenceMatch {
       rows.toArray.sortBy(e => (e.ts_micros, e.event_id)).foreach { e =>
         if (e.event_type == clickType) {
           nClicks += 1L
-          // the click's predecessor: NULL when the click opens the stream
+          // the click's predecessor; a click OPENING the stream leaves the
+          // default (hasPrevClick = 0 → NULL), matching batch LAG-at-head
           if (nEvents > 0L) { prevLastClick = lastType; hasPrevClick = 1 }
-          else { prevLastClick = ""; hasPrevClick = 0 }
         }
         if (nEvents > 0L) { prevOfLast = lastType; hasPrev = 1 }
         lastType = e.event_type

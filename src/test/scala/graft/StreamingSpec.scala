@@ -1906,6 +1906,22 @@ class StreamingSpec extends SparkSpec {
                  && o.matched == 1,
           s"j20 straddle broken: $o")
       } finally q2.stop()
+      // j09: the first signup ENDS batch 1, its successor opens batch 2 —
+      // the successor-pending flag must persist across the cut
+      val in3 = MemoryStream[graft.streaming.StreamingSequenceMatch.EIn]
+      val q3 = StreamingSequenceMatch.nextNodeHead(in3.toDS()).writeStream
+        .format("memory").queryName("straddle_j09")
+        .outputMode(OutputMode.Update).start()
+      try {
+        in3.addData(EIn(11L, 1L * M, 1L, "view"),
+                    EIn(11L, 2L * M, 2L, "signup")); q3.processAllAvailable()
+        in3.addData(EIn(11L, 3L * M, 3L, "purchase")); q3.processAllAvailable()
+        val o = spark.table("straddle_j09")
+          .as[graft.streaming.StreamingSequenceMatch.HeadNextOut].collect()
+          .maxBy(_.n_events)
+        assert(o.has_base == 1 && o.next_type == Some("purchase"),
+          s"j09 straddle broken: $o")
+      } finally q3.stop()
     }
   }
 
