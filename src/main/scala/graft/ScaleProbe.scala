@@ -129,7 +129,8 @@ object ScaleProbe {
     * is exactly 10× and the per-user window work is unchanged — time
     * should scale ~linearly (the one-exchange claim made measurable). */
   final val EventQueries = Seq("e28_delta_sum_timestamp",
-                               "j20_sequence_match_events")
+                               "j20_sequence_match_events",
+                               "j21_sequence_next_node_first_match")
 
   /** 10× events: rows replicated with user_id/event_id offset per replica
     * (max+1 bases — the r10 advice fix), everything else verbatim, so
