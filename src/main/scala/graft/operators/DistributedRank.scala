@@ -42,11 +42,21 @@ object DistributedRank {
     *         `dr2` the doubled midrank `2·|{x < v}| + cnt + 1`.
     */
   def midranks2(df: DataFrame, groupCols: Seq[String],
-                valueCol: String): DataFrame = {
+                valueCol: String): DataFrame =
+    midranks2Weighted(df, groupCols, valueCol, lit(1L))
+
+  /** [[midranks2]] over PRE-AGGREGATED rows: each input row represents
+    * `weight` original rows with the same value. Ranks come out identical
+    * to running [[midranks2]] on the un-aggregated data (tie count =
+    * Σ weight per distinct key — same int64 arithmetic), but every stage
+    * downstream of the first hash agg is sized by the DISTINCT key domain
+    * instead of the data. [[spearman]] rides this (r13-brief item 2). */
+  def midranks2Weighted(df: DataFrame, groupCols: Seq[String],
+                        valueCol: String, weight: Column): DataFrame = {
     val gc: Seq[Column] = groupCols.map(col)
     val g = df.filter(col(valueCol).isNotNull)
       .groupBy((gc :+ col(valueCol)): _*)
-      .agg(count(lit(1)).as("__cnt"))
+      .agg(sum(weight).as("__cnt"))
     val ranged = g
       .repartitionByRange((gc :+ col(valueCol).asc): _*)
       .withColumn("__p", spark_partition_id())
@@ -82,23 +92,37 @@ object DistributedRank {
   def spearman(df: DataFrame, groupCols: Seq[String],
                xCol: String, yCol: String): DataFrame = {
     val gc: Seq[Column] = groupCols.map(col)
-    val rx = midranks2(df, groupCols, xCol)
+    // Pre-aggregate duplicate (group, x, y) keys to a weight FIRST
+    // (r13-brief item 2): the rank join-backs and the centered-sum agg
+    // then run over the distinct-pair domain, not the raw rows — on
+    // lineitem (~50 distinct quantities) that is orders of magnitude
+    // smaller, and at 100 TB it bounds the join payload by the domain
+    // size. Same integers out: each distinct key contributes
+    // weight·(ux·uy) exactly where the row form summed ux·uy weight
+    // times (int64 end-to-end; Round10Spec pins bit-equality vs the
+    // window formulation).
+    val pairs = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy((gc :+ col(xCol) :+ col(yCol)): _*)
+      .agg(count(lit(1)).as("__w"))
+    val rx = midranks2Weighted(pairs, groupCols, xCol, col("__w"))
       .withColumnRenamed("cnt", "__cx").withColumnRenamed("dr2", "__dx")
-    val ry = midranks2(df, groupCols, yCol)
+    val ry = midranks2Weighted(pairs, groupCols, yCol, col("__w"))
       .withColumnRenamed("cnt", "__cy").withColumnRenamed("dr2", "__dy")
-    // group sizes from the mapping itself (Σ tie counts) — a groups-sized
-    // frame, broadcast back; no data-sized window anywhere in this path.
+    // group sizes from the mapping itself (Σ tie counts = Σ weights = row
+    // count) — a groups-sized frame, broadcast back; no data-sized window
+    // anywhere in this path.
     val n = rx.groupBy(gc: _*).agg(sum("__cx").as("__n"))
-    df.join(rx, groupCols :+ xCol)
+    pairs.join(rx, groupCols :+ xCol)
       .join(ry, groupCols :+ yCol)
       .join(broadcast(n), groupCols)
-      .select(gc ++ Seq((col("__dx") - (col("__n") + 1)).as("__ux"),
+      .select(gc ++ Seq(col("__w"),
+                        (col("__dx") - (col("__n") + 1)).as("__ux"),
                         (col("__dy") - (col("__n") + 1)).as("__uy")): _*)
       .groupBy(gc: _*)
-      .agg(count(lit(1)).cast("long").as("n"),
-           sum(col("__ux") * col("__uy")).cast("long").as("sxy"),
-           sum(col("__ux") * col("__ux")).cast("long").as("sxx"),
-           sum(col("__uy") * col("__uy")).cast("long").as("syy"))
+      .agg(sum(col("__w")).cast("long").as("n"),
+           sum(col("__w") * col("__ux") * col("__uy")).cast("long").as("sxy"),
+           sum(col("__w") * col("__ux") * col("__ux")).cast("long").as("sxx"),
+           sum(col("__w") * col("__uy") * col("__uy")).cast("long").as("syy"))
       .select(gc ++ Seq(col("n").as("n_rows"),
         expr("CAST(sxy AS DOUBLE) / (SQRT(CAST(sxx AS DOUBLE)) * SQRT(CAST(syy AS DOUBLE)))")
           .as("spearman_rho")): _*)
