@@ -107,7 +107,10 @@ object Round15Ops {
     (s, dir) => d61Plan(Tables.events(s, dir)))
 
   /** The d61 plan body, factored so Round15Spec can drive the REAL plan
-    * on a synthetic frame (the h46Plan discipline). */
+    * on a synthetic frame (the h46Plan discipline). Relies on the
+    * Tables.events ts-NON-NULL invariant (FixtureInvariantsSpec): a NULL
+    * ts would sort FIRST in the struct MIN/MAX while the oracle's
+    * NULLS LAST ordering sorts it last. */
   def d61Plan(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
     val agg = ev
@@ -128,7 +131,11 @@ object Round15Ops {
   /** The j21 plan body, factored so Round15Spec can drive the REAL plan
     * on a synthetic frame (the h46Plan discipline). */
   def j21Plan(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+    // NULLS LAST mirrors the oracle's window ordering explicitly; the
+    // min(struct(ts, …)) chain key below additionally relies on the
+    // Tables.events ts-NON-NULL invariant (FixtureInvariantsSpec)
+    val w = Window.partitionBy("user_id")
+      .orderBy(asc_nulls_last("ts"), asc_nulls_last("event_id"))
     val wAll = Window.partitionBy("user_id")
     val isChain = col("event_type") === "click" && col("n1") === "view"
     ev.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Fixture invariants that declared plans rely on SILENTLY — pinned here so
+  * a regenerated fixture that breaks one trips `sbt test` loudly instead of
+  * flipping a hash comparison downstream (r13 ADVICE items 1 and 4).
+  *
+  * Two invariants, each load-bearing for a specific declared-query family:
+  *
+  *  1. `events.ts` is NON-NULL. d61Plan reads both extremes via
+  *     struct-ordered MIN/MAX (`struct(ts, …)` — a NULL ts field sorts
+  *     FIRST in Spark's struct ordering) while its oracle orders
+  *     `ts ASC NULLS LAST` / `ts DESC` (NULLS LAST both ways in DuckDB);
+  *     j21Plan's `min(struct(ts, event_id))` chain key has the same
+  *     asymmetry. The two engines agree on every NON-NULL ts and would
+  *     pick different extreme rows on a NULL one — so the non-null
+  *     invariant is the parity contract, asserted at both test SFs.
+  *
+  *  2. `events.value` cents are NEVER negative (only exact zeros and
+  *     positives). d60's exact-regime Misra-Gries face filters both
+  *     engines to `cents > 0`; that filter keeps the domains identical
+  *     because the only excluded values are zeros a SUM ignores anyway.
+  *     A regenerated fixture carrying a genuinely NEGATIVE value would be
+  *     silently absorbed by the filter (positive-only totals, no sketch
+  *     contract violation surfaced) — this pin makes it loud instead.
+  */
+class FixtureInvariantsSpec extends SparkSpec {
+
+  for (dir <- Seq(sf0001, sf001)) {
+    val sfName = dir.split('/').last
+
+    test(s"events.ts is non-null at $sfName (d61/j21 struct-extreme contract)") {
+      val nulls = graft.engine.Tables.events(spark, dir)
+        .filter(col("ts").isNull).count()
+      assert(nulls == 0L,
+        s"$nulls NULL ts rows in $dir/events.parquet — d61/j21's " +
+          "struct-ordered extremes and their NULLS LAST oracles now " +
+          "disagree; guard the struct keys before re-declaring")
+    }
+
+    test(s"events cents never negative at $sfName (d60 weight-domain contract)") {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val neg = graft.engine.Tables.events(spark, dir)
+        .filter(cents < 0).count()
+      assert(neg == 0L,
+        s"$neg negative-cents rows in $dir/events.parquet — d60's " +
+          "cents > 0 filter would silently drop them from BOTH engines; " +
+          "decide the Misra-Gries negative-weight posture explicitly")
+    }
+  }
+}
