@@ -330,7 +330,10 @@ object StreamingSequenceMatch {
               s = s.copy(t1 = qual.min, t2 = t, pending = Seq.empty)
           }
           if (s.t1 == Unset) {
-            val kept = s.pending.filter(_ + boundMicros >= t)
+            // a qualifying B must be STRICTLY later (t' > t), so an A with
+            // a + boundMicros == t can never be completed by any future
+            // row — strict > here, not >=, or that A is dead state
+            val kept = s.pending.filter(_ + boundMicros > t)
             s = s.copy(pending =
               if (e.event_type == typeA) kept :+ t else kept)
           }
@@ -559,5 +562,63 @@ object StreamingSequenceMatch {
     events.groupByKey(_.user_id)
       .transformWithState(new TailPrevProcessor(clickType, ttl),
                           StreamOps.timeModeFor(ttl), OutputMode.Update())
+  }
+
+  // -------------------------------------------------------------------
+  // One-call entry point: pattern string in, matched flag out — the
+  // streaming mirror of the batch compiler's dispatch.
+  // -------------------------------------------------------------------
+
+  final case class MatchOut(user_id: Long, matched: Int, n_events: Long)
+
+  /** ONE streaming entry point for the whole sequenceMatch grammar
+    * (r13-brief item 6): parses `pattern` once and picks the cheapest
+    * processor that decides it EXACTLY — the same dispatch the batch
+    * side performs between [[graft.operators.SequenceMatch.withMatch]]'s
+    * window plans and [[graft.operators.SequenceMatch.foldMatch]]:
+    *
+    *  - no time constraint (any mix of steps, `.*` gaps, adjacency
+    *    runs) → [[PatternProcessor]] — two int bitmasks per key;
+    *  - the canonical two-step `(?A)(?t OP n)(?B)` → [[Processor]] —
+    *    the five-scalar running-extremum state (strictly smaller than
+    *    the fold's frontier for the same pattern);
+    *  - time constraints with explicit gaps between all steps (any
+    *    NUMBER of bounds — where the batch window compiler stops at
+    *    one) → [[FoldProcessor]] — the min/max frontier fold;
+    *  - time constraint AGAINST an adjacency run → rejected loudly, the
+    *    batch compiler's tCount discipline: no streaming processor
+    *    decides that class with bounded state today, and compiling it
+    *    wrong is worse than refusing.
+    *
+    * The three processors emit different payloads (hit counters, event
+    * counters); the shared surface is (matched, n_events), so that is
+    * what the unified frame carries — callers needing a family-specific
+    * payload (j20's times, j21's next node) use the dedicated entry
+    * points. The StreamingSpec batch-cut pins route through this
+    * dispatch, so each branch's selection is itself regression-pinned. */
+  def forPattern(events: Dataset[EIn], pattern: String,
+                 condTypes: Seq[String], ttl: TTLConfig = TTLConfig.NONE)
+                (implicit s: SparkSession): Dataset[MatchOut] = {
+    import s.implicits._
+    import graft.operators.SequenceMatch.{Step, TimeGap}
+    val toks = graft.operators.SequenceMatch.parse(pattern, condTypes.length)
+    if (!toks.exists(_.isInstanceOf[TimeGap]))
+      patternMatched(events, pattern, condTypes, ttl)
+        .map(o => MatchOut(o.user_id, o.matched, o.n_events))
+    else toks match {
+      case Vector(Step(a), TimeGap(op, micros), Step(b)) =>
+        matched(events, condTypes(a - 1), condTypes(b - 1), op, micros, ttl)
+          .map(o => MatchOut(o.user_id, o.matched, o.n_events))
+      case _ =>
+        require(!toks.sliding(2).exists {
+            case Vector(_: Step, _: Step) => true
+            case _ => false
+          },
+          s"no streaming processor decides a time constraint against an " +
+          s"adjacency run with bounded state ('$pattern') — add an " +
+          "explicit gap between the steps or use the batch compiler")
+        foldMatched(events, pattern, condTypes, ttl)
+          .map(o => MatchOut(o.user_id, o.matched, o.n_events))
+    }
   }
 }

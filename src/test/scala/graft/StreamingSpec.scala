@@ -2025,8 +2025,10 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming pattern NFA equals batch j07 (loose+adjacent) and j14 (mixed) across a batch cut") {
+    // routed through forPattern (not patternMatched directly), so the
+    // one-call dispatch's no-time-constraint branch is itself pinned
     import graft.streaming.StreamingSequenceMatch
-    import graft.streaming.StreamingSequenceMatch.{EIn, NfaOut}
+    import graft.streaming.StreamingSequenceMatch.{EIn, MatchOut}
     val sp = spark
     import sp.implicits._
     implicit val s = spark
@@ -2056,13 +2058,13 @@ class StreamingSpec extends SparkSpec {
     try {
       for ((tag, pattern, conds, want) <- cases) {
         val in = MemoryStream[EIn]
-        val q = StreamingSequenceMatch.patternMatched(in.toDS(), pattern, conds)
+        val q = StreamingSequenceMatch.forPattern(in.toDS(), pattern, conds)
           .writeStream.format("memory").queryName(s"nfa_$tag")
           .outputMode(OutputMode.Update).start()
         try {
           in.addData(b1: _*); q.processAllAvailable()
           in.addData(b2: _*); q.processAllAvailable()
-          val last = spark.table(s"nfa_$tag").as[NfaOut].collect()
+          val last = spark.table(s"nfa_$tag").as[MatchOut].collect()
             .groupBy(_.user_id).map { case (u, os) =>
               val o = os.maxBy(_.n_events); u -> ((o.matched, o.n_events)) }
           val batch = last.keys.map(u => u -> want(u)).toMap
@@ -2076,6 +2078,61 @@ class StreamingSpec extends SparkSpec {
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
+  }
+
+  test("forPattern dispatch: two-step bound → Processor, multi-bound → fold, time+adjacency rejected") {
+    // the other two forPattern branches (the NFA branch is pinned by the
+    // j07/j14 test above): the canonical two-step time bound must land on
+    // the five-scalar Processor and equal batch j12; the multi-bound
+    // explicit-gap form must land on the FoldProcessor and equal batch
+    // j16; a time constraint against an adjacency run must be REFUSED at
+    // parse time (no bounded-state processor decides it — compiling it
+    // wrong is worse), before any stream exists.
+    import graft.streaming.StreamingSequenceMatch
+    import graft.streaming.StreamingSequenceMatch.{EIn, MatchOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val rows = graft.engine.Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+              col("event_type"))
+      .collect()
+      .map(r => EIn(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(e => (e.ts_micros, e.event_id))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val cases = Seq(
+      ("j12", "(?1)(?t<=3600)(?2)", Seq("signup", "purchase"),
+        graft.engine.Round11Ops.j12.fn(spark, sf0001)),
+      ("j16", "(?1)(?t<=14400)(?2)(?t>86400)(?3)",
+        Seq("signup", "click", "purchase"),
+        graft.engine.Round13Ops.j16.fn(spark, sf0001)))
+    withRocksDbProvider {
+      for ((tag, pattern, conds, batchDf) <- cases) {
+        val in = MemoryStream[EIn]
+        val q = StreamingSequenceMatch.forPattern(in.toDS(), pattern, conds)
+          .writeStream.format("memory").queryName(s"disp_$tag")
+          .outputMode(OutputMode.Update).start()
+        try {
+          in.addData(b1: _*); q.processAllAvailable()
+          in.addData(b2: _*); q.processAllAvailable()
+          val batch = batchDf.collect()
+            .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(3)))).toMap
+          val last = spark.table(s"disp_$tag").as[MatchOut].collect()
+            .groupBy(_.user_id).map { case (u, os) =>
+              val o = os.maxBy(_.n_events); u -> ((o.matched, o.n_events)) }
+          assert(last == batch,
+            s"forPattern($pattern) must equal batch $tag: got $last, want $batch")
+        } finally { q.stop() }
+      }
+    }
+    val err = intercept[IllegalArgumentException] {
+      StreamingSequenceMatch.forPattern(
+        MemoryStream[EIn].toDS(), "(?1)(?t<=10)(?2)(?3)",
+        Seq("signup", "click", "purchase"))
+    }
+    assert(err.getMessage.contains("adjacency"),
+      s"time-against-adjacency must be refused loudly: ${err.getMessage}")
   }
 
   test("streaming concurrency equals batch e27 across a batch cut") {
