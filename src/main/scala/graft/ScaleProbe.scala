@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   final val Queries = Seq("k02_near_dedup_jaccard", "k23_dedup_clusters",
-                          "k25_dedup_clusters_star", "k32_containment_neardup")
+                          "k25_dedup_clusters_star", "k32_containment_neardup",
+                          "k44_exact_substr_spans")
 
   /** The embedding heavies: label-blocked pair queries scale exactly 10×
     * under replica-disjoint labels; k16 is the linear IVF assign. */
@@ -132,6 +133,33 @@ object ScaleProbe {
                                "j20_sequence_match_events",
                                "j21_sequence_next_node_first_match")
 
+  /** The range-exchange rank shape (d44 — the surface's slowest declared
+    * query), probed on a 10× group-disjoint lineitem build: ranks within
+    * a group depend only on that group's rows, so under replica-suffixed
+    * group keys every scaled group's (n_rows, rho) must EXACTLY equal its
+    * base group's — a closed-form value gate on the whole statistic, not
+    * just a row count. */
+  final val RankQueries = Seq("d44_rank_corr_2pass")
+
+  /** 10× lineitem: rows replicated with the d44 GROUP KEY
+    * (`l_linestatus`) suffixed per replica, every other column verbatim
+    * (schema-driven passthrough, the r13 ADVICE discipline) — so the
+    * scaled build has 10 disjoint copies of each base rank-corr group. */
+  def buildLineitem(spark: SparkSession, sfDir: String, outDir: String,
+                    replicas: Int): Unit = {
+    val base = graft.engine.Tables.lineitem(spark, sfDir)
+    val reps = (0 until replicas).map { r =>
+      base.select(base.columns.map {
+        case "l_linestatus" =>
+          concat(col("l_linestatus"), lit(s"_$r")).as("l_linestatus")
+        case c => col(c)
+      }: _*)
+    }
+    reps.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+  }
+
   /** 10× events: rows replicated with user_id/event_id offset per replica
     * (max+1 bases — the r10 advice fix), everything else verbatim, so
     * every per-user query sees 10× disjoint users each with the original
@@ -142,12 +170,15 @@ object ScaleProbe {
     val maxes = base.agg(max(col("user_id")), max(col("event_id"))).head
     val uBase = maxes.getLong(0) + 1L
     val eBase = maxes.getLong(1) + 1L
+    // offset ONLY the id columns; every other column passes through
+    // schema-driven, so a fixture column added later is replicated
+    // verbatim instead of silently dropped (r13 ADVICE)
     val reps = (0 until replicas).map { r =>
-      base.select(
-        (col("event_id") + lit(eBase * r)).as("event_id"),
-        col("ts"),
-        (col("user_id") + lit(uBase * r)).as("user_id"),
-        col("event_type"), col("value"), col("props"))
+      base.select(base.columns.map {
+        case "event_id" => (col("event_id") + lit(eBase * r)).as("event_id")
+        case "user_id"  => (col("user_id") + lit(uBase * r)).as("user_id")
+        case c          => col(c)
+      }: _*)
     }
     reps.reduce(_ unionByName _)
       .repartition(32)
@@ -168,7 +199,7 @@ object ScaleProbe {
     // (no args = all three, the full probe record). Unknown names fail
     // LOUDLY: a typo'd section would otherwise select nothing and the
     // probe would exit 0 looking like a clean run with no measurements.
-    val known = Set("dense", "sparse", "emb", "events")
+    val known = Set("dense", "sparse", "emb", "events", "rank")
     val unknown = args.toSet.diff(known)
     require(unknown.isEmpty,
       s"unknown probe section(s) ${unknown.mkString(", ")}; " +
@@ -280,6 +311,33 @@ object ScaleProbe {
       f"x10=$st10%.2fs/$sn10%d kept|timeRatio=${st10 / st1}%.1f|" +
       f"keptOutsideReplica0=$nonRep0%d (must be 0)")
     } // emb
+
+    if (sections("rank")) {
+    // ---- d44's range-exchange rank shape on a 10× group-disjoint build
+    val li10 = "/tmp/graft_lineitem10"
+    buildLineitem(spark, sfDir, li10, replicas = 10)
+    RankQueries.foreach { q => run(q, sfDir); run(q, li10) } // warm
+    RankQueries.foreach { q =>
+      val (t1, n1) = run(q, sfDir)
+      val (t10, n10) = run(q, li10)
+      // value gate: every scaled group (strip the replica suffix) must
+      // carry EXACTLY its base group's (n_rows, rho) — rank arithmetic is
+      // int64 end-to-end and the final division divides identical int64s,
+      // so == on the double is the honest comparison, not a tolerance
+      val base = SparkEntry.queries(q)(spark, sfDir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val scaled = SparkEntry.queries(q)(spark, li10).collect()
+        .map { r =>
+          val s = r.getString(0)
+          (s.take(s.lastIndexOf('_')), (r.getLong(1), r.getDouble(2)))
+        }
+      val valuesExact = scaled.forall { case (b, v) => base.get(b).contains(v) }
+      val perBase = scaled.groupBy(_._1).map(_._2.length).toSet
+      println(f"SCALE|$q[rank]|sf0.1=$t1%.2fs/$n1%d rows|x10=$t10%.2fs/$n10%d rows|" +
+        f"timeRatio=${t10 / t1}%.1f|rows10xExact=${n10 == 10 * n1}|" +
+        f"groupValuesExact=$valuesExact|replicasPerGroup=${perBase.mkString(",")}")
+    }
+    } // rank
 
     if (sections("events")) {
     // ---- r12 window shapes: e28/j20 on a 10× user-disjoint events build

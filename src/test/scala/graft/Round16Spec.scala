@@ -1,0 +1,63 @@
+package graft
+
+/** Adversarial edge pins for the round-16 declared query — cases the
+  * fixture cannot force, exercised on synthesized frames through the REAL
+  * declared plan ([[graft.engine.Round16Ops.k44Plan]] — the h46Plan
+  * discipline: the spec drives the shipped plan body, not a hand copy
+  * that regressions could silently diverge from). */
+class Round16Spec extends SparkSpec {
+
+  private def tok(prefix: String, n: Int): Seq[String] =
+    (1 to n).map(i => s"$prefix$i")
+
+  test("k44 spans: cross-doc dup vs within-doc repetition vs keep-min vs short doc") {
+    val sp = spark
+    import sp.implicits._
+    val shared = tok("s", 20)
+    // doc 1: 5 unique tokens then the shared span at positions 6-25 —
+    //   DELIBERATELY straddling the 20-token chunk boundary, the exact
+    //   placement k39's stride-aligned chunks cannot flag (its chunk 1 is
+    //   tokens 1-20, chunk 2 is 21-25; neither equals the span) but
+    //   stride-1 spans catch. 6 windows; only the one starting at 6 is
+    //   the shared text, so exactly 1 dup span. Min holder → 0 removed.
+    val docA = (tok("a", 5) ++ shared).mkString(" ")
+    // doc 2: the shared span opens the doc, 5 unique suffix tokens —
+    //   1 dup span out of 6, NOT the min holder → 1 removed.
+    val docB = (shared ++ tok("b", 5)).mkString(" ")
+    // doc 3: a 20-token run repeated back-to-back WITHIN the doc — its
+    //   two identical windows share a digest but dmin = dmax = 3, so
+    //   within-doc repetition must NOT count as duplication (the
+    //   ExactSubstr predicate is cross-document).
+    val docC = (tok("c", 20) ++ tok("c", 20)).mkString(" ")
+    // doc 4: 19 tokens — below the span width, absent from the output.
+    val docD = tok("d", 19).mkString(" ")
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD))
+      .toDF("doc_id", "text")
+    val got = graft.engine.Round16Ops.k44Plan(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"short doc must be absent: $got")
+    assert(got(1L) == ((6L, 1L, 0L, 0.1667)),
+      s"min holder must keep its dup span: ${got(1L)}")
+    assert(got(2L) == ((6L, 1L, 1L, 0.1667)),
+      s"non-min holder must remove its dup span: ${got(2L)}")
+    assert(got(3L) == ((21L, 0L, 0L, 0.0)),
+      s"within-doc repetition is not cross-doc duplication: ${got(3L)}")
+  }
+
+  test("k44 plan: one shingle pass, duplication via window, no digest self-join") {
+    // the oracle decides duplication with a GROUP-BY + digest-keyed JOIN;
+    // the declared plan must NOT — a self-join shingles the corpus twice
+    // (the k34 rejection record). Pinned: exactly one Generate, a window,
+    // and no join anywhere in the final plan.
+    val df = graft.engine.Round16Ops.k44.fn(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val explodes = "\\bGenerate\\b".r.findAllIn(p).length
+    assert(explodes == 1,
+      s"k44 must shingle the corpus exactly once, found $explodes:\n$p")
+    assert(p.contains("Window"), s"k44 should decide dups via the digest window:\n$p")
+    assert(!p.contains("Join"), s"k44 must not join:\n$p")
+  }
+}
