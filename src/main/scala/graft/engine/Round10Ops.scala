@@ -406,7 +406,11 @@ object Round10Ops {
           col("l_linestatus"), col("l_quantity").cast("long").as("q"),
           (col("l_extendedprice").cast("decimal(18,2)") * 100)
             .cast("long").as("p")),
-        Seq("l_linestatus"), "q", "p")
+        Seq("l_linestatus"), "q", "p",
+        // quantity is a physically bounded domain (~50 values at ANY
+        // corpus scale), so the x-rank mapping is broadcast-sized by
+        // construction — the spearman scaladoc's 2-vs-4-exchange trim
+        broadcastXRanks = true)
         .orderBy(asc_nulls_last("l_linestatus")))
 
   // ---------------------------------------------------------------- k38

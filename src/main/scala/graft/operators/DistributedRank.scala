@@ -50,7 +50,10 @@ object DistributedRank {
     * to running [[midranks2]] on the un-aggregated data (tie count =
     * Σ weight per distinct key — same int64 arithmetic), but every stage
     * downstream of the first hash agg is sized by the DISTINCT key domain
-    * instead of the data. [[spearman]] rides this (r13-brief item 2). */
+    * instead of the data. For callers whose pair domain is genuinely
+    * discrete; [[spearman]] measured the pre-aggregation NEUTRAL on
+    * continuous-valued columns (see its scaladoc) and rides exchange
+    * reuse instead. */
   def midranks2Weighted(df: DataFrame, groupCols: Seq[String],
                         valueCol: String, weight: Column): DataFrame = {
     val gc: Seq[Column] = groupCols.map(col)
@@ -82,47 +85,92 @@ object DistributedRank {
           .as("dr2")): _*)
   }
 
+  /** Midranks over a caller-asserted BOUNDED value domain: one
+    * map-combined hash agg collapses the data to the distinct
+    * `(group, value)` grid, then a single per-group running-sum window
+    * over THE GRID (group size = domain size — safe at any corpus scale
+    * only because the caller asserts the domain is bounded; that is the
+    * same assertion `spearman`'s `broadcastXRanks` makes). Same doubled-
+    * midrank identity and int64 arithmetic as [[midranks2]] — pinned
+    * bit-equal in Round10Spec — without the range-exchange/slice-offset
+    * machinery an unbounded domain needs (6 plan stages → 3). */
+  def midranks2Bounded(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String): DataFrame = {
+    val gc: Seq[Column] = groupCols.map(col)
+    val w = Window.partitionBy(gc: _*).orderBy(col(valueCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((gc :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__run", coalesce(sum("__cnt").over(w), lit(0L)))
+      .select(gc ++ Seq(
+        col(valueCol),
+        col("__cnt").as("cnt"),
+        (lit(2L) * col("__run") + col("__cnt") + lit(1L)).as("dr2")): _*)
+  }
+
   /** Spearman ρ per group via the 2-pass midranks — the d39 statistic
     * computed WITHOUT a per-group data-sized window (the round-9 "at real
     * scale" claim, made executable). Same integers, same one-division
     * closed form; pinned equal to the declared d39 in Round10Spec.
     *
+    * Plan budget (the r13-brief "trim d44" item, resolved by measurement
+    * and plan reads, both recorded here):
+    *  - a duplicate-pair PRE-AGGREGATION was tried first and REJECTED —
+    *    on lineitem the distinct (group, x, y) domain is 599,806 of
+    *    600,000 rows (prices are near-unique, as any continuous-valued
+    *    column is), so the extra exchange bought nothing;
+    *  - an explicit (group, y) CO-PARTITION was tried second and
+    *    REJECTED by plan read — column pruning pushes differing
+    *    projections below the exchange copies (the probe keeps x, the
+    *    y-agg subtree drops it), so ReuseExchange never matches and the
+    *    "shared" exchange materializes twice;
+    *  - what ships: NO forced exchange on the data. The probe side joins
+    *    the two rank mappings directly — AQE broadcasts a mapping that
+    *    fits (both do at test scale) and falls back to shuffle joins
+    *    when one doesn't, which is the right call at every scale — and
+    *    `broadcastXRanks = true` additionally routes a caller-asserted
+    *    BOUNDED x domain (d44: ~50 physical quantity values at any
+    *    corpus size) through [[midranks2Bounded]] + an explicit
+    *    broadcast: the x mapping is domain-sized by construction, so
+    *    neither its rank pass nor its join may ever touch a data-sized
+    *    exchange.
+    *
+    * Rows where EITHER column is NULL carry no rank and join into
+    * nothing: ranks are computed over exactly the complete-pair
+    * population (the d39 contract made explicit — ranking x over rows
+    * whose y is NULL would center against a population the sums never
+    * see).
+    *
     * @param xCol,yCol non-null numeric columns (long-valued).
+    * @param broadcastXRanks caller-asserted bounded x domain: the
+    *        distinct `(group, x)` grid fits a broadcast. Leave false
+    *        when x is continuous-valued.
     */
   def spearman(df: DataFrame, groupCols: Seq[String],
-               xCol: String, yCol: String): DataFrame = {
+               xCol: String, yCol: String,
+               broadcastXRanks: Boolean = false): DataFrame = {
     val gc: Seq[Column] = groupCols.map(col)
-    // Pre-aggregate duplicate (group, x, y) keys to a weight FIRST
-    // (r13-brief item 2): the rank join-backs and the centered-sum agg
-    // then run over the distinct-pair domain, not the raw rows — on
-    // lineitem (~50 distinct quantities) that is orders of magnitude
-    // smaller, and at 100 TB it bounds the join payload by the domain
-    // size. Same integers out: each distinct key contributes
-    // weight·(ux·uy) exactly where the row form summed ux·uy weight
-    // times (int64 end-to-end; Round10Spec pins bit-equality vs the
-    // window formulation).
-    val pairs = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
-      .groupBy((gc :+ col(xCol) :+ col(yCol)): _*)
-      .agg(count(lit(1)).as("__w"))
-    val rx = midranks2Weighted(pairs, groupCols, xCol, col("__w"))
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val rx0 = (if (broadcastXRanks) midranks2Bounded(base, groupCols, xCol)
+               else midranks2(base, groupCols, xCol))
       .withColumnRenamed("cnt", "__cx").withColumnRenamed("dr2", "__dx")
-    val ry = midranks2Weighted(pairs, groupCols, yCol, col("__w"))
+    val ry = midranks2(base, groupCols, yCol)
       .withColumnRenamed("cnt", "__cy").withColumnRenamed("dr2", "__dy")
-    // group sizes from the mapping itself (Σ tie counts = Σ weights = row
-    // count) — a groups-sized frame, broadcast back; no data-sized window
-    // anywhere in this path.
-    val n = rx.groupBy(gc: _*).agg(sum("__cx").as("__n"))
-    pairs.join(rx, groupCols :+ xCol)
-      .join(ry, groupCols :+ yCol)
+    // group sizes from the mapping itself (Σ tie counts = row count) — a
+    // groups-sized frame, broadcast back; no data-sized window anywhere.
+    val n = rx0.groupBy(gc: _*).agg(sum("__cx").as("__n"))
+    val rx = if (broadcastXRanks) broadcast(rx0) else rx0
+    base.join(ry, groupCols :+ yCol)
+      .join(rx, groupCols :+ xCol)
       .join(broadcast(n), groupCols)
-      .select(gc ++ Seq(col("__w"),
-                        (col("__dx") - (col("__n") + 1)).as("__ux"),
+      .select(gc ++ Seq((col("__dx") - (col("__n") + 1)).as("__ux"),
                         (col("__dy") - (col("__n") + 1)).as("__uy")): _*)
       .groupBy(gc: _*)
-      .agg(sum(col("__w")).cast("long").as("n"),
-           sum(col("__w") * col("__ux") * col("__uy")).cast("long").as("sxy"),
-           sum(col("__w") * col("__ux") * col("__ux")).cast("long").as("sxx"),
-           sum(col("__w") * col("__uy") * col("__uy")).cast("long").as("syy"))
+      .agg(count(lit(1)).cast("long").as("n"),
+           sum(col("__ux") * col("__uy")).cast("long").as("sxy"),
+           sum(col("__ux") * col("__ux")).cast("long").as("sxx"),
+           sum(col("__uy") * col("__uy")).cast("long").as("syy"))
       .select(gc ++ Seq(col("n").as("n_rows"),
         expr("CAST(sxy AS DOUBLE) / (SQRT(CAST(sxx AS DOUBLE)) * SQRT(CAST(syy AS DOUBLE)))")
           .as("spearman_rho")): _*)

@@ -56,6 +56,26 @@ class Round10Spec extends SparkSpec {
       .toMap
     // centered sums are exact int64 either way, so ρ must match to the BIT
     assert(got == want, s"2-pass $got vs window $want")
+    // the broadcast-x-ranks variant (what d44 ships) changes ONLY the
+    // join strategy — same integers, same bits
+    val gotB = DistributedRank
+      .spearman(src, Seq("l_linestatus"), "q", "p", broadcastXRanks = true)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(gotB == want, s"broadcast-x $gotB vs window $want")
+  }
+
+  test("bounded-domain midranks equal the 2-pass form bit-for-bit (quantity grid)") {
+    val src = engine.Tables.lineitem(spark, sf0001)
+      .select(col("l_linestatus").as("g"),
+              col("l_quantity").cast("long").as("v"))
+    val got = DistributedRank.midranks2Bounded(src, Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val want = DistributedRank.midranks2(src, Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, s"bounded grid ranks diverge: $got vs $want")
   }
 
   test("2-pass midranks plan: range exchange, no single-partition sort") {
