@@ -3,13 +3,19 @@ package graft.engine
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-16 declared queries — the r13 brief's item 3: the ExactSubstr
-  * dedup modality [public: Lee et al. 2022, "Deduplicating Training Data
-  * Makes Language Models Better", §3.1 ExactSubstr], the span-level gap
-  * between k34's fixed n-grams and k39's stride-aligned chunks.
+/** Round-16 declared queries — the r13 brief's item 3 and its two
+  * natural siblings: the ExactSubstr dedup modality [public: Lee et al.
+  * 2022, "Deduplicating Training Data Makes Language Models Better",
+  * §3.1 ExactSubstr], the span-level gap between k34's fixed n-grams
+  * and k39's stride-aligned chunks.
   *
   *  - `k44_exact_substr_spans` — duplicate ≥20-token SPANS across
   *    documents at stride 1, with the keep-min removal accounting.
+  *  - `k45_exact_substr_decontam` — the same span predicate pointed at
+  *    train→eval leakage: contaminated span mass per eval doc with the
+  *    min train witness (k24/k34's split discipline).
+  *  - `k46_longest_dup_span` — longest duplicated span length per doc
+  *    via gaps-and-islands over consecutive duplicated positions.
   *
   * Every query follows the SURVEY §2 determinism rules (explicit NULLS,
   * total ORDER BY, integer-exact arithmetic except the declared ROUND-4
@@ -92,5 +98,147 @@ object Round16Ops {
       .orderBy(asc_nulls_last("doc_id"))
   }
 
-  def ops: Vector[Q] = Vector(k44)
+  // ---------------------------------------------------------------- k45
+
+  /** k45 — span-level train/eval DECONTAMINATION (ExactSubstr × k24's
+    * split discipline; [public: Lee et al. 2022 §6.2 apply dedup to
+    * train–test leakage; Brown et al. 2020 §C use n-gram collision —
+    * k34 declares that form]): for every eval (val/test) doc, how many
+    * of its stride-1 20-token spans appear VERBATIM in some train doc,
+    * with the minimum train witness. A genuinely distinct predicate from
+    * k34: 3-grams fire on any shared trigram (selective but span-mass-
+    * blind), this measures the CONTAMINATED SPAN MASS at ≥20-token
+    * verbatim granularity — the denominator-bearing form (n_contam /
+    * n_spans is the leakage fraction) — and reports ALL eval docs, not
+    * just contaminated ones (an all-clear is a result too).
+    *
+    * Scale shape: k44's one shingling Generate, split assignment joined
+    * on doc_id (corpus-sized but key-joined, no text), then the per-span
+    * train witness rides a digest-partitioned window min (k34's
+    * df-via-window pattern — no digest self-join, corpus shingled ONCE);
+    * eval rows filter and hash-aggregate per doc. Same window-group
+    * hazard class as k34/k44 (span document frequency). The ORACLE
+    * builds the train witness via GROUP-BY + LEFT JOIN on the digest —
+    * independent formulations. */
+  val k45: Q = Q(
+    "k45_exact_substr_decontam",
+    """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+      |sp AS (SELECT doc_id, MD5(ARRAY_TO_STRING(toks[st : st + 19], ' ')) AS d
+      |       FROM (SELECT doc_id, UNNEST(RANGE(1, LEN(toks) - 18)) AS st, toks
+      |             FROM t WHERE LEN(toks) >= 20)),
+      |s AS (SELECT doc_id,
+      |    CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
+      |         WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) = 'd' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |tmin AS (SELECT sp2.d, MIN(sp2.doc_id) AS m
+      |         FROM sp sp2 JOIN s s2 USING (doc_id)
+      |         WHERE s2.split = 'train' GROUP BY sp2.d)
+      |SELECT e.doc_id AS doc_id, se.split AS split,
+      |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(SUM(CASE WHEN tmin.m IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_contam_spans,
+      |  MIN(tmin.m) AS contaminated_by
+      |FROM sp e JOIN s se USING (doc_id)
+      |LEFT JOIN tmin ON tmin.d = e.d
+      |WHERE se.split <> 'train'
+      |GROUP BY 1, 2
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => k45Plan(Tables.documents(s, dir)))
+
+  /** The k45 plan body, factored so Round16Spec can drive the REAL plan
+    * on synthetic frames (the h46Plan discipline). */
+  def k45Plan(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sp = docs
+      .select(col("doc_id"), split(col("text"), " ").as("__t"))
+      .filter(size(col("__t")) >= 20)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(__t) - 19), " +
+          "st -> md5(concat_ws(' ', slice(__t, st, 20))))")).as("d"))
+    val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val splits = docs.select(
+      col("doc_id"),
+      when(h1 <= "c", "train").when(h1 === "d", "val")
+        .otherwise("test").as("split"))
+    val wg = Window.partitionBy("d")
+    sp.join(splits, "doc_id")
+      .withColumn("__tmin",
+        min(when(col("split") === "train", col("doc_id"))).over(wg))
+      .filter(col("split") =!= "train")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_spans"),
+           sum(when(col("__tmin").isNotNull, 1).otherwise(0))
+             .cast("long").as("n_contam_spans"),
+           min(col("__tmin")).as("contaminated_by"))
+      .orderBy(asc_nulls_last("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- k46
+
+  /** k46 — LONGEST duplicated span run per doc (the "how long is the
+    * longest verbatim overlap" statistic of dedup analyses [public: Lee
+    * et al. 2022 report duplicate-length distributions]): consecutive
+    * duplicated stride-1 positions form islands, and a run of R
+    * consecutive duplicated 20-token windows certifies a duplicated
+    * substring of exactly R + 19 tokens — so max-run + 19 IS the longest
+    * cross-doc duplicated span length, computed without ever comparing
+    * span text beyond the digests. Also reports the island count (the
+    * fixture's dup regions are single-island; the multi-region case is
+    * pinned on a synthetic frame in Round16Spec).
+    *
+    * Scale shape: k44's shingling (positions kept via posexplode), dup
+    * decided by the same digest-window min/max, then the gaps-and-
+    * islands trick — st − row_number per doc — needs ONE doc-partitioned
+    * window over only the DUPLICATED positions (a tiny filtered frame),
+    * and two hash aggs sized by island count. The ORACLE reruns the
+    * identical islands arithmetic over its join-based dup set —
+    * formulations share the arithmetic but derive duplication
+    * independently (window vs GROUP-BY + join, the k44 pairing). */
+  val k46: Q = Q(
+    "k46_longest_dup_span",
+    """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+      |sp AS (SELECT doc_id, st, MD5(ARRAY_TO_STRING(toks[st : st + 19], ' ')) AS d
+      |       FROM (SELECT doc_id, UNNEST(RANGE(1, LEN(toks) - 18)) AS st, toks
+      |             FROM t WHERE LEN(toks) >= 20)),
+      |dd AS (SELECT d, MIN(doc_id) AS dmin, MAX(doc_id) AS dmax
+      |       FROM sp GROUP BY d),
+      |f AS (SELECT sp.doc_id, sp.st
+      |      FROM sp JOIN dd USING (d) WHERE dd.dmin < dd.dmax),
+      |isl AS (SELECT doc_id, st,
+      |          st - ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                                  ORDER BY st ASC NULLS LAST) AS g
+      |        FROM f)
+      |SELECT doc_id,
+      |  CAST(MAX(run) + 19 AS BIGINT) AS max_dup_run_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_dup_regions
+      |FROM (SELECT doc_id, g, COUNT(*) AS run FROM isl GROUP BY doc_id, g)
+      |GROUP BY doc_id
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => k46Plan(Tables.documents(s, dir)))
+
+  /** The k46 plan body, factored so Round16Spec can drive the REAL plan
+    * on synthetic frames (the h46Plan discipline). */
+  def k46Plan(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sp = docs
+      .select(col("doc_id"), split(col("text"), " ").as("__t"))
+      .filter(size(col("__t")) >= 20)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(__t) - 19), " +
+          "st -> md5(concat_ws(' ', slice(__t, st, 20))))")))
+      .select(col("doc_id"), (col("pos") + 1).as("st"), col("col").as("d"))
+    val wd = Window.partitionBy("d")
+    val wdoc = Window.partitionBy("doc_id").orderBy(asc_nulls_last("st"))
+    sp.withColumn("__dmin", min(col("doc_id")).over(wd))
+      .withColumn("__dmax", max(col("doc_id")).over(wd))
+      .filter(col("__dmin") < col("__dmax"))
+      .withColumn("__g", col("st") - row_number().over(wdoc))
+      .groupBy(col("doc_id"), col("__g"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("run")) + 19).cast("long").as("max_dup_run_tokens"),
+           count(lit(1)).cast("long").as("n_dup_regions"))
+      .orderBy(asc_nulls_last("doc_id"))
+  }
+
+  def ops: Vector[Q] = Vector(k44, k45, k46)
 }

@@ -45,6 +45,57 @@ class Round16Spec extends SparkSpec {
       s"within-doc repetition is not cross-doc duplication: ${got(3L)}")
   }
 
+  test("k45 decontam: train witness only; eval-eval sharing is NOT contamination") {
+    val sp = spark
+    import sp.implicits._
+    // split classes come from md5(doc_id) — ids chosen so the class is
+    // forced: 0/2 train, 3/5 test, 10 val (verified md5 first hex chars
+    // c/c/e/e/d). S is shared train→test (doc 3 must report witness
+    // MIN(0,2) = 0); T is shared test↔val ONLY — duplicated, but with no
+    // train holder it must NOT count as contamination on either side.
+    val s20 = tok("s", 20)
+    val t20 = tok("t", 20)
+    val docs = Seq(
+      (0L, (s20 ++ tok("a", 5)).mkString(" ")),
+      (2L, (s20 ++ tok("b", 5)).mkString(" ")),
+      (3L, (tok("c", 5) ++ s20).mkString(" ")),
+      (5L, (t20 ++ tok("e", 5)).mkString(" ")),
+      (10L, (t20 ++ tok("f", 5)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = graft.engine.Round16Ops.k45Plan(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(got.keySet == Set(3L, 5L, 10L), s"train docs must be absent: $got")
+    assert(got(3L) == (("test", 6L, 1L, Some(0L))),
+      s"witness must be the MIN train holder: ${got(3L)}")
+    assert(got(5L) == (("test", 6L, 0L, None)),
+      s"eval-eval sharing counted as contamination: ${got(5L)}")
+    assert(got(10L) == (("val", 6L, 0L, None)),
+      s"eval-eval sharing counted as contamination: ${got(10L)}")
+  }
+
+  test("k46 runs: R consecutive dup windows certify R+19 tokens; regions split on gaps") {
+    val sp = spark
+    import sp.implicits._
+    // two shared regions per doc: a 20-token span (1 window) and a
+    // 21-token span (2 consecutive windows) separated by per-doc unique
+    // gaps — so islands must NOT merge across the gap: max run 2 →
+    // 21 tokens, 2 regions. doc 3 has no cross-doc dup → absent.
+    val p = tok("p", 20)
+    val q = tok("q", 21)
+    val docs = Seq(
+      (1L, (p ++ tok("a", 5) ++ q).mkString(" ")),
+      (2L, (p ++ tok("b", 5) ++ q).mkString(" ")),
+      (3L, tok("z", 40).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = graft.engine.Round16Ops.k46Plan(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set(1L, 2L), s"no-dup doc must be absent: $got")
+    assert(got(1L) == ((21L, 2L)), s"run arithmetic broken: ${got(1L)}")
+    assert(got(2L) == ((21L, 2L)), s"run arithmetic broken: ${got(2L)}")
+  }
+
   test("k44 plan: one shingle pass, duplication via window, no digest self-join") {
     // the oracle decides duplication with a GROUP-BY + digest-keyed JOIN;
     // the declared plan must NOT — a self-join shingles the corpus twice
