@@ -25,9 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
+  // k44/k46 ride the replica gate because suffixed tokens make replica
+  // span sets disjoint (per-doc outputs identical, rows exactly 10×);
+  // k45 CANNOT (split classes hash the offset doc_id — replicas land in
+  // different train/val/test classes than their base docs) and k47's
+  // global top-20 has no exact-10× closed form (the top list becomes a
+  // 10-replica mixture) — both excluded by design, not oversight.
   final val Queries = Seq("k02_near_dedup_jaccard", "k23_dedup_clusters",
                           "k25_dedup_clusters_star", "k32_containment_neardup",
-                          "k44_exact_substr_spans")
+                          "k44_exact_substr_spans", "k46_longest_dup_span")
 
   /** The embedding heavies: label-blocked pair queries scale exactly 10×
     * under replica-disjoint labels; k16 is the linear IVF assign. */

@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   *    min train witness (k24/k34's split discipline).
   *  - `k46_longest_dup_span` — longest duplicated span length per doc
   *    via gaps-and-islands over consecutive duplicated positions.
+  *  - `k47_top_dup_spans` — the boilerplate detector: top-20 spans by
+  *    distinct-document count, text recovered map-side.
   *
   * Every query follows the SURVEY §2 determinism rules (explicit NULLS,
   * total ORDER BY, integer-exact arithmetic except the declared ROUND-4
@@ -240,5 +242,62 @@ object Round16Ops {
       .orderBy(asc_nulls_last("doc_id"))
   }
 
-  def ops: Vector[Q] = Vector(k44, k45, k46)
+  // ---------------------------------------------------------------- k47
+
+  /** k47 — TOP duplicated spans (the boilerplate detector: Gopher/
+    * RefinedWeb-style corpus analyses surface the most-repeated verbatim
+    * passages — headers, license blocks, templates — before choosing
+    * dedup thresholds [public: Rae et al. 2021 §A3.2 report repeated-
+    * passage analyses; Penedo et al. 2023 line-dedup]): the 20 stride-1
+    * 20-token spans shared by the MOST distinct documents, with their
+    * recovered text, occurrence count, and first holder. Deterministic
+    * top-k: ties on n_docs break on the digest (unique → total order).
+    *
+    * Scale shape: ONE shingling Generate carrying (digest, text); the
+    * per-digest agg is map-combined (min(text)/min(doc) collapse to one
+    * row per distinct digest per partition BEFORE the shuffle, so span
+    * text crosses the exchange once per distinct-digest-per-partition,
+    * not per occurrence), countDistinct rides the standard two-phase
+    * expand; the final top-20 is a TakeOrderedAndProject — no global
+    * sort materializes. A join-back-for-text formulation was rejected:
+    * it would shingle the corpus twice for a column the map-side combine
+    * already bounds. */
+  val k47: Q = Q(
+    "k47_top_dup_spans",
+    """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+      |sp AS (SELECT doc_id,
+      |         ARRAY_TO_STRING(toks[st : st + 19], ' ') AS s,
+      |         MD5(ARRAY_TO_STRING(toks[st : st + 19], ' ')) AS d
+      |       FROM (SELECT doc_id, UNNEST(RANGE(1, LEN(toks) - 18)) AS st, toks
+      |             FROM t WHERE LEN(toks) >= 20))
+      |SELECT d, MIN(s) AS span_text,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      |  MIN(doc_id) AS first_doc
+      |FROM sp GROUP BY d
+      |HAVING COUNT(DISTINCT doc_id) > 1
+      |ORDER BY n_docs DESC, d ASC LIMIT 20""".stripMargin,
+    (s, dir) => k47Plan(Tables.documents(s, dir)))
+
+  /** The k47 plan body, factored so Round16Spec can drive the REAL plan
+    * on synthetic frames (the h46Plan discipline). */
+  def k47Plan(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("__t"))
+      .filter(size(col("__t")) >= 20)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(__t) - 19), " +
+          "st -> concat_ws(' ', slice(__t, st, 20)))")).as("s"))
+      .select(col("doc_id"), col("s"), md5(col("s")).as("d"))
+      .groupBy("d")
+      .agg(min(col("s")).as("span_text"),
+           countDistinct(col("doc_id")).cast("long").as("n_docs"),
+           count(lit(1)).cast("long").as("n_occurrences"),
+           min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(desc("n_docs"), asc_nulls_last("d"))
+      .limit(20)
+  }
+
+  def ops: Vector[Q] = Vector(k44, k45, k46, k47)
 }

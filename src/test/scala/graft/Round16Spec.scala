@@ -96,6 +96,37 @@ class Round16Spec extends SparkSpec {
     assert(got(2L) == ((21L, 2L)), s"run arithmetic broken: ${got(2L)}")
   }
 
+  test("k47 top spans: within-doc repeats count occurrences not docs; digest tiebreak") {
+    val sp = spark
+    import sp.implicits._
+    // doc 1 carries span S TWICE back-to-back (windows 1 and 21 — the
+    // 19 rotations between them are unique to doc 1 and must be dropped
+    // by the n_docs > 1 filter); doc 2 carries S once. So S must report
+    // n_docs = 2 but n_occurrences = 3 with first_doc = 1. T is a second
+    // 2-doc span — the output must order ties by digest ascending.
+    val s20 = tok("s", 20)
+    val t20 = tok("t", 20)
+    val docs = Seq(
+      (1L, (s20 ++ s20).mkString(" ")),
+      (2L, (s20 ++ tok("b", 5)).mkString(" ")),
+      (3L, (t20 ++ tok("c", 5)).mkString(" ")),
+      (4L, (t20 ++ tok("e", 5)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = graft.engine.Round16Ops.k47Plan(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    assert(rows.length == 2, s"only the two cross-doc spans survive: ${rows.toSeq}")
+    val byText = rows.map(r => r._2 -> r).toMap
+    assert(byText(s20.mkString(" "))._3 == 2L &&
+           byText(s20.mkString(" "))._4 == 3L &&
+           byText(s20.mkString(" "))._5 == 1L,
+      s"S must count 2 docs / 3 occurrences / first_doc 1: ${byText(s20.mkString(" "))}")
+    assert(byText(t20.mkString(" "))._3 == 2L && byText(t20.mkString(" "))._4 == 2L)
+    // both have n_docs = 2 → the emitted order must be digest ascending
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted,
+      s"tie order must be digest ASC: ${rows.map(_._1).toSeq}")
+  }
+
   test("k44 plan: one shingle pass, duplication via window, no digest self-join") {
     // the oracle decides duplication with a GROUP-BY + digest-keyed JOIN;
     // the declared plan must NOT — a self-join shingles the corpus twice
