@@ -879,6 +879,75 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming span dedup one-batch replay equals batch k44 per-doc rollup") {
+    import graft.engine.{Round16Ops, Tables}
+    import graft.streaming.StreamingSpanDedup
+    import graft.streaming.StreamingSpanDedup.SpanHit
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    withRocksDbProvider {
+      val in = MemoryStream[(Long, String)]
+      val q = StreamingSpanDedup.spanDupStream(in.toDS()).writeStream
+        .format("memory").queryName("spandup_t")
+        .outputMode(OutputMode.Update).start()
+      try {
+        in.addData(docs.toIndexedSeq) // whole corpus in ONE micro-batch
+        q.processAllAvailable()
+        val streamed = spark.table("spandup_t").as[SpanHit].collect()
+          .groupBy(_.doc_id)
+          .map { case (id, hs) =>
+            id -> ((hs.length.toLong, hs.map(_.removed.toLong).sum)) }
+        // batch k44 rows with at least one dup span (docs without dups
+        // emit nothing on the stream side by construction)
+        val batch = Round16Ops.k44.fn(spark, sf0001).collect()
+          .map(r => r.getAs[Long]("doc_id") ->
+            ((r.getAs[Long]("n_dup_spans"), r.getAs[Long]("n_removed_spans"))))
+          .filter(_._2._1 > 0L).toMap
+        assert(batch.nonEmpty, "fixture must contain duplicated spans")
+        assert(streamed == batch,
+          s"one-batch streaming rollup must equal batch k44: " +
+            s"streamOnly=${streamed.keySet -- batch.keySet} " +
+            s"batchOnly=${batch.keySet -- streamed.keySet}")
+      } finally { q.stop() }
+    }
+  }
+
+  test("streaming span dedup is probe-at-arrival across micro-batches") {
+    import graft.streaming.StreamingSpanDedup
+    import graft.streaming.StreamingSpanDedup.SpanHit
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val span = (1 to 20).map(i => s"w$i").mkString(" ")
+    withRocksDbProvider {
+      val in = MemoryStream[(Long, String)]
+      val q = StreamingSpanDedup.spanDupStream(in.toDS()).writeStream
+        .format("memory").queryName("spandup_xb_t")
+        .outputMode(OutputMode.Update).start()
+      try {
+        // batch 1: the first holder alone — nothing is a duplicate yet
+        in.addData((1L, span))
+        q.processAllAvailable()
+        assert(spark.table("spandup_xb_t").as[SpanHit].collect().isEmpty,
+          "the first holder must not be flagged")
+        // batch 2: a second doc with the same span — ITS occurrence is
+        // flagged (removed, keep-min witness = doc 1); doc 1 is NOT
+        // retroactively flagged (the probe-at-arrival contract)
+        in.addData((2L, span))
+        q.processAllAvailable()
+        val hits = spark.table("spandup_xb_t").as[SpanHit].collect().toSeq
+        assert(hits == Seq(SpanHit(2L, 1, 1L, 1)),
+          s"late duplicate must flag only itself against the state: $hits")
+      } finally { q.stop() }
+    }
+  }
+
   test("streaming contamination is probe-at-arrival across micro-batches") {
     import graft.streaming.StreamingContamination
     import graft.streaming.StreamingContamination.{DocIn, GramHit}
