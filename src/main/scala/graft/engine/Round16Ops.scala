@@ -177,14 +177,19 @@ object Round16Ops {
 
   // ---------------------------------------------------------------- k46
 
-  /** k46 — LONGEST duplicated span run per doc (the "how long is the
-    * longest verbatim overlap" statistic of dedup analyses [public: Lee
-    * et al. 2022 report duplicate-length distributions]): consecutive
-    * duplicated stride-1 positions form islands, and a run of R
-    * consecutive duplicated 20-token windows certifies a duplicated
-    * substring of exactly R + 19 tokens — so max-run + 19 IS the longest
-    * cross-doc duplicated span length, computed without ever comparing
-    * span text beyond the digests. Also reports the island count (the
+  /** k46 — LONGEST duplicated REGION per doc (the duplicate-length
+    * statistic of dedup analyses [public: Lee et al. 2022 report
+    * duplicate-length distributions; their ExactSubstr removal excises
+    * exactly these regions]): consecutive duplicated stride-1 positions
+    * form islands, and a run of R consecutive duplicated 20-token
+    * windows covers a contiguous R + 19-token region every window of
+    * which is shared with SOME other document — the region span-level
+    * removal would excise. Deliberately a REGION statistic, not a
+    * longest-common-substring: windows of one run may match DIFFERENT
+    * partner docs, so the region need not appear verbatim in any single
+    * partner (pinned on a two-partner synthetic in Round16Spec; with one
+    * partner the two coincide, and the region length upper-bounds the
+    * longest single-partner overlap). Also reports the island count (the
     * fixture's dup regions are single-island; the multi-region case is
     * pinned on a synthetic frame in Round16Spec).
     *

@@ -161,6 +161,50 @@ object GraftProperties extends Properties("graft") {
       brute == sweep
     }
 
+  /** k44's span-dedup accounting decided through DIGESTS (the shipped
+    * plan's predicate: per-digest min(doc) < max(doc), removal = doc ≠
+    * min — via StreamingSpanDedup.spans, the same shingling the stream
+    * twin runs) equals the definitionally-direct TEXT comparison (a span
+    * is duplicated iff its exact token slice occurs in another doc) on
+    * random corpora — hashing, 1-based window arithmetic, sub-width
+    * exclusion, within-doc repeats, and the keep-min rule all covered by
+    * construction. Tiny alphabet so shared and repeated spans are dense. */
+  property("span dedup digest accounting equals direct text comparison") = {
+    val W = 3
+    val genDoc = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b")).map(_.mkString(" ")))
+    forAll(Gen.choose(2, 5).flatMap(k => Gen.listOfN(k, genDoc))) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      def slices(t: String): Seq[String] = {
+        val a = t.split(' ')
+        if (a.length < W) Seq.empty
+        else (0 to a.length - W).map(i => a.slice(i, i + W).mkString(" "))
+      }
+      val ext = docs
+        .flatMap { case (id, t) =>
+          graft.streaming.StreamingSpanDedup.spans(t, W).map(_._2 -> id) }
+        .groupBy(_._1).view
+        .mapValues(xs => (xs.map(_._2).min, xs.map(_._2).max)).toMap
+      val accDigest = docs.map { case (id, t) =>
+        val sps = graft.streaming.StreamingSpanDedup.spans(t, W)
+        id -> ((sps.length,
+                sps.count { case (_, d) => ext(d)._1 < ext(d)._2 },
+                sps.count { case (_, d) =>
+                  ext(d)._1 < ext(d)._2 && id != ext(d)._1 }))
+      }.toMap
+      val accText = docs.map { case (id, t) =>
+        val mine = slices(t)
+        val others = docs.filter(_._1 != id).flatMap(d => slices(d._2)).toSet
+        def minHolder(sp: String): Long =
+          docs.filter(d => slices(d._2).contains(sp)).map(_._1).min
+        id -> ((mine.length,
+                mine.count(others.contains),
+                mine.count(sp => others.contains(sp) && minHolder(sp) != id)))
+      }.toMap
+      accDigest == accText
+    }
+  }
+
   /** d22's windowed threshold rule equals the multiset-expansion definition of
     * the discrete weighted quantile (repeat each value `weight` times, take
     * the rank-⌈q·N⌉ element) — integral weights, so cum sums are exact. */

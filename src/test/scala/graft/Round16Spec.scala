@@ -96,6 +96,29 @@ class Round16Spec extends SparkSpec {
     assert(got(2L) == ((21L, 2L)), s"run arithmetic broken: ${got(2L)}")
   }
 
+  test("k46 is a REGION statistic: a run may span different partners") {
+    val sp = spark
+    import sp.implicits._
+    // doc 1 = t1..t21: window A (t1..t20) shared only with doc 2, window
+    // B (t2..t21) shared only with doc 3. Both positions are duplicated
+    // → one run of 2 → a 21-token duplicated REGION, even though no
+    // single partner contains the 21 tokens — the declared semantics
+    // (the region ExactSubstr removal would excise), pinned so the
+    // region-vs-longest-common-substring distinction stays documented
+    // and tested.
+    val t21 = tok("t", 21)
+    val docs = Seq(
+      (1L, t21.mkString(" ")),
+      (2L, (t21.take(20) ++ tok("x", 5)).mkString(" ")),
+      (3L, (tok("y", 5) ++ t21.drop(1)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = graft.engine.Round16Ops.k46Plan(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((21L, 1L)),
+      s"two-partner run must still read as one 21-token region: ${got(1L)}")
+    assert(got(2L) == ((20L, 1L)) && got(3L) == ((20L, 1L)), s"$got")
+  }
+
   test("k47 top spans: within-doc repeats count occurrences not docs; digest tiebreak") {
     val sp = spark
     import sp.implicits._
