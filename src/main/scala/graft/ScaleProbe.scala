@@ -322,17 +322,27 @@ object ScaleProbe {
     // ---- d44's range-exchange rank shape on a 10× group-disjoint build
     val li10 = "/tmp/graft_lineitem10"
     buildLineitem(spark, sfDir, li10, replicas = 10)
-    RankQueries.foreach { q => run(q, sfDir); run(q, li10) } // warm
+    // d44 is the surface's slowest declared query — time the COLLECT and
+    // derive rows + the value gate from the same result array, so each
+    // dataset executes exactly twice (warm + measured), not three times
+    def timedRows(name: String, dir: String) = {
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, dir).collect()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    RankQueries.foreach { q => timedRows(q, sfDir); timedRows(q, li10) } // warm
     RankQueries.foreach { q =>
-      val (t1, n1) = run(q, sfDir)
-      val (t10, n10) = run(q, li10)
+      val (t1, baseRows) = timedRows(q, sfDir)
+      val (t10, scaledRows) = timedRows(q, li10)
+      val n1 = baseRows.length.toLong
+      val n10 = scaledRows.length.toLong
       // value gate: every scaled group (strip the replica suffix) must
       // carry EXACTLY its base group's (n_rows, rho) — rank arithmetic is
       // int64 end-to-end and the final division divides identical int64s,
       // so == on the double is the honest comparison, not a tolerance
-      val base = SparkEntry.queries(q)(spark, sfDir).collect()
+      val base = baseRows
         .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
-      val scaled = SparkEntry.queries(q)(spark, li10).collect()
+      val scaled = scaledRows
         .map { r =>
           val s = r.getString(0)
           (s.take(s.lastIndexOf('_')), (r.getLong(1), r.getDouble(2)))

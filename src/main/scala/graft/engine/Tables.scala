@@ -30,11 +30,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `ts` normalization across fixture generations. Early driver fixtures
-    * — INVARIANT (pinned in FixtureInvariantsSpec): the returned `ts` is
+  /** `ts` normalization across fixture generations.
+    *
+    * INVARIANT (pinned in FixtureInvariantsSpec): the returned `ts` is
     * NON-NULL. Struct-ordered extreme reads (d61, j21's chain key) and
     * their NULLS LAST oracles only agree on non-null ts; a fixture that
     * gains NULL ts must re-decide those plans' null posture first.
+    *
+    * Early driver fixtures
     * stored `ts` as INT64 TIMESTAMP(NANOS), which Spark's parquet reader
     * rejects outright ([PARQUET_TYPE_ILLEGAL]) — those are read as raw
     * nanos via the legacy conf, then truncated to µs with INTEGER

@@ -40,9 +40,13 @@ object StreamingContamination {
   final case class GramHit(doc_id: Long, g: String, contaminated_by: Long)
 
   /** Distinct word 3-grams, identical to the batch k34 shingling
-    * (split on single space, docs under 3 tokens produce none). */
+    * (split on single space, docs under 3 tokens produce none). limit −1
+    * on the split matters for that identity: Spark's `split` and
+    * DuckDB's STRING_SPLIT both KEEP trailing empty tokens, while the
+    * Scala default drops them (the StreamingSpanDedup lesson, applied to
+    * the same latent class here). */
   def grams(text: String): Seq[String] = {
-    val t = text.split(' ')
+    val t = text.split(" ", -1)
     if (t.length < 3) Seq.empty
     else (0 until t.length - 2).map(i => t(i) + " " + t(i + 1) + " " + t(i + 2)).distinct
   }
@@ -60,8 +64,12 @@ object StreamingContamination {
       val prior = Option(st.get()).map(_.doc_id)
       val m = (prior.iterator ++
         arr.iterator.filter(_.split == "train").map(_.doc_id)).reduceOption(_ min _)
-      // write only on change: replayed train rows leave state untouched
-      m.filter(v => !prior.contains(v)).foreach(v => st.update(MinTrain(v)))
+      // write-only-on-change keeps replays idempotent — but only without
+      // a TTL (update refreshes the TTL clock, read does not; a hot gram
+      // with a stable min would otherwise expire mid-traffic — the
+      // StreamingSpanDedup fix applied to the same latent class here)
+      m.filter(v => ttl != TTLConfig.NONE || !prior.contains(v))
+        .foreach(v => st.update(MinTrain(v)))
       m match {
         case None => Iterator.empty
         case Some(t) =>

@@ -330,10 +330,17 @@ object StreamingSequenceMatch {
               s = s.copy(t1 = qual.min, t2 = t, pending = Seq.empty)
           }
           if (s.t1 == Unset) {
-            // a qualifying B must be STRICTLY later (t' > t), so an A with
-            // a + boundMicros == t can never be completed by any future
-            // row — strict > here, not >=, or that A is dead state
-            val kept = s.pending.filter(_ + boundMicros > t)
+            // keep As with a + boundMicros >= t: the batch predicate is
+            // c.t > s.t AND c.t <= s.t + bound, and rows sort by
+            // (ts, event_id) — so a LATER row at the SAME timestamp t can
+            // still complete an A with a + bound == t (t > a holds since
+            // bound > 0, t <= a + bound holds with equality). A strict >
+            // here was proposed (r13 ADVICE) and MEASURED WRONG on ties:
+            // it dropped such an A when a non-completing row arrived at
+            // exactly t, breaking batch-j20 parity (pinned in
+            // StreamingSpec's boundary-tie case). The one extra element
+            // this keeps per prune is the price of tie correctness.
+            val kept = s.pending.filter(_ + boundMicros >= t)
             s = s.copy(pending =
               if (e.event_type == typeA) kept :+ t else kept)
           }
@@ -585,8 +592,9 @@ object StreamingSequenceMatch {
     *  - time constraints with explicit gaps between all steps (any
     *    NUMBER of bounds — where the batch window compiler stops at
     *    one) → [[FoldProcessor]] — the min/max frontier fold;
-    *  - time constraint AGAINST an adjacency run → rejected loudly, the
-    *    batch compiler's tCount discipline: no streaming processor
+    *  - time constraint AGAINST an adjacency run → rejected loudly (by
+    *    [[FoldProcessor]]'s own constructor guard, fired eagerly here —
+    *    the batch compiler's tCount discipline): no streaming processor
     *    decides that class with bounded state today, and compiling it
     *    wrong is worse than refusing.
     *
@@ -610,13 +618,9 @@ object StreamingSequenceMatch {
         matched(events, condTypes(a - 1), condTypes(b - 1), op, micros, ttl)
           .map(o => MatchOut(o.user_id, o.matched, o.n_events))
       case _ =>
-        require(!toks.sliding(2).exists {
-            case Vector(_: Step, _: Step) => true
-            case _ => false
-          },
-          s"no streaming processor decides a time constraint against an " +
-          s"adjacency run with bounded state ('$pattern') — add an " +
-          "explicit gap between the steps or use the batch compiler")
+        // time constraints against an adjacency run are rejected by
+        // FoldProcessor's own constructor guard (eagerly, before any
+        // stream exists) — one source of truth, not a duplicated check
         foldMatched(events, pattern, condTypes, ttl)
           .map(o => MatchOut(o.user_id, o.matched, o.n_events))
     }

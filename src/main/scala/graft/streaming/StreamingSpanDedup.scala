@@ -44,10 +44,14 @@ object StreamingSpanDedup {
 
   /** Stride-1 20-token span digests with 1-based start positions,
     * identical to the batch k44 shingling (split on single space, docs
-    * under 20 tokens produce none). md5 via the JDK so the map-side
-    * flatMap needs no Spark expression context. */
+    * under 20 tokens produce none). limit −1 on the split matters for
+    * that identity: Spark's `split` and DuckDB's STRING_SPLIT both KEEP
+    * trailing empty tokens, while the Scala default drops them — a
+    * trailing space would otherwise shift the token count and diverge
+    * from the batch twin. md5 via the JDK so the map-side flatMap needs
+    * no Spark expression context. */
   def spans(text: String, width: Int = 20): Seq[(Int, String)] = {
-    val t = text.split(' ')
+    val t = text.split(" ", -1)
     if (t.length < width) Seq.empty
     else (0 to t.length - width).map { i =>
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -75,8 +79,14 @@ object StreamingSpanDedup {
         if (r.doc_id < mn) mn = r.doc_id
         if (r.doc_id > mx) mx = r.doc_id
       }
-      // write only on change: replayed rows leave state untouched
-      if (!prior.contains(Extremes(mn, mx))) st.update(Extremes(mn, mx))
+      // write-only-on-change keeps replays idempotent — but ONLY without
+      // a TTL: transformWithState refreshes a state's TTL on update, not
+      // on read, so under a TTL a hot digest whose extremes are stable
+      // would silently expire mid-traffic and forget its first holder.
+      // With a TTL configured, every batch that sees the digest rewrites
+      // the (unchanged) extremes to keep the clock honest.
+      if (ttl != TTLConfig.NONE || !prior.contains(Extremes(mn, mx)))
+        st.update(Extremes(mn, mx))
       if (mn < mx)
         arr.iterator.map(r =>
           SpanHit(r.doc_id, r.st, mn, if (r.doc_id != mn) 1 else 0))

@@ -879,6 +879,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("match events keeps an A whose window closes exactly at a non-completing row") {
+    import graft.streaming.StreamingSequenceMatch
+    import graft.streaming.StreamingSequenceMatch.{EIn, SeqEvOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    // the batch predicate is c.t > s.t AND c.t <= s.t + bound (INCLUSIVE
+    // upper bound) with rows ordered by (ts, event_id) — so a B at
+    // exactly t = a + bound, arriving AFTER a non-completing row at the
+    // same timestamp, must still complete the A. A strict pending prune
+    // (`a + bound > t`) drops the A at the view and misses the match —
+    // the regression this pin exists to catch (an r13 ADVICE suggestion
+    // that was measured wrong on ties and rejected).
+    val bound = 10000000L // 10 s in µs
+    withRocksDbProvider {
+      val in = MemoryStream[EIn]
+      val q = StreamingSequenceMatch.matchEvents(in.toDS(),
+          typeA = "signup", typeB = "click", boundMicros = bound)
+        .writeStream.format("memory").queryName("seqev_tie")
+        .outputMode(OutputMode.Update).start()
+      try {
+        in.addData(EIn(1L, 0L, 1L, "signup"))
+        q.processAllAvailable()
+        in.addData(EIn(1L, bound, 2L, "view"), EIn(1L, bound, 3L, "click"))
+        q.processAllAvailable()
+        val last = spark.table("seqev_tie").as[SeqEvOut].collect()
+          .maxBy(_.n_events)
+        assert(last.matched == 1 && last.t1_us.contains(0L) &&
+               last.t2_us.contains(bound),
+          s"boundary-tie match lost: $last")
+      } finally { q.stop() }
+    }
+  }
+
   test("streaming span dedup one-batch replay equals batch k44 per-doc rollup") {
     import graft.engine.{Round16Ops, Tables}
     import graft.streaming.StreamingSpanDedup
