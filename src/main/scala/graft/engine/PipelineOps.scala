@@ -161,7 +161,7 @@ object PipelineOps {
     * an oracle CTE prefix — k23/k24 consume the SAME pairs the oracle
     * already hash-checks through k02, so their cluster/contamination
     * semantics sit on verified ground. */
-  private val pairCte =
+  private[engine] val pairCte =
     """tok AS (
       |  SELECT DISTINCT doc_id, source, token FROM
       |    (SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS token
@@ -178,7 +178,7 @@ object PipelineOps {
       |  JOIN sizes sb ON sb.doc_id = id2
       |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.6)""".stripMargin
 
-  private def jaccardEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[engine] def jaccardEdges(s: org.apache.spark.sql.SparkSession, dir: String) =
     graft.api.Dedup.tokenJaccardPairsAuto(
       Tables.documents(s, dir), "doc_id", "text", "source", 0.6)
 

@@ -1,0 +1,327 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-17 declared queries — the mixture/scoring tier of the LLM-data
+  * pipeline that sits AFTER dedup/decontamination (k01–k47) and BEFORE
+  * export: conditional LM scoring, CCNet-style quality bucketing,
+  * quality-based duplicate-cluster canonicalization, and Pile-style
+  * domain mixture weights.
+  *
+  *  - `k48_bigram_logprob` — conditional bigram-LM surprise (k40's
+  *    conditional sibling; the KenLM-proxy axis).
+  *  - `k49_quality_buckets` — CCNet head/middle/tail terciles per
+  *    source, decided by CUTOFFS (grid windows + broadcast), never a
+  *    corpus NTILE.
+  *  - `k50_cluster_canonical` — the keep-decision over k23's near-dup
+  *    clusters: survivor = quality argmax (RefinedWeb's keep-longest).
+  *  - `k51_domain_mixture` — per-source token mass → sampling rate /
+  *    epochs against a uniform target mixture.
+  *
+  * Every query follows the SURVEY §2 determinism rules (explicit NULLS,
+  * total ORDER BY, integer-exact arithmetic except the declared ROUND-4
+  * float class).
+  */
+object Round17Ops {
+
+  // ---------------------------------------------------------------- k48
+
+  /** k48 — bigram-LM conditional log-probability (the KenLM-proxy face
+    * of CCNet-style quality scoring [public: Wenzek et al. 2020 filter
+    * on LM perplexity; Heafield 2011 KenLM]): per doc, the mean over
+    * positions i ≥ 2 of −ln p(tᵢ | tᵢ₋₁) under the CORPUS bigram MLE
+    * p(b|a) = c(a,b) / c(a,·). A genuinely distinct axis from k40's
+    * unigram surprise: k40 sees rare TOKENS, this sees rare TRANSITIONS
+    * (a doc of common words in an uncommon order scores high here and
+    * low there). Scoring the corpus against itself makes every observed
+    * bigram have nonzero count — the MLE is total, no smoothing knob.
+    *
+    * Scale shape: ONE bigram Generate, then everything rides the
+    * per-doc TYPE-level count frame (the k34/k44 df-via-window pattern
+    * lifted to counts): corpus bigram count = sum(c) over a (a,b)
+    * window, head count = sum(c) over an (a) window — both windows run
+    * on the type-level frame (≪ occurrences), and the plan is JOIN-FREE
+    * end-to-end (a first-cut tf⋈cf⋈hf join formulation re-expanded the
+    * bigram Generate under every consumer — the corpus was shingled
+    * 3×; rejected, plan-pinned at exactly one Generate / zero joins —
+    * the ORACLE keeps that join formulation, so the mechanisms stay
+    * independent). Unlike k40 there is NO corpus-total broadcast at all
+    * (heads normalize locally — the conditional's denominator is
+    * per-key). `ln` rides the k20/k36/k40
+    * IEEE recipe: both engines divide the same exact BIGINT counts as
+    * doubles and take `ln` of identical bits; ROUND 4 absorbs ≤1-ulp
+    * (the documented transcendental class). Docs with < 2 tokens have
+    * no bigrams and are absent from BOTH engines by construction.
+    * Threshold 3.45 probed to BITE at sf0.01: 17/500 docs flagged
+    * (score range 3.2599-3.6446). */
+  val k48: Q = Q(
+    "k48_bigram_logprob",
+    """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+      |bg AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+      |       FROM (SELECT doc_id, UNNEST(RANGE(1, LEN(toks))) AS i, toks
+      |             FROM t WHERE LEN(toks) >= 2)),
+      |tf AS (SELECT doc_id, a, b, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+      |cf AS (SELECT a, b, COUNT(*) AS ct FROM bg GROUP BY 1, 2),
+      |hf AS (SELECT a, COUNT(*) AS ht FROM bg GROUP BY 1)
+      |SELECT tf.doc_id AS doc_id,
+      |  CAST(SUM(tf.c) AS BIGINT) AS n_bigrams,
+      |  ROUND(-SUM(tf.c * LN(CAST(ct AS DOUBLE) / ht)) / SUM(tf.c), 4)
+      |    AS mean_nll,
+      |  CAST(CASE WHEN ROUND(-SUM(tf.c * LN(CAST(ct AS DOUBLE) / ht))
+      |                       / SUM(tf.c), 4) > 3.45 THEN 1 ELSE 0 END AS INT)
+      |    AS high_surprise
+      |FROM tf JOIN cf USING (a, b) JOIN hf USING (a)
+      |GROUP BY 1
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => k48Plan(Tables.documents(s, dir)))
+
+  /** The k48 plan body, factored so Round17Spec can drive the REAL plan
+    * on synthetic frames (the h46Plan discipline). */
+  def k48Plan(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(__t) - 1), " +
+          "i -> named_struct('a', element_at(__t, i), " +
+          "'b', element_at(__t, i + 1)))")).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val tf = bg.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("c"))
+    val meanNll = round(
+      (-sum(col("c") * log(col("ct").cast("double") / col("ht"))))
+        / sum(col("c")), 4)
+    tf.withColumn("ct", sum(col("c")).over(Window.partitionBy("a", "b")))
+      .withColumn("ht", sum(col("c")).over(Window.partitionBy("a")))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_bigrams"),
+           meanNll.as("mean_nll"),
+           when(meanNll > 3.45, 1).otherwise(0).cast("int")
+             .as("high_surprise"))
+      .orderBy(asc_nulls_last("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- k49
+
+  /** k49 — CCNet quality BUCKETS (head/middle/tail [public: Wenzek et
+    * al. 2020 §4.3 split each language's corpus into equal-mass thirds
+    * by LM perplexity and keep the head]): per SOURCE, docs land in the
+    * tercile of their k40-style unigram surprise score. The declared
+    * semantics are CUTOFF-based: c1/c2 = the smallest score whose
+    * cumulative doc count reaches ⌈n/3⌉ / ⌈2n/3⌉, bucket by score ≤ c1
+    * / ≤ c2 — so ALL docs tied at a cutoff score share a bucket
+    * (NTILE would split such a tie by arbitrary position; the tie-down
+    * rule is pinned on a synthetic straddle in Round17Spec).
+    *
+    * Scale shape — the reason cutoff semantics are declared at all: the
+    * scores aggregate to a (source × rounded-score) GRID, the cumulative
+    * window runs over that grid (grid-sized partitions, never a per-doc
+    * sort), the two cutoffs fall out of one conditional-min agg (d59's
+    * machinery), and docs bucket via a BROADCAST join of the
+    * sources-sized cutoff frame — no corpus-wide NTILE partition, no
+    * single-reducer window at any scale. The ORACLE derives the same
+    * cutoffs by the order-statistics identity min{s : cum(s) ≥ k} =
+    * score at rank k — a per-doc ROW_NUMBER formulation, genuinely
+    * independent mechanism, provably equal. Scores ride k40's exact
+    * recipe (identical double bits both engines, ROUND 4, documented
+    * ≤1-ulp transcendental class); cutoff comparisons are
+    * identical-bits-vs-identical-bits, so buckets agree wherever the
+    * scores do. */
+  val k49: Q = Q(
+    "k49_quality_buckets",
+    """WITH tok AS (SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      |             FROM documents),
+      |tf AS (SELECT doc_id, source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2, 3),
+      |cf AS (SELECT t, COUNT(*) AS ct FROM tok GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS tot FROM tok),
+      |per AS (
+      |  SELECT tf.doc_id, tf.source,
+      |    ROUND(-SUM(tf.c * LN(CAST(ct AS DOUBLE) / tot)) / SUM(tf.c), 4)
+      |      AS score
+      |  FROM tf JOIN cf ON tf.t = cf.t CROSS JOIN n
+      |  GROUP BY 1, 2),
+      |r AS (SELECT doc_id, source, score,
+      |        ROW_NUMBER() OVER (PARTITION BY source
+      |          ORDER BY score ASC NULLS LAST, doc_id ASC NULLS LAST) AS rn,
+      |        COUNT(*) OVER (PARTITION BY source) AS n
+      |      FROM per),
+      |cut AS (SELECT source,
+      |          MAX(CASE WHEN rn = (n + 2) // 3 THEN score END) AS c1,
+      |          MAX(CASE WHEN rn = (2 * n + 2) // 3 THEN score END) AS c2
+      |        FROM r GROUP BY 1)
+      |SELECT r.doc_id AS doc_id, r.source AS source, r.score AS score,
+      |  CASE WHEN r.score <= cut.c1 THEN 'head'
+      |       WHEN r.score <= cut.c2 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM r JOIN cut USING (source)
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => k49Plan(Tables.documents(s, dir)))
+
+  /** The k49 plan body, factored so Round17Spec can drive the REAL plan
+    * on synthetic frames (the h46Plan discipline). */
+  def k49Plan(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("source"),
+                          explode(split(col("text"), " ")).as("t"))
+    val tf = tok.groupBy("doc_id", "source", "t").agg(count(lit(1)).as("c"))
+    val cf = tok.groupBy("t").agg(count(lit(1)).as("ct"))
+    val tot = tok.agg(count(lit(1)).as("tot"))
+    val per = tf.join(cf, "t")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id", "source")
+      .agg(round(
+        (-sum(col("c") * log(col("ct").cast("double") / col("tot"))))
+          / sum(col("c")), 4).as("score"))
+    val grid = per.groupBy("source", "score").agg(count(lit(1)).as("__c"))
+    val wcum = Window.partitionBy("source").orderBy(asc_nulls_last("score"))
+    val wall = Window.partitionBy("source")
+    val cut = grid
+      .withColumn("__cum", sum(col("__c")).over(wcum))
+      .withColumn("__n", sum(col("__c")).over(wall))
+      .groupBy("source")
+      .agg(min(when(col("__cum") >= expr("(__n + 2) div 3"), col("score")))
+             .as("c1"),
+           min(when(col("__cum") >= expr("(2 * __n + 2) div 3"), col("score")))
+             .as("c2"))
+    per.join(broadcast(cut), "source")
+      .select(col("doc_id"), col("source"), col("score"),
+        when(col("score") <= col("c1"), "head")
+          .when(col("score") <= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(asc_nulls_last("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- k50
+
+  /** k50 — duplicate-cluster CANONICALIZATION by quality (the
+    * keep-DECISION over k23's near-dup clusters [public: RefinedWeb,
+    * Penedo et al. 2023, keep one representative per duplicate cluster;
+    * Lee et al. 2022 keep the longest member]): per k23 cluster the
+    * survivor is the member maximizing (n_chars DESC, doc_id ASC) — the
+    * keep-longest rule with a total tie-break — and every doc reports
+    * its cluster, its cluster's canonical doc, and whether it is kept.
+    * k01 decides keep-min over EXACT-dup groups; this is the quality-
+    * directed decision over NEAR-dup clusters — the step that turns
+    * k23's labels into a kept corpus. Singletons are their own
+    * canonical (kept = 1), so kept-count = cluster-count by
+    * construction (spec-pinned).
+    *
+    * Scale shape: ConnectedComponents labels (the k23/k25 posture:
+    * seed-and-contract, broadcast below the edge gate, trajectory
+    * pinned in ScaleOpsSpec) + one corpus-sized KEY join to fetch
+    * n_chars (never text), one component-keyed hash agg whose argmax is
+    * `max(struct(n_chars, −doc_id))` (the k16/d61 single-agg argmax —
+    * no window, no sort), and one component-keyed join back. The ORACLE
+    * derives the survivor via ROW_NUMBER over the recursive-CTE
+    * clusters — independent formulations of both the clusters (CC vs
+    * recursive reachability) and the argmax (struct-max vs rank). */
+  val k50: Q = Q(
+    "k50_cluster_canonical",
+    s"""WITH RECURSIVE ${PipelineOps.pairCte},
+       |edge AS (SELECT id1 AS a, id2 AS b FROM pair
+       |         UNION ALL SELECT id2 AS a, id1 AS b FROM pair),
+       |reach(v, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.a, r.label FROM edge e JOIN reach r ON r.v = e.b),
+       |cl AS (SELECT v AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1),
+       |j AS (SELECT cl.doc_id, cl.cluster_id, d.n_chars
+       |      FROM cl JOIN documents d USING (doc_id)),
+       |canon AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+       |    SELECT cluster_id, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |        ORDER BY n_chars DESC NULLS LAST, doc_id ASC NULLS LAST) AS rn
+       |    FROM j) WHERE rn = 1)
+       |SELECT j.doc_id AS doc_id, j.cluster_id AS cluster_id,
+       |  canon.canonical_id AS canonical_id,
+       |  CAST(CASE WHEN j.doc_id = canon.canonical_id THEN 1 ELSE 0 END AS INT)
+       |    AS kept
+       |FROM j JOIN canon USING (cluster_id)
+       |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labels = graft.operators.ConnectedComponents.assignContracted(
+        docs.select("doc_id"), PipelineOps.jaccardEdges(s, dir),
+        "doc_id", "id1", "id2")
+      k50Plan(labels.select(col("doc_id"), col("component").as("cluster_id")),
+              docs.select("doc_id", "n_chars"))
+    })
+
+  /** The k50 keep-decision body over precomputed (doc_id, cluster_id)
+    * labels, factored so Round17Spec can drive the REAL argmax/join
+    * shape on synthetic clusterings (the h46Plan discipline). */
+  def k50Plan(labels: DataFrame, quality: DataFrame): DataFrame = {
+    val j = labels.join(quality, "doc_id")
+    val canon = j.groupBy("cluster_id")
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("__nd"))).as("__m"))
+      .select(col("cluster_id"), (-col("__m.__nd")).as("canonical_id"))
+    j.join(canon, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        when(col("doc_id") === col("canonical_id"), 1).otherwise(0)
+          .cast("int").as("kept"))
+      .orderBy(asc_nulls_last("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- k51
+
+  /** k51 — domain MIXTURE weights (the Pile's Table-1 step [public: Gao
+    * et al. 2020 report per-set epochs chosen against a target mixture;
+    * DoReMi, Xie et al. 2023, tunes the same weights]): per source, the
+    * token mass, its share of the corpus, and the up/down-sampling
+    * arithmetic against a UNIFORM target — `sample_rate` = min(1,
+    * target/actual) is the keep-probability a downsampler applies to an
+    * over-represented source, `epochs` = ceil(target/actual) the pass
+    * count an upsampler gives an under-represented one. k28 caps doc
+    * COUNTS per source (a top-k gate); this is the token-MASS mixture
+    * design — the knob the training run actually consumes.
+    *
+    * Scale shape: token counts via `size(split(…))` — map-only, NO
+    * explode (the k28 counting trick), one source-keyed hash agg
+    * (sources = domain-bounded), one 1-row broadcast for the corpus
+    * total. All inputs exact BIGINTs; the divisions are identical
+    * double bits on both engines, ROUND 4 presentational; `ceil` of an
+    * exact-operand double (the k16 argument — only a value straddling
+    * an integer boundary could diverge, impossible here because
+    * target/actual is a ratio of exact integers ≥ 2⁻⁶³ apart). */
+  val k51: Q = Q(
+    "k51_domain_mixture",
+    """WITH t AS (SELECT source,
+      |    SUM(LEN(STRING_SPLIT(text, ' '))) AS toks,
+      |    COUNT(*) AS n_docs
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT SUM(toks) AS tot, COUNT(*) AS n_src FROM t)
+      |SELECT source,
+      |  CAST(toks AS BIGINT) AS n_tokens,
+      |  CAST(n_docs AS BIGINT) AS n_docs,
+      |  ROUND(CAST(toks AS DOUBLE) / tot, 4) AS share,
+      |  ROUND(LEAST(1.0, (CAST(tot AS DOUBLE) / n_src) / toks), 4)
+      |    AS sample_rate,
+      |  CAST(CEIL((CAST(tot AS DOUBLE) / n_src) / toks) AS BIGINT) AS epochs
+      |FROM t CROSS JOIN tot
+      |ORDER BY source ASC NULLS LAST""".stripMargin,
+    (s, dir) => k51Plan(Tables.documents(s, dir)))
+
+  /** The k51 plan body, factored so Round17Spec can drive the REAL plan
+    * on synthetic frames (the h46Plan discipline). */
+  def k51Plan(docs: DataFrame): DataFrame = {
+    val t = docs
+      .select(col("source"),
+              size(split(col("text"), " ")).cast("long").as("__ntok"))
+      .groupBy("source")
+      .agg(sum(col("__ntok")).as("toks"), count(lit(1)).as("n_docs"))
+    val tot = t.agg(sum(col("toks")).as("tot"),
+                    count(lit(1)).as("n_src"))
+    val target = col("tot").cast("double") / col("n_src")
+    t.crossJoin(broadcast(tot))
+      .select(
+        col("source"),
+        col("toks").cast("long").as("n_tokens"),
+        col("n_docs").cast("long").as("n_docs"),
+        round(col("toks").cast("double") / col("tot"), 4).as("share"),
+        round(least(lit(1.0), target / col("toks")), 4).as("sample_rate"),
+        ceil(target / col("toks")).cast("long").as("epochs"))
+      .orderBy(asc_nulls_last("source"))
+  }
+
+  def ops: Vector[Q] = Vector(k48, k49, k50, k51)
+}

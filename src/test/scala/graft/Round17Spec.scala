@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Adversarial edge pins for the round-17 declared queries — cases the
+  * fixture cannot force, exercised on synthesized frames through the REAL
+  * declared plan bodies ([[graft.engine.Round17Ops]] — the h46Plan
+  * discipline: the spec drives the shipped plan, not a hand copy that
+  * regressions could silently diverge from). */
+class Round17Spec extends SparkSpec {
+
+  // ------------------------------------------------------------------ k48
+
+  test("k48 bigram nll: MLE arithmetic, within-doc multiplicity, short-doc absence") {
+    val sp = spark
+    import sp.implicits._
+    // corpus: c(a,b) = 3 (two from doc 1, one from doc 2's absence — see
+    // below), c(b,a) = 1, c(a,c) = 1; heads a = 3, b = 1.
+    //   doc 1 "a b a b": bigrams (a,b)x2 + (b,a)x1 — the (a,b) TYPE carries
+    //     multiplicity 2, so the doc mean must weight it twice:
+    //     -[2 ln(2/3) + 1 ln(1/1)] / 3 = 0.2703
+    //   doc 2 "a c": -ln(1/3) = 1.0986
+    //   doc 3 "z": single token, no bigrams — absent from the output.
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = graft.engine.Round17Ops.k48Plan(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getInt(3))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L), s"single-token doc must be absent: $got")
+    val exp1 = BigDecimal(-(2 * math.log(2.0 / 3) + math.log(1.0)) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((3L, exp1, 0)),
+      s"repeated bigram must count with multiplicity: ${got(1L)} vs $exp1")
+    assert(got(2L) == ((1L, 1.0986, 0)), s"doc 2: ${got(2L)}")
+  }
+
+  test("k48 flag: a uniformly-novel-transition doc crosses the 3.45 gate") {
+    val sp = spark
+    import sp.implicits._
+    // 32 docs all opening with head token h followed by a UNIQUE second
+    // token: every bigram has count 1 over a head count of 32, so each
+    // doc's mean nll is exactly ln 32 = 3.4657 > 3.45 — the flag must
+    // fire on all of them (and the threshold provably bites).
+    val docs = (1 to 32).map(i => (i.toLong, s"h w$i")).toDF("doc_id", "text")
+    val got = graft.engine.Round17Ops.k48Plan(docs).collect()
+    assert(got.length == 32)
+    assert(got.forall(_.getDouble(2) == 3.4657), s"ln 32: ${got.head}")
+    assert(got.forall(_.getInt(3) == 1), "all docs must be flagged")
+  }
+
+  test("k48 plan: one bigram pass, join-free (corpus counts via type-level windows)") {
+    val df = graft.engine.Round17Ops.k48.fn(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val explodes = "\\bGenerate\\b".r.findAllIn(p).length
+    assert(explodes == 1,
+      s"k48 must extract bigrams exactly once, found $explodes:\n$p")
+    assert(!p.contains("Join"),
+      s"k48 is join-free — a tf/cf/hf join re-expands the Generate per consumer:\n$p")
+    assert(p.contains("Window"),
+      s"k48's corpus counts ride type-level windows:\n$p")
+  }
+
+  // ------------------------------------------------------------------ k49
+
+  test("k49 buckets: cutoff ties share a bucket (the non-NTILE pin), per-source cutoffs") {
+    val sp = spark
+    import sp.implicits._
+    // global token counts: a=6, b=5, c=1 over 12 → scores are fully
+    // hand-computable. Source A: three docs tied at -ln(6/12) = 0.6931,
+    // then -ln(5/12) = 0.8755, then -ln(1/12) = 2.4849. With n = 5 the
+    // head cutoff is the score at rank ceil(5/3) = 2, which sits INSIDE
+    // the tie → ALL THREE tied docs are head (NTILE(3) would push doc 3
+    // into the middle tile by position — the declared semantics are
+    // cutoff-based precisely so ties never split). Source B gets its own
+    // cutoffs: one doc per bucket.
+    val docs = Seq(
+      (1L, "A", "a"), (2L, "A", "a"), (3L, "A", "a"),
+      (4L, "A", "b"), (5L, "A", "c"),
+      (6L, "B", "a a"), (7L, "B", "a b"), (8L, "B", "b b b")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.engine.Round17Ops.k49Plan(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getString(3)))).toMap
+    assert(got(1L)._2 == "head" && got(2L)._2 == "head" && got(3L)._2 == "head",
+      s"all docs tied at the cutoff score must share the head bucket: $got")
+    assert(got(4L)._2 == "middle" && got(5L)._2 == "tail", s"A tail: $got")
+    assert(got(6L)._2 == "head" && got(7L)._2 == "middle" && got(8L)._2 == "tail",
+      s"source B buckets independently: $got")
+    // corpus counts: a=6, b=5, c=1 over 12 tokens
+    assert(got(1L)._1 == 0.6931 && got(5L)._1 == 2.4849, s"scores: $got")
+  }
+
+  test("k49 plan: no NTILE, cutoffs broadcast back") {
+    val df = graft.engine.Round17Ops.k49.fn(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.toLowerCase.contains("ntile"),
+      s"k49 must bucket via cutoffs, never a positional NTILE:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the sources-sized cutoff frame must broadcast:\n$p")
+  }
+
+  // ------------------------------------------------------------------ k50
+
+  test("k50 canonical: quality argmax, doc_id tie-break, singleton kept; kept == clusters") {
+    val sp = spark
+    import sp.implicits._
+    val labels = Seq((10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L))
+      .toDF("doc_id", "cluster_id")
+    // cluster 10: doc 11 and 12 tie on n_chars = 9 → canonical must be
+    // the SMALLER doc_id (11); doc 10's n_chars = 5 loses even though it
+    // is the cluster label (keep-min would pick 10 — the k01/k23 rule
+    // this query deliberately replaces). Singleton 20 keeps itself.
+    val quality = Seq((10L, 5L), (11L, 9L), (12L, 9L), (20L, 1L))
+      .toDF("doc_id", "n_chars")
+    val got = graft.engine.Round17Ops.k50Plan(labels, quality).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(got(10L) == ((10L, 11L, 0)), s"label loses to quality: ${got(10L)}")
+    assert(got(11L) == ((10L, 11L, 1)), s"tie breaks to min doc_id: ${got(11L)}")
+    assert(got(12L) == ((10L, 11L, 0)), s"tie loser dropped: ${got(12L)}")
+    assert(got(20L) == ((20L, 20L, 1)), s"singleton kept: ${got(20L)}")
+    assert(got.values.count(_._3 == 1) == got.values.map(_._1).toSet.size,
+      "kept count must equal cluster count")
+  }
+
+  test("k50 plan: argmax is a struct-max hash agg — no window, no sort before the join-back") {
+    val sp = spark
+    import sp.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 3L), (2L, 7L)).toDF("doc_id", "n_chars")
+    val df = graft.engine.Round17Ops.k50Plan(labels, quality)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Window"),
+      s"k50's survivor pick is max(struct), never a rank window:\n$p")
+  }
+
+  // ------------------------------------------------------------------ k51
+
+  test("k51 mixture: share/rate/epochs arithmetic on exact token masses") {
+    val sp = spark
+    import sp.implicits._
+    // s1: 30 tokens over two docs, s2: 10 over one → tot 40, target 20.
+    //   s1 share 0.75, rate min(1, 20/30) = 0.6667, epochs ceil(2/3) = 1
+    //   s2 share 0.25, rate 1.0 (capped), epochs ceil(2.0) = 2
+    val docs = Seq(
+      (1L, "s1", Seq.fill(10)("t").mkString(" ")),
+      (2L, "s1", Seq.fill(20)("t").mkString(" ")),
+      (3L, "s2", Seq.fill(10)("t").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val got = graft.engine.Round17Ops.k51Plan(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5)))).toMap
+    assert(got("s1") == ((30L, 2L, 0.75, 0.6667, 1L)), s"s1: ${got("s1")}")
+    assert(got("s2") == ((10L, 1L, 0.25, 1.0, 2L)), s"s2: ${got("s2")}")
+  }
+
+  test("k51 plan: map-only counting — no explode, broadcast-only joins") {
+    val df = graft.engine.Round17Ops.k51.fn(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Generate"),
+      s"k51 counts tokens via size(split), never an explode:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"k51's only join is the 1-row total broadcast:\n$p")
+  }
+}
