@@ -31,9 +31,15 @@ object ScaleProbe {
   // different train/val/test classes than their base docs) and k47's
   // global top-20 has no exact-10× closed form (the top list becomes a
   // 10-replica mixture) — both excluded by design, not oversight.
+  // k50 rides the gate like k23 (one output row per doc; replica edge
+  // sets mirror the base exactly, so cluster structure — and hence row
+  // count — is exactly 10×; the per-replica CANONICAL may differ from
+  // the base doc's because token suffixes shift n_chars by 2·tokens,
+  // which is fine: the gate checks rows, the spec pins the argmax).
   final val Queries = Seq("k02_near_dedup_jaccard", "k23_dedup_clusters",
                           "k25_dedup_clusters_star", "k32_containment_neardup",
-                          "k44_exact_substr_spans", "k46_longest_dup_span")
+                          "k44_exact_substr_spans", "k46_longest_dup_span",
+                          "k50_cluster_canonical")
 
   /** The embedding heavies: label-blocked pair queries scale exactly 10×
     * under replica-disjoint labels; k16 is the linear IVF assign. */
