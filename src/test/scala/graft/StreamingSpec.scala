@@ -2452,6 +2452,96 @@ class StreamingSpec extends SparkSpec {
           s"${(streamed.toSet -- batch.toSet).take(3)}")
     } finally q.stop()
   }
+  test("streaming bigram LM one-batch replay equals batch k48 (score + flag)") {
+    import graft.engine.{Round17Ops, Tables}
+    import graft.streaming.StreamingBigramLm
+    import graft.streaming.StreamingBigramLm.{DocIn, PairHit}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).as[DocIn].collect()
+    val in = MemoryStream[DocIn]
+    val q = StreamingBigramLm.pairHits(in.toDS()).writeStream
+      .format("memory").queryName("blm_hits_t").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(docs.toIndexedSeq) // whole corpus in ONE micro-batch
+      q.processAllAvailable()
+      // sink-side rollup: mean_nll = -SUM(c * ln(ct/ht)) / SUM(c) — the
+      // documented assembly; no separate total stream (denominator is
+      // per-head and rides the emission)
+      val streamed = spark.table("blm_hits_t").as[PairHit].collect()
+        .groupBy(_.doc_id).map { case (id, hs) =>
+          val n = hs.map(_.c).sum
+          val nll = -hs.map(h => h.c * math.log(h.ct.toDouble / h.ht)).sum
+          val mean = BigDecimal(nll / n)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          id -> ((n, mean, if (mean > 3.45) 1 else 0))
+        }
+      val batch = Round17Ops.k48.fn(spark, sf0001).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_nll"),
+            r.getAs[Int]("high_surprise")))).toMap
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"one-batch streaming rollup must equal batch k48; diff=" +
+          s"${(streamed.toSet -- batch.toSet).take(3)}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming bigram LM is probe-at-arrival; head state spans batches") {
+    import graft.streaming.StreamingBigramLm
+    import graft.streaming.StreamingBigramLm.{DocIn, PairHit}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[DocIn]
+    val q = StreamingBigramLm.pairHits(in.toDS()).writeStream
+      .format("memory").queryName("blm_xb_hits_t").outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: doc 1 "x y" → pair (x,y) with ct=1, ht=1
+      in.addData(DocIn(1, "x y"))
+      q.processAllAvailable()
+      val h1 = spark.table("blm_xb_hits_t").as[PairHit].collect()
+      assert(h1.length == 1 && h1.head.ct == 1L && h1.head.ht == 1L,
+        s"batch-1 counts: ${h1.toSeq}")
+      // batch 2: doc 2 "x y x z" — head x gains 2 (ht 3), pair (x,y)
+      // gains 1 (ct 2), pair (x,z) is new (ct 1); doc 1's batch-1
+      // emission is UNCHANGED (no retro re-score), and the (y,x) pair
+      // rides head y's own state
+      in.addData(DocIn(2, "x y x z"))
+      q.processAllAvailable()
+      val hits = spark.table("blm_xb_hits_t").as[PairHit].collect()
+      assert(hits.count(_.doc_id == 1L) == 1, "doc 1 not re-emitted")
+      val d2 = hits.filter(_.doc_id == 2L)
+        .map(h => (h.a, h.b) -> ((h.c, h.ct, h.ht))).toMap
+      assert(d2 == Map(("x", "y") -> ((1L, 2L, 3L)),
+                       ("x", "z") -> ((1L, 1L, 3L)),
+                       ("y", "x") -> ((1L, 1L, 1L))),
+        s"doc 2 sees post-batch-2 head/pair state: $d2")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming histogram exact regime equals batch d58 across a batch cut") {
     import graft.streaming.StreamingHistogram
     import graft.streaming.StreamingHistogram.{BinOut, ValueIn}
