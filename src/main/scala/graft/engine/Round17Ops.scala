@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   *    clusters: survivor = quality argmax (RefinedWeb's keep-longest).
   *  - `k51_domain_mixture` — per-source token mass → sampling rate /
   *    epochs against a uniform target mixture.
+  *  - `k52_embedding_decontam` — SEMANTIC train→eval leakage: max train
+  *    cosine + witness per eval vector (the paraphrase axis text dedup
+  *    cannot see).
   *
   * Every query follows the SURVEY §2 determinism rules (explicit NULLS,
   * total ORDER BY, integer-exact arithmetic except the declared ROUND-4
@@ -323,5 +326,86 @@ object Round17Ops {
       .orderBy(asc_nulls_last("source"))
   }
 
-  def ops: Vector[Q] = Vector(k48, k49, k50, k51)
+  // ---------------------------------------------------------------- k52
+
+  /** k52 — SEMANTIC train→eval decontamination (the embedding-space
+    * face of the k24/k45 split discipline [public: SemDeDup, Abbas et
+    * al. 2023, use embedding cosine to find semantic duplicates; GPT-4
+    * -era reports decontaminate eval sets against near-duplicate
+    * training examples, not just verbatim text]): for every eval
+    * (val/test) vector, the MAX cosine against ANY train vector, the
+    * nearest train witness, and a contaminated flag — the leakage text
+    * dedup cannot see (a paraphrase shares no 20-token span but sits at
+    * cosine ≈ 1). Reports ALL eval vectors (k45's all-clear posture).
+    * Determinism: cosine ROUND-4 BEFORE the argmax, ties at the rounded
+    * precision break to the MIN train id (k03's rule, total order);
+    * threshold 0.42 probed to BITE at sf0.01 (7/96 eval vectors
+    * flagged; fixture max cross-split cosine 0.5128 — the synthetic
+    * embeddings carry no planted near-identical cross-split pair, so
+    * the flag marks the nearest-neighbor TAIL, which is the posture a
+    * real deployment tunes anyway).
+    *
+    * Scale shape: the exact regime is a deliberate eval × train
+    * Cartesian — decontamination needs the all-pairs truth, and this
+    * face is the ORACLE-GATED exact regime of the stack whose 100 TB
+    * path is k43's IVF probe shortlist (top-1, nprobe budget; recall
+    * floors pinned in ScaleOpsSpec). Both sides unit-normalize ONCE
+    * behind Exchange/broadcast barriers (the k07 CollapseProject
+    * hazard: un-barriered, the normalization re-runs per PAIR), the
+    * argmax is one `max(struct(sim, −tid))` hash agg (k16's pattern —
+    * partial aggregation runs map-side, so the Cartesian never
+    * materializes to a shuffle). The ORACLE derives max via GROUP-BY
+    * and the witness via an equality JOIN-BACK on the max — independent
+    * argmax mechanisms. */
+  val k52: Q = Q(
+    "k52_embedding_decontam",
+    """WITH v AS (SELECT vec_id,
+      |    LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |    CASE WHEN SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
+      |         WHEN SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 1) = 'd' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM embeddings),
+      |p AS (SELECT ev.vec_id, ev.split, tr.vec_id AS tid,
+      |        ROUND(LIST_COSINE_SIMILARITY(ev.e, tr.e), 4) AS sim
+      |      FROM v ev JOIN v tr ON ev.split <> 'train' AND tr.split = 'train'),
+      |a AS (SELECT vec_id, split, MAX(sim) AS max_sim FROM p GROUP BY 1, 2)
+      |SELECT a.vec_id AS vec_id, a.split AS split, a.max_sim AS max_sim,
+      |  MIN(p.tid) AS nearest_train,
+      |  CAST(CASE WHEN a.max_sim >= 0.42 THEN 1 ELSE 0 END AS INT)
+      |    AS contaminated
+      |FROM a JOIN p ON p.vec_id = a.vec_id AND p.split = a.split
+      |            AND p.sim = a.max_sim
+      |GROUP BY 1, 2, 3
+      |ORDER BY vec_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => k52Plan(Tables.embeddings(s, dir), 0.42))
+
+  /** The k52 plan body, factored so Round17Spec can drive the REAL plan
+    * on synthetic frames (the h46Plan discipline). */
+  def k52Plan(emb: DataFrame, threshold: Double): DataFrame = {
+    val h1 = substring(md5(col("vec_id").cast("string")), 1, 1)
+    val v = emb.select(col("vec_id"),
+      graft.api.Similarity.normalize(col("embedding")).as("__u"),
+      when(h1 <= "c", "train").when(h1 === "d", "val")
+        .otherwise("test").as("split"))
+    // barriers: eval side re-exchanges (materializes __u per row), train
+    // side materializes through the broadcast — without either, the
+    // unit-normalization would inline into the join and re-run per pair
+    val ev = v.filter(col("split") =!= "train").repartition(col("vec_id"))
+    val tr = v.filter(col("split") === "train")
+      .select(col("vec_id").as("__tid"), col("__u").as("__ut"))
+    ev.crossJoin(broadcast(tr))
+      .select(col("vec_id"), col("split"),
+        round(graft.api.Similarity.dot(col("__u"), col("__ut")), 4).as("sim"),
+        col("__tid"))
+      .groupBy("vec_id", "split")
+      .agg(max(struct(col("sim"), (-col("__tid")).as("__nt"))).as("__m"))
+      .select(col("vec_id"), col("split"),
+        col("__m.sim").as("max_sim"),
+        (-col("__m.__nt")).as("nearest_train"),
+        when(col("__m.sim") >= threshold, 1).otherwise(0).cast("int")
+          .as("contaminated"))
+      .orderBy(asc_nulls_last("vec_id"))
+  }
+
+  def ops: Vector[Q] = Vector(k48, k49, k50, k51, k52)
 }

@@ -160,6 +160,44 @@ class Round17Spec extends SparkSpec {
     assert(got("s2") == ((10L, 1L, 0.25, 1.0, 2L)), s"s2: ${got("s2")}")
   }
 
+  test("k52 semantic decontam: identical cross-split pair flags; witness ties to min train id") {
+    val sp = spark
+    import sp.implicits._
+    // split classes come from md5(vec_id) — ids chosen so the class is
+    // forced (the Round16Spec table): 0/2 train, 3/5 test, 10 val.
+    //   vec 3 duplicates train vec 0 exactly → max_sim 1.0, flagged;
+    //   vec 5 is orthogonal to BOTH train vecs → a 0.0 argmax TIE whose
+    //     witness must break to the MIN train id (0);
+    //   vec 10 sits at cosine 0.6 to train 0 — near but under the 0.999
+    //     spec threshold, so reported clean with its witness.
+    // train vectors are mutually orthogonal so no pair is ambiguous.
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 0f, 1f, 0f)),
+      (3L, Seq(1f, 0f, 0f, 0f)), (5L, Seq(0f, 1f, 0f, 0f)),
+      (10L, Seq(0.6f, 0.8f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.engine.Round17Ops.k52Plan(emb, 0.999).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDouble(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(got.keySet == Set(3L, 5L, 10L), s"eval rows only: $got")
+    assert(got(3L) == (("test", 1.0, 0L, 1)), s"exact dup flags: ${got(3L)}")
+    assert(got(5L) == (("test", 0.0, 0L, 0)),
+      s"argmax tie must break to min train id: ${got(5L)}")
+    assert(got(10L) == (("val", 0.6, 0L, 0)),
+      s"near-but-under-threshold stays clean: ${got(10L)}")
+  }
+
+  test("k52 plan: argmax is a hash agg over the Cartesian — no window, train side broadcast") {
+    val df = graft.engine.Round17Ops.k52.fn(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Window"),
+      s"k52's per-eval max is max(struct), never a rank window:\n$p")
+    assert(p.contains("Broadcast"),
+      s"the train side must materialize through a broadcast barrier:\n$p")
+  }
+
   test("k51 plan: map-only counting — no explode, broadcast-only joins") {
     val df = graft.engine.Round17Ops.k51.fn(spark, sf0001)
     df.collect()
