@@ -36,10 +36,13 @@ object ScaleProbe {
   // count — is exactly 10×; the per-replica CANONICAL may differ from
   // the base doc's because token suffixes shift n_chars by 2·tokens,
   // which is fine: the gate checks rows, the spec pins the argmax).
+  // k53 rides it too: replica-suffixed tokens make span sets disjoint
+  // and replica-suffixed sources rename each replica's overlap matrix,
+  // so the union is exactly 10 disjoint copies of the base matrix.
   final val Queries = Seq("k02_near_dedup_jaccard", "k23_dedup_clusters",
                           "k25_dedup_clusters_star", "k32_containment_neardup",
                           "k44_exact_substr_spans", "k46_longest_dup_span",
-                          "k50_cluster_canonical")
+                          "k50_cluster_canonical", "k53_source_overlap_matrix")
 
   /** The embedding heavies: label-blocked pair queries scale exactly 10×
     * under replica-disjoint labels; k16 is the linear IVF assign. */

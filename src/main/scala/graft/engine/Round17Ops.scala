@@ -22,6 +22,8 @@ import org.apache.spark.sql.functions._
   *  - `k52_embedding_decontam` — SEMANTIC train→eval leakage: max train
   *    cosine + witness per eval vector (the paraphrase axis text dedup
   *    cannot see).
+  *  - `k53_source_overlap_matrix` — cross-source verbatim-span overlap
+  *    (the mirror-site / syndicated-boilerplate forensics matrix).
   *
   * Every query follows the SURVEY §2 determinism rules (explicit NULLS,
   * total ORDER BY, integer-exact arithmetic except the declared ROUND-4
@@ -407,5 +409,68 @@ object Round17Ops {
       .orderBy(asc_nulls_last("vec_id"))
   }
 
-  def ops: Vector[Q] = Vector(k48, k49, k50, k51, k52)
+  // ---------------------------------------------------------------- k53
+
+  /** k53 — cross-SOURCE span-overlap matrix (corpus forensics: which
+    * source pairs share verbatim 20-token spans — the mirror-site /
+    * syndicated-boilerplate detector web-corpus pipelines run before
+    * choosing dedup scope [public: RefinedWeb and Dolma report
+    * cross-snapshot/source duplication analyses; k47 surfaces the top
+    * spans, this attributes the overlap to source PAIRS]): for every
+    * unordered source pair, the number of DISTINCT spans present in
+    * both (within-source repetition excluded by the DISTINCT
+    * (digest, source) projection; a < b keeps each pair once). 113
+    * shared spans on the densest pair at sf0.01 — populated, not
+    * degenerate.
+    *
+    * Scale shape: k44's one shingling Generate → DISTINCT
+    * (digest, source) hash agg → per-digest SORTED source set
+    * (collect_set is bounded by the SOURCE DOMAIN, never the corpus) →
+    * pair emission as a map-side array HOF over the sorted set (i < j
+    * over ≤ |sources| elements — the k15 GroupEmit idea where the
+    * group is domain-bounded so no cap is needed; a digest shared by
+    * every source costs C(|sources|, 2) rows, domain², not data) →
+    * one (a, b)-keyed count agg; each (digest, pair) appears exactly
+    * once post-emit, so count(*) IS the distinct-span count. The
+    * ORACLE self-joins the distinct (digest, source) frame instead —
+    * independent pair derivations (HOF emit vs equi-join, the k15
+    * pairing). */
+  val k53: Q = Q(
+    "k53_source_overlap_matrix",
+    """WITH t AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS toks
+      |           FROM documents),
+      |sp AS (SELECT DISTINCT source,
+      |         MD5(ARRAY_TO_STRING(toks[st : st + 19], ' ')) AS d
+      |       FROM (SELECT source, UNNEST(RANGE(1, LEN(toks) - 18)) AS st, toks
+      |             FROM t WHERE LEN(toks) >= 20))
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared_spans
+      |FROM sp a JOIN sp b ON a.d = b.d AND a.source < b.source
+      |GROUP BY 1, 2
+      |ORDER BY source_a ASC NULLS LAST, source_b ASC NULLS LAST""".stripMargin,
+    (s, dir) => k53Plan(Tables.documents(s, dir)))
+
+  /** The k53 plan body, factored so Round17Spec can drive the REAL plan
+    * on synthetic frames (the h46Plan discipline). */
+  def k53Plan(docs: DataFrame): DataFrame = {
+    docs
+      .select(col("source"), split(col("text"), " ").as("__t"))
+      .filter(size(col("__t")) >= 20)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(__t) - 19), " +
+          "st -> md5(concat_ws(' ', slice(__t, st, 20))))")).as("d"))
+      .distinct()
+      .groupBy("d")
+      .agg(sort_array(collect_set(col("source"))).as("__ss"))
+      .filter(size(col("__ss")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(__ss, (x, i) -> " +
+          "transform(slice(__ss, i + 2, size(__ss) - i - 1), " +
+          "y -> named_struct('a', x, 'b', y))))")).as("__p"))
+      .groupBy(col("__p.a").as("source_a"), col("__p.b").as("source_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared_spans"))
+      .orderBy(asc_nulls_last("source_a"), asc_nulls_last("source_b"))
+  }
+
+  def ops: Vector[Q] = Vector(k48, k49, k50, k51, k52, k53)
 }

@@ -9,6 +9,9 @@ import org.apache.spark.sql.functions._
   * regressions could silently diverge from). */
 class Round17Spec extends SparkSpec {
 
+  private def tok(prefix: String, n: Int): Seq[String] =
+    (1 to n).map(i => s"$prefix$i")
+
   // ------------------------------------------------------------------ k48
 
   test("k48 bigram nll: MLE arithmetic, within-doc multiplicity, short-doc absence") {
@@ -137,6 +140,40 @@ class Round17Spec extends SparkSpec {
       .split("== Initial Plan ==").head
     assert(!p.contains("Window"),
       s"k50's survivor pick is max(struct), never a rank window:\n$p")
+  }
+
+  // ------------------------------------------------------------------ k53
+
+  test("k53 overlap matrix: 3-way digest emits all pairs once; within-source repeats collapse") {
+    val sp = spark
+    import sp.implicits._
+    val s20 = tok("s", 20).mkString(" ") // shared by A (twice), B, C
+    val t20 = tok("t", 20).mkString(" ") // shared by A and B only
+    val u20 = tok("u", 20).mkString(" ") // A only — contributes nothing
+    val docs = Seq(
+      (1L, "A", s20), (2L, "A", s20), (3L, "A", t20), (4L, "A", u20),
+      (5L, "B", s20), (6L, "B", t20),
+      (7L, "C", s20)
+    ).toDF("doc_id", "source", "text")
+    val got = graft.engine.Round17Ops.k53Plan(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the 3-source span contributes one count to each of the 3 pairs
+    // (i < j over the sorted set — no (B, A) mirror, no (A, A) self);
+    // A's duplicate holding of s20 collapses via the DISTINCT
+    assert(got == Map(("A", "B") -> 2L, ("A", "C") -> 1L, ("B", "C") -> 1L),
+      s"pair emission: $got")
+  }
+
+  test("k53 plan: one shingle pass, pair emission join-free") {
+    val df = graft.engine.Round17Ops.k53.fn(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val explodes = "\\bGenerate\\b".r.findAllIn(p).length
+    assert(explodes == 2,
+      s"k53 shingles once and emits pairs once (two Generates), found $explodes:\n$p")
+    assert(!p.contains("Join"),
+      s"k53 must not self-join the digest frame (the oracle does):\n$p")
   }
 
   // ------------------------------------------------------------------ k51
