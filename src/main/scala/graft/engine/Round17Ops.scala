@@ -472,5 +472,65 @@ object Round17Ops {
       .orderBy(asc_nulls_last("source_a"), asc_nulls_last("source_b"))
   }
 
-  def ops: Vector[Q] = Vector(k48, k49, k50, k51, k52, k53)
+  // ---------------------------------------------------------------- k54
+
+  /** k54 — OOV rate under a vocabulary BUDGET (tokenizer-coverage
+    * analysis [public: SentencePiece/BPE papers report coverage vs
+    * vocab size; fixed-vocab pipelines measure per-doc OOV mass before
+    * choosing V]): vocab = the top-V corpus tokens by (count DESC,
+    * token ASC — the tie-break genuinely DECIDES the fixture boundary:
+    * at V = 16 rank 16's count 908 is shared by two tokens), then per
+    * doc the token mass outside the vocab and its ROUND-4 fraction.
+    * k21 reports the vocab list itself; k12 counts tokens — this is
+    * the coverage metric that prices a vocab budget. V = 16 probed to
+    * bite at sf0.01: mean OOV 45%, min 17.6% (the fixture corpus has
+    * only 31 distinct tokens — a privately small domain, which is why
+    * the budget sits below it).
+    *
+    * Scale shape: ONE token Generate feeding the per-doc TYPE frame;
+    * the corpus counts aggregate FROM that frame (type-level, the
+    * exchange reuses — plan-checked), the top-V is a
+    * TakeOrderedAndProject (V-sized, no global sort materializes), and
+    * docs test membership via a BROADCAST left join of the V-row
+    * vocab. The ORACLE ranks via a global ROW_NUMBER instead of a
+    * top-k — same boundary, independent mechanism. */
+  val k54: Q = Q(
+    "k54_oov_rate",
+    """WITH tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      |             FROM documents),
+      |tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |cf AS (SELECT t, SUM(c) AS ct FROM tf GROUP BY 1),
+      |voc AS (SELECT t FROM (
+      |    SELECT t, ROW_NUMBER() OVER (ORDER BY ct DESC, t ASC) AS rn FROM cf)
+      |  WHERE rn <= 16)
+      |SELECT tf.doc_id AS doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN voc.t IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov,
+      |  ROUND(SUM(CASE WHEN voc.t IS NULL THEN c ELSE 0 END) * 1.0 / SUM(c), 4)
+      |    AS oov_frac
+      |FROM tf LEFT JOIN voc ON tf.t = voc.t
+      |GROUP BY 1
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => k54Plan(Tables.documents(s, dir), 16))
+
+  /** The k54 plan body, factored so Round17Spec can drive the REAL plan
+    * on synthetic frames (the h46Plan discipline). */
+  def k54Plan(docs: DataFrame, v: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val voc = tf.groupBy("t").agg(sum(col("c")).as("ct"))
+      .orderBy(desc("ct"), asc_nulls_last("t")).limit(v)
+      .select(col("t"), lit(1).as("__in"))
+    tf.join(broadcast(voc), Seq("t"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+           sum(when(col("__in").isNull, col("c")).otherwise(0))
+             .cast("long").as("n_oov"))
+      .withColumn("oov_frac",
+        round(col("n_oov") * lit(1.0) / col("n_tokens"), 4))
+      .orderBy(asc_nulls_last("doc_id"))
+  }
+
+  def ops: Vector[Q] = Vector(k48, k49, k50, k51, k52, k53, k54)
 }

@@ -176,6 +176,43 @@ class Round17Spec extends SparkSpec {
       s"k53 must not self-join the digest frame (the oracle does):\n$p")
   }
 
+  // ------------------------------------------------------------------ k54
+
+  test("k54 OOV: boundary tie decided by token ASC; OOV mass weights multiplicity") {
+    val sp = spark
+    import sp.implicits._
+    // corpus counts: x=4, a=3, b=3 — at V=2 the second slot is a COUNT
+    // TIE between a and b, and the token-ASC rule must admit 'a' and
+    // exclude 'b'. doc 1 "x b b": 2 of 3 tokens OOV (multiplicity
+    // weighted); doc 2 "x a a": fully in-vocab → 0.0; doc 3 "b a x x":
+    // b OOV once.
+    val docs = Seq((1L, "x b b"), (2L, "x a a"), (3L, "b a x x"))
+      .toDF("doc_id", "text")
+    val got = graft.engine.Round17Ops.k54Plan(docs, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((3L, 2L, 0.6667)), s"multiplicity: ${got(1L)}")
+    assert(got(2L) == ((3L, 0L, 0.0)), s"all in vocab: ${got(2L)}")
+    assert(got(3L) == ((4L, 1L, 0.25)),
+      s"tie must admit 'a' (token ASC), exclude 'b': ${got(3L)}")
+  }
+
+  test("k54 plan: vocab is a V-sized TakeOrdered broadcast, no global sort before the limit") {
+    val df = graft.engine.Round17Ops.k54.fn(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-V must be a TakeOrderedAndProject, not a full sort + limit:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the V-row vocab must broadcast:\n$p")
+    val explodes = "\\bGenerate\\b".r.findAllIn(p).length
+    assert(explodes == 1,
+      s"the corpus is tokenized ONCE — the vocab branch must reuse the tf exchange:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"the tf (doc, t) exchange must be reused by the vocab branch:\n$p")
+  }
+
   // ------------------------------------------------------------------ k51
 
   test("k51 mixture: share/rate/epochs arithmetic on exact token masses") {
