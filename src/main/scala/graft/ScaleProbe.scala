@@ -42,7 +42,8 @@ object ScaleProbe {
   final val Queries = Seq("k02_near_dedup_jaccard", "k23_dedup_clusters",
                           "k25_dedup_clusters_star", "k32_containment_neardup",
                           "k44_exact_substr_spans", "k46_longest_dup_span",
-                          "k50_cluster_canonical", "k53_source_overlap_matrix")
+                          "k50_cluster_canonical", "k53_source_overlap_matrix",
+                          "k55_exact_substr_removal")
 
   /** The embedding heavies: label-blocked pair queries scale exactly 10×
     * under replica-disjoint labels; k16 is the linear IVF assign. */

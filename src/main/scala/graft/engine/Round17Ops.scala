@@ -532,5 +532,125 @@ object Round17Ops {
       .orderBy(asc_nulls_last("doc_id"))
   }
 
-  def ops: Vector[Q] = Vector(k48, k49, k50, k51, k52, k53, k54)
+  // ---------------------------------------------------------------- k55
+
+  /** k55 — ExactSubstr REMOVAL accounting: the token MASS the span
+    * dedup would excise per document [public: Lee et al. 2022 report
+    * the fraction of the corpus their ExactSubstr pass removes — the
+    * headline number of the paper]. k44 counts SPANS (windows), but
+    * span counts double-count overlapping windows: R consecutive
+    * duplicated positions are R spans yet only R + 19 tokens. This
+    * query reports the exact COVERED-TOKEN union — per doc, the number
+    * of tokens inside at least one duplicated 20-token window
+    * (`n_dup_tokens`) and inside at least one REMOVABLE window (dup
+    * AND doc ≠ min holder — k44's keep-min rule; `n_removed_tokens`),
+    * plus the ROUND-4 removed fraction. All integers except the
+    * declared fraction; docs under 20 tokens are absent (k44's rule).
+    *
+    * Scale shape: k44/k46's one shingling Generate with positions, dup
+    * decided by the digest window (join-free), then each union is the
+    * e13 interval-union sweep — intervals [st, st+19] per doc, islands
+    * split where st exceeds the running max end of all PRECEDING
+    * intervals (a gap under the span width MERGES regions: dup
+    * positions {1, 10} cover 29 tokens, not 40 — spec-pinned), union =
+    * Σ per island (max end − min start + 1). The two faces ride ONE
+    * sweep over only the DUPLICATED positions (a tiny filtered frame):
+    * class tags 1 = dup / 2 = also-removable explode map-side and the
+    * sweep partitions by (doc, class) — join-free end-to-end. Docs
+    * whose spans are all unique are ABSENT (an empty removal is not a
+    * row; k44 reports the all-docs face). The ORACLE reruns the
+    * identical sweep arithmetic over a JOIN-derived dup set (the k46
+    * pairing: arithmetic shared, duplication derived independently). */
+  val k55: Q = Q(
+    "k55_exact_substr_removal",
+    """WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+      |sp AS (SELECT doc_id, LEN(toks) AS n_tokens, st,
+      |         MD5(ARRAY_TO_STRING(toks[st : st + 19], ' ')) AS d
+      |       FROM (SELECT doc_id, UNNEST(RANGE(1, LEN(toks) - 18)) AS st, toks
+      |             FROM t WHERE LEN(toks) >= 20)),
+      |dd AS (SELECT d, MIN(doc_id) AS dmin, MAX(doc_id) AS dmax
+      |       FROM sp GROUP BY d),
+      |f AS (SELECT sp.doc_id, sp.n_tokens, sp.st,
+      |        CAST(sp.doc_id <> dd.dmin AS INT) AS rem
+      |      FROM sp JOIN dd USING (d) WHERE dd.dmin < dd.dmax),
+      |sw AS (SELECT doc_id, n_tokens, st, rem,
+      |         CASE WHEN st > COALESCE(MAX(st + 19) OVER (
+      |                PARTITION BY doc_id, rem ORDER BY st ASC NULLS LAST
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |                -1) THEN 1 ELSE 0 END AS brk
+      |       FROM (SELECT doc_id, n_tokens, st, 1 AS rem FROM f
+      |             UNION ALL
+      |             SELECT doc_id, n_tokens, st, 2 FROM f WHERE rem = 1)),
+      |isl AS (SELECT doc_id, n_tokens, st, rem,
+      |          SUM(brk) OVER (PARTITION BY doc_id, rem
+      |            ORDER BY st ASC NULLS LAST) AS g
+      |        FROM sw),
+      |un AS (SELECT doc_id, n_tokens, rem,
+      |         SUM(mx - mn + 1) AS cov
+      |       FROM (SELECT doc_id, n_tokens, rem, g,
+      |               MIN(st) AS mn, MAX(st + 19) AS mx
+      |             FROM isl GROUP BY 1, 2, 3, 4)
+      |       GROUP BY 1, 2, 3)
+      |SELECT a.doc_id AS doc_id,
+      |  CAST(a.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(a.cov AS BIGINT) AS n_dup_tokens,
+      |  CAST(COALESCE(b.cov, 0) AS BIGINT) AS n_removed_tokens,
+      |  ROUND(COALESCE(b.cov, 0) * 1.0 / a.n_tokens, 4) AS removed_frac
+      |FROM (SELECT * FROM un WHERE rem = 1) a
+      |LEFT JOIN (SELECT doc_id, cov FROM un WHERE rem = 2) b
+      |  USING (doc_id)
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => k55Plan(Tables.documents(s, dir)))
+
+  /** The k55 plan body, factored so Round17Spec can drive the REAL plan
+    * on synthetic frames (the h46Plan discipline). The two union faces
+    * ride ONE sweep: every dup position carries class 1, removable
+    * positions ADDITIONALLY class 2 (a 1-or-2-element array explode —
+    * the oracle's UNION ALL, map-side), the e13 interval-union sweep
+    * partitions by (doc, class), and the final agg pivots the classes
+    * back — join-free, the shingle subtree traversed once. */
+  def k55Plan(docs: DataFrame): DataFrame = {
+    val sp = docs
+      .select(col("doc_id"), split(col("text"), " ").as("__t"))
+      .filter(size(col("__t")) >= 20)
+      .select(col("doc_id"), size(col("__t")).cast("long").as("n_tokens"),
+        posexplode(expr(
+          "transform(sequence(1, size(__t) - 19), " +
+            "st -> md5(concat_ws(' ', slice(__t, st, 20))))")))
+      .select(col("doc_id"), col("n_tokens"),
+              (col("pos") + 1).as("st"), col("col").as("d"))
+    val wd = Window.partitionBy("d")
+    val tagged = sp
+      .withColumn("__dmin", min(col("doc_id")).over(wd))
+      .withColumn("__dmax", max(col("doc_id")).over(wd))
+      .filter(col("__dmin") < col("__dmax"))
+      .select(col("doc_id"), col("n_tokens"), col("st"),
+        explode(when(col("doc_id") =!= col("__dmin"),
+                     array(lit(1), lit(2)))
+                  .otherwise(array(lit(1)))).as("__cls"))
+    val wprev = Window.partitionBy("doc_id", "__cls")
+      .orderBy(asc_nulls_last("st"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wcum = Window.partitionBy("doc_id", "__cls")
+      .orderBy(asc_nulls_last("st"))
+    tagged
+      .withColumn("__brk",
+        when(col("st") > coalesce(max(col("st") + 19).over(wprev), lit(-1L)),
+             1).otherwise(0))
+      .withColumn("__g", sum(col("__brk")).over(wcum))
+      .groupBy(col("doc_id"), col("n_tokens"), col("__cls"), col("__g"))
+      .agg((max(col("st") + 19) - min(col("st")) + 1).as("__cov"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("__cls"))
+      .agg(sum(col("__cov")).as("__u"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(sum(when(col("__cls") === 1, col("__u"))).cast("long")
+             .as("n_dup_tokens"),
+           coalesce(sum(when(col("__cls") === 2, col("__u"))), lit(0L))
+             .cast("long").as("n_removed_tokens"))
+      .withColumn("removed_frac",
+        round(col("n_removed_tokens") * lit(1.0) / col("n_tokens"), 4))
+      .orderBy(asc_nulls_last("doc_id"))
+  }
+
+  def ops: Vector[Q] = Vector(k48, k49, k50, k51, k52, k53, k54, k55)
 }

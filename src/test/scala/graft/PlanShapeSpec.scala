@@ -33,8 +33,17 @@ class PlanShapeSpec extends SparkSpec {
       "k16_ivf_assign",      // 8-row centroid set broadcast (IVF coarse scoring)
       "k20_tfidf_topterms",  // 1-row corpus-count broadcast for idf
       "k40_unigram_logprob", // 1-row corpus-token-total broadcast for ln p
-      "k43_ivf_probe_exact_regime") // k16's 8-row centroid broadcast +
+      "k43_ivf_probe_exact_regime", // k16's 8-row centroid broadcast +
                                     // k03's 1-row probe broadcast, composed
+      "k49_quality_buckets", // 1-row corpus-token-total broadcast (k40's
+                             // score chain inside the bucket query)
+      "k51_domain_mixture",  // 1-row corpus-total broadcast for share/rate
+      "k52_embedding_decontam")     // NOT tiny-build: the eval×train
+                                    // Cartesian IS the declared semantics
+                                    // (all-pairs decontamination truth,
+                                    // the oracle-gated exact regime whose
+                                    // 100 TB path is k43's IVF shortlist;
+                                    // argmax partials keep it shuffle-free)
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val df = fn(spark, sf0001)

@@ -213,6 +213,43 @@ class Round17Spec extends SparkSpec {
       s"the tf (doc, t) exchange must be reused by the vocab branch:\n$p")
   }
 
+  // ------------------------------------------------------------------ k55
+
+  test("k55 removal mass: overlapping regions merge; min holder keeps its tokens") {
+    val sp = spark
+    import sp.implicits._
+    // doc 1: 29 tokens; window st=1 is shared with doc 2, window st=10
+    // with doc 3, windows st=2..9 are unique. The two covered intervals
+    // [1,20] and [10,29] OVERLAP — the union must be 29 tokens, not 40
+    // (the double-count a naive span-sum would make). Doc 1 is the min
+    // holder of both digests → removes NOTHING (n_removed = 0). Docs 2
+    // and 3 each hold one shared window inside 25 tokens → 20 removable.
+    val a = tok("a", 29)
+    val doc1 = a.mkString(" ")
+    val doc2 = (a.take(20) ++ tok("f", 5)).mkString(" ")
+    val doc3 = (a.slice(9, 29) ++ tok("g", 5)).mkString(" ")
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val got = graft.engine.Round17Ops.k55Plan(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((29L, 29L, 0L, 0.0)),
+      s"overlap union is 29 (not 40) and the min holder keeps all: ${got(1L)}")
+    assert(got(2L) == ((25L, 20L, 20L, 0.8)), s"doc 2: ${got(2L)}")
+    assert(got(3L) == ((25L, 20L, 20L, 0.8)), s"doc 3: ${got(3L)}")
+  }
+
+  test("k55 plan: join-free — one shingle pass, one class-tag explode, sweep windows") {
+    val df = graft.engine.Round17Ops.k55.fn(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val explodes = "\\bGenerate\\b".r.findAllIn(p).length
+    assert(explodes == 2,
+      s"k55 shingles once and class-tags once (two Generates), found $explodes:\n$p")
+    assert(!p.contains("Join"),
+      s"k55 is join-free (dup via digest window, faces via class pivot):\n$p")
+  }
+
   // ------------------------------------------------------------------ k51
 
   test("k51 mixture: share/rate/epochs arithmetic on exact token masses") {
