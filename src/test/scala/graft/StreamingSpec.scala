@@ -2542,6 +2542,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming domain mixture one-batch replay rollup equals batch k51") {
+    import graft.engine.{Round17Ops, Tables}
+    import graft.streaming.StreamingDomainMixture
+    import graft.streaming.StreamingDomainMixture.{DocIn, MassOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text")).as[DocIn].collect()
+    val in = MemoryStream[DocIn]
+    val q = StreamingDomainMixture.sourceMass(in.toDS()).writeStream
+      .format("memory").queryName("dmx_t").outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: first half; batch 2: the rest — the sink's LATEST row
+      // per source after batch 2 must carry the full corpus masses
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val latest = spark.table("dmx_t").as[MassOut].collect()
+        .groupBy(_.source).map { case (src, rows) =>
+          val m = rows.maxBy(r => (r.n_tokens, r.n_docs)) // totals only grow
+          src -> ((m.n_tokens, m.n_docs))
+        }
+      // sink-side rollup with k51's exact formulas
+      val tot = latest.values.map(_._1).sum
+      val nSrc = latest.size.toLong
+      val target = tot.toDouble / nSrc
+      def r4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val streamed = latest.map { case (src, (toks, docs)) =>
+        src -> ((toks, docs, r4(toks.toDouble / tot),
+                 r4(math.min(1.0, target / toks)),
+                 math.ceil(target / toks).toLong))
+      }
+      val batch = Round17Ops.k51.fn(spark, sf0001).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+            r.getLong(5)))).toMap
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"two-batch streaming rollup must equal batch k51; diff=" +
+          s"${(streamed.toSet -- batch.toSet).take(3)}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming histogram exact regime equals batch d58 across a batch cut") {
     import graft.streaming.StreamingHistogram
     import graft.streaming.StreamingHistogram.{BinOut, ValueIn}
