@@ -46,7 +46,10 @@ object ScaleProbe {
                           "k55_exact_substr_removal")
 
   /** The embedding heavies: label-blocked pair queries scale exactly 10×
-    * under replica-disjoint labels; k16 is the linear IVF assign. */
+    * under replica-disjoint labels; k16 is the linear IVF assign. k52
+    * CANNOT ride this gate for k45's reason — its split classes hash the
+    * OFFSET vec_id, so replicas land in different train/val/test classes
+    * than their base vectors (excluded by design, not oversight). */
   final val EmbQueries = Seq("k07_cosine_neardup", "k38_quantized_distances",
                              "k16_ivf_assign")
 

@@ -238,6 +238,35 @@ class Round17Spec extends SparkSpec {
     assert(got(3L) == ((25L, 20L, 20L, 0.8)), s"doc 3: ${got(3L)}")
   }
 
+  test("k55 union law: sweep equals brute-force bitset over random overlap structures") {
+    val sp = spark
+    import sp.implicits._
+    // doc 1 is a 60-token master of DISTINCT tokens (every window unique);
+    // for each chosen start st a partner doc holds EXACTLY master[st..st+19]
+    // (20 tokens, one window), so doc 1's duplicated positions are exactly
+    // the chosen set and its covered-token union is brute-force computable.
+    // Ten seeded-random sets exercise disjoint / adjacent / nested /
+    // chained overlaps the deterministic pin cannot enumerate.
+    val rnd = new scala.util.Random(42)
+    val master = tok("m", 60)
+    (1 to 10).foreach { trial =>
+      val starts = (1 to 41).filter(_ => rnd.nextDouble() < 0.15) match {
+        case Nil => Seq(1 + rnd.nextInt(41))
+        case s => s
+      }
+      val partners = starts.zipWithIndex.map { case (st, i) =>
+        ((i + 2).toLong, master.slice(st - 1, st + 19).mkString(" "))
+      }
+      val docs = ((1L, master.mkString(" ")) +: partners).toDF("doc_id", "text")
+      val expected = starts.flatMap(st => st until (st + 20)).toSet.size.toLong
+      val row = graft.engine.Round17Ops.k55Plan(docs).collect()
+        .find(_.getLong(0) == 1L).get
+      assert(row.getLong(2) == expected && row.getLong(3) == 0L,
+        s"trial $trial starts=$starts: got (dup=${row.getLong(2)}, " +
+          s"removed=${row.getLong(3)}), brute-force union=$expected")
+    }
+  }
+
   test("k55 plan: join-free — one shingle pass, one class-tag explode, sweep windows") {
     val df = graft.engine.Round17Ops.k55.fn(spark, sf0001)
     df.collect()
