@@ -90,7 +90,7 @@ object CustomOps {
       Tables.documents(s, dir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .flatMap { case (id, text) =>
-          val t = text.split(' ')
+          val t = text.split(" ", -1)
           (0 until t.length - 1).map(i => (id, t(i) + " " + t(i + 1)))
         }
         .toDF("doc_id", "bigram")

@@ -84,8 +84,7 @@ object Round16Ops {
       .select(col("doc_id"), split(col("text"), " ").as("__t"))
       .filter(size(col("__t")) >= 20)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(__t) - 19), " +
-          "st -> md5(concat_ws(' ', slice(__t, st, 20))))")).as("d"))
+        Spans.DigestsExpr)).as("d"))
     val wd = Window.partitionBy("d")
     val dup = col("__dmin") < col("__dmax")
     sp.withColumn("__dmin", min(col("doc_id")).over(wd))
@@ -155,8 +154,7 @@ object Round16Ops {
       .select(col("doc_id"), split(col("text"), " ").as("__t"))
       .filter(size(col("__t")) >= 20)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(__t) - 19), " +
-          "st -> md5(concat_ws(' ', slice(__t, st, 20))))")).as("d"))
+        Spans.DigestsExpr)).as("d"))
     val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
     val splits = docs.select(
       col("doc_id"),
@@ -230,8 +228,7 @@ object Round16Ops {
       .select(col("doc_id"), split(col("text"), " ").as("__t"))
       .filter(size(col("__t")) >= 20)
       .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(1, size(__t) - 19), " +
-          "st -> md5(concat_ws(' ', slice(__t, st, 20))))")))
+        Spans.DigestsExpr)))
       .select(col("doc_id"), (col("pos") + 1).as("st"), col("col").as("d"))
     val wd = Window.partitionBy("d")
     val wdoc = Window.partitionBy("doc_id").orderBy(asc_nulls_last("st"))
@@ -291,8 +288,7 @@ object Round16Ops {
       .select(col("doc_id"), split(col("text"), " ").as("__t"))
       .filter(size(col("__t")) >= 20)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(__t) - 19), " +
-          "st -> concat_ws(' ', slice(__t, st, 20)))")).as("s"))
+        Spans.TextsExpr)).as("s"))
       .select(col("doc_id"), col("s"), md5(col("s")).as("d"))
       .groupBy("d")
       .agg(min(col("s")).as("span_text"),

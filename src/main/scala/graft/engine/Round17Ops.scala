@@ -457,8 +457,7 @@ object Round17Ops {
       .select(col("source"), split(col("text"), " ").as("__t"))
       .filter(size(col("__t")) >= 20)
       .select(col("source"), explode(expr(
-        "transform(sequence(1, size(__t) - 19), " +
-          "st -> md5(concat_ws(' ', slice(__t, st, 20))))")).as("d"))
+        Spans.DigestsExpr)).as("d"))
       .distinct()
       .groupBy("d")
       .agg(sort_array(collect_set(col("source"))).as("__ss"))

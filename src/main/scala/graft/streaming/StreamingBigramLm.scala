@@ -50,7 +50,7 @@ object StreamingBigramLm {
     * aggregate (adjacent pairs on single-space split; docs under two
     * tokens contribute nothing — the batch absence rule). */
   def tf(d: DocIn): Seq[BgRow] = {
-    val t = d.text.split(' ')
+    val t = d.text.split(" ", -1)
     if (t.length < 2) Seq.empty
     else (0 until t.length - 1).map(i => (t(i), t(i + 1)))
       .groupBy(identity).iterator

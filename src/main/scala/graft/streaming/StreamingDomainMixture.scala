@@ -11,7 +11,7 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
   *
   * State shape: keyed by SOURCE, ONE (toks, docs) pair of longs per
   * source — bounded by the source domain (k51's own bound), TTL-able.
-  * Token counts are `text.split(' ').length`, identical to the batch
+  * Token counts are `text.split(" ", -1).length`, identical to the batch
   * `size(split(…))` counting trick — no tokens are ever held.
   *
   * Emissions are the per-source running totals after each batch (Update
@@ -44,7 +44,7 @@ object StreamingDomainMixture {
                                  timerValues: TimerValues): Iterator[MassOut] = {
       var toks = 0L
       var docs = 0L
-      rows.foreach { d => docs += 1; toks += d.text.split(' ').length.toLong }
+      rows.foreach { d => docs += 1; toks += d.text.split(" ", -1).length.toLong }
       val prev = Option(st.get()).getOrElse(SourceMass(0L, 0L))
       val next = SourceMass(prev.toks + toks, prev.docs + docs)
       st.update(next)

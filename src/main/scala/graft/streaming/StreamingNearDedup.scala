@@ -48,7 +48,7 @@ object StreamingNearDedup {
   def simhash60(text: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val votes = new Array[Int](60)
-    text.split(" ").distinct.foreach { t =>
+    text.split(" ", -1).distinct.foreach { t =>
       val h = java.lang.Long.parseLong(hexMd5(md, t).substring(0, 15), 16)
       var b = 0
       while (b < 60) { votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1); b += 1 }
@@ -121,7 +121,7 @@ object StreamingNearDedup {
     * batch k15 band (asserted in StreamingSpec). */
   def minhashBand(text: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val tokens = text.split(" ")
+    val tokens = text.split(" ", -1)
     (0 until 4).map(salt =>
       tokens.iterator.map(t => hexMd5(md, s"$salt:$t")).min).mkString
   }

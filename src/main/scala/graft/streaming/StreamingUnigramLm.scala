@@ -47,7 +47,7 @@ object StreamingUnigramLm {
   /** Per-document token-type counts, identical to the batch `tf`
     * aggregate (split on single space). */
   def tf(d: DocIn): Seq[TokRow] =
-    d.text.split(' ').groupBy(identity).iterator
+    d.text.split(" ", -1).groupBy(identity).iterator
       .map { case (t, occ) => TokRow(t, d.doc_id, occ.length.toLong) }.toSeq
 
   /** Keyed by token: corpus count state += the batch's occurrences, then
@@ -113,7 +113,7 @@ object StreamingUnigramLm {
     docs.mapPartitions { it =>
         var n = 0L
         var any = false
-        it.foreach { d => any = true; n += d.text.split(' ').length.toLong }
+        it.foreach { d => any = true; n += d.text.split(" ", -1).length.toLong }
         if (any) Iterator.single(Count(n)) else Iterator.empty
       }
       .groupByKey(_ => "")
@@ -136,7 +136,7 @@ object StreamingUnigramLm {
                (implicit s: SparkSession): Dataset[GateFlags] = {
     import s.implicits._
     docs.map { d =>
-      val toks = d.text.split(' ')
+      val toks = d.text.split(" ", -1)
       val counts = toks.groupBy(identity)
       val n = toks.length
       val mc = counts.valuesIterator.map(_.length).max

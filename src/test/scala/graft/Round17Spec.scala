@@ -17,8 +17,8 @@ class Round17Spec extends SparkSpec {
   test("k48 bigram nll: MLE arithmetic, within-doc multiplicity, short-doc absence") {
     val sp = spark
     import sp.implicits._
-    // corpus: c(a,b) = 3 (two from doc 1, one from doc 2's absence — see
-    // below), c(b,a) = 1, c(a,c) = 1; heads a = 3, b = 1.
+    // corpus: c(a,b) = 2 (both from doc 1), c(b,a) = 1, c(a,c) = 1;
+    // heads a = 3 (a,b twice + a,c once), b = 1.
     //   doc 1 "a b a b": bigrams (a,b)x2 + (b,a)x1 — the (a,b) TYPE carries
     //     multiplicity 2, so the doc mean must weight it twice:
     //     -[2 ln(2/3) + 1 ln(1/1)] / 3 = 0.2703

@@ -2452,6 +2452,26 @@ class StreamingSpec extends SparkSpec {
           s"${(streamed.toSet -- batch.toSet).take(3)}")
     } finally q.stop()
   }
+  test("streaming tokenizers keep trailing empty tokens (Spark split parity)") {
+    // Spark's split(text, ' ') and DuckDB's STRING_SPLIT both KEEP
+    // trailing empty strings; Java's 1-arg split DROPS them. Every
+    // streaming twin that claims bit-parity with a batch query must
+    // therefore tokenize with split(" ", -1) — pinned here on a
+    // trailing-space document so the divergence class (r14 review
+    // finding) cannot silently return.
+    val sp = spark
+    val sparkCount = sp.sql("SELECT size(split('a b ', ' '))").head.getInt(0)
+    assert(sparkCount == 3, s"Spark split keeps the trailing empty: $sparkCount")
+    val bg = graft.streaming.StreamingBigramLm.tf(
+      graft.streaming.StreamingBigramLm.DocIn(1L, "a b "))
+    assert(bg.map(r => (r.a, r.b)).toSet == Set(("a", "b"), ("b", "")),
+      s"bigram twin must see the trailing empty token: $bg")
+    val ug = graft.streaming.StreamingUnigramLm.tf(
+      graft.streaming.StreamingUnigramLm.DocIn(1L, "a b "))
+    assert(ug.map(_.c).sum == 3L,
+      s"unigram twin must count the trailing empty token: $ug")
+  }
+
   test("streaming bigram LM one-batch replay equals batch k48 (score + flag)") {
     import graft.engine.{Round17Ops, Tables}
     import graft.streaming.StreamingBigramLm
