@@ -48,5 +48,38 @@ class FixtureInvariantsSpec extends SparkSpec {
           "cents > 0 filter would silently drop them from BOTH engines; " +
           "decide the Misra-Gries negative-weight posture explicitly")
     }
+
+    test(s"md5 split classes all populated at $sfName (k17/k24/k45/k52 contract)") {
+      // the hash-split rule (first md5 hex char: ≤'c' train, 'd' val,
+      // else test) must leave every class NON-EMPTY on documents AND
+      // embeddings — an eval class emptied by a fixture regeneration
+      // would turn k24/k45 (and k52 on vectors) into zero-predicate
+      // degenerate passes without failing any hash comparison
+      def classes(df: org.apache.spark.sql.DataFrame, id: String) = {
+        val h1 = substring(md5(col(id).cast("string")), 1, 1)
+        df.select(when(h1 <= "c", "train").when(h1 === "d", "val")
+            .otherwise("test").as("split"))
+          .groupBy("split").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      val d = classes(graft.engine.Tables.documents(spark, dir), "doc_id")
+      val e = classes(graft.engine.Tables.embeddings(spark, dir), "vec_id")
+      Seq("train", "val", "test").foreach { c =>
+        assert(d.getOrElse(c, 0L) > 0L, s"documents split '$c' empty: $d")
+        assert(e.getOrElse(c, 0L) > 0L, s"embeddings split '$c' empty: $e")
+      }
+    }
+
+    test(s"documents token domain exceeds the k54 vocab budget at $sfName") {
+      // k54's OOV predicate only bites while V = 16 < |distinct tokens|;
+      // a regenerated fixture with a tiny vocabulary would silently turn
+      // the declared coverage metric into an all-zero column
+      val distinctToks = graft.engine.Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .agg(countDistinct(col("t"))).head.getLong(0)
+      assert(distinctToks > 16L,
+        s"only $distinctToks distinct tokens in $dir — k54's V=16 vocab " +
+          "budget no longer bites; re-pick V before re-declaring")
+    }
   }
 }
