@@ -2617,6 +2617,85 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming source overlap one-batch replay rollup equals batch k53") {
+    import graft.engine.{Round17Ops, Tables}
+    import graft.streaming.StreamingSourceOverlap
+    import graft.streaming.StreamingSourceOverlap.{DocIn, PairOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text")).as[DocIn].collect()
+    val in = MemoryStream[DocIn]
+    val q = StreamingSourceOverlap.newPairs(in.toDS()).writeStream
+      .format("memory").queryName("sov_t").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(docs.toIndexedSeq) // whole corpus in ONE micro-batch
+      q.processAllAvailable()
+      // each (digest, pair) fact arrives exactly once → count per pair
+      // IS the distinct-shared-span matrix
+      val streamed = spark.table("sov_t").as[PairOut].collect()
+        .groupBy(p => (p.source_a, p.source_b))
+        .map { case (k, v) => k -> v.length.toLong }
+      val batch = Round17Ops.k53.fn(spark, sf0001).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"one-batch streaming matrix must equal batch k53; diff=" +
+          s"${(streamed.toSet -- batch.toSet).take(3)} / " +
+          s"${(batch.toSet -- streamed.toSet).take(3)}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming source overlap emits each pair once; a third source adds only new pairs") {
+    import graft.streaming.StreamingSourceOverlap
+    import graft.streaming.StreamingSourceOverlap.{DocIn, PairOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val span = (1 to 20).map(i => s"s$i").mkString(" ")
+    val in = MemoryStream[DocIn]
+    val q = StreamingSourceOverlap.newPairs(in.toDS()).writeStream
+      .format("memory").queryName("sov_xb_t").outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: sources A and B share the span (B twice — within-source
+      // repetition must not emit) → exactly one (A, B) fact
+      in.addData(DocIn(1, "A", span), DocIn(2, "B", span), DocIn(3, "B", span))
+      q.processAllAvailable()
+      val h1 = spark.table("sov_xb_t").as[PairOut].collect()
+      assert(h1.map(p => (p.source_a, p.source_b)).toSeq == Seq(("A", "B")),
+        s"batch 1: ${h1.toSeq}")
+      // batch 2: source C joins → only the two NEW pairs (A,C) and (B,C);
+      // (A,B) is not re-emitted
+      in.addData(DocIn(4, "C", span))
+      q.processAllAvailable()
+      val all = spark.table("sov_xb_t").as[PairOut].collect()
+        .map(p => (p.source_a, p.source_b)).sorted
+      assert(all.toSeq == Seq(("A", "B"), ("A", "C"), ("B", "C")),
+        s"after batch 2: $all")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming histogram exact regime equals batch d58 across a batch cut") {
     import graft.streaming.StreamingHistogram
     import graft.streaming.StreamingHistogram.{BinOut, ValueIn}
