@@ -257,6 +257,18 @@ object ScaleProbe {
       println(f"SCALE|$q|sf0.1=$t1%.2fs/$n1%d rows|x10=$t10%.2fs/$n10%d rows|" +
         f"timeRatio=${t10 / t1}%.1f|rows10xExact=$exact10x")
     }
+    // k50's generic row gate is vacuous — it emits one row per doc
+    // regardless of cluster or canonical correctness (r14 ADVICE). Gate
+    // the KEPT count too: kept = cluster count by construction, and
+    // replica-disjoint edges make cluster structure exactly 10×, so the
+    // CC/argmax path (not just the per-doc projection) is what 10× tests.
+    def k50Kept(dir: String): Long =
+      SparkEntry.queries("k50_cluster_canonical")(spark, dir)
+        .filter(col("kept") === 1).count()
+    val kept1 = k50Kept(sfDir)
+    val kept10 = k50Kept(outDir)
+    println(s"SCALE|k50_kept_clusters|sf0.1=$kept1 kept|x10=$kept10 kept|" +
+      s"kept10xExact=${kept10 == 10 * kept1}")
     } // dense
 
     if (sections("sparse")) {

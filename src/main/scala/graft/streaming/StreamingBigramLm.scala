@@ -73,18 +73,32 @@ object StreamingBigramLm {
 
     override def handleInputRows(key: String, rows: Iterator[BgRow],
                                  timerValues: TimerValues): Iterator[PairHit] = {
-      val arr = rows.toArray
-      val newHt = Option(ht.get()).map(_.n).getOrElse(0L) +
-        arr.iterator.map(_.c).sum
+      // Probe-at-arrival REQUIRES buffering the batch (rows read post-batch
+      // counts), but the buffer is two folded maps, not the row objects:
+      // per-(doc, successor) multiplicities and per-successor batch totals.
+      // Per-head per-batch memory bound: O(|{(doc, b)} incidence of this
+      // head in THIS batch| + |successor types in this batch|) longs — the
+      // type-level bound (≪ raw occurrences; a doc repeating "the cat" 100×
+      // costs one entry), and rows merging to one entry is rollup-equivalent
+      // because merged rows share the same post-batch (ct, ht).
+      val dc = scala.collection.mutable.LinkedHashMap.empty[(Long, String), Long]
+      val bc = scala.collection.mutable.HashMap.empty[String, Long]
+      var batchTotal = 0L
+      rows.foreach { r =>
+        dc.update((r.doc_id, r.b), dc.getOrElse((r.doc_id, r.b), 0L) + r.c)
+        bc.update(r.b, bc.getOrElse(r.b, 0L) + r.c)
+        batchTotal += r.c
+      }
+      val newHt = Option(ht.get()).map(_.n).getOrElse(0L) + batchTotal
       ht.update(Count(newHt))
-      val post = arr.groupBy(_.b).map { case (b, rs) =>
+      val post = bc.map { case (b, add) =>
         val cur = if (ct.containsKey(b)) ct.getValue(b).n else 0L
-        val nv = cur + rs.iterator.map(_.c).sum
+        val nv = cur + add
         ct.updateValue(b, Count(nv))
         b -> nv
       }
-      arr.iterator.map(r =>
-        PairHit(r.doc_id, key, r.b, r.c, post(r.b), newHt))
+      dc.iterator.map { case ((doc, b), c) =>
+        PairHit(doc, key, b, c, post(b), newHt) }
     }
   }
 

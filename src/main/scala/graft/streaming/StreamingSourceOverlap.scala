@@ -26,8 +26,12 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
   * i < j pairs of each digest's source set and the sink rollup
   * `count(*) per (a, b)` equals batch k53's distinct-span counts
   * bit-for-bit (pinned in StreamingSpec). Within-source repetition never
-  * emits (set semantics). Append-mode shape: rows are facts, never
-  * retracted; the matrix is a sink-side count. */
+  * emits (set semantics). Runs in OutputMode.Update (the repo's
+  * transformWithState + memory-sink rollup posture — see [[newPairs]]);
+  * the emitted rows are nevertheless append-LIKE facts — each (digest,
+  * pair) at most once over the stream's life, never retracted — so a
+  * sink configured for either mode accumulates the same matrix as a
+  * `count(*) per (a, b)` rollup. */
 object StreamingSourceOverlap {
 
   final case class DocIn(doc_id: Long, source: String, text: String)

@@ -51,7 +51,7 @@ class Round17Spec extends SparkSpec {
     assert(got.forall(_.getInt(3) == 1), "all docs must be flagged")
   }
 
-  test("k48 plan: one bigram pass, join-free (corpus counts via type-level windows)") {
+  test("k48 plan: one bigram pass, no data-sized window, tf exchange reused") {
     val df = graft.engine.Round17Ops.k48.fn(spark, sf0001)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
@@ -59,10 +59,15 @@ class Round17Spec extends SparkSpec {
     val explodes = "\\bGenerate\\b".r.findAllIn(p).length
     assert(explodes == 1,
       s"k48 must extract bigrams exactly once, found $explodes:\n$p")
-    assert(!p.contains("Join"),
-      s"k48 is join-free — a tf/cf/hf join re-expands the Generate per consumer:\n$p")
-    assert(p.contains("Window"),
-      s"k48's corpus counts ride type-level windows:\n$p")
+    // the r14 shipped plan computed ct/ht as windows partitioned by the
+    // bare token key — a Zipf head's partition is corpus-sized and
+    // WindowExec cannot be skew-split (r14 judge finding). The corpus
+    // rates must be vocab-sized hash aggregates joined back instead.
+    assert(!p.contains("Window"),
+      s"k48 must not window-partition by a bare token key:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"the tf (doc, a, b) exchange must be shared by cf/hf — without the " +
+        s"reuse the bigram Generate re-expands per consumer:\n$p")
   }
 
   // ------------------------------------------------------------------ k49
