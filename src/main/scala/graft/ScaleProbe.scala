@@ -39,11 +39,14 @@ object ScaleProbe {
   // k53 rides it too: replica-suffixed tokens make span sets disjoint
   // and replica-suffixed sources rename each replica's overlap matrix,
   // so the union is exactly 10 disjoint copies of the base matrix.
+  // k56 (r15) rides the gate like k44/k46: disjoint replica vocabularies
+  // make every replica's dup/ladder/composite structure EXACTLY the
+  // base's, so rows AND per-doc max_dup_len are 10 verbatim copies.
   final val Queries = Seq("k02_near_dedup_jaccard", "k23_dedup_clusters",
                           "k25_dedup_clusters_star", "k32_containment_neardup",
                           "k44_exact_substr_spans", "k46_longest_dup_span",
                           "k50_cluster_canonical", "k53_source_overlap_matrix",
-                          "k55_exact_substr_removal")
+                          "k55_exact_substr_removal", "k56_max_dup_substr")
 
   /** The embedding heavies: label-blocked pair queries scale exactly 10×
     * under replica-disjoint labels; k16 is the linear IVF assign. k52
