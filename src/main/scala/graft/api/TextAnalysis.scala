@@ -85,4 +85,49 @@ object TextAnalysis {
     }
     df.select(col(idCol) +: scoreCols: _*)
   }
+
+  /** Compression-ratio quality signal [public: RefinedWeb (Penedo et al.
+    * 2023) and Dolma (Soldaini et al. 2024) filter on zlib-style
+    * compressibility — highly repetitive/templated text compresses far
+    * below natural text]: per doc, UTF-8 byte count, deflated byte count
+    * at a FIXED Deflater level, and the ROUND-4 ratio (low ratio =
+    * repetitive). k30/k37/k39 measure n-gram repetition; this is the
+    * generic compressibility axis that also catches repetition no fixed
+    * n-gram width sees (long-period templates).
+    *
+    * Tier-2 by necessity: DuckDB has no zlib, so there is no SQL oracle —
+    * the contract is ScaleOpsSpec's planted-case monotonicity, separation
+    * and determinism pins. The deflate call is a genuine per-row
+    * imperative computation, so this is the repo's documented
+    * `mapPartitions` boundary class (the Multimodal decode posture): one
+    * Deflater per PARTITION, `reset()` per row (allocation amortized),
+    * map-only — no shuffle, linear at any scale. Output length for a
+    * fixed (level, strategy, input) is deterministic for a given zlib,
+    * which is all the within-run pins need; the RATIO is the signal a
+    * threshold consumes, never a cross-engine hash. */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String,
+                       level: Int = 6): DataFrame = {
+    require(level >= 0 && level <= 9, s"Deflater level 0..9: $level")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(level, false)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val in = Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          defl.reset()
+          defl.setInput(in)
+          defl.finish()
+          var n = 0L
+          while (!defl.finished()) n += defl.deflate(buf)
+          (id, in.length.toLong, n)
+        }
+      }
+      .toDF(idCol, "n_bytes", "n_deflated")
+      .withColumn("compression_ratio",
+        round(col("n_deflated") * lit(1.0) / greatest(col("n_bytes"), lit(1L)), 4))
+  }
 }

@@ -767,6 +767,45 @@ class ScaleOpsSpec extends SparkSpec {
     assert(agg.finish(agg.reduce(agg.zero, null)) == 0)
   }
 
+  test("TextAnalysis.compressionRatio: repetition separates, monotone, deterministic, guarded") {
+    val sp = spark
+    import sp.implicits._
+    // planted cases in the k30/k37 repetition family: same-length docs
+    // built from a 30-token distinct base, with the repeated fraction
+    // rising 0 → 1 — the ratio must fall strictly MONOTONICALLY and
+    // separate the fully-repetitive doc from the fully-distinct one
+    val base = (1 to 30).map(i => f"w$i%02d")
+    val docs = (0 to 4).map { r =>
+      // r/4 of the 120 tokens are copies of ONE token, the rest distinct
+      val nRep = 30 * r
+      val toks = Seq.fill(nRep)("boiler") ++
+        (1 to (120 - nRep)).map(i => base(i % 30) + i.toString)
+      (r.toLong, toks.mkString(" "))
+    }
+    val got = graft.api.TextAnalysis
+      .compressionRatio(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val ratios = (0 to 4).map(r => got(r.toLong)._3)
+    assert(ratios.sliding(2).forall { case Seq(a, b) => b < a },
+      s"ratio must fall as repetition rises: $ratios")
+    assert(ratios.head > 2 * ratios.last,
+      s"fully-repetitive must compress far below fully-distinct: $ratios")
+    // determinism: a second run returns identical bytes
+    val again = graft.api.TextAnalysis
+      .compressionRatio(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(again == got, "deflate output must be deterministic per level")
+    // guards: null and empty text survive (ratio uses max(bytes, 1))
+    val edge = graft.api.TextAnalysis.compressionRatio(
+      Seq((1L, ""), (2L, null: String)).toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(edge.length == 2 && edge.forall(_.getLong(1) == 0L))
+  }
+
   test("UniqUpTo via udaf matches LEAST(COUNT(DISTINCT), N+1) across partitions") {
     val sp = spark
     import sp.implicits._

@@ -2744,6 +2744,84 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming quality buckets one-batch replay equals batch k49 (cutoffs + buckets)") {
+    import graft.engine.{Round17Ops, Tables}
+    import graft.streaming.StreamingQualityBuckets
+    import graft.streaming.StreamingQualityBuckets.{BucketOut, ScoredDoc}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    withRocksDbProvider {
+      // the scoring side's parity is the unigram twin's pin — this twin
+      // contributes the cutoff/bucket state, so its input stream carries
+      // batch k49's own (doc, source, score) rows and the pin isolates
+      // the grid arithmetic
+      val batch = Round17Ops.k49.fn(spark, sf0001).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+          r.getAs[Double]("score"), r.getAs[String]("bucket")))
+      assert(batch.map(_._4).toSet == Set("head", "middle", "tail"))
+      val in = MemoryStream[ScoredDoc]
+      val q = StreamingQualityBuckets.buckets(in.toDS()).writeStream
+        .format("memory").queryName("qb_one_t")
+        .outputMode(OutputMode.Update).start()
+      try {
+        in.addData(batch.map(b => ScoredDoc(b._1, b._2, b._3)).toIndexedSeq)
+        q.processAllAvailable()
+        val streamed = spark.table("qb_one_t").as[BucketOut].collect()
+          .map(o => o.doc_id -> o.bucket).toMap
+        assert(streamed == batch.map(b => b._1 -> b._4).toMap,
+          "one-batch streaming buckets must equal batch k49")
+      } finally q.stop()
+    }
+  }
+
+  test("streaming quality buckets: grid state spans batches, at-arrival buckets stand") {
+    import graft.streaming.StreamingQualityBuckets
+    import graft.streaming.StreamingQualityBuckets.{BucketOut, ScoredDoc}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    withRocksDbProvider {
+      val in = MemoryStream[ScoredDoc]
+      val q = StreamingQualityBuckets.buckets(in.toDS()).writeStream
+        .format("memory").queryName("qb_xb_t")
+        .outputMode(OutputMode.Update).start()
+      try {
+        // batch 1, source A: scores 1/2/3 → n=3, c1 = rank 1 → 1.0,
+        // c2 = rank 2 → 2.0 → head/middle/tail
+        in.addData(ScoredDoc(1, "A", 1.0), ScoredDoc(2, "A", 2.0),
+                   ScoredDoc(3, "A", 3.0))
+        q.processAllAvailable()
+        val b1 = spark.table("qb_xb_t").as[BucketOut].collect()
+          .map(o => o.doc_id -> ((o.c1, o.c2, o.bucket))).toMap
+        assert(b1 == Map(1L -> ((1.0, 2.0, "head")),
+                         2L -> ((1.0, 2.0, "middle")),
+                         3L -> ((1.0, 2.0, "tail"))), s"batch 1: $b1")
+        // batch 2: scores 0.5 and 2.5 join the grid → n=5, c1 = rank
+        // ⌈7/3⌉=2 → 1.0, c2 = rank 4 → 2.5; the NEW docs bucket against
+        // the post-batch cutoffs; batch-1 docs are not re-emitted
+        in.addData(ScoredDoc(4, "A", 0.5), ScoredDoc(5, "A", 2.5))
+        q.processAllAvailable()
+        val all = spark.table("qb_xb_t").as[BucketOut].collect()
+        assert(all.count(o => Set(1L, 2L, 3L)(o.doc_id)) == 3,
+          "at-arrival buckets stand — no retro re-emission")
+        val b2 = all.filter(o => o.doc_id >= 4L)
+          .map(o => o.doc_id -> ((o.c1, o.c2, o.bucket))).toMap
+        assert(b2 == Map(4L -> ((1.0, 2.5, "head")),
+                         5L -> ((1.0, 2.5, "middle"))), s"batch 2: $b2")
+        // an independent source gets its own grid
+        in.addData(ScoredDoc(9, "B", 9.0))
+        q.processAllAvailable()
+        val b9 = spark.table("qb_xb_t").as[BucketOut].collect()
+          .find(_.doc_id == 9L).get
+        assert(b9.c1 == 9.0 && b9.bucket == "head",
+          s"singleton source buckets on its own grid: $b9")
+      } finally q.stop()
+    }
+  }
 }
 
 
