@@ -141,7 +141,10 @@ object Round18Ops {
       .groupBy(col("doc_id"), col("n_tokens"), col("j"), col("__g"))
       .agg(sort_array(collect_list(struct(col("i"), col("dig")))).as("__r"))
     // (4) run-bounded composite probes (δ = 0 .. min(w−1, run end));
-    // run positions are consecutive, so array distance IS δ
+    // run positions are consecutive, so array distance IS δ. The two
+    // digests fold to ONE md5 map-side (same collision class as the
+    // digests themselves) — probes dominate the query's shuffle bytes
+    // and carrying (d1, d2) doubled them (A/B-measured in BASELINE)
     val probes = runs
       .withColumn("__w", expr("shiftleft(20, j)"))
       .select(col("doc_id"), col("n_tokens"), col("j"), col("__w"),
@@ -149,12 +152,11 @@ object Round18Ops {
           "flatten(transform(__r, (x, ix) -> " +
             "transform(slice(__r, ix + 1, least(__w, size(__r) - ix)), " +
             "y -> named_struct('delta', y.i - x.i, " +
-            "'d1', x.dig, 'd2', y.dig))))")).as("__p"))
+            "'h', md5(concat(x.dig, y.dig))))))")).as("__p"))
       .select(col("doc_id"), col("n_tokens"), col("j"), col("__w"),
-              col("__p.delta").as("delta"), col("__p.d1").as("d1"),
-              col("__p.d2").as("d2"))
+              col("__p.delta").as("delta"), col("__p.h").as("h"))
     // (5) composite cross-doc match + the bracket-law max
-    val wcomp = Window.partitionBy("j", "delta", "d1", "d2")
+    val wcomp = Window.partitionBy("j", "delta", "h")
     probes
       .withColumn("__cmin", min(col("doc_id")).over(wcomp))
       .withColumn("__cmax", max(col("doc_id")).over(wcomp))
