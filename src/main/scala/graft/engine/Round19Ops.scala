@@ -1,0 +1,329 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-19 declared queries — the targeted-selection / fuzzy-matching
+  * tier of the LLM-data pipeline (the three selection axes the k-block
+  * does not yet cover):
+  *
+  *  - `k58_dsir_weight` — DSIR importance weights [public: Xie et al.
+  *    2023, "Data Selection for Language Models via Importance
+  *    Resampling"]: per-doc unigram log-likelihood ratio between a
+  *    TARGET domain and the raw corpus — the targeted-selection
+  *    complement of k40's typicality score (k40 asks "is this doc
+  *    normal?"; DSIR asks "does this doc look like the domain I want
+  *    more of?").
+  *  - `k59_edit_fuzzy_decontam` — fuzzy benchmark decontamination:
+  *    exact shingle blocking + Levenshtein verify — the EDIT-DISTANCE
+  *    modality between k24's whole-doc digests, k34/k45's verbatim
+  *    n-grams/spans, and k52's embedding cosine (a lightly-paraphrased
+  *    eval doc evades all three verbatim gates and may sit below an
+  *    embedding threshold; small edit distance catches it).
+  *  - `k60_zipf_fit` — per-source Zipf-law fit [public: Zipf 1949;
+  *    Piantadosi 2014 review]: OLS slope of ln(freq) on ln(rank) over
+  *    the source's token frequency spectrum — the corpus-SHAPE quality
+  *    signal (natural text reads ≈ −1; templated/synthetic sources
+  *    read far shallower), per-source where k36/k40 are per-doc.
+  *
+  * Every query follows the SURVEY §2 determinism rules (explicit NULLS,
+  * total ORDER BY, integer-exact arithmetic except the declared ROUND-4
+  * ratio/transcendental class).
+  */
+object Round19Ops {
+
+  // ---------------------------------------------------------------- k58
+
+  /** The declared target domain: a fixed source whitelist (a real
+    * pipeline's "high-quality domain" — the Wikipedia/books proxy). */
+  val DsirTargetSources: Seq[String] = Seq("src0", "src1", "src2", "src3")
+
+  /** Selection threshold on the ROUND-4 mean log-likelihood ratio;
+    * probed to bite at sf0.01 (mean_llr spans [−0.0393, +0.0362]). */
+  private val DsirTau = 0.005
+
+  /** k58 — DSIR importance weight per document [public: Xie et al. 2023
+    * §3 — hashed-unigram importance resampling scores each raw doc by
+    * log p_target(doc) − log p_raw(doc) under bag-of-ngram language
+    * models and resamples proportionally]: per doc, the mean per-token
+    * log-likelihood ratio ln(p̂_t(w) / p̂_r(w)) with both unigram models
+    * add-1 smoothed over the SHARED corpus vocabulary V (smoothing is
+    * load-bearing, not decorative: every non-target token has
+    * target-count 0 and would send the ratio to ln 0 without it), plus
+    * the selection flag mean_llr > τ on the ROUNDED value (both engines
+    * compare identical doubles — the k40 flag discipline).
+    *
+    * Scale shape (the k48 lesson applied from the start): token explode
+    * → per-(doc, type) tf; raw and target counts and the vocab size are
+    * VOCAB-sized hash aggregates; the 1-row totals frame broadcasts;
+    * the per-token weight table joins tf by token as a plain hash join
+    * AQE can skew-split on a Zipf-hot token — no data-sized window
+    * anywhere, and NO broadcast hint on the weight table (vocab-sized
+    * is model-class here but ~10⁷ rows at web scale — the k52 lesson:
+    * let AQE decide). The `ln` and its sum ride the k20/k36/k40 IEEE
+    * recipe: both engines build the ratio from the SAME exact integers
+    * with the SAME operation order — (ct+1 as double)·(nr+v) /
+    * ((cr+1 as double)·(nt+v)) — take `ln` of identical bits, and
+    * ROUND 4 absorbs the ≤1-ulp transcendental class. */
+  val k58: Q = Q(
+    "k58_dsir_weight",
+    """WITH tok AS (SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      |             FROM documents),
+      |tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |cr AS (SELECT t, COUNT(*) AS cr FROM tok GROUP BY 1),
+      |ct AS (SELECT t, COUNT(*) AS ctt FROM tok
+      |       WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS nr,
+      |        COUNT(*) FILTER (WHERE source IN ('src0', 'src1', 'src2', 'src3')) AS nt,
+      |        COUNT(DISTINCT t) AS v
+      |      FROM tok),
+      |per AS (
+      |  SELECT tf.doc_id, SUM(tf.c) AS n_tok,
+      |    SUM(tf.c * LN((CAST(COALESCE(ctt, 0) + 1 AS DOUBLE) * (nr + v))
+      |                  / (CAST(cr + 1 AS DOUBLE) * (nt + v)))) AS llr
+      |  FROM tf JOIN cr ON tf.t = cr.t LEFT JOIN ct ON tf.t = ct.t
+      |  CROSS JOIN n
+      |  GROUP BY 1)
+      |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+      |  ROUND(llr / n_tok, 4) + 0.0 AS mean_llr,
+      |  CAST(CASE WHEN ROUND(llr / n_tok, 4) > 0.005 THEN 1 ELSE 0 END AS INT)
+      |    AS selected
+      |FROM per ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => k58Plan(Tables.documents(s, dir)))
+
+  /** The k58 plan body, factored so Round19Spec can drive the REAL plan
+    * on synthetic frames (the h46Plan discipline). */
+  def k58Plan(docs: DataFrame): DataFrame = {
+    val isTarget = col("source").isin(DsirTargetSources: _*)
+    val tok = docs.select(col("doc_id"), col("source"),
+                          explode(split(col("text"), " ")).as("t"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val cr = tok.groupBy("t").agg(count(lit(1)).as("cr"))
+    val ct = tok.filter(isTarget).groupBy("t").agg(count(lit(1)).as("ctt"))
+    val n = tok.agg(count(lit(1)).as("nr"),
+                    count(when(isTarget, lit(1))).as("nt"),
+                    countDistinct(col("t")).as("v"))
+    // vocab-sized per-token weight table; the totals frame is 1 row
+    val w = cr.join(ct, Seq("t"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("t"), log(
+        ((coalesce(col("ctt"), lit(0L)) + 1L).cast("double")
+          * (col("nr") + col("v")))
+          / ((col("cr") + 1L).cast("double") * (col("nt") + col("v"))))
+        .as("llr_t"))
+    // + 0.0 canonicalizes a −0.0 round result to +0.0 (IEEE: −0.0 + 0.0 =
+    // +0.0, identity elsewhere) — a doc whose llr rounds to zero from below
+    // serialized as -0x0.0p+0 in DuckDB but +0x0.0p+0 here (caught by the
+    // sf0.001 selfcheck, row 33); both engines apply the same normalization
+    val meanLlr = round(sum(col("c") * col("llr_t")) / sum(col("c")), 4) + 0.0
+    tf.join(w, "t")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+           meanLlr.as("mean_llr"),
+           when(meanLlr > DsirTau, 1).otherwise(0).cast("int").as("selected"))
+      .orderBy(asc_nulls_last("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- k59
+
+  /** Blocking shingle width: SHORTER than k44's 20 because the whole
+    * point is catching EDITED near-copies — a doc paraphrased every ~10
+    * tokens shares no 20-token span with its original but plenty of
+    * 5-token ones. */
+  private val BlockW = 5
+
+  /** Stop-shingle document-frequency cap: shingles held by more docs
+    * are boilerplate, discriminate nothing, and would emit df² candidate
+    * pairs — dropping them is the standard blocking discipline (the
+    * same reason CCNet/ExactSubstr analyses drop super-frequent grams)
+    * and is part of the DECLARED semantics, mirrored in the oracle. */
+  private val BlockDfCap = 20
+
+  /** Verify window and threshold: Levenshtein over the first 240 chars
+    * (a fixed head bounds the O(|a|·|b|) DP at scale — the declared
+    * verify granularity), contaminated iff min distance ≤ 60. */
+  private val HeadChars = 240
+  private val EditTau   = 60
+
+  /** k59 — fuzzy eval-set decontamination via exact-shingle blocking +
+    * edit-distance verify [public: the candidate-then-verify shape of
+    * every fuzzy-dedup system (PPJoin, Lee et al. 2022's "approximate"
+    * appendix); GPT-3's appendix C and PaLM's contamination analyses
+    * both fall back to fuzzy overlap when verbatim n-grams miss edited
+    * copies]: eval docs = k17's content-hash split discipline (first
+    * md5 hex digit of doc_id ≥ 'e' — the 2/16 "test" bucket, stable
+    * under reruns and corpus growth); candidates = DISTINCT
+    * (eval, train) pairs sharing ≥ 1 blocking-eligible 5-token shingle
+    * (df ≤ 20 — stop-shingles excluded by declared semantics);
+    * verify = Levenshtein on the 240-char heads; per EVAL doc: candidate
+    * count, min distance (NULL when no candidate survives blocking),
+    * contaminated flag (min ≤ 60). Every eval doc appears exactly once —
+    * the unblocked majority with n_candidates 0 (flag 0, dist NULL).
+    *
+    * Scale shape: ONE shingling Generate; split membership is computed
+    * MAP-SIDE from doc_id (no join against a split table); the df cap
+    * is a digest-keyed hash agg that ALSO bounds the per-digest pair
+    * emission at cap² (the k53 domain² argument — without it one
+    * universal shingle emits |eval|·|train| pairs); pairs go through a
+    * digest-bucketed hash join + distinct; heads join back by doc_id
+    * (two hash joins); the DP cost is bounded by HeadChars² per
+    * surviving pair. All comparisons exact integers (Levenshtein is an
+    * integer; both engines run unit-cost edit distance over identical
+    * ASCII heads — SUBSTR is 1-based in both). */
+  val k59: Q = Q(
+    "k59_edit_fuzzy_decontam",
+    s"""WITH tk AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents),
+      |sp AS (SELECT DISTINCT doc_id,
+      |         MD5(ARRAY_TO_STRING(ts[i + 1:i + $BlockW], ' ')) AS d
+      |       FROM tk,
+      |         UNNEST(RANGE(0, GREATEST(LEN(ts) - ${BlockW - 1}, 0))) AS r(i)),
+      |ok AS (SELECT d FROM sp GROUP BY d HAVING COUNT(*) <= $BlockDfCap),
+      |sd AS (SELECT sp.doc_id, sp.d,
+      |         SUBSTR(MD5(CAST(sp.doc_id AS VARCHAR)), 1, 1) >= 'e' AS is_test
+      |       FROM sp JOIN ok ON sp.d = ok.d),
+      |pairs AS (SELECT DISTINCT e.doc_id AS eval_id, t.doc_id AS train_id
+      |          FROM sd e JOIN sd t ON e.d = t.d
+      |          WHERE e.is_test AND NOT t.is_test),
+      |vr AS (SELECT p.eval_id, COUNT(*) AS n_candidates,
+      |         MIN(levenshtein(SUBSTR(de.text, 1, $HeadChars),
+      |                         SUBSTR(dt.text, 1, $HeadChars))) AS min_dist
+      |       FROM pairs p
+      |       JOIN documents de ON de.doc_id = p.eval_id
+      |       JOIN documents dt ON dt.doc_id = p.train_id
+      |       GROUP BY 1)
+      |SELECT dd.doc_id AS doc_id,
+      |  CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates,
+      |  CAST(min_dist AS BIGINT) AS min_dist,
+      |  CAST(CASE WHEN min_dist <= $EditTau THEN 1 ELSE 0 END AS INT)
+      |    AS contaminated
+      |FROM documents dd LEFT JOIN vr ON dd.doc_id = vr.eval_id
+      |WHERE SUBSTR(MD5(CAST(dd.doc_id AS VARCHAR)), 1, 1) >= 'e'
+      |ORDER BY dd.doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => k59Plan(Tables.documents(s, dir)))
+
+  /** The k59 plan body (factored for Round19Spec synthetic-frame pins). */
+  def k59Plan(docs: DataFrame): DataFrame = {
+    val isTest = substring(md5(col("doc_id").cast("string")), 1, 1) >= "e"
+    // ONE shingling Generate; distinct (digest, doc); split tag map-side
+    val sp = docs
+      .select(col("doc_id"), split(col("text"), " ").as("__t"))
+      .filter(size(col("__t")) >= BlockW)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(__t) - ${BlockW - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(__t, i, $BlockW))))")).as("d"))
+      .distinct()
+    val ok = sp.groupBy("d").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= BlockDfCap).select("d")
+    val sd = sp.join(ok, "d").withColumn("is_test", isTest)
+    val pairs = sd.filter(col("is_test"))
+      .select(col("d"), col("doc_id").as("eval_id"))
+      .join(sd.filter(!col("is_test"))
+              .select(col("d"), col("doc_id").as("train_id")), "d")
+      .select("eval_id", "train_id").distinct()
+    val vr = pairs
+      .join(docs.select(col("doc_id").as("eval_id"),
+                        substring(col("text"), 1, HeadChars).as("eh")), "eval_id")
+      .join(docs.select(col("doc_id").as("train_id"),
+                        substring(col("text"), 1, HeadChars).as("th")), "train_id")
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_candidates"),
+           min(levenshtein(col("eh"), col("th"))).as("min_dist"))
+    docs.filter(isTest).select("doc_id")
+      .join(vr, col("doc_id") === col("eval_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+              col("min_dist").cast("long").as("min_dist"),
+              when(col("min_dist") <= EditTau, 1).otherwise(0).cast("int")
+                .as("contaminated"))
+      .orderBy(asc_nulls_last("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- k60
+
+  /** k60 — per-source Zipf-law fit [public: Zipf 1949; Piantadosi 2014,
+    * "Zipf's word frequency law in natural language"]: rank each
+    * source's token types by frequency (count DESC, token ASC — a total
+    * order, so ranks are deterministic) and OLS-fit ln(freq) on
+    * ln(rank); natural text slopes ≈ −1, templated or
+    * low-entropy-generated sources fit far shallower — a per-SOURCE
+    * corpus-shape gate where k36/k40 score per-doc. Also emits the
+    * type/token counts and the type-token ratio (the classical lexical
+    * diversity statistic the slope contextualizes).
+    *
+    * Determinism — why NOT `regr_slope`: both engines have it, but it
+    * sums raw doubles whose partial-aggregate merge order differs, the
+    * e12 class of low-bit divergence. Instead each OLS sum routes
+    * through DECIMAL(18,6) ([[Determinism.dsum]] — order-independent,
+    * exact), and the closed form (n·Σxy − Σx·Σy)/(n·Σxx − Σx²) then
+    * computes on bit-identical doubles in BOTH engines; ln of exact
+    * integer-valued doubles is the documented ≤1-ulp-into-ROUND-4
+    * class. A single-type source has Σxx = Σx = 0 and BOTH engines
+    * return NULL for the 0/0 division (Spark Divide and DuckDB both
+    * yield NULL on zero divisor — spec-pinned).
+    *
+    * Scale shape: explode → per-(source, type) counts (vocab-sized);
+    * the rank window partitions by source over the VOCAB-sized spectrum
+    * (the k49 grid-window class — never a per-occurrence partition);
+    * one source-keyed hash agg finishes. */
+  val k60: Q = Q(
+    "k60_zipf_fit",
+    s"""WITH tok AS (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      |             FROM documents),
+      |tf AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |rk AS (SELECT source, c,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |           ORDER BY c DESC NULLS LAST, t ASC NULLS LAST) AS r
+      |       FROM tf),
+      |s AS (SELECT source, COUNT(*) AS n_types, SUM(c) AS n_tokens,
+      |        ${Determinism.dsumSql("LN(CAST(r AS DOUBLE))")} AS sx,
+      |        ${Determinism.dsumSql("LN(CAST(c AS DOUBLE))")} AS sy,
+      |        ${Determinism.dsumSql("LN(CAST(r AS DOUBLE)) * LN(CAST(c AS DOUBLE))")} AS sxy,
+      |        ${Determinism.dsumSql("LN(CAST(r AS DOUBLE)) * LN(CAST(r AS DOUBLE))")} AS sxx
+      |      FROM rk GROUP BY 1)
+      |SELECT source, CAST(n_types AS BIGINT) AS n_types,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  ROUND(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr,
+      |  ROUND((n_types * sxy - sx * sy) / (n_types * sxx - sx * sx), 4) + 0.0
+      |    AS zipf_slope,
+      |  ROUND((sy - (n_types * sxy - sx * sy) / (n_types * sxx - sx * sx) * sx)
+      |        / n_types, 4) + 0.0 AS zipf_intercept
+      |FROM s ORDER BY source ASC NULLS LAST""".stripMargin,
+    (s, dir) => k60Plan(Tables.documents(s, dir)))
+
+  /** The k60 plan body (factored for Round19Spec + the streaming twin's
+    * shared-slope pin — [[graft.streaming.StreamingZipf]] feeds its
+    * reconstructed (source, t, c) state through [[k60FromTf]]). */
+  def k60Plan(docs: DataFrame): DataFrame =
+    k60FromTf(
+      docs.select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("source", "t").agg(count(lit(1)).as("c")))
+
+  /** Slope/TTR finisher over a (source, t, c) frequency spectrum — ONE
+    * definition site shared by the batch plan and the streaming twin's
+    * equality pin, so "stream state ≡ batch tf ⟹ outputs bit-equal"
+    * holds by construction. */
+  def k60FromTf(tf: DataFrame): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("c").desc_nulls_last, col("t").asc_nulls_last)
+    val x = log(col("r").cast("double"))
+    val y = log(col("c").cast("double"))
+    val slope = (col("n_types") * col("sxy") - col("sx") * col("sy")) /
+      (col("n_types") * col("sxx") - col("sx") * col("sx"))
+    tf.select(col("source"), col("c"), row_number().over(w).as("r"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+           Determinism.dsum(x).as("sx"), Determinism.dsum(y).as("sy"),
+           Determinism.dsum(x * y).as("sxy"), Determinism.dsum(x * x).as("sxx"))
+      .select(col("source"), col("n_types").cast("long").as("n_types"),
+              col("n_tokens").cast("long").as("n_tokens"),
+              round(col("n_types").cast("double") / col("n_tokens"), 4)
+                .as("ttr"),
+              (round(slope, 4) + 0.0).as("zipf_slope"),
+              (round((col("sy") - slope * col("sx")) / col("n_types"), 4) + 0.0)
+                .as("zipf_intercept"))
+      .orderBy(asc_nulls_last("source"))
+  }
+
+  val ops: Vector[Q] = Vector(k58, k59, k60)
+}
