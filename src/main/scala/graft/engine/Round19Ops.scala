@@ -54,14 +54,18 @@ object Round19Ops {
     * the selection flag mean_llr > τ on the ROUNDED value (both engines
     * compare identical doubles — the k40 flag discipline).
     *
-    * Scale shape (the k48 lesson applied from the start): token explode
-    * → per-(doc, type) tf; raw and target counts and the vocab size are
-    * VOCAB-sized hash aggregates; the 1-row totals frame broadcasts;
-    * the per-token weight table joins tf by token as a plain hash join
-    * AQE can skew-split on a Zipf-hot token — no data-sized window
-    * anywhere, and NO broadcast hint on the weight table (vocab-sized
-    * is model-class here but ~10⁷ rows at web scale — the k52 lesson:
-    * let AQE decide). The `ln` and its sum ride the k20/k36/k40 IEEE
+    * Scale shape (the k48 lesson applied from the start): ONE token
+    * explode → the type-level (doc, token, target-flag) tf frame, whose
+    * exchange every consumer REUSES (plan-pinned single Generate); raw
+    * and target counts fall out of one vocab-sized CONDITIONAL regroup
+    * (no filtered re-aggregation — a filter would push below the agg
+    * and break the reuse); the totals derive from the vocab-sized frame;
+    * the 1-row totals broadcast; the per-token weight table joins tf by
+    * token as a plain hash join AQE can skew-split on a Zipf-hot token —
+    * no data-sized window anywhere, and NO broadcast hint on the weight
+    * table (vocab-sized is model-class here but ~10⁷ rows at web scale —
+    * the k52 lesson: let AQE decide). The `ln` and its sum ride the
+    * k20/k36/k40 IEEE
     * recipe: both engines build the ratio from the SAME exact integers
     * with the SAME operation order — (ct+1 as double)·(nr+v) /
     * ((cr+1 as double)·(nt+v)) — take `ln` of identical bits, and
@@ -96,17 +100,29 @@ object Round19Ops {
     * on synthetic frames (the h46Plan discipline). */
   def k58Plan(docs: DataFrame): DataFrame = {
     val isTarget = col("source").isin(DsirTargetSources: _*)
-    val tok = docs.select(col("doc_id"), col("source"),
-                          explode(split(col("text"), " ")).as("t"))
-    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-    val cr = tok.groupBy("t").agg(count(lit(1)).as("cr"))
-    val ct = tok.filter(isTarget).groupBy("t").agg(count(lit(1)).as("ctt"))
-    val n = tok.agg(count(lit(1)).as("nr"),
-                    count(when(isTarget, lit(1))).as("nt"),
-                    countDistinct(col("t")).as("v"))
-    // vocab-sized per-token weight table; the totals frame is 1 row
-    val w = cr.join(ct, Seq("t"), "left")
-      .crossJoin(broadcast(n))
+    val tok = docs.select(col("doc_id"),
+                          explode(split(col("text"), " ")).as("t"),
+                          isTarget.as("tgt"))
+    // ONE corpus pass: the type-level (doc, token, target-flag) frame —
+    // tgt is functionally dependent on doc_id, so the grouping granularity
+    // IS (doc, token). Everything downstream derives from this frame via
+    // CONDITIONAL aggregation (no filtered re-aggregation, no left join):
+    // a filter between tf and a consumer would be pushed below the
+    // aggregate and break exchange-subtree identity, re-running the
+    // Generate per consumer (the k48 ReusedExchange lesson; the first cut
+    // of this plan exploded the corpus 4× exactly that way).
+    val tf = tok.groupBy("doc_id", "t", "tgt").agg(count(lit(1)).as("c"))
+    // vocab-sized: raw and target counts in one regroup; sum(when) skips
+    // non-target rows (null), so a token absent from the target reads NULL
+    // → coalesce 0 (the add-1 smoothing's domain)
+    val cr = tf.groupBy("t")
+      .agg(sum(col("c")).as("cr"),
+           sum(when(col("tgt"), col("c"))).as("ctt"))
+    // totals derived from the VOCAB-sized frame, not the corpus
+    val n = cr.agg(sum(col("cr")).as("nr"),
+                   sum(coalesce(col("ctt"), lit(0L))).as("nt"),
+                   count(lit(1)).as("v"))
+    val w = cr.crossJoin(broadcast(n))
       .select(col("t"), log(
         ((coalesce(col("ctt"), lit(0L)) + 1L).cast("double")
           * (col("nr") + col("v")))
@@ -163,12 +179,14 @@ object Round19Ops {
     *
     * Scale shape: ONE shingling Generate; split membership is computed
     * MAP-SIDE from doc_id (no join against a split table); the df cap
-    * is a digest-keyed hash agg that ALSO bounds the per-digest pair
-    * emission at cap² (the k53 domain² argument — without it one
-    * universal shingle emits |eval|·|train| pairs); pairs go through a
-    * digest-bucketed hash join + distinct; heads join back by doc_id
-    * (two hash joins); the DP cost is bounded by HeadChars² per
-    * surviving pair. All comparisons exact integers (Levenshtein is an
+    * runs FIRST (digest-keyed hash agg + semi-shaped join) so no
+    * downstream buffer ever holds more than cap doc-ids per digest, and
+    * it bounds the per-digest pair emission at cap² (the k53 domain²
+    * argument — without it one universal shingle emits |eval|·|train|
+    * pairs); candidates then emit JOIN-FREE from one bounded collect_set
+    * agg + one pair Generate; heads join back by doc_id (two hash
+    * joins); the DP cost is bounded by HeadChars² per surviving pair.
+    * All comparisons exact integers (Levenshtein is an
     * integer; both engines run unit-cost edit distance over identical
     * ASCII heads — SUBSTR is 1-based in both). */
   val k59: Q = Q(
@@ -205,22 +223,41 @@ object Round19Ops {
   /** The k59 plan body (factored for Round19Spec synthetic-frame pins). */
   def k59Plan(docs: DataFrame): DataFrame = {
     val isTest = substring(md5(col("doc_id").cast("string")), 1, 1) >= "e"
-    // ONE shingling Generate; distinct (digest, doc); split tag map-side
+    // ONE shingling Generate; distinct (digest, doc); split tag map-side.
+    // is_test is functionally dependent on doc_id, so the distinct's
+    // granularity is (digest, doc).
     val sp = docs
       .select(col("doc_id"), split(col("text"), " ").as("__t"))
       .filter(size(col("__t")) >= BlockW)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(__t) - ${BlockW - 1}), " +
           s"i -> md5(concat_ws(' ', slice(__t, i, $BlockW))))")).as("d"))
+      .withColumn("is_test", isTest)
       .distinct()
+    // The df cap runs BEFORE any set is collected: a universal boilerplate
+    // shingle must never buffer a corpus-sized doc set (the k53 bounded-
+    // collect discipline — there the bound was the source domain; here it
+    // is the cap, enforced by this digest-keyed semi-structured join).
     val ok = sp.groupBy("d").agg(count(lit(1)).as("df"))
       .filter(col("df") <= BlockDfCap).select("d")
-    val sd = sp.join(ok, "d").withColumn("is_test", isTest)
-    val pairs = sd.filter(col("is_test"))
-      .select(col("d"), col("doc_id").as("eval_id"))
-      .join(sd.filter(!col("is_test"))
-              .select(col("d"), col("doc_id").as("train_id")), "d")
-      .select("eval_id", "train_id").distinct()
+    // Pair candidates JOIN-FREE per digest: one hash agg collects the
+    // (≤ cap)-bounded eval/train sets, one Generate emits the i×j pairs —
+    // ≤ cap² rows per digest by construction. The first cut of this plan
+    // self-joined sd (eval side ⋈ train side on digest); the is_test /
+    // NOT is_test filters pushed below the join, broke exchange-subtree
+    // identity, and re-ran the shingling per side — the k48 lesson again.
+    val pairs = sp.join(ok, "d")
+      .groupBy("d")
+      .agg(collect_set(when(col("is_test"), col("doc_id"))).as("evals"),
+           collect_set(when(!col("is_test"), col("doc_id"))).as("trains"))
+      .filter(size(col("evals")) > 0 && size(col("trains")) > 0)
+      .select(explode(expr(
+        "flatten(transform(evals, e -> " +
+          "transform(trains, t -> struct(e AS eval_id, t AS train_id))))"))
+        .as("p"))
+      .select(col("p.eval_id").as("eval_id"),
+              col("p.train_id").as("train_id"))
+      .distinct()
     val vr = pairs
       .join(docs.select(col("doc_id").as("eval_id"),
                         substring(col("text"), 1, HeadChars).as("eh")), "eval_id")
@@ -284,9 +321,10 @@ object Round19Ops {
       |SELECT source, CAST(n_types AS BIGINT) AS n_types,
       |  CAST(n_tokens AS BIGINT) AS n_tokens,
       |  ROUND(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr,
-      |  ROUND((n_types * sxy - sx * sy) / (n_types * sxx - sx * sx), 4) + 0.0
-      |    AS zipf_slope,
-      |  ROUND((sy - (n_types * sxy - sx * sy) / (n_types * sxx - sx * sx) * sx)
+      |  ROUND((n_types * sxy - sx * sy)
+      |        / NULLIF(n_types * sxx - sx * sx, 0.0), 4) + 0.0 AS zipf_slope,
+      |  ROUND((sy - (n_types * sxy - sx * sy)
+      |              / NULLIF(n_types * sxx - sx * sx, 0.0) * sx)
       |        / n_types, 4) + 0.0 AS zipf_intercept
       |FROM s ORDER BY source ASC NULLS LAST""".stripMargin,
     (s, dir) => k60Plan(Tables.documents(s, dir)))
@@ -308,8 +346,11 @@ object Round19Ops {
       .orderBy(col("c").desc_nulls_last, col("t").asc_nulls_last)
     val x = log(col("r").cast("double"))
     val y = log(col("c").cast("double"))
+    // NULLIF guards the single-type source (sxx = sx = 0): ANSI-mode
+    // Spark THROWS on 0/0 — a one-type source in real data would
+    // otherwise kill the whole query (caught by the Round19Spec pin)
     val slope = (col("n_types") * col("sxy") - col("sx") * col("sy")) /
-      (col("n_types") * col("sxx") - col("sx") * col("sx"))
+      nullif(col("n_types") * col("sxx") - col("sx") * col("sx"), lit(0.0))
     tf.select(col("source"), col("c"), row_number().over(w).as("r"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),

@@ -38,6 +38,9 @@ class PlanShapeSpec extends SparkSpec {
       "k49_quality_buckets", // 1-row corpus-token-total broadcast (k40's
                              // score chain inside the bucket query)
       "k51_domain_mixture",  // 1-row corpus-total broadcast for share/rate
+      "k58_dsir_weight",     // 1-row totals broadcast (nr/nt/v) for the
+                             // per-token smoothed log-ratio
+
       "k52_embedding_decontam")     // NOT tiny-build: the eval×train
                                     // Cartesian IS the declared semantics
                                     // (all-pairs decontamination truth,

@@ -1,0 +1,243 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Adversarial edge pins for the round-19 declared queries — cases the
+  * fixture cannot force, exercised on synthesized frames through the REAL
+  * declared plan bodies ([[graft.engine.Round19Ops]] — the h46Plan
+  * discipline), plus the plan-shape guarantees the scale posture rests on.
+  */
+class Round19Spec extends SparkSpec {
+
+  private def md5Hex1(id: Long): Char = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    f"${(d(0) & 0xff)}%02x".charAt(0)
+  }
+  /** k17/k59 split membership, computed independently of any engine. */
+  private def isTestId(id: Long): Boolean = md5Hex1(id) >= 'e'
+
+  /** Spark's ROUND(x, 4) semantics (HALF_UP on the shortest decimal
+    * rendering of the double — BigDecimal.valueOf). */
+  private def r4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Determinism.dsum's per-term DECIMAL(18,6) rounding. */
+  private def d6(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+
+  // ------------------------------------------------------------------ k58
+
+  test("k58 hand-computed weights: smoothing, sign, and the selected flag") {
+    val sp = spark; import sp.implicits._
+    // target source src0 holds only "q" tokens; non-target src9 holds only
+    // "z" tokens plus one shared "a" in each — so q is target-exclusive,
+    // z is raw-exclusive (ct = 0 → the add-1 smoothing is load-bearing),
+    // and a is balanced.
+    val docs = Seq(
+      (1L, "q q q a", "src0"), (2L, "q q q a", "src0"),
+      (3L, "z z z a", "src9"), (4L, "z z z a", "src9"))
+      .toDF("doc_id", "text", "source")
+    // corpus: q:6 z:6 a:4, nr=16; target: q:6 a:2, nt=8; v=3
+    def llr(ct: Long, cr: Long): Double =
+      math.log(((ct + 1).toDouble * (16 + 3)) / ((cr + 1).toDouble * (8 + 3)))
+    val q = llr(6, 6); val z = llr(0, 6); val a = llr(2, 4)
+    val expect = Map(
+      1L -> r4((3 * q + a) / 4), 2L -> r4((3 * q + a) / 4),
+      3L -> r4((3 * z + a) / 4), 4L -> r4((3 * z + a) / 4))
+    val got = graft.engine.Round19Ops.k58Plan(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getInt(3))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (id, m) =>
+      assert(got(id)._1 == m, s"doc $id mean_llr: got ${got(id)._1}, want $m")
+    }
+    // target docs read strongly positive (selected), raw docs negative
+    assert(got(1L)._1 > 0.005 && got(1L)._2 == 1, s"target doc: ${got(1L)}")
+    assert(got(3L)._1 < 0 && got(3L)._2 == 0, s"raw doc: ${got(3L)}")
+  }
+
+  test("k58 plan: one token pass, tf exchange reused, no data-sized window") {
+    val df = graft.engine.Round19Ops.k58.fn(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val explodes = "\\bGenerate\\b".r.findAllIn(p).length
+    assert(explodes == 1,
+      s"k58 must tokenize exactly once, found $explodes:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"the type-level tf exchange must be shared by the vocab regroup and " +
+        s"the per-doc join — without reuse the Generate re-expands:\n$p")
+    assert(!p.contains("Window"),
+      s"k58 must not window-partition by a token key (the k48 lesson):\n$p")
+  }
+
+  // ------------------------------------------------------------------ k59
+
+  // deterministic split members, discovered independently of the engine
+  private lazy val testIds  = (0L to 300L).filter(isTestId)
+  private lazy val trainIds = (0L to 300L).filterNot(isTestId)
+
+  /** A filler token unique per (tag, i) — one WORD, so it forms no shared
+    * shingle with anything else. */
+  private def uniq(tag: String, i: Int): String = s"u${tag}x$i"
+
+  private def runK59(docs: Seq[(Long, String)]): Map[Long, (Long, Option[Long], Int)] = {
+    val sp = spark; import sp.implicits._
+    graft.engine.Round19Ops.k59Plan(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getInt(3)))).toMap
+  }
+
+  test("k59 candidates: multi-shingle pair counted once, eval-eval and unblocked excluded") {
+    val e1 = testIds(0); val e2 = testIds(1); val t1 = trainIds(0)
+    val shared  = "s1 s2 s3 s4 s5"
+    val shared2 = "w1 w2 w3 w4 w5"
+    val docs = Seq(
+      // e1 and t1 share TWO disjoint 5-token blocks (separated by unique
+      // words so no cross-block window is shared) → still ONE candidate
+      e1 -> s"$shared ${uniq("e1", 0)} $shared2",
+      t1 -> s"$shared ${uniq("t1", 0)} $shared2",
+      // e2 shares a block with e1 ONLY (eval×eval — must not pair)
+      e2 -> s"p1 p2 p3 p4 p5 ${uniq("e2", 0)}",
+      e1 + 1000 -> "irrelevant filler one two") // train doc, no overlap
+    val got = runK59(docs.map { case (a, b) => (a.toLong, b) })
+    // output = the test-split docs only
+    assert(got.keySet == Set(e1, e2),
+      s"exactly the test docs appear: ${got.keySet}")
+    assert(got(e1)._1 == 1L, s"two shared shingles, one partner: ${got(e1)}")
+    assert(got(e1)._2.isDefined && got(e1)._3 == 1,
+      s"near-identical heads must flag: ${got(e1)}")
+    assert(got(e2) == ((0L, None, 0)),
+      s"eval-eval overlap must not produce candidates: ${got(e2)}")
+  }
+
+  test("k59 df cap: a shingle held by more than cap docs blocks nothing") {
+    val e = testIds(0)
+    val shared = "c1 c2 c3 c4 c5"
+    // 21 train docs + the eval doc all share ONLY the capped shingle
+    // (every other window crosses into a per-doc unique token)
+    val docs = (e, s"$shared ${uniq("e", 0)}") +:
+      trainIds.take(21).zipWithIndex.map { case (t, i) =>
+        (t, s"$shared ${uniq("t", i)}")
+      }
+    val got = runK59(docs)
+    assert(got(e) == ((0L, None, 0)),
+      s"df=22 > cap=20 — the stop-shingle must not block: ${got(e)}")
+    // control: with exactly cap holders (df = cap ≤ cap), it DOES block
+    val got2 = runK59(docs.take(20)) // eval + 19 train → df = 20
+    assert(got2(e)._1 == 19L && got2(e)._3 == 1,
+      s"df=20 ≤ cap — all 19 train partners are candidates: ${got2(e)}")
+  }
+
+  test("k59 threshold boundary: distance exactly tau flags, tau+1 does not") {
+    val e1 = testIds(0); val e2 = testIds(1)
+    val t1 = trainIds(0); val t2 = trainIds(1)
+    val sharedA = "a1 a2 a3 a4 a5"   // 14 chars
+    val sharedB = "b1 b2 b3 b4 b5"
+    // heads are "<shared> <word>"; the long words differ in exactly k
+    // leading chars (same length ⇒ Levenshtein = k substitutions), all
+    // within the 240-char head
+    def word(k: Int, fill: Char, n: Int = 100): String =
+      (fill.toString * k) + ("m" * (n - k))
+    val docs = Seq(
+      e1 -> s"$sharedA ${word(0, 'x')}",
+      t1 -> s"$sharedA ${word(60, 'y')}",   // dist 60 = tau → contaminated
+      e2 -> s"$sharedB ${word(0, 'x')}",
+      t2 -> s"$sharedB ${word(61, 'y')}")   // dist 61 > tau → clean
+    val got = runK59(docs)
+    assert(got(e1) == ((1L, Some(60L), 1)), s"at tau: ${got(e1)}")
+    assert(got(e2) == ((1L, Some(61L), 0)), s"above tau: ${got(e2)}")
+  }
+
+  test("k59 head granularity: divergence beyond 240 chars is invisible by declared semantics") {
+    val e = testIds(0); val t = trainIds(0)
+    val shared = "h1 h2 h3 h4 h5"
+    val pad = "p" * 230 // shared + " " + pad fills the 240-char head
+    val docs = Seq(
+      e -> s"$shared $pad ${uniq("e", 0)} ${uniq("e", 1)}",
+      t -> s"$shared $pad ${uniq("t", 0)} ${uniq("t", 1)}")
+    val got = runK59(docs)
+    assert(got(e) == ((1L, Some(0L), 1)),
+      s"identical 240-char heads ⇒ distance 0 whatever follows: ${got(e)}")
+  }
+
+  test("k59 plan: one shingle pass + one pair emit, no cartesian anywhere") {
+    val df = graft.engine.Round19Ops.k59.fn(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val explodes = "\\bGenerate\\b".r.findAllIn(p).length
+    assert(explodes == 2,
+      s"k59 must shingle once and emit pairs once, found $explodes:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"),
+      s"k59 joins are all digest/doc-keyed hash joins:\n$p")
+  }
+
+  // ------------------------------------------------------------------ k60
+
+  private def runK60(rows: Seq[(Long, String, String)]) = {
+    val sp = spark; import sp.implicits._
+    graft.engine.Round19Ops.k60Plan(
+      rows.toDF("doc_id", "text", "source")).collect()
+  }
+
+  test("k60 hand-computed spectrum: counts 4/2/1 against the decimal-exact OLS") {
+    // one source, tokens: a ×4, b ×2, c ×1 → ranks 1, 2, 3
+    val got = runK60(Seq((1L, "a a b c", "s1"), (2L, "a a b", "s1")))
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "s1" && r.getLong(1) == 3L && r.getLong(2) == 7L)
+    assert(r.getDouble(3) == r4(3.0 / 7))
+    // replicate the plan's arithmetic exactly: per-term DECIMAL(18,6)
+    // sums, then the closed form on doubles
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    def s(ts: Seq[Double]) =
+      ts.map(d6).reduce(_ add _).doubleValue()
+    val (sx, sy) = (s(xs), s(ys))
+    val sxy = s(xs.zip(ys).map { case (x, y) => x * y })
+    val sxx = s(xs.map(x => x * x))
+    val slope = (3 * sxy - sx * sy) / (3 * sxx - sx * sx)
+    assert(r.getDouble(4) == r4(slope), s"slope: ${r.getDouble(4)} vs ${r4(slope)}")
+    assert(r.getDouble(5) == r4((sy - slope * sx) / 3))
+    assert(r.getDouble(4) < 0, "a falling spectrum fits a negative slope")
+  }
+
+  test("k60 uniform spectrum: slope is exactly +0.0 (canonicalized), never -0.0") {
+    val got = runK60(Seq((1L, "a b c d", "s1")))
+    val slope = got.head.getDouble(4)
+    assert(slope == 0.0)
+    assert(java.lang.Double.doubleToRawLongBits(slope) == 0L,
+      "the + 0.0 canonicalization must yield positive zero bits")
+  }
+
+  test("k60 single-type source: the 0/0 fit is NULL in both engines (spec-pinned)") {
+    val got = runK60(Seq((1L, "a a a", "s1"), (2L, "x y z", "s2")))
+    val byS = got.map(r => r.getString(0) -> r).toMap
+    assert(byS("s1").isNullAt(4) && byS("s1").isNullAt(5),
+      "sxx = sx = 0 ⇒ NULL slope/intercept")
+    assert(!byS("s2").isNullAt(4), "the multi-type source still fits")
+  }
+
+  test("k60 doc-order invariance: the spectrum aggregate sees no row order") {
+    val a = Seq((1L, "a a b", "s1"), (2L, "b c a", "s1"), (3L, "c a a", "s2"))
+    assert(runK60(a).map(_.toString).toSeq ==
+      runK60(a.reverse).map(_.toString).toSeq)
+  }
+
+  test("k60 plan: join-free, one token pass, the only window is vocab-sized per source") {
+    val df = graft.engine.Round19Ops.k60.fn(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"k60 must be join-free:\n$p")
+    assert("\\bGenerate\\b".r.findAllIn(p).length == 1,
+      s"k60 must tokenize exactly once:\n$p")
+    assert("\\bWindow\\b".r.findAllIn(p).length == 1,
+      s"one rank window over the (source, type) spectrum:\n$p")
+  }
+}
