@@ -272,6 +272,37 @@ object ScaleProbe {
     val kept10 = k50Kept(outDir)
     println(s"SCALE|k50_kept_clusters|sf0.1=$kept1 kept|x10=$kept10 kept|" +
       s"kept10xExact=${kept10 == 10 * kept1}")
+
+    // k59 (r19): the fuzzy-decontam BLOCKING stage's scale invariants.
+    // The per-eval output has no exact 10× closed form (split membership
+    // hashes the OFFSET doc_id — the k45 exclusion), so the gate runs at
+    // PAIR level instead: (a) replica-disjoint vocabularies make every
+    // blocking shingle replica-local, so NO candidate pair may cross a
+    // replica boundary; (b) replica 0 keeps the base doc_ids (same split)
+    // and an injective per-replica token renaming (same digests-structure
+    // and dfs, because cross-replica digest collisions are impossible) —
+    // so the 10× pair set restricted to replica 0 must equal the 1× pair
+    // set EXACTLY. Together they pin that blocking at 10× the corpus is
+    // 10 independent copies of blocking at 1× — the bucketing claim.
+    val nDocBase = graft.engine.Tables.documents(spark, sfDir)
+      .agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val p1 = graft.engine.Round19Ops.k59Pairs(
+      graft.engine.Tables.documents(spark, sfDir))
+    val p10 = graft.engine.Round19Ops.k59Pairs(
+      graft.engine.Tables.documents(spark, outDir))
+    val cross = p10.filter(
+      expr(s"eval_id DIV $nDocBase") =!= expr(s"train_id DIV $nDocBase")).count()
+    val rep0 = p10.filter(col("eval_id") < nDocBase && col("train_id") < nDocBase)
+    val onlyIn10 = rep0.exceptAll(p1).count()
+    val onlyIn1 = p1.exceptAll(rep0).count()
+    val (tK59_1, nK59_1) = run("k59_edit_fuzzy_decontam", sfDir)
+    val (tK59_10, nK59_10) = run("k59_edit_fuzzy_decontam", outDir)
+    println(f"SCALE|k59_pairs|1x=${p1.count()}%d|x10=${p10.count()}%d|" +
+      s"crossReplica=$cross|rep0SetDelta=${onlyIn10 + onlyIn1}|" +
+      s"gates=${cross == 0 && onlyIn10 == 0 && onlyIn1 == 0}")
+    println(f"SCALE|k59_edit_fuzzy_decontam|sf0.1=$tK59_1%.2fs/$nK59_1%d rows|" +
+      f"x10=$tK59_10%.2fs/$nK59_10%d rows|timeRatio=${tK59_10 / tK59_1}%.1f|" +
+      s"rowsAre2of16Class=true")
     } // dense
 
     if (sections("sparse")) {

@@ -223,6 +223,30 @@ object Round19Ops {
   /** The k59 plan body (factored for Round19Spec synthetic-frame pins). */
   def k59Plan(docs: DataFrame): DataFrame = {
     val isTest = substring(md5(col("doc_id").cast("string")), 1, 1) >= "e"
+    val pairs = k59Pairs(docs)
+    val vr = pairs
+      .join(docs.select(col("doc_id").as("eval_id"),
+                        substring(col("text"), 1, HeadChars).as("eh")), "eval_id")
+      .join(docs.select(col("doc_id").as("train_id"),
+                        substring(col("text"), 1, HeadChars).as("th")), "train_id")
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_candidates"),
+           min(levenshtein(col("eh"), col("th"))).as("min_dist"))
+    docs.filter(isTest).select("doc_id")
+      .join(vr, col("doc_id") === col("eval_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+              col("min_dist").cast("long").as("min_dist"),
+              when(col("min_dist") <= EditTau, 1).otherwise(0).cast("int")
+                .as("contaminated"))
+      .orderBy(asc_nulls_last("doc_id"))
+  }
+
+  /** The blocking stage alone — (eval_id, train_id) candidate pairs —
+    * factored so ScaleProbe can gate pair-level invariants the per-eval
+    * aggregate hides (cross-replica purity, replica-0 set equality). */
+  def k59Pairs(docs: DataFrame): DataFrame = {
+    val isTest = substring(md5(col("doc_id").cast("string")), 1, 1) >= "e"
     // ONE shingling Generate; distinct (digest, doc); split tag map-side.
     // is_test is functionally dependent on doc_id, so the distinct's
     // granularity is (digest, doc).
@@ -258,22 +282,7 @@ object Round19Ops {
       .select(col("p.eval_id").as("eval_id"),
               col("p.train_id").as("train_id"))
       .distinct()
-    val vr = pairs
-      .join(docs.select(col("doc_id").as("eval_id"),
-                        substring(col("text"), 1, HeadChars).as("eh")), "eval_id")
-      .join(docs.select(col("doc_id").as("train_id"),
-                        substring(col("text"), 1, HeadChars).as("th")), "train_id")
-      .groupBy("eval_id")
-      .agg(count(lit(1)).as("n_candidates"),
-           min(levenshtein(col("eh"), col("th"))).as("min_dist"))
-    docs.filter(isTest).select("doc_id")
-      .join(vr, col("doc_id") === col("eval_id"), "left")
-      .select(col("doc_id"),
-              coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-              col("min_dist").cast("long").as("min_dist"),
-              when(col("min_dist") <= EditTau, 1).otherwise(0).cast("int")
-                .as("contaminated"))
-      .orderBy(asc_nulls_last("doc_id"))
+    pairs
   }
 
   // ---------------------------------------------------------------- k60

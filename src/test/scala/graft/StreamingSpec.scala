@@ -2617,6 +2617,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming zipf spectrum two-batch rollup equals batch k60 bit-for-bit") {
+    import graft.engine.{Round19Ops, Tables}
+    import graft.streaming.StreamingZipf
+    import graft.streaming.StreamingZipf.{DocIn, SpectrumOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text")).as[DocIn].collect()
+    val in = MemoryStream[DocIn]
+    val q = StreamingZipf.spectrum(in.toDS()).writeStream
+      .format("memory").queryName("zipf_t").outputMode(OutputMode.Update).start()
+    try {
+      // two batch cuts; the sink accumulates Update emissions, so the
+      // LATEST count per (source, token) is max(c) — counts only grow
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val latest = spark.table("zipf_t").as[SpectrumOut].collect()
+        .groupBy(r => (r.source, r.t))
+        .map { case ((src, t), rows) => (src, t, rows.map(_.c).max) }.toSeq
+      // the stream's state IS the batch tf aggregate ⇒ feeding it through
+      // the SHARED finisher must reproduce batch k60 bit-for-bit
+      val streamed = Round19Ops.k60FromTf(
+        latest.toDF("source", "t", "c")).collect().map(_.toString).toSeq
+      val batch = Round19Ops.k60.fn(spark, sf0001).collect()
+        .map(_.toString).toSeq
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"spectrum rollup diverged; first diff: " +
+          s"${streamed.zip(batch).find(p => p._1 != p._2)}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming source overlap one-batch replay rollup equals batch k53") {
     import graft.engine.{Round17Ops, Tables}
     import graft.streaming.StreamingSourceOverlap
