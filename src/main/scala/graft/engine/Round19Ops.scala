@@ -375,5 +375,162 @@ object Round19Ops {
       .orderBy(asc_nulls_last("source"))
   }
 
-  val ops: Vector[Q] = Vector(k58, k59, k60)
+  // ---------------------------------------------------------------- k61
+
+  /** Novelty shingle width (5-grams — the granularity memorization
+    * analyses report) and the memorized-flag threshold on the ROUND-4
+    * novelty fraction. */
+  private val NovW = 5
+  private val NovTau = 0.2
+
+  /** k61 — n-gram NOVELTY of test-split docs against the train split
+    * [public: memorization/novelty analyses — Lee et al. 2022 §6 measure
+    * memorized continuations of duplicated training text; McCoy et al.
+    * 2021 ("How much do language models copy…", RAVEN) score generated
+    * text by the fraction of its n-grams unseen in training]: per TEST
+    * doc (k17's content-hash split), the 5-gram occurrence count, the
+    * count of occurrences whose 5-gram appears in NO train doc, the
+    * ROUND-4 novelty fraction, and the memorized flag (fraction < 0.2 —
+    * a test doc mostly assembled from train 5-grams is leaked/derived
+    * text). The dual of k34/k45/k59: contamination asks "did eval text
+    * reach train?"; novelty asks "how much of this text is NOT train
+    * material?" — the fixture populates all three classes at sf0.01
+    * (62 fully novel / 2 partial / 4 fully memorized).
+    *
+    * Scale shape — the one query where the single-Generate discipline
+    * is deliberately NOT the right plan: the two consumers need
+    * COMPLEMENTARY split halves (train digests, test counts), so two
+    * split-pruned Generates total exactly ONE corpus shingling pass and
+    * every shuffle shrinks to its half (train side exchanges DISTINCT
+    * digests only, test side one-eighth of the corpus; a shared
+    * unfiltered frame would exchange the full corpus TWICE — measured
+    * before rejecting: the reuse-friendly conditional-agg form moved
+    * the whole corpus through the per-doc aggregate to keep one
+    * Generate). The split prunes at the SCAN side of each branch
+    * (is_test is map-side from doc_id); the digest join is
+    * AQE-skew-splittable. Docs shorter than 5 tokens
+    * have no 5-grams and are absent from BOTH engines by construction.
+    * All counts exact integers; the fraction rides the ROUND-4 class
+    * with the flag compared on the rounded value. */
+  val k61: Q = Q(
+    "k61_ngram_novelty",
+    s"""WITH tk AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts,
+      |        SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' AS is_test
+      |      FROM documents),
+      |sp AS (SELECT doc_id, is_test,
+      |         MD5(ARRAY_TO_STRING(ts[i + 1:i + $NovW], ' ')) AS d
+      |       FROM tk,
+      |         UNNEST(RANGE(0, GREATEST(LEN(ts) - ${NovW - 1}, 0))) AS r(i)),
+      |tr AS (SELECT DISTINCT d FROM sp WHERE NOT is_test),
+      |te AS (SELECT doc_id, d, COUNT(*) AS c FROM sp WHERE is_test
+      |       GROUP BY 1, 2),
+      |nov AS (SELECT te.doc_id, SUM(c) AS n,
+      |          SUM(CASE WHEN tr.d IS NULL THEN c ELSE 0 END) AS novel
+      |        FROM te LEFT JOIN tr ON te.d = tr.d GROUP BY 1)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_ngrams,
+      |  CAST(novel AS BIGINT) AS n_novel,
+      |  ROUND(CAST(novel AS DOUBLE) / n, 4) AS novelty,
+      |  CAST(CASE WHEN ROUND(CAST(novel AS DOUBLE) / n, 4) < $NovTau
+      |       THEN 1 ELSE 0 END AS INT) AS memorized
+      |FROM nov ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => k61Plan(Tables.documents(s, dir)))
+
+  /** The k61 plan body (factored for Round19Spec synthetic-frame pins). */
+  def k61Plan(docs: DataFrame): DataFrame = {
+    val isTest = substring(md5(col("doc_id").cast("string")), 1, 1) >= "e"
+    def shingles(half: DataFrame): DataFrame = half
+      .select(col("doc_id"), split(col("text"), " ").as("__t"))
+      .filter(size(col("__t")) >= NovW)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(__t) - ${NovW - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(__t, i, $NovW))))")).as("d"))
+    // complementary split-pruned passes: together exactly one corpus
+    // shingling; each branch's shuffle carries only its half
+    val tr = shingles(docs.filter(!isTest))
+      .select("d").distinct().withColumn("hit", lit(1))
+    val te = shingles(docs.filter(isTest))
+      .groupBy("doc_id", "d").agg(count(lit(1)).as("c"))
+    te.join(tr, Seq("d"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_ngrams"),
+           sum(when(col("hit").isNull, col("c")).otherwise(0L))
+             .cast("long").as("n_novel"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_novel"),
+              round(col("n_novel").cast("double") / col("n_ngrams"), 4)
+                .as("novelty"),
+              when(round(col("n_novel").cast("double") / col("n_ngrams"), 4)
+                     < NovTau, 1).otherwise(0).cast("int").as("memorized"))
+      .orderBy(asc_nulls_last("doc_id"))
+  }
+
+  // ---------------------------------------------------------------- k62
+
+  /** k62 — per-source unigram KL divergence from the corpus [public:
+    * Kullback–Leibler 1951; corpus-linguistics source profiling — a
+    * source whose token distribution diverges from the pool is
+    * machine-generated, mis-scraped, or a different register]:
+    * KL(p_source ‖ p_corpus) = Σ_w (c/n)·ln((c·tot)/(n·ct)) over the
+    * source's observed vocabulary (no smoothing needed — every source
+    * token is a corpus token by construction), plus type/token counts.
+    * The source-level divergence k60 measures by SHAPE (rank spectrum)
+    * and k58 scores per-doc (target ratio): three orthogonal views of
+    * the same frequency machinery, each with an independent oracle.
+    *
+    * Determinism: the ratio builds from exact integers in the SAME
+    * operation order both engines — (c as double · tot)/(ct as double
+    * · n) — one ln of identical bits; each term (c/n)·ln(·) routes
+    * through DECIMAL(18,6) ([[Determinism.dsum]]) so the per-source
+    * sum is order-independent and bit-identical; the output needs NO
+    * further rounding (already 6-dp quantized). Scale: ONE tokenize
+    * Generate → the (source, token) frame, every downstream consumer
+    * (corpus counts, source totals, the 1-row corpus total) a
+    * vocab-sized regroup of it with the exchange reused; the final
+    * join is token-keyed and AQE-skew-splittable. */
+  val k62: Q = Q(
+    "k62_source_divergence",
+    s"""WITH tok AS (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS t
+      |             FROM documents),
+      |sf AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |cf AS (SELECT t, SUM(c) AS ct FROM sf GROUP BY 1),
+      |ns AS (SELECT source, SUM(c) AS n, COUNT(*) AS n_types FROM sf
+      |       GROUP BY 1),
+      |tt AS (SELECT SUM(ct) AS tot FROM cf)
+      |SELECT sf.source AS source,
+      |  CAST(MAX(ns.n_types) AS BIGINT) AS n_types,
+      |  CAST(MAX(ns.n) AS BIGINT) AS n_tokens,
+      |  ${Determinism.dsumSql(
+           "(CAST(sf.c AS DOUBLE) / ns.n) * LN((CAST(sf.c AS DOUBLE) * tot)" +
+             " / (CAST(cf.ct AS DOUBLE) * ns.n))")} AS kl_nats
+      |FROM sf JOIN cf ON sf.t = cf.t JOIN ns ON sf.source = ns.source
+      |CROSS JOIN tt
+      |GROUP BY 1 ORDER BY source ASC NULLS LAST""".stripMargin,
+    (s, dir) => k62Plan(Tables.documents(s, dir)))
+
+  /** The k62 plan body (factored for Round19Spec synthetic-frame pins). */
+  def k62Plan(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"),
+                          explode(split(col("text"), " ")).as("t"))
+      // semantically a no-op (split yields no nulls; fixture sources are
+      // non-null) — but the final join pushes isnotnull(source)/isnotnull(t)
+      // below ITS copy of the Generate only, which breaks exchange-subtree
+      // identity for cf/ns/tt and re-runs the tokenize per branch (the k48
+      // equalizer; measured: 2 Generates without it)
+      .filter(col("source").isNotNull && col("t").isNotNull)
+    val sf = tok.groupBy("source", "t").agg(count(lit(1)).as("c"))
+    val cf = sf.groupBy("t").agg(sum(col("c")).as("ct"))
+    val ns = sf.groupBy("source")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"))
+    val tt = cf.agg(sum(col("ct")).as("tot"))
+    val term = (col("c").cast("double") / col("n")) *
+      log((col("c").cast("double") * col("tot")) /
+            (col("ct").cast("double") * col("n")))
+    sf.join(cf, "t").join(ns, "source").crossJoin(broadcast(tt))
+      .groupBy("source")
+      .agg(max(col("n_types")).cast("long").as("n_types"),
+           max(col("n")).cast("long").as("n_tokens"),
+           Determinism.dsum(term).as("kl_nats"))
+      .orderBy(asc_nulls_last("source"))
+  }
+
+  val ops: Vector[Q] = Vector(k58, k59, k60, k61, k62)
 }

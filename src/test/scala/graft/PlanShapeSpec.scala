@@ -40,6 +40,8 @@ class PlanShapeSpec extends SparkSpec {
       "k51_domain_mixture",  // 1-row corpus-total broadcast for share/rate
       "k58_dsir_weight",     // 1-row totals broadcast (nr/nt/v) for the
                              // per-token smoothed log-ratio
+      "k62_source_divergence", // 1-row corpus-total broadcast for the
+                               // KL ratio denominators
 
       "k52_embedding_decontam")     // NOT tiny-build: the eval×train
                                     // Cartesian IS the declared semantics

@@ -229,6 +229,110 @@ class Round19Spec extends SparkSpec {
       runK60(a.reverse).map(_.toString).toSeq)
   }
 
+  // ------------------------------------------------------------------ k61
+
+  private def runK61(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Double, Int)] = {
+    val sp = spark; import sp.implicits._
+    graft.engine.Round19Ops.k61Plan(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+  }
+
+  test("k61 novelty classes: memorized, partial, fully novel; test-test sharing stays novel") {
+    val e1 = testIds(0); val e2 = testIds(1); val e3 = testIds(2)
+    val e4 = testIds(3); val t1 = trainIds(0)
+    val train5 = "m1 m2 m3 m4 m5"        // the train-held 5-gram
+    val shared = "v1 v2 v3 v4 v5"        // held only by TWO TEST docs
+    val docs = Seq(
+      t1 -> s"$train5 ${uniq("t", 0)}",
+      e1 -> train5,                       // every 5-gram in train → memorized
+      // 6 tokens = 2 windows: [1..5] in train, [2..6] novel → novelty 0.5
+      e2 -> s"$train5 ${uniq("e2", 0)}",
+      e3 -> s"$shared ${uniq("e3", 0)}",  // shares only with e4 (test)
+      e4 -> s"$shared ${uniq("e4", 0)}")
+    val got = runK61(docs)
+    assert(got.keySet == Set(e1, e2, e3, e4), s"test docs only: ${got.keySet}")
+    assert(got(e1) == ((1L, 0L, 0.0, 1)), s"fully memorized: ${got(e1)}")
+    assert(got(e2) == ((2L, 1L, 0.5, 0)), s"partial: ${got(e2)}")
+    // test-test sharing must NOT count as train coverage
+    assert(got(e3) == ((2L, 2L, 1.0, 0)), s"test-test stays novel: ${got(e3)}")
+  }
+
+  test("k61 occurrence weighting: a repeated test 5-gram counts per occurrence") {
+    val e = testIds(0); val t = trainIds(0)
+    val g = "r1 r2 r3 r4 r5"
+    // e = g ⧺ unique ⧺ g: windows [1..5] and [7..11] both equal g (2
+    // occurrences of ONE digest), plus 5 mixed windows crossing the
+    // unique token — 7 windows, 2 memorized occurrences
+    val docs = Seq(t -> s"$g ${uniq("t", 0)}",
+                   e -> s"$g ${uniq("e", 0)} $g")
+    val got = runK61(docs)
+    assert(got(e)._1 == 7L && got(e)._2 == 5L,
+      s"2 of 7 occurrences covered: ${got(e)}")
+    assert(got(e)._3 == r4(5.0 / 7), s"novelty: ${got(e)}")
+  }
+
+  test("k61 plan: two COMPLEMENTARY split-pruned passes totaling one corpus shingling") {
+    val df = graft.engine.Round19Ops.k61.fn(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // deliberately TWO Generates — each over a disjoint split half (the
+    // one place the single-Generate discipline loses: a shared unfiltered
+    // frame would push the whole corpus through the per-doc aggregate);
+    // the split predicate must prune below BOTH Generates
+    assert("\\bGenerate\\b".r.findAllIn(p).length == 2,
+      s"k61 shingles each split half once:\n$p")
+    val filters = p.linesIterator.filter(_.contains("Filter ")).toSeq
+    assert(filters.exists(_.contains(">= e")) &&
+             filters.exists(_.contains("< e")),
+      s"both halves must prune on the split below their Generate:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"), s"hash joins only:\n$p")
+  }
+
+  // ------------------------------------------------------------------ k62
+
+  private def runK62(rows: Seq[(Long, String, String)]) = {
+    val sp = spark; import sp.implicits._
+    graft.engine.Round19Ops.k62Plan(
+      rows.toDF("doc_id", "text", "source")).collect()
+  }
+
+  test("k62 identical sources: every source equals the corpus, KL exactly 0") {
+    val got = runK62(Seq((1L, "a a b", "s1"), (2L, "a a b", "s2")))
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getDouble(3) == 0.0, s"KL(p‖p) = 0: $r")
+    }
+  }
+
+  test("k62 hand-computed divergence against the decimal-exact terms") {
+    // s1: a×3 b×1 (n=4); s2: a×1 b×3 (n=4); corpus: a×4 b×4 (tot=8)
+    val got = runK62(Seq((1L, "a a a b", "s1"), (2L, "a b b b", "s2")))
+      .map(r => r.getString(0) -> r).toMap
+    def term(c: Long, n: Long, ct: Long, tot: Long) =
+      d6((c.toDouble / n) * math.log((c.toDouble * tot) / (ct.toDouble * n)))
+    val kl = term(3, 4, 4, 8).add(term(1, 4, 4, 8)).doubleValue()
+    assert(got("s1").getLong(1) == 2L && got("s1").getLong(2) == 4L)
+    assert(got("s1").getDouble(3) == kl, s"s1: ${got("s1")} vs $kl")
+    // symmetric construction ⇒ identical divergence
+    assert(got("s2").getDouble(3) == kl, s"s2: ${got("s2")}")
+    assert(kl > 0, "diverging sources must read positive")
+  }
+
+  test("k62 plan: one token pass, vocab regroups reuse the exchange") {
+    val df = graft.engine.Round19Ops.k62.fn(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("\\bGenerate\\b".r.findAllIn(p).length == 1,
+      s"k62 must tokenize exactly once:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"cf/ns/tt must reuse the (source, token) exchange:\n$p")
+    assert(!p.contains("Window"), s"k62 is windows-free:\n$p")
+  }
+
   test("k60 plan: join-free, one token pass, the only window is vocab-sized per source") {
     val df = graft.engine.Round19Ops.k60.fn(spark, sf0001)
     df.collect()
