@@ -2617,6 +2617,71 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming DSIR one-batch replay equals batch k58 (score + flag)") {
+    import graft.engine.{Round19Ops, Tables}
+    import graft.streaming.StreamingDsir
+    import graft.streaming.StreamingDsir.{DocIn, TokenHit, Tot}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text")).as[DocIn].collect()
+    val in = MemoryStream[DocIn]
+    val inT = MemoryStream[DocIn]
+    val q = StreamingDsir.tokenHits(in.toDS()).writeStream
+      .format("memory").queryName("dsir_hits_t").outputMode(OutputMode.Update).start()
+    val qt = StreamingDsir.corpusTotals(inT.toDS()).writeStream
+      .format("memory").queryName("dsir_tot_t").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(docs.toIndexedSeq) // whole corpus in ONE micro-batch
+      inT.addData(docs.toIndexedSeq)
+      q.processAllAvailable(); qt.processAllAvailable()
+      val tot = spark.table("dsir_tot_t").as[Tot].collect()
+        .maxBy(t => (t.nr, t.nt))
+      val hits = spark.table("dsir_hits_t").as[TokenHit].collect()
+      // V = distinct tokens ever seen — the once-per-token `first` facts
+      val v = hits.filter(_.first).map(_.t).distinct.length.toLong
+      val streamed = hits.groupBy(_.doc_id).map { case (id, hs) =>
+        val n = hs.map(_.c).sum
+        val llr = hs.map(h => h.c * math.log(
+          ((h.ctt + 1).toDouble * (tot.nr + v)) /
+            ((h.cr + 1).toDouble * (tot.nt + v)))).sum
+        val mean = BigDecimal(llr / n)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+        id -> ((n, mean, if (mean > 0.005) 1 else 0))
+      }
+      val batch = Round19Ops.k58.fn(spark, sf0001).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Double]("mean_llr"),
+            r.getAs[Int]("selected")))).toMap
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"one-batch streaming rollup must equal batch k58; diff=" +
+          s"${(streamed.toSet -- batch.toSet).take(3)}")
+      // cross-batch probe-at-arrival: a second batch reusing a token must
+      // read counts THROUGH batch 2 on its own hits
+      val tok0 = docs.head.text.split(" ", -1).head
+      val before = hits.filter(_.t == tok0).map(_.cr).max
+      in.addData(DocIn(999999L, "src9", tok0))
+      q.processAllAvailable()
+      val after = spark.table("dsir_hits_t").as[TokenHit].collect()
+        .filter(h => h.doc_id == 999999L && h.t == tok0)
+      assert(after.length == 1 && after.head.cr == before + 1 &&
+               !after.head.first,
+        s"batch-2 hit must carry post-batch-2 counts: ${after.toSeq}")
+    } finally {
+      q.stop(); qt.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming zipf spectrum two-batch rollup equals batch k60 bit-for-bit") {
     import graft.engine.{Round19Ops, Tables}
     import graft.streaming.StreamingZipf
