@@ -303,6 +303,72 @@ object ScaleProbe {
     println(f"SCALE|k59_edit_fuzzy_decontam|sf0.1=$tK59_1%.2fs/$nK59_1%d rows|" +
       f"x10=$tK59_10%.2fs/$nK59_10%d rows|timeRatio=${tK59_10 / tK59_1}%.1f|" +
       s"rowsAre2of16Class=true")
+
+    // k60 (r19): every replica source is the base source with renamed
+    // tokens, so its rank spectrum — and with it n_types / n_tokens /
+    // ttr / slope / intercept — must be VALUE-identical to the base
+    // source's: the multiset of replica fits = 10 exact copies, keyed by
+    // stripping the "-r" suffix. A value-level gate, not just rows.
+    val (tK60_1, _) = run("k60_zipf_fit", sfDir)
+    val t60 = System.nanoTime()
+    val k60x10 = SparkEntry.queries("k60_zipf_fit")(spark, outDir)
+      .withColumn("base_source",
+        regexp_replace(col("source"), "-[0-9]+$", ""))
+      .drop("source").collect()
+    val tK60_10 = (System.nanoTime() - t60) / 1e9
+    val k60base = SparkEntry.queries("k60_zipf_fit")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1).mkString("|")).toMap
+    val k60Bad = k60x10.count { r =>
+      k60base.get(r.getAs[String]("base_source")) !=
+        Some(r.toSeq.dropRight(1).drop(0).take(5).mkString("|"))
+    }
+    println(f"SCALE|k60_zipf_fit|sf0.1=$tK60_1%.2fs|x10=$tK60_10%.2fs|" +
+      f"timeRatio=${tK60_10 / tK60_1}%.1f|rows10x=${k60x10.length == 10 * k60base.size}|" +
+      s"replicaFitsValueExact=${k60Bad == 0}")
+
+    // k61 (r19): replica 0 keeps the base doc_ids (same train/test split)
+    // and an injective token renaming, and disjoint vocabularies keep
+    // train hits replica-local — so the 10× output restricted to
+    // replica-0 ids must equal the 1× output EXACTLY (ids AND values);
+    // other replicas have no closed form (the k45 split-class exclusion).
+    // k58 is excluded by design: its target whitelist names base sources,
+    // which the replica suffixes rename, so the probe corpus has no
+    // target docs at all.
+    val (tK61_1, nK61_1) = run("k61_ngram_novelty", sfDir)
+    val (tK61_10, nK61_10) = run("k61_ngram_novelty", outDir)
+    val k61r0 = SparkEntry.queries("k61_ngram_novelty")(spark, outDir)
+      .filter(col("doc_id") < nDocBase)
+    val k61b = SparkEntry.queries("k61_ngram_novelty")(spark, sfDir)
+    val k61Delta =
+      k61r0.exceptAll(k61b).count() + k61b.exceptAll(k61r0).count()
+    println(f"SCALE|k61_ngram_novelty|sf0.1=$tK61_1%.2fs/$nK61_1%d rows|" +
+      f"x10=$tK61_10%.2fs/$nK61_10%d rows|timeRatio=${tK61_10 / tK61_1}%.1f|" +
+      s"rep0ValueDelta=$k61Delta|rep0Exact=${k61Delta == 0}")
+
+    // k62 (r19): the corpus of 10 disjoint equal-mass replicas is a
+    // 1/10-weight mixture, so for every token ct_10x = ct_base while
+    // tot_10x = 10·tot_base — the per-source divergence obeys
+    // KL_10x = KL_base + ln 10 EXACTLY at the real-number level; the
+    // DECIMAL(18,6) per-term rounding perturbs each of ~31 terms by
+    // ≤ 5e-7, so the gate allows 1e-3 (documented, not hand-waved).
+    val (tK62_1, _) = run("k62_source_divergence", sfDir)
+    val t62 = System.nanoTime()
+    val k62x10 = SparkEntry.queries("k62_source_divergence")(spark, outDir)
+      .withColumn("base_source",
+        regexp_replace(col("source"), "-[0-9]+$", ""))
+      .select("base_source", "kl_nats").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val tK62_10 = (System.nanoTime() - t62) / 1e9
+    val k62base = SparkEntry.queries("k62_source_divergence")(spark, sfDir)
+      .select("source", "kl_nats").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ln10 = math.log(10.0)
+    val k62Bad = k62x10.count { case (src, kl) =>
+      math.abs(kl - k62base(src) - ln10) > 1e-3
+    }
+    println(f"SCALE|k62_source_divergence|sf0.1=$tK62_1%.2fs|x10=$tK62_10%.2fs|" +
+      f"timeRatio=${tK62_10 / tK62_1}%.1f|" +
+      s"mixtureLawKLplusLn10=${k62Bad == 0} (bad=$k62Bad of ${k62x10.length})")
     } // dense
 
     if (sections("sparse")) {
