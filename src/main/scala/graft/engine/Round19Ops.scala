@@ -532,5 +532,96 @@ object Round19Ops {
       .orderBy(asc_nulls_last("source"))
   }
 
-  val ops: Vector[Q] = Vector(k58, k59, k60, k61, k62)
+  // ---------------------------------------------------------------- k63
+
+  /** k45's span width — the rewrite removes exactly what the accounting
+    * counts. */
+  private val RwW = 20
+
+  /** k63 — decontamination REWRITE: the query that actually PRODUCES the
+    * cleaned training corpus [public: C4 (Raffel et al. 2020) drops
+    * benchmark-overlapping lines; Lee et al. 2022 cut duplicated spans
+    * out of the text, not just the ledger]: for every TRAIN doc (k17's
+    * content-hash split), remove every token covered by some 20-token
+    * stride-1 span shared verbatim with ANY test doc, and emit the
+    * cleaned text alongside the token/removal counts — k45 is the
+    * ACCOUNTING of this operation; k33 (PII redaction) is the same
+    * produce-the-artifact class on a different axis. Overlapping
+    * contaminated spans union (a token inside two spans is removed
+    * once); an untouched doc reproduces its text verbatim; a fully
+    * covered doc emits the empty string (fixture: 427 untouched / 5
+    * near-full at sf0.01; the empty-string branch is spec-forced).
+    *
+    * Scale shape (k61's complementary-split discipline): two
+    * split-pruned shingling Generates totaling one corpus pass — the
+    * test side exchanges DISTINCT digests only, the train side its
+    * (doc, start, digest) spans; one digest-keyed hash join marks the
+    * contaminated starts; per-doc start-lists are doc-length-bounded
+    * collect_lists; the rewrite itself is MAP-SIDE codegen'd array HOFs
+    * (coverage test + filter + concat_ws — no second pass over the
+    * corpus, no window). All counts exact integers; the text round-trips
+    * token-exactly because split/join both use the single-space
+    * delimiter. */
+  val k63: Q = Q(
+    "k63_decontam_rewrite",
+    s"""WITH tk AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ts,
+      |        SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' AS is_test
+      |      FROM documents),
+      |sp AS (SELECT doc_id, is_test, i + 1 AS strt,
+      |         MD5(ARRAY_TO_STRING(ts[i + 1:i + $RwW], ' ')) AS d
+      |       FROM tk,
+      |         UNNEST(RANGE(0, GREATEST(LEN(ts) - ${RwW - 1}, 0))) AS r(i)),
+      |ted AS (SELECT DISTINCT d FROM sp WHERE is_test),
+      |hits AS (SELECT sp.doc_id, sp.strt FROM sp JOIN ted ON sp.d = ted.d
+      |         WHERE NOT sp.is_test),
+      |pos AS (SELECT doc_id, ts[p] AS tok, p
+      |        FROM (SELECT doc_id, ts, UNNEST(RANGE(1, LEN(ts) + 1)) AS p
+      |              FROM tk WHERE NOT is_test)),
+      |cov AS (SELECT pos.doc_id, pos.p, pos.tok,
+      |          EXISTS(SELECT 1 FROM hits h WHERE h.doc_id = pos.doc_id
+      |                 AND pos.p BETWEEN h.strt AND h.strt + ${RwW - 1})
+      |            AS covered
+      |        FROM pos)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_removed,
+      |  COALESCE(STRING_AGG(CASE WHEN NOT covered THEN tok END,
+      |                      ' ' ORDER BY p), '') AS cleaned_text
+      |FROM cov GROUP BY doc_id ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => k63Plan(Tables.documents(s, dir)))
+
+  /** The k63 plan body (factored for Round19Spec synthetic-frame pins). */
+  def k63Plan(docs: DataFrame): DataFrame = {
+    val isTest = substring(md5(col("doc_id").cast("string")), 1, 1) >= "e"
+    def spans(half: DataFrame): DataFrame = half
+      .select(col("doc_id"), split(col("text"), " ").as("__t"))
+      .filter(size(col("__t")) >= RwW)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(__t) - ${RwW - 1}), " +
+          s"i -> md5(concat_ws(' ', slice(__t, i, $RwW))))")))
+    val ted = spans(docs.filter(isTest)).select(col("col").as("d")).distinct()
+    val hits = spans(docs.filter(!isTest))
+      .select(col("doc_id"), (col("pos") + 1).as("strt"), col("col").as("d"))
+      .join(ted, "d")
+      .groupBy("doc_id").agg(collect_list(col("strt")).as("starts"))
+    val covered =
+      s"(p, s) -> p >= s AND p <= s + ${RwW - 1}"
+    docs.filter(!isTest)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), split(col("text"), " ").as("__t"),
+              coalesce(col("starts"), expr("CAST(array() AS ARRAY<INT>)"))
+                .as("ss"))
+      .select(col("doc_id"),
+              size(col("__t")).cast("long").as("n_tokens"),
+              expr(s"size(filter(sequence(1, size(__t)), " +
+                s"p -> exists(ss, s -> ${"p >= s AND p <= s + " + (RwW - 1)})))")
+                .cast("long").as("n_removed"),
+              expr(s"concat_ws(' ', transform(" +
+                s"filter(sequence(1, size(__t)), " +
+                s"p -> NOT exists(ss, s -> p >= s AND p <= s + ${RwW - 1})), " +
+                s"p -> element_at(__t, p)))").as("cleaned_text"))
+      .orderBy(asc_nulls_last("doc_id"))
+  }
+
+  val ops: Vector[Q] = Vector(k58, k59, k60, k61, k62, k63)
 }

@@ -333,6 +333,58 @@ class Round19Spec extends SparkSpec {
     assert(!p.contains("Window"), s"k62 is windows-free:\n$p")
   }
 
+  // ------------------------------------------------------------------ k63
+
+  private def runK63(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+    val sp = spark; import sp.implicits._
+    graft.engine.Round19Ops.k63Plan(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+  }
+
+  test("k63 rewrite: untouched verbatim, full coverage empties, spans union") {
+    val e = testIds(0)
+    val t1 = trainIds(0); val t2 = trainIds(1); val t3 = trainIds(2)
+    val w = (1 to 21).map(i => s"w$i") // shared 21 tokens
+    val clean = (1 to 25).map(i => uniq("c", i))
+    val docs = Seq(
+      e  -> w.mkString(" "),                       // test: holds [1..20] AND [2..21]
+      t1 -> w.mkString(" "),                       // both spans hit → union = all 21
+      t2 -> (w.take(20) ++ clean.take(5)).mkString(" "), // only [1..20] shared → 20 removed, 5 kept
+      t3 -> clean.mkString(" "))                   // no overlap → verbatim
+    val got = runK63(docs)
+    assert(got.keySet == Set(t1, t2, t3), s"train docs only: ${got.keySet}")
+    assert(got(t1) == ((21L, 21L, "")),
+      s"overlapping spans union to full coverage, empty string: ${got(t1)}")
+    assert(got(t2) == ((25L, 20L, clean.take(5).mkString(" "))),
+      s"partial: exactly the covered prefix goes: ${got(t2)}")
+    assert(got(t3) == ((25L, 0L, clean.mkString(" "))),
+      s"untouched doc reproduces its text verbatim: ${got(t3)}")
+  }
+
+  test("k63 sub-width train docs are never touched and still appear") {
+    val e = testIds(0); val t = trainIds(0)
+    val short = (1 to 19).map(i => s"s$i").mkString(" ") // < 20 tokens
+    val got = runK63(Seq(e -> ((1 to 25).map(i => s"s$i").mkString(" ")),
+                         t -> short))
+    // the test doc CONTAINS the train doc's text as a prefix, but a
+    // sub-width doc has no 20-token span to match — verbatim survival
+    assert(got(t) == ((19L, 0L, short)), s"sub-width: ${got(t)}")
+  }
+
+  test("k63 plan: two split-pruned shingle passes, map-side rewrite, no cartesian") {
+    val df = graft.engine.Round19Ops.k63.fn(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("\\bGenerate\\b".r.findAllIn(p).length == 2,
+      s"one shingling per split half (the k61 discipline):\n$p")
+    assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"), s"hash joins only:\n$p")
+    assert(!p.contains("Window"),
+      s"the rewrite is map-side array HOFs, never a window:\n$p")
+  }
+
   test("k60 plan: join-free, one token pass, the only window is vocab-sized per source") {
     val df = graft.engine.Round19Ops.k60.fn(spark, sf0001)
     df.collect()
