@@ -42,6 +42,8 @@ class PlanShapeSpec extends SparkSpec {
                              // per-token smoothed log-ratio
       "k62_source_divergence", // 1-row corpus-total broadcast for the
                                // KL ratio denominators
+      "k64_interleave_order",  // 1-row source-count broadcast for the
+                               // interleave key arithmetic
 
       "k52_embedding_decontam")     // NOT tiny-build: the eval×train
                                     // Cartesian IS the declared semantics

@@ -385,6 +385,52 @@ class Round19Spec extends SparkSpec {
       s"the rewrite is map-side array HOFs, never a window:\n$p")
   }
 
+  // ------------------------------------------------------------------ k64
+
+  private def runK64(rows: Seq[(Long, String)]): Seq[(Long, String, Long, Long)] = {
+    val sp = spark; import sp.implicits._
+    graft.engine.Round19Ops.k64Plan(
+      rows.map { case (id, src) => (id, "x", src) }
+        .toDF("doc_id", "text", "source")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+  }
+
+  test("k64 interleave: round-robin across equal sources, compaction on exhaustion") {
+    // sources A (3 docs) and B (1 doc): key layout A→1,3,5 B→2 under
+    // S=2, so the global order is A₁ B₁ A₂ A₃ — positions contiguous
+    // 1..4 (B's missing later slots never leave gaps)
+    val got = runK64(Seq((10L, "A"), (11L, "A"), (12L, "A"), (20L, "B")))
+    assert(got.map(_._4).sorted == Seq(1L, 2L, 3L, 4L),
+      s"positions must be contiguous 1..N: $got")
+    val byPos = got.sortBy(_._4).map(_._2)
+    assert(byPos == Seq("A", "B", "A", "A"),
+      s"round-robin then compaction: $byPos")
+    // within each source, global order follows src_rank
+    val aOrder = got.filter(_._2 == "A").sortBy(_._4).map(_._3)
+    assert(aOrder == Seq(1L, 2L, 3L), s"A's ranks in position order: $aOrder")
+  }
+
+  test("k64 determinism: row order and partitioning never change the schedule") {
+    val rows = (1L to 40L).map(i => (i, s"s${i % 4}"))
+    val a = runK64(rows).sortBy(_._1)
+    val b = runK64(scala.util.Random.shuffle(rows)).sortBy(_._1)
+    assert(a == b, "the schedule is a pure function of (doc_id, source)")
+  }
+
+  test("k64 hash shuffle: the within-source order is the md5 order, not doc_id order") {
+    val rows = (1L to 8L).map(i => (i, "s"))
+    val got = runK64(rows)
+    val byRank = got.sortBy(_._3).map(_._1)
+    assert(byRank != (1L to 8L).toSeq,
+      s"hash order must differ from insertion order: $byRank")
+    val expect = (1L to 8L).sortBy(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString)
+    assert(byRank == expect, s"and equal the independent md5 sort: $byRank")
+  }
+
   test("k60 plan: join-free, one token pass, the only window is vocab-sized per source") {
     val df = graft.engine.Round19Ops.k60.fn(spark, sf0001)
     df.collect()
