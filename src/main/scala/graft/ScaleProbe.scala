@@ -369,6 +369,45 @@ object ScaleProbe {
     println(f"SCALE|k62_source_divergence|sf0.1=$tK62_1%.2fs|x10=$tK62_10%.2fs|" +
       f"timeRatio=${tK62_10 / tK62_1}%.1f|" +
       s"mixtureLawKLplusLn10=${k62Bad == 0} (bad=$k62Bad of ${k62x10.length})")
+
+    // k63 (r19): the k61 replica-0 argument extended to the REWRITE —
+    // replica-0 keeps base doc_ids (same split) and an injective token
+    // renaming, and span hits are replica-local, so the 10× output
+    // restricted to replica-0 ids must equal the 1× output exactly once
+    // the builder's per-replica token suffix is stripped back off the
+    // cleaned text (counts need no stripping).
+    val (tK63_1, nK63_1) = run("k63_decontam_rewrite", sfDir)
+    val (tK63_10, nK63_10) = run("k63_decontam_rewrite", outDir)
+    val k63r0 = SparkEntry.queries("k63_decontam_rewrite")(spark, outDir)
+      .filter(col("doc_id") < nDocBase)
+      .withColumn("cleaned_text",
+        regexp_replace(col("cleaned_text"), "_0( |$)", "$1"))
+    val k63b = SparkEntry.queries("k63_decontam_rewrite")(spark, sfDir)
+    val k63Delta =
+      k63r0.exceptAll(k63b).count() + k63b.exceptAll(k63r0).count()
+    println(f"SCALE|k63_decontam_rewrite|sf0.1=$tK63_1%.2fs/$nK63_1%d rows|" +
+      f"x10=$tK63_10%.2fs/$nK63_10%d rows|timeRatio=${tK63_10 / tK63_1}%.1f|" +
+      s"rep0RewriteExact=${k63Delta == 0}")
+
+    // k64 (r19): replica sources/ids are renamed, so the schedule has no
+    // per-row closed form — but it must remain a PERMUTATION of 1..N at
+    // any scale (the closed-form position would break here first), with
+    // per-source ranks contiguous 1..n_s.
+    def k64Perm(dir: String): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val a = SparkEntry.queries("k64_interleave_order")(spark, dir)
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("global_pos")).as("d"),
+             min(col("global_pos")).as("mn"), max(col("global_pos")).as("mx"))
+        .head()
+      val ok = a.getLong(0) == a.getLong(1) && a.getLong(2) == 1L &&
+        a.getLong(3) == a.getLong(0)
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    val (tK64_1, okK64_1) = k64Perm(sfDir)
+    val (tK64_10, okK64_10) = k64Perm(outDir)
+    println(f"SCALE|k64_interleave_order|sf0.1=$tK64_1%.2fs perm=$okK64_1|" +
+      f"x10=$tK64_10%.2fs perm=$okK64_10|timeRatio=${tK64_10 / tK64_1}%.1f")
     } // dense
 
     if (sections("sparse")) {
