@@ -167,6 +167,68 @@ object Multimodal {
     }.toDF("media_id", "frame_offset", "frame_value")
   }
 
+  /** 64-bit average-hash (aHash) of an image [public: the classic
+    * perceptual-hash family (aHash/dHash/pHash) used by every image
+    * dedup pipeline — LAION's pipeline deduplicates on exactly this
+    * signature class]: REAL ImageIO decode, bilinear resize to 8×8,
+    * Rec.601 grayscale, bit i set iff pixel i's luma exceeds the 64-pixel
+    * mean. Identical images hash equal regardless of byte-level encoding
+    * differences; small edits flip few bits (hamming-friendly), unlike
+    * the byte checksum which any re-encode destroys. Deterministic:
+    * the JDK's bilinear kernel is fixed, and all tests pin against
+    * same-JVM renders. */
+  def aHash64(payload: Array[Byte]): Long = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(src != null, "undecodable image payload")
+    val dst = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                       java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(src, 0, 0, 8, 8, null)
+    g.dispose()
+    val px = dst.getRGB(0, 0, 8, 8, null, 0, 8)
+    val luma = px.map(p =>
+      0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff))
+    val mean = luma.sum / 64.0
+    var bits = 0L
+    var i = 0
+    while (i < 64) { if (luma(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** Image near-duplicates by perceptual hash: banded hamming blocking
+    * (the k19 SimHash discipline applied to media) — the 64-bit aHash
+    * splits into 4×16-bit bands; by pigeonhole, any pair within hamming
+    * distance ≤ 3 shares at least one identical band, so candidates are
+    * band-bucket joins (NEVER all-pairs) and the exact hamming filter
+    * runs only on candidates. Returns (a, b, hamming) with a < b,
+    * hamming ≤ maxHamming (≤ 3 for exactness; larger values may miss
+    * pairs — the caller's declared recall trade, documented at the call
+    * site). Decode runs once per image at the mapPartitions-class
+    * boundary; everything after is hash-join relational. */
+  def imageNearDup(media: Dataset[MediaRow], maxHamming: Int = 3)
+                  (implicit s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val hashed = media.map(r => (r.media_id, aHash64(r.payload)))
+      .toDF("media_id", "h")
+    val banded = hashed.select(col("media_id"), col("h"),
+      explode(expr("transform(sequence(0, 3), " +
+        "b -> named_struct('band', b, 'key', shiftright(h, b * 16) & 65535))"))
+        .as("bk"))
+      .select(col("media_id"), col("h"),
+              col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
+              expr("bit_count(x.h ^ y.h)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Deterministic synthetic corpus for tests (no media libs needed). */
   def syntheticCorpus(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._

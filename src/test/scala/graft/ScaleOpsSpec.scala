@@ -121,6 +121,48 @@ class ScaleOpsSpec extends SparkSpec {
     assert(frames.count() == corpus.collect().map(r => (r.payload.length + 15) / 16).sum)
   }
 
+  test("multimodal: aHash is encoding-invariant, bit-exact on extreme pixels, banded near-dup finds hamming-3") {
+    implicit val s = spark
+    import spark.implicits._
+    import graft.operators.Multimodal.{MediaMeta, MediaRow}
+    def encode(px: Array[Int], fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 8, 8, px, 0, 8)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val W = 0xffffff; val B = 0x000000
+    // base: left half white, right half black — with only extreme lumas
+    // (0 / 255) the mean sits strictly between, so the aHash bits are
+    // EXACTLY the white-pixel positions, no resize kernel in play (8×8
+    // input is the identity resize)
+    val base = Array.tabulate(64)(i => if (i % 8 < 4) W else B)
+    val hPng = graft.operators.Multimodal.aHash64(encode(base, "png"))
+    val hBmp = graft.operators.Multimodal.aHash64(encode(base, "bmp"))
+    assert(hPng == hBmp,
+      "the perceptual hash must survive re-encoding (the byte checksum cannot)")
+    val wantBits = (0 until 64).filter(i => i % 8 < 4)
+      .foldLeft(0L)((acc, i) => acc | (1L << i))
+    assert(hPng == wantBits, f"exact bits: $hPng%x vs $wantBits%x")
+    // flip exactly 3 black pixels to white → hamming exactly 3
+    val tweaked = base.clone(); Seq(7, 15, 23).foreach(i => tweaked(i) = W)
+    assert(java.lang.Long.bitCount(
+      hPng ^ graft.operators.Multimodal.aHash64(encode(tweaked, "png"))) == 3)
+    // banded near-dup: the hamming-3 pair is FOUND (pigeonhole: ≤ 3 bit
+    // flips leave ≥ 1 of the 4 bands identical); an unrelated pattern
+    // pairs with neither
+    val other = Array.tabulate(64)(i => if ((i / 8 + i) % 2 == 0) W else B)
+    val media = Seq(
+      MediaRow(1L, encode(base, "png"), MediaMeta("png", 8, 8)),
+      MediaRow(2L, encode(tweaked, "png"), MediaMeta("png", 8, 8)),
+      MediaRow(3L, encode(other, "png"), MediaMeta("png", 8, 8))).toDS()
+    val pairs = graft.operators.Multimodal.imageNearDup(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 3)), s"exactly the planted pair: $pairs")
+  }
+
   test("multimodal: REAL PNG decode, resize, and WAV decode via JDK codecs") {
     implicit val s = spark
     // images: solid-color PNGs — dimensions and luminance are exact
