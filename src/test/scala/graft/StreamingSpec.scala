@@ -2682,6 +2682,68 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming novelty one-batch replay equals batch k61; pre-arrival train text counts novel") {
+    import graft.engine.{Round19Ops, Tables}
+    import graft.streaming.StreamingNovelty
+    import graft.streaming.StreamingNovelty.{DocIn, GramHit}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // split tags computed exactly as the batch query computes them
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"),
+        (substring(md5(col("doc_id").cast("string")), 1, 1) >= "e").as("is_test"))
+      .as[DocIn].collect()
+    val in = MemoryStream[DocIn]
+    val q = StreamingNovelty.gramHits(in.toDS()).writeStream
+      .format("memory").queryName("nov_t").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(docs.toIndexedSeq) // whole corpus in ONE micro-batch
+      q.processAllAvailable()
+      def r4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val streamed = spark.table("nov_t").as[GramHit].collect()
+        .groupBy(_.doc_id).map { case (id, hs) =>
+          val n = hs.map(_.c).sum
+          val novel = hs.filterNot(_.in_train).map(_.c).sum
+          val f = r4(novel.toDouble / n)
+          id -> ((n, novel, f, if (f < 0.2) 1 else 0))
+        }
+      val batch = Round19Ops.k61.fn(spark, sf0001).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"one-batch streaming rollup must equal batch k61; diff=" +
+          s"${(streamed.toSet -- batch.toSet).take(3)}")
+      // probe-at-arrival: a test doc arriving BEFORE its matching train
+      // text reads fully novel; the same text arriving after train held
+      // it reads fully memorized
+      val g = (1 to 5).map(i => s"nv$i").mkString(" ")
+      in.addData(DocIn(900001L, g, is_test = true))
+      q.processAllAvailable()
+      in.addData(DocIn(900002L, g, is_test = false))
+      in.addData(DocIn(900003L, g, is_test = true))
+      q.processAllAvailable()
+      val late = spark.table("nov_t").as[GramHit].collect()
+        .filter(h => h.doc_id >= 900000L)
+      assert(late.find(_.doc_id == 900001L).get.in_train == false,
+        "test-before-train is novel at arrival")
+      assert(late.find(_.doc_id == 900003L).get.in_train == true,
+        "same-batch train rows fold before test rows read")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming zipf spectrum two-batch rollup equals batch k60 bit-for-bit") {
     import graft.engine.{Round19Ops, Tables}
     import graft.streaming.StreamingZipf
