@@ -706,5 +706,75 @@ object Round19Ops {
       .orderBy(asc_nulls_last("doc_id"))
   }
 
-  val ops: Vector[Q] = Vector(k58, k59, k60, k61, k62, k63, k64)
+  // ---------------------------------------------------------------- k65
+
+  /** k65 — INCREMENTAL ingest dedup: a new crawl batch against the
+    * standing corpus [public: every production pipeline ingests
+    * incrementally — CCNet/Dolma process snapshot-over-snapshot; the
+    * daily decision is "is this arrival new?", not "dedup the world
+    * again"]: OLD corpus = k17's train split, NEW batch = the test
+    * split; per NEW doc the verdict — `dup_of_corpus` (its key is
+    * already held; canonical = the corpus's min holder), else
+    * `dup_in_batch` (a smaller-id batch doc shares the key; canonical =
+    * that doc), else `admitted` (canonical = itself). The key is the
+    * SET-normalized text digest (md5 of the sorted distinct tokens —
+    * word-order-insensitive exact dedup, the k01 family's normalized
+    * complement that catches shuffled boilerplate; the fixture has NO
+    * byte-identical texts, and 9/68 arrivals are corpus-dups under the
+    * set key at sf0.01; the batch-dup branch bites at sf0.001/sf0.1 and
+    * is spec-forced). Corpus-dup precedence over batch-dup is declared
+    * (and spec-pinned): dedup against standing data before within-batch.
+    *
+    * Scale shape: the key is MAP-SIDE (array_sort ∘ array_distinct ∘
+    * split — no explode, no Generate anywhere); the old side collapses
+    * to a key-keyed min agg (digest-domain-sized); the batch side is one
+    * min agg + two hash joins, all digest-keyed and AQE-skew-splittable.
+    * At 100 TB the old side is exactly the dedup INDEX a production
+    * ingest keeps materialized — this query IS its maintenance read. */
+  val k65: Q = Q(
+    "k65_incremental_dedup",
+    """WITH t AS (SELECT doc_id,
+      |        MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+      |          STRING_SPLIT(text, ' '))), ' ')) AS d,
+      |        SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'e' AS is_test
+      |      FROM documents),
+      |old AS (SELECT d, MIN(doc_id) AS cid FROM t WHERE NOT is_test
+      |        GROUP BY 1),
+      |bmin AS (SELECT d, MIN(doc_id) AS bid FROM t WHERE is_test
+      |         GROUP BY 1)
+      |SELECT t.doc_id AS doc_id,
+      |  CASE WHEN old.cid IS NOT NULL THEN 'dup_of_corpus'
+      |       WHEN t.doc_id <> bmin.bid THEN 'dup_in_batch'
+      |       ELSE 'admitted' END AS verdict,
+      |  CAST(CASE WHEN old.cid IS NOT NULL THEN old.cid
+      |            WHEN t.doc_id <> bmin.bid THEN bmin.bid
+      |            ELSE t.doc_id END AS BIGINT) AS canonical_id
+      |FROM t LEFT JOIN old ON t.d = old.d JOIN bmin ON t.d = bmin.d
+      |WHERE t.is_test
+      |ORDER BY t.doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => k65Plan(Tables.documents(s, dir)))
+
+  /** The k65 plan body (factored for Round19Spec synthetic-frame pins). */
+  def k65Plan(docs: DataFrame): DataFrame = {
+    val isTest = substring(md5(col("doc_id").cast("string")), 1, 1) >= "e"
+    val key = md5(concat_ws(" ",
+      array_sort(array_distinct(split(col("text"), " ")))))
+    val oldMin = docs.filter(!isTest)
+      .select(col("doc_id"), key.as("d"))
+      .groupBy("d").agg(min(col("doc_id")).as("cid"))
+    val te = docs.filter(isTest).select(col("doc_id"), key.as("d"))
+    val bmin = te.groupBy("d").agg(min(col("doc_id")).as("bid"))
+    te.join(bmin, "d")
+      .join(oldMin, Seq("d"), "left")
+      .select(col("doc_id"),
+              when(col("cid").isNotNull, "dup_of_corpus")
+                .when(col("doc_id") =!= col("bid"), "dup_in_batch")
+                .otherwise("admitted").as("verdict"),
+              when(col("cid").isNotNull, col("cid"))
+                .when(col("doc_id") =!= col("bid"), col("bid"))
+                .otherwise(col("doc_id")).cast("long").as("canonical_id"))
+      .orderBy(asc_nulls_last("doc_id"))
+  }
+
+  val ops: Vector[Q] = Vector(k58, k59, k60, k61, k62, k63, k64, k65)
 }

@@ -431,6 +431,43 @@ class Round19Spec extends SparkSpec {
     assert(byRank == expect, s"and equal the independent md5 sort: $byRank")
   }
 
+  // ------------------------------------------------------------------ k65
+
+  private def runK65(docs: Seq[(Long, String)]): Map[Long, (String, Long)] = {
+    val sp = spark; import sp.implicits._
+    graft.engine.Round19Ops.k65Plan(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+  }
+
+  test("k65 verdicts: corpus precedence, batch keep-min, set-normalized key, admitted self") {
+    val t1 = trainIds(0)
+    val eA = testIds(0) min testIds(1); val eB = testIds(0) max testIds(1)
+    val eC = testIds(2); val eD = testIds(3)
+    val docs = Seq(
+      t1 -> "a b c",
+      // eA: shuffled order AND repeated tokens — the SET key matches the
+      // corpus doc; it also duplicates eB in-batch, but corpus wins
+      eA -> "c b a a",
+      eB -> "a c b",
+      // eC/eD share a batch-only key → min admitted, max dup_in_batch
+      eC -> "x y z",
+      eD -> "z y x") // note: eC < eD not guaranteed — normalize below
+    val got = runK65(docs)
+    assert(got(eA) == (("dup_of_corpus", t1)),
+      s"corpus dup wins over batch dup, canonical is the corpus holder: ${got(eA)}")
+    assert(got(eB) == (("dup_of_corpus", t1)), s"every holder of a corpus key: ${got(eB)}")
+    val (lo, hi) = (eC min eD, eC max eD)
+    assert(got(lo) == (("admitted", lo)), s"batch min admits as itself: ${got(lo)}")
+    assert(got(hi) == (("dup_in_batch", lo)), s"batch dup canonicalizes to min: ${got(hi)}")
+  }
+
+  test("k65 the standing corpus is never re-judged; unique arrivals admit") {
+    val t1 = trainIds(0); val e = testIds(0)
+    val got = runK65(Seq(t1 -> "p q r", e -> "only new words here"))
+    assert(got.keySet == Set(e), s"train docs never appear: ${got.keySet}")
+    assert(got(e) == (("admitted", e)), s"unique arrival: ${got(e)}")
+  }
+
   test("k60 plan: join-free, one token pass, the only window is vocab-sized per source") {
     val df = graft.engine.Round19Ops.k60.fn(spark, sf0001)
     df.collect()
