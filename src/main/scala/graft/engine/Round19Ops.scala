@@ -858,5 +858,80 @@ object Round19Ops {
       .orderBy(asc_nulls_last("n_matches"))
   }
 
-  val ops: Vector[Q] = Vector(k58, k59, k60, k61, k62, k63, k64, k65, k66)
+  // ---------------------------------------------------------------- k67
+
+  /** The declared threshold grid (the range practitioners actually sweep;
+    * Lee et al./Gopher report dedup rates across exactly this band). */
+  private val SweepGrid = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** k67 — dedup THRESHOLD SWEEP: the removal-rate curve an operator
+    * reads before fixing τ [public: Lee et al. 2022 and the Gopher/
+    * MassiveText appendices report dedup fractions across a threshold
+    * band — the knob is chosen FROM this curve, so the curve itself is a
+    * pipeline deliverable]: for each τ in {0.5…0.9}, over the same-source
+    * near-dup pair universe, the pair count at J ≥ τ, the count of docs
+    * touching any such pair, and the keep-min removal estimate (docs
+    * with a SMALLER-id partner at ≥ τ — the k01/k44 keep-min discipline
+    * applied pairwise; the per-τ CC removal is the k23 family's job,
+    * this is the one-pass curve). Empty grid rows survive with zeros.
+    *
+    * Scale shape: the expensive pair join runs ONCE at the grid minimum
+    * (reused k02 machinery, threshold 0.5 prunes below the grid); the
+    * sweep itself is a 5-row broadcast grid against the pair frame
+    * (grid-sized row multiplier, the declared audit cost) and one
+    * 5-group aggregate. Thresholds are shared literals; J doubles are
+    * the k02 bit-identical class; all counts exact. */
+  val k67: Q = Q(
+    "k67_dedup_threshold_sweep",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, source, token FROM
+      |    (SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      |     FROM documents)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+      |  FROM tok a JOIN tok b
+      |    ON a.token = b.token AND a.source = b.source
+      |       AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT id1, id2, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS j
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id1 JOIN sizes sb ON sb.doc_id = id2
+      |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+      |g AS (SELECT CAST(t AS DOUBLE) AS t
+      |      FROM (SELECT UNNEST([0.5, 0.6, 0.7, 0.8, 0.9]) AS t))
+      |SELECT g.t AS threshold,
+      |  CAST((SELECT COUNT(*) FROM p WHERE p.j >= g.t) AS BIGINT) AS n_pairs,
+      |  CAST((SELECT COUNT(DISTINCT d) FROM
+      |          (SELECT id1 AS d, j FROM p UNION ALL SELECT id2, j FROM p) u
+      |        WHERE u.j >= g.t) AS BIGINT) AS n_docs,
+      |  CAST((SELECT COUNT(DISTINCT id2) FROM p WHERE p.j >= g.t) AS BIGINT)
+      |    AS n_removed_est
+      |FROM g ORDER BY threshold ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      k67Plan(graft.api.Dedup.tokenJaccardPairsAuto(
+        docs, "doc_id", "text", "source", 0.5))
+    })
+
+  /** The k67 sweep body over a precomputed (id1, id2, jaccard) frame
+    * pruned at the grid minimum (factored for Round19Spec pins). */
+  def k67Plan(pairs: DataFrame): DataFrame = {
+    val sp = pairs.sparkSession
+    import sp.implicits._
+    val grid = SweepGrid.toDF("threshold")
+    grid.join(pairs, col("jaccard") >= col("threshold"), "left")
+      .select(col("threshold"), explode(array(
+        struct(col("id1").as("doc"), lit(false).as("rm")),
+        struct(col("id2").as("doc"), lit(true).as("rm")))).as("x"))
+      .groupBy("threshold")
+      .agg(expr("count(x.doc) DIV 2").as("n_pairs"),
+           countDistinct(col("x.doc")).as("n_docs"),
+           countDistinct(when(col("x.rm"), col("x.doc"))).as("n_removed_est"))
+      .orderBy(asc_nulls_last("threshold"))
+  }
+
+  val ops: Vector[Q] =
+    Vector(k58, k59, k60, k61, k62, k63, k64, k65, k66, k67)
 }

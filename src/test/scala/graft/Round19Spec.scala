@@ -500,6 +500,51 @@ class Round19Spec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------------ k67
+
+  test("k67 sweep: hand-computed curve, empty grid rows survive with zeros") {
+    val sp = spark; import sp.implicits._
+    val pairs = Seq((1L, 2L, 0.95), (1L, 3L, 0.65), (4L, 5L, 0.55))
+      .toDF("id1", "id2", "jaccard")
+    val got = graft.engine.Round19Ops.k67Plan(pairs).collect()
+      .map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0.5) == ((3L, 5L, 3L)), s"grid min sees everything: ${got(0.5)}")
+    assert(got(0.6) == ((2L, 3L, 2L)), s"0.6: ${got(0.6)}")
+    assert(got(0.7) == ((1L, 2L, 1L)), s"0.7: ${got(0.7)}")
+    assert(got(0.9) == ((1L, 2L, 1L)), s"0.9: ${got(0.9)}")
+    // a grid threshold nothing reaches still emits its zero row
+    val empty = graft.engine.Round19Ops.k67Plan(
+      Seq((1L, 2L, 0.55)).toDF("id1", "id2", "jaccard")).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(empty(0.9) == 0L && empty(0.5) == 1L,
+      s"zero rows survive the left join: $empty")
+  }
+
+  test("k67 keep-min: a doc that is both a keeper and a loser counts removed once") {
+    val sp = spark; import sp.implicits._
+    // doc 2 loses to 1 (id2 side) AND keeps against 3 (id1 side): it is
+    // removed exactly once; doc 3 removed via 2
+    val pairs = Seq((1L, 2L, 0.8), (2L, 3L, 0.8)).toDF("id1", "id2", "jaccard")
+    val got = graft.engine.Round19Ops.k67Plan(pairs).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(0.8) == ((2L, 3L, 2L)),
+      s"docs {1,2,3}, removed {2,3}: ${got(0.8)}")
+  }
+
+  test("k67 fixture curve is monotone non-increasing in the threshold") {
+    val rows = graft.engine.Round19Ops.k67.fn(spark, sf0001).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.length == 5)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 && a._3 >= b._3 && a._4 >= b._4,
+        s"tightening tau cannot grow any count: $a vs $b")
+    }
+    assert(rows.head._2 > 0, "the grid minimum sees the near-dup mass")
+  }
+
   test("k60 plan: join-free, one token pass, the only window is vocab-sized per source") {
     val df = graft.engine.Round19Ops.k60.fn(spark, sf0001)
     df.collect()
