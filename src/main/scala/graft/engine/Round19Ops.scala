@@ -932,6 +932,98 @@ object Round19Ops {
       .orderBy(asc_nulls_last("threshold"))
   }
 
+  // ---------------------------------------------------------------- k68
+
+  /** k68 — post-dedup MIXTURE DRIFT per source [public: deduplication is
+    * not mixture-neutral — boilerplate-heavy domains lose far more mass
+    * than clean ones, so the post-dedup domain mixture differs from the
+    * one the pipeline designed (the k51 weights were chosen BEFORE
+    * dedup); Gopher/Dolma report per-domain retention for exactly this
+    * reason]: under keep-min dedup at J ≥ 0.8 (k67's pairwise removal
+    * discipline at one declared τ), per source: docs before/kept, token
+    * mass before/after, and the ROUND-4 token-share before, after, and
+    * drift — the number that says "re-tune the mixture after dedup".
+    * At sf0.01 retention runs 5–14 of 25 docs per source — the drift is
+    * visibly non-neutral.
+    *
+    * Scale shape: the pair join runs once at τ (reused machinery); the
+    * removed set is a distinct id projection; everything after is
+    * source-domain-sized aggregation + a 1-row totals broadcast. The
+    * drift is a difference of identical-bits doubles, ROUND 4, −0.0
+    * canonicalized (the k58 + 0.0 discipline — drift CAN round to zero
+    * from below). */
+  val k68: Q = Q(
+    "k68_dedup_mixture_drift",
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, source, token FROM
+      |    (SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      |     FROM documents)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+      |  FROM tok a JOIN tok b
+      |    ON a.token = b.token AND a.source = b.source
+      |       AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |rm AS (SELECT DISTINCT id2 AS doc_id FROM inter
+      |       JOIN sizes sa ON sa.doc_id = id1
+      |       JOIN sizes sb ON sb.doc_id = id2
+      |       WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8),
+      |d AS (SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS nt,
+      |        doc_id IN (SELECT doc_id FROM rm) AS removed
+      |      FROM documents),
+      |per AS (SELECT source, COUNT(*) AS n_docs,
+      |          SUM(CASE WHEN NOT removed THEN 1 ELSE 0 END) AS n_kept,
+      |          SUM(nt) AS tok_before,
+      |          SUM(CASE WHEN NOT removed THEN nt ELSE 0 END) AS tok_after
+      |        FROM d GROUP BY 1),
+      |t AS (SELECT SUM(tok_before) AS tb, SUM(tok_after) AS ta FROM per)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_kept AS BIGINT) AS n_kept,
+      |  CAST(tok_before AS BIGINT) AS tok_before,
+      |  CAST(tok_after AS BIGINT) AS tok_after,
+      |  ROUND(CAST(tok_before AS DOUBLE) / tb, 4) AS share_before,
+      |  ROUND(CAST(tok_after AS DOUBLE) / ta, 4) AS share_after,
+      |  ROUND(CAST(tok_after AS DOUBLE) / ta
+      |        - CAST(tok_before AS DOUBLE) / tb, 4) + 0.0 AS share_drift
+      |FROM per CROSS JOIN t
+      |ORDER BY source ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      k68Plan(docs, graft.api.Dedup.tokenJaccardPairsAuto(
+        docs, "doc_id", "text", "source", 0.8))
+    })
+
+  /** The k68 report body over a precomputed pair frame at the declared τ
+    * (factored for Round19Spec pins). */
+  def k68Plan(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val rm = pairs.select(col("id2").as("doc_id")).distinct()
+      .withColumn("removed", lit(true))
+    val per = docs
+      .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).as("nt"))
+      .join(rm, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           count(when(col("removed").isNull, 1)).as("n_kept"),
+           sum(col("nt")).as("tok_before"),
+           sum(when(col("removed").isNull, col("nt")).otherwise(0L))
+             .as("tok_after"))
+    val t = per.agg(sum(col("tok_before")).as("tb"),
+                    sum(col("tok_after")).as("ta"))
+    val sb = col("tok_before").cast("double") / col("tb")
+    val sa = col("tok_after").cast("double") / col("ta")
+    per.crossJoin(broadcast(t))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+              col("n_kept").cast("long").as("n_kept"),
+              col("tok_before").cast("long").as("tok_before"),
+              col("tok_after").cast("long").as("tok_after"),
+              round(sb, 4).as("share_before"),
+              round(sa, 4).as("share_after"),
+              (round(sa - sb, 4) + 0.0).as("share_drift"))
+      .orderBy(asc_nulls_last("source"))
+  }
+
   val ops: Vector[Q] =
-    Vector(k58, k59, k60, k61, k62, k63, k64, k65, k66, k67)
+    Vector(k58, k59, k60, k61, k62, k63, k64, k65, k66, k67, k68)
 }

@@ -545,6 +545,45 @@ class Round19Spec extends SparkSpec {
     assert(rows.head._2 > 0, "the grid minimum sees the near-dup mass")
   }
 
+  // ------------------------------------------------------------------ k68
+
+  test("k68 drift: hand-computed shares, zero-sum drift, keep-min survivors") {
+    val sp = spark; import sp.implicits._
+    // source A: docs 1 (4 tokens, kept) and 2 (6 tokens, removed as a dup
+    // of 1); source B: doc 3 (10 tokens, untouched).
+    // before: A 10/20, B 10/20; after: A 4/14, B 10/14
+    val docs = Seq(
+      (1L, "a b c d", "A"), (2L, "a b c d e f", "A"),
+      (3L, "p q r s t u v w x y", "B")).toDF("doc_id", "text", "source")
+    val pairs = Seq((1L, 2L, 0.85)).toDF("id1", "id2", "jaccard")
+    val got = graft.engine.Round19Ops.k68Plan(docs, pairs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("A") == ((2L, 1L, 10L, 4L, 0.5, r4(4.0 / 14),
+                         r4(4.0 / 14 - 0.5))), s"A: ${got("A")}")
+    assert(got("B") == ((1L, 1L, 10L, 10L, 0.5, r4(10.0 / 14),
+                         r4(10.0 / 14 - 0.5))), s"B: ${got("B")}")
+    // drift is zero-sum up to rounding
+    assert(math.abs(got.values.map(_._7).sum) < 2e-4,
+      s"shares redistribute, they don't leak: ${got.values.map(_._7)}")
+  }
+
+  test("k68 no-dedup corpus: shares identical, drift exactly +0.0") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "a b", "A"), (2L, "c d", "B"))
+      .toDF("doc_id", "text", "source")
+    val empty = Seq.empty[(Long, Long, Double)].toDF("id1", "id2", "jaccard")
+    val got = graft.engine.Round19Ops.k68Plan(docs, empty).collect()
+    got.foreach { r =>
+      assert(r.getDouble(5) == r.getDouble(6), s"shares unchanged: $r")
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(7)) == 0L,
+        s"drift is positive zero bits: $r")
+    }
+  }
+
   test("k60 plan: join-free, one token pass, the only window is vocab-sized per source") {
     val df = graft.engine.Round19Ops.k60.fn(spark, sf0001)
     df.collect()
