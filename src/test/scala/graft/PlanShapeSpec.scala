@@ -44,6 +44,11 @@ class PlanShapeSpec extends SparkSpec {
                                // KL ratio denominators
       "k64_interleave_order",  // 1-row source-count broadcast for the
                                // interleave key arithmetic
+      "k67_dedup_threshold_sweep", // 5-row threshold GRID range join
+                               // (j >= t is non-equi by design; the
+                               // multiplier is grid-sized, never data²)
+      "k68_dedup_mixture_drift", // 1-row corpus-totals broadcast for the
+                               // share denominators
 
       "k52_embedding_decontam")     // NOT tiny-build: the eval×train
                                     // Cartesian IS the declared semantics
