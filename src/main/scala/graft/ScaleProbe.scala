@@ -408,6 +408,52 @@ object ScaleProbe {
     val (tK64_10, okK64_10) = k64Perm(outDir)
     println(f"SCALE|k64_interleave_order|sf0.1=$tK64_1%.2fs perm=$okK64_1|" +
       f"x10=$tK64_10%.2fs perm=$okK64_10|timeRatio=${tK64_10 / tK64_1}%.1f")
+
+    // k66/k67/k68 (r19): replica-disjoint vocabularies copy the pair
+    // universe 10× with IDENTICAL per-pair Jaccard — but NOT identical
+    // minhash matches (renamed tokens re-draw the hash values, so a
+    // replica pair's m is a fresh Broder trial; measured: per-bucket
+    // counts redistribute at 10×). The valid closed forms: the TOTAL
+    // pair mass is exactly 10×, and the calibration stays monotone.
+    // k67's curve and k68's report ARE replica-exact (they depend on
+    // Jaccard only).
+    def rows(name: String, dir: String): Array[Seq[Any]] =
+      SparkEntry.queries(name)(spark, dir).collect().map(_.toSeq)
+    val c1 = rows("k66_minhash_calibration", sfDir)
+    val c10 = rows("k66_minhash_calibration", outDir)
+    def pairMass(a: Array[Seq[Any]]) =
+      a.map(_(1).asInstanceOf[Long]).sum
+    def monotone(a: Array[Seq[Any]]) =
+      a.map(_(2).asInstanceOf[Double]).sliding(2)
+        .forall(w => w.length < 2 || w(0) < w(1))
+    val k66Ok = pairMass(c10) == 10L * pairMass(c1) &&
+      monotone(c1) && monotone(c10)
+    println(s"SCALE|k66_minhash_calibration|pairMass10xExact=" +
+      s"${pairMass(c10) == 10L * pairMass(c1)}|monotoneBothScales=" +
+      s"${monotone(c1) && monotone(c10)}|gates=$k66Ok")
+    val s1 = rows("k67_dedup_threshold_sweep", sfDir)
+    val s10 = rows("k67_dedup_threshold_sweep", outDir)
+    val k67Ok = s1.zip(s10).forall { case (a, b) =>
+      a.head == b.head && (1 to 3).forall(i =>
+        b(i) == 10L * a(i).asInstanceOf[Long])
+    }
+    println(s"SCALE|k67_dedup_threshold_sweep|curve10xExact=$k67Ok")
+    val d1 = rows("k68_dedup_mixture_drift", sfDir)
+      .map(r => r.head.toString -> r.tail).toMap
+    val d10 = rows("k68_dedup_mixture_drift", outDir)
+      .map(r => r.head.toString.replaceAll("-[0-9]+$", "") -> r.tail)
+    val k68Ok = d10.size == 10 * d1.size && d10.forall { case (src, v) =>
+      // counts equal the base source's exactly (each replica IS the base
+      // corpus; removal is replica-local); shares scale by EXACTLY 1/10
+      // (the corpus total is 10×), checked at round-4 granularity
+      val base = d1(src)
+      (0 to 3).forall(i => v(i) == base(i)) &&
+        (4 to 6).forall { i =>
+          math.abs(v(i).asInstanceOf[Double] -
+            base(i).asInstanceOf[Double] / 10.0) <= 1e-4
+        }
+    }
+    println(s"SCALE|k68_dedup_mixture_drift|replicaCountsExactSharesTenth=$k68Ok")
     } // dense
 
     if (sections("sparse")) {
