@@ -253,9 +253,8 @@ object Round19Ops {
     val sp = docs
       .select(col("doc_id"), split(col("text"), " ").as("__t"))
       .filter(size(col("__t")) >= BlockW)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(__t) - ${BlockW - 1}), " +
-          s"i -> md5(concat_ws(' ', slice(__t, i, $BlockW))))")).as("d"))
+      .select(col("doc_id"),
+              explode(expr(Spans.digestsExpr(BlockW))).as("d"))
       .withColumn("is_test", isTest)
       .distinct()
     // The df cap runs BEFORE any set is collected: a universal boilerplate
@@ -441,9 +440,8 @@ object Round19Ops {
     def shingles(half: DataFrame): DataFrame = half
       .select(col("doc_id"), split(col("text"), " ").as("__t"))
       .filter(size(col("__t")) >= NovW)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(__t) - ${NovW - 1}), " +
-          s"i -> md5(concat_ws(' ', slice(__t, i, $NovW))))")).as("d"))
+      .select(col("doc_id"),
+              explode(expr(Spans.digestsExpr(NovW))).as("d"))
     // complementary split-pruned passes: together exactly one corpus
     // shingling; each branch's shuffle carries only its half
     val tr = shingles(docs.filter(!isTest))
@@ -596,16 +594,15 @@ object Round19Ops {
     def spans(half: DataFrame): DataFrame = half
       .select(col("doc_id"), split(col("text"), " ").as("__t"))
       .filter(size(col("__t")) >= RwW)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(__t) - ${RwW - 1}), " +
-          s"i -> md5(concat_ws(' ', slice(__t, i, $RwW))))")))
+      .select(col("doc_id"), posexplode(expr(Spans.digestsExpr(RwW))))
     val ted = spans(docs.filter(isTest)).select(col("col").as("d")).distinct()
     val hits = spans(docs.filter(!isTest))
       .select(col("doc_id"), (col("pos") + 1).as("strt"), col("col").as("d"))
       .join(ted, "d")
       .groupBy("doc_id").agg(collect_list(col("strt")).as("starts"))
-    val covered =
-      s"(p, s) -> p >= s AND p <= s + ${RwW - 1}"
+    // the ONE coverage predicate both output columns build on — an edit
+    // here cannot desynchronize n_removed from cleaned_text (r19 review)
+    val covered = s"exists(ss, s -> p >= s AND p <= s + ${RwW - 1})"
     docs.filter(!isTest)
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), split(col("text"), " ").as("__t"),
@@ -613,12 +610,10 @@ object Round19Ops {
                 .as("ss"))
       .select(col("doc_id"),
               size(col("__t")).cast("long").as("n_tokens"),
-              expr(s"size(filter(sequence(1, size(__t)), " +
-                s"p -> exists(ss, s -> ${"p >= s AND p <= s + " + (RwW - 1)})))")
+              expr(s"size(filter(sequence(1, size(__t)), p -> $covered))")
                 .cast("long").as("n_removed"),
               expr(s"concat_ws(' ', transform(" +
-                s"filter(sequence(1, size(__t)), " +
-                s"p -> NOT exists(ss, s -> p >= s AND p <= s + ${RwW - 1})), " +
+                s"filter(sequence(1, size(__t)), p -> NOT ($covered)), " +
                 s"p -> element_at(__t, p)))").as("cleaned_text"))
       .orderBy(asc_nulls_last("doc_id"))
   }

@@ -9,11 +9,18 @@ package graft.engine
   * THIS constant only unifies the Spark plan side). */
 private[engine] object Spans {
 
+  /** md5 digests of every W-token stride-1 window — the ONE definition
+    * site for the family's shingling recipe at any width (k44's 20,
+    * k59's blocking 5, k61's novelty 5; a digest/delimiter/off-by-one
+    * fix lands everywhere at once — the r19 review found the expression
+    * hand-rolled in four places). */
+  def digestsExpr(w: Int): String =
+    s"transform(sequence(1, size(__t) - ${w - 1}), " +
+      s"st -> md5(concat_ws(' ', slice(__t, st, $w))))"
+
   /** md5 digests of every 20-token stride-1 span (digests cross the
     * shuffle, never span text). */
-  val DigestsExpr: String =
-    "transform(sequence(1, size(__t) - 19), " +
-      "st -> md5(concat_ws(' ', slice(__t, st, 20))))"
+  val DigestsExpr: String = digestsExpr(20)
 
   /** The span TEXTS themselves — only for consumers that must recover
     * text map-side (k47's boilerplate report). */

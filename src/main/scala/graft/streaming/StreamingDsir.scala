@@ -30,7 +30,15 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
   * post-batch (cr, ctt), plus one [[Tot]] per batch. The mean-llr —
   * Σ c·ln(((ctt+1)(nr+V))/((cr+1)(nt+V))) / Σ c — is one sink-side
   * rollup pairing a doc's hits with its batch's totals (pinned equal to
-  * batch k58 bit-for-bit on a one-batch replay in StreamingSpec). */
+  * batch k58 bit-for-bit on a one-batch replay in StreamingSpec).
+  *
+  * PAIRING CONTRACT (r19 review): neither emission carries a batch id,
+  * so across batches the hits↔totals↔V alignment needs a batch-indexed
+  * sink — deploy [[tokenHits]] and [[corpusTotals]] behind foreachBatch
+  * sinks sharing one trigger and key both by the sink's batchId (the
+  * production posture). An unindexed Update sink recovers the exact
+  * pairing only for the one-batch replay the pin exercises; "latest
+  * Tot against earlier hits" is deliberately NOT a defined read. */
 object StreamingDsir {
 
   final case class DocIn(doc_id: Long, source: String, text: String)
@@ -115,14 +123,22 @@ object StreamingDsir {
                           StreamOps.timeModeFor(ttl), OutputMode.Update())
   }
 
-  /** Running corpus (raw, target) token totals, one row per batch. */
+  /** Running corpus (raw, target) token totals, one row per batch. The
+    * singleton key sees ONE small row per DOCUMENT (token count + target
+    * flag folded map-side — r19 review: the first cut funneled the whole
+    * per-token-type stream through the one key and re-tokenized every
+    * document a second time; this shape shuffles doc-count rows and
+    * needs no tokenization beyond a split length). */
   def corpusTotals(docs: Dataset[DocIn],
                    targets: Set[String] =
                      graft.engine.Round19Ops.DsirTargetSources.toSet,
                    ttl: TTLConfig = TTLConfig.NONE)
                   (implicit s: SparkSession): Dataset[Tot] = {
     import s.implicits._
-    docs.flatMap(tf(_, targets))
+    docs.map { d =>
+      val n = d.text.split(" ", -1).length.toLong
+      TokRow("", d.doc_id, n, targets.contains(d.source))
+    }
       .groupByKey(_ => "corpus")
       .transformWithState(new TotalProcessor(ttl),
                           StreamOps.timeModeFor(ttl), OutputMode.Update())

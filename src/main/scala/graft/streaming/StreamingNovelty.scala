@@ -40,16 +40,21 @@ object StreamingNovelty {
   def grams(doc: DocIn): Seq[GramRow] = {
     val ts = doc.text.split(" ", -1)
     if (ts.length < W) Seq.empty
-    else ts.sliding(W).map(_.mkString(" "))
-      .foldLeft(Map.empty[String, Long]) { (m, g) =>
-        m.updated(g, m.getOrElse(g, 0L) + 1L)
-      }
-      .iterator.map { case (g, c) =>
-        GramRow(java.security.MessageDigest.getInstance("MD5")
-                  .digest(g.getBytes("UTF-8"))
-                  .map(b => f"${b & 0xff}%02x").mkString,
-                doc.doc_id, c, doc.is_test)
-      }.toSeq
+    else {
+      // ONE digest instance per document — digest() resets it after each
+      // use; a fresh getInstance per gram was measured as pure allocation
+      // churn in the hot flatMap path (r19 review finding)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      ts.sliding(W).map(_.mkString(" "))
+        .foldLeft(Map.empty[String, Long]) { (m, g) =>
+          m.updated(g, m.getOrElse(g, 0L) + 1L)
+        }
+        .iterator.map { case (g, c) =>
+          GramRow(md.digest(g.getBytes("UTF-8"))
+                    .map(b => f"${b & 0xff}%02x").mkString,
+                  doc.doc_id, c, doc.is_test)
+        }.toSeq
+    }
   }
 
   /** Keyed by digest: the batch's TRAIN rows fold into the presence bit
