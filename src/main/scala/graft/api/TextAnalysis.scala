@@ -115,15 +115,24 @@ object TextAnalysis {
       .mapPartitions { it =>
         val defl = new java.util.zip.Deflater(level, false)
         val buf = new Array[Byte](8192)
-        // end() releases the native zlib buffers when the partition is
-        // exhausted — without it a long-lived executor accumulates one
-        // off-heap allocation per partition until the Cleaner fires
-        // (r19 review finding)
+        // end() releases the native zlib buffers on EVERY task exit path:
+        // the completion listener fires on success, failure, cancellation
+        // AND partial consumption (limit/take stops draining the iterator
+        // mid-partition), where a hasNext-triggered end() never runs —
+        // r19 review found the leak, r20 advice found the partial-drain
+        // gap in the first fix. The hasNext path stays as a fast release
+        // for the common full-drain case; `ended` makes the two
+        // idempotent (Deflater.end() is safe to double-call, but skip
+        // the JNI hop anyway).
+        val state = new java.util.concurrent.atomic.AtomicBoolean(false)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            if (state.compareAndSet(false, true)) defl.end()
+          })
         new Iterator[(Long, Long, Long)] {
-          private var ended = false
           def hasNext: Boolean = {
             val h = it.hasNext
-            if (!h && !ended) { defl.end(); ended = true }
+            if (!h && state.compareAndSet(false, true)) defl.end()
             h
           }
           def next(): (Long, Long, Long) = {

@@ -64,15 +64,17 @@ object Round19Ops {
     * token as a plain hash join AQE can skew-split on a Zipf-hot token —
     * no data-sized window anywhere, and NO broadcast hint on the weight
     * table (vocab-sized is model-class here but ~10⁷ rows at web scale —
-    * the k52 lesson: let AQE decide). The `ln` and its sum ride the
-    * k20/k36/k40 IEEE
-    * recipe: both engines build the ratio from the SAME exact integers
-    * with the SAME operation order — (ct+1 as double)·(nr+v) /
+    * the k52 lesson: let AQE decide). The `ln` rides the k20/k36/k40
+    * IEEE recipe: both engines build the ratio from the SAME exact
+    * integers with the SAME operation order — (ct+1 as double)·(nr+v) /
     * ((cr+1 as double)·(nt+v)) — take `ln` of identical bits, and
-    * ROUND 4 absorbs the ≤1-ulp transcendental class. */
+    * ROUND 4 absorbs the ≤1-ulp transcendental class; the per-doc
+    * Σ c·llr_t then routes through DECIMAL(18,6) (Determinism.dsum,
+    * as k60/k62 — r20 advice: merge order must not flip a mean at a
+    * ROUND-4 boundary, because `selected` compares the rounded value). */
   val k58: Q = Q(
     "k58_dsir_weight",
-    """WITH tok AS (SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS t
+    s"""WITH tok AS (SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS t
       |             FROM documents),
       |tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
       |cr AS (SELECT t, COUNT(*) AS cr FROM tok GROUP BY 1),
@@ -84,8 +86,9 @@ object Round19Ops {
       |      FROM tok),
       |per AS (
       |  SELECT tf.doc_id, SUM(tf.c) AS n_tok,
-      |    SUM(tf.c * LN((CAST(COALESCE(ctt, 0) + 1 AS DOUBLE) * (nr + v))
-      |                  / (CAST(cr + 1 AS DOUBLE) * (nt + v)))) AS llr
+      |    ${Determinism.dsumSql(
+             "tf.c * LN((CAST(COALESCE(ctt, 0) + 1 AS DOUBLE) * (nr + v)) " +
+               "/ (CAST(cr + 1 AS DOUBLE) * (nt + v)))")} AS llr
       |  FROM tf JOIN cr ON tf.t = cr.t LEFT JOIN ct ON tf.t = ct.t
       |  CROSS JOIN n
       |  GROUP BY 1)
@@ -131,8 +134,12 @@ object Round19Ops {
     // + 0.0 canonicalizes a −0.0 round result to +0.0 (IEEE: −0.0 + 0.0 =
     // +0.0, identity elsewhere) — a doc whose llr rounds to zero from below
     // serialized as -0x0.0p+0 in DuckDB but +0x0.0p+0 here (caught by the
-    // sf0.001 selfcheck, row 33); both engines apply the same normalization
-    val meanLlr = round(sum(col("c") * col("llr_t")) / sum(col("c")), 4) + 0.0
+    // sf0.001 selfcheck, row 33); both engines apply the same normalization.
+    // The per-doc Σ c·llr_t routes through DECIMAL(18,6) (Determinism.dsum,
+    // the k60/k62 posture) — r20 advice: a raw double sum's partial-merge
+    // order can flip a mean_llr sitting at a ROUND-4 boundary, and the
+    // `selected` flag compares the rounded value
+    val meanLlr = round(Determinism.dsum(col("c") * col("llr_t")) / sum(col("c")), 4) + 0.0
     tf.join(w, "t")
       .groupBy("doc_id")
       .agg(sum(col("c")).cast("long").as("n_tokens"),

@@ -170,27 +170,56 @@ object Multimodal {
   /** 64-bit average-hash (aHash) of an image [public: the classic
     * perceptual-hash family (aHash/dHash/pHash) used by every image
     * dedup pipeline — LAION's pipeline deduplicates on exactly this
-    * signature class]: REAL ImageIO decode, bilinear resize to 8×8,
-    * Rec.601 grayscale, bit i set iff pixel i's luma exceeds the 64-pixel
-    * mean. Identical images hash equal regardless of byte-level encoding
-    * differences; small edits flip few bits (hamming-friendly), unlike
-    * the byte checksum which any re-encode destroys. Deterministic:
-    * the JDK's bilinear kernel is fixed, and all tests pin against
-    * same-JVM renders. */
+    * signature class]: REAL ImageIO decode, TRUE area-averaged downscale
+    * to 8×8 (an explicit box filter: cell luma = mean over the cell's
+    * full source rectangle — NOT Graphics2D bilinear drawImage, whose
+    * ~2×2-point subsampling on large images lets one stray sample flip a
+    * cell and loses the shift/re-encode robustness the aHash family is
+    * for; r20 advice), Rec.601 grayscale, bit i set iff cell i's luma
+    * exceeds the 64-cell mean. Identical images hash equal regardless of
+    * byte-level encoding differences; small edits flip few bits
+    * (hamming-friendly), unlike the byte checksum which any re-encode
+    * destroys. Deterministic CROSS-JVM: the box filter is plain integer
+    * accumulation + one double divide per cell — no Graphics2D render
+    * path, so no JDK-renderer variance (an 8×8 input is the identity:
+    * each cell is exactly one pixel). Fractional 8ths are handled by
+    * flooring the cell boundaries (cell x-range [cx·w/8, (cx+1)·w/8),
+    * always non-empty for w ≥ 8; images smaller than 8 px on a side use
+    * clamped 1-px-minimum cells, so tiny images still hash). */
   def aHash64(payload: Array[Byte]): Long = {
     javax.imageio.ImageIO.setUseCache(false)
     val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(src != null, "undecodable image payload")
-    val dst = new java.awt.image.BufferedImage(
-      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val g = dst.createGraphics()
-    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-                       java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-    g.drawImage(src, 0, 0, 8, 8, null)
-    g.dispose()
-    val px = dst.getRGB(0, 0, 8, 8, null, 0, 8)
-    val luma = px.map(p =>
-      0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff))
+    val (w, h) = (src.getWidth, src.getHeight)
+    val px = src.getRGB(0, 0, w, h, null, 0, w)
+    val luma = new Array[Double](64)
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * h / 8
+      val y1 = math.max(y0 + 1, (cy + 1) * h / 8) min h
+      var cx = 0
+      while (cx < 8) {
+        val x0 = cx * w / 8
+        val x1 = math.max(x0 + 1, (cx + 1) * w / 8) min w
+        // integer channel sums first; one double op per cell
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          val row = y * w
+          while (x < x1) {
+            val p = px(row + x)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (x1 - x0).toLong * (y1 - y0)
+        luma(cy * 8 + cx) = (0.299 * sr + 0.587 * sg + 0.114 * sb) / n
+        cx += 1
+      }
+      cy += 1
+    }
     val mean = luma.sum / 64.0
     var bits = 0L
     var i = 0
@@ -207,7 +236,13 @@ object Multimodal {
     * hamming ≤ maxHamming (≤ 3 for exactness; larger values may miss
     * pairs — the caller's declared recall trade, documented at the call
     * site). Decode runs once per image at the mapPartitions-class
-    * boundary; everything after is hash-join relational. */
+    * boundary; everything after is hash-join relational. Cross-JVM
+    * caveat: the hash arithmetic itself (box filter, [[aHash64]]) is
+    * bit-stable on any JVM; the one residual variance surface is LOSSY
+    * codec decode — different JDK versions may emit slightly different
+    * JPEG pixel values, so a heterogeneous-JDK cluster should hash
+    * from lossless payloads (PNG/BMP decode is exact everywhere) or
+    * pin one JDK for the hashing stage. */
   def imageNearDup(media: Dataset[MediaRow], maxHamming: Int = 3)
                   (implicit s: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._

@@ -38,7 +38,19 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
   * sinks sharing one trigger and key both by the sink's batchId (the
   * production posture). An unindexed Update sink recovers the exact
   * pairing only for the one-batch replay the pin exercises; "latest
-  * Tot against earlier hits" is deliberately NOT a defined read. */
+  * Tot against earlier hits" is deliberately NOT a defined read.
+  *
+  * TTL CONTRACT (r20 advice): V-via-`first` is only valid with
+  * `TTLConfig.NONE`. Under a finite TTL an expired token that reappears
+  * re-emits `first=true` (its ValueState was dropped, so `prev.isEmpty`
+  * again) and its (cr, ctt) restart at 0 — the sink-side distinct-first
+  * count then OVER-counts the vocabulary and the restarted counts no
+  * longer mean "occurrences ever". A TTL deployment must either accept
+  * that V and the counts become windowed quantities (consistent with
+  * each other — both forget together, which is often exactly the wanted
+  * drift-tracking semantics) or carry V as a singleton-keyed state
+  * scalar alongside [[Tot]] with the same TTL. The constructors default
+  * to NONE; pass a TTL only with one of those two postures chosen. */
 object StreamingDsir {
 
   final case class DocIn(doc_id: Long, source: String, text: String)

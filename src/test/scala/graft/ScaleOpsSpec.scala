@@ -163,6 +163,38 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 3)), s"exactly the planted pair: $pairs")
   }
 
+  test("multimodal: aHash box filter is a TRUE area average — single-pixel noise on a large image cannot flip a cell") {
+    // r20 advice: Graphics2D bilinear drawImage subsamples ~2×2 source
+    // points per output pixel, so on an 80×80 image ONE stray pixel
+    // landing on a sample point could flip a cell bit. The box filter
+    // averages the cell's FULL 10×10 rectangle: a 1/100 mass change
+    // cannot move a 0/255-separated cell across the global mean. Pins:
+    // (1) the 80×80 half/half image hashes to exactly the 8×8 half/half
+    // bits (scale invariance of the average), (2) flipping any single
+    // pixel leaves the hash bit-identical (shift/noise robustness — the
+    // aHash-family property the advice said bilinear lost).
+    def encodeWH(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, w, h, px, 0, w)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val W = 0xffffff
+    val big = Array.tabulate(80 * 80)(i => if (i % 80 < 40) W else 0)
+    val hBig = graft.operators.Multimodal.aHash64(encodeWH(80, 80, big))
+    val wantBits = (0 until 64).filter(i => i % 8 < 4)
+      .foldLeft(0L)((acc, i) => acc | (1L << i))
+    assert(hBig == wantBits, f"area average is scale-invariant: $hBig%x vs $wantBits%x")
+    for (flip <- Seq(0, 5 * 80 + 5, 37 * 80 + 2, 41 * 80 + 77, 79 * 80 + 79)) {
+      val noisy = big.clone(); noisy(flip) = big(flip) ^ W
+      val hNoisy = graft.operators.Multimodal.aHash64(encodeWH(80, 80, noisy))
+      assert(hNoisy == hBig,
+        f"one flipped pixel (index $flip) must not move any cell: $hNoisy%x")
+    }
+  }
+
   test("multimodal: REAL PNG decode, resize, and WAV decode via JDK codecs") {
     implicit val s = spark
     // images: solid-color PNGs — dimensions and luminance are exact
