@@ -5,13 +5,16 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** MySQL-snapshot source configuration (SURVEY §2.2 rows 1–2).
   *
-  * The offline image has no MySQL server or driver jar, so the JDBC *wire*
-  * path cannot execute here; everything up to the DataFrameReader handoff —
-  * option construction, partitioned-read planning, incremental predicates,
-  * checkpoint persistence — is real and unit-tested. On a cluster the read
-  * plan this produces is the standard Spark parallel snapshot: numPartitions
-  * concurrent range queries on partitionColumn, each executor pulling one
-  * slice, predicates pushed into the remote SQL.
+  * The JDBC *wire* path is DERBY-PROVEN (r16): ConnectorsSpec drives this
+  * source end-to-end against an embedded `jdbc:derby:memory:` database —
+  * real DriverManager handshake, the partitioned snapshot's numPartitions
+  * concurrent range queries (stripe sizes asserted per partition),
+  * predicate pushdown into the remote SQL (PushedFilters + wire-answer
+  * equality), the incremental watermark pull across two insert batches
+  * with durable-checkpoint resume, and the Spark JDBC write leg. Only the
+  * MySQL *dialect* remains config-only (no MySQL server or driver jar in
+  * the offline image); on a cluster the identical read plan runs with the
+  * MySQL driver string, each executor pulling one slice.
   */
 final case class JdbcSourceConfig(
     url: String,
