@@ -207,6 +207,42 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
+  /** SKEWED 10× events (r16): the r15 verdict's unprobed shape — one
+    * user holding ~10% of a 10× corpus. Replicas 1..9 are the uniform
+    * user-disjoint build; replica 0's rows all remap to ONE hot user id
+    * (uBase·replicas, outside every replica's id range) with event_ids
+    * kept unique, so the hot key's history is the ENTIRE base events
+    * table — the deepest per-key array the sorted-collect fold class
+    * (e20/j10/j11/j16/j18) can see at this scale. The probe prices that
+    * array against the uniform build AND exercises
+    * [[graft.engine.Guards.requireKeyFanout]] on real skew. */
+  def buildSkewedEvents(spark: SparkSession, sfDir: String, outDir: String,
+                        replicas: Int): Unit = {
+    val base = graft.engine.Tables.events(spark, sfDir)
+    val maxes = base.agg(max(col("user_id")), max(col("event_id"))).head
+    val uBase = maxes.getLong(0) + 1L
+    val eBase = maxes.getLong(1) + 1L
+    val hotUser = uBase * replicas
+    val reps = (0 until replicas).map { r =>
+      base.select(base.columns.map {
+        case "event_id" => (col("event_id") + lit(eBase * r)).as("event_id")
+        case "user_id" =>
+          (if (r == 0) lit(hotUser) else col("user_id") + lit(uBase * r))
+            .as("user_id")
+        case c => col(c)
+      }: _*)
+    }
+    reps.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
+  /** The guarded sorted-collect fold class (the r15 verdict's weak set). */
+  final val FoldQueries = Seq("e20_exp_moving_avg", "j10_funnel_strict_order",
+                              "j11_funnel_strict_dedup",
+                              "j16_sequence_match_two_bounds",
+                              "j18_sequence_count_bounded")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outDir = "/tmp/graft_scale10"
@@ -221,7 +257,7 @@ object ScaleProbe {
     // (no args = all three, the full probe record). Unknown names fail
     // LOUDLY: a typo'd section would otherwise select nothing and the
     // probe would exit 0 looking like a clean run with no measurements.
-    val known = Set("dense", "sparse", "emb", "events", "rank")
+    val known = Set("dense", "sparse", "emb", "events", "rank", "skewfold")
     val unknown = args.toSet.diff(known)
     require(unknown.isEmpty,
       s"unknown probe section(s) ${unknown.mkString(", ")}; " +
@@ -577,6 +613,33 @@ object ScaleProbe {
         f"timeRatio=${t10 / t1}%.1f|rows10xExact=${n10 == 10 * n1}")
     }
     } // events
+
+    if (sections("skewfold")) {
+    // ---- the sorted-collect fold class under REAL key skew (r16) ----
+    // uniform 10× vs skewed 10× (one user = 10% of the corpus, history =
+    // the full 100k-row base table in ONE aggregation buffer). Gates:
+    // (a) the fanout guard measures the hot key and passes it (it is
+    // under the documented 2^20 budget — by construction, not luck);
+    // (b) every fold query completes on the skewed build; the printed
+    // timeRatio skew/uniform is the measured straggler price of a key
+    // AQE cannot split (collect_list is not decomposable), the honest
+    // number BASELINE.md records for this class.
+    val evU = "/tmp/graft_events10"
+    val evS = "/tmp/graft_events_skew10"
+    buildEvents(spark, sfDir, evU, replicas = 10)
+    buildSkewedEvents(spark, sfDir, evS, replicas = 10)
+    val hot = graft.engine.Guards.requireKeyFanout(
+      graft.engine.Tables.events(spark, evS), "user_id", "skewfold probe")
+    println(s"SKEWFOLD|hottestKeyRows=$hot|" +
+      s"budget=${graft.engine.Guards.maxFoldRows}|guardPassed=true")
+    FoldQueries.foreach { q => run(q, evU); run(q, evS) } // warm
+    FoldQueries.foreach { q =>
+      val (tu, nu) = run(q, evU)
+      val (ts2, ns) = run(q, evS)
+      println(f"SKEWFOLD|$q|uniform10x=$tu%.2fs/$nu%d rows|" +
+        f"skew10x=$ts2%.2fs/$ns%d rows|skewRatio=${ts2 / tu}%.2f")
+    }
+    } // skewfold
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Runtime guards for data-dependent row/memory bombs — the repo's
@@ -29,6 +29,41 @@ object Guards {
     * inside `coalesce(…, true)`: NULL bounds pass the guard and fall
     * through to `sequence`'s native NULL result (no rows), exactly the
     * pre-guard and DuckDB behavior. */
+  /** Per-key sorted-collect fold budget (e20/j10/j11/j16/j18 and the
+    * SequenceMatch fold family): the largest event history one
+    * aggregation buffer may hold before [[requireKeyFanout]] refuses.
+    * 2²⁰ rows ≈ 32–48 MB of (t, i, payload) structs per hot key — well
+    * inside one executor task's memory at the repo's documented sizing,
+    * and far past any fixture or plausible per-user activity. Past it,
+    * batch collect-folds are the WRONG shape (the array is unbounded
+    * driver-of-OOM state); the streaming twins carry the same semantics
+    * with O(1)-per-key state, and that is the documented escape hatch
+    * the refusal message names. */
+  val maxFoldRows: Long = 1L << 20
+
+  /** The b09 `requireRunDepth` discipline for the sorted-collect fold
+    * class (r15 verdict watch item): measure the hottest key's row count
+    * with a COUNT-ONLY pre-agg — a spillable hash aggregate that cannot
+    * itself OOM, unlike the collect_list buffer it protects — and refuse
+    * loudly past `bound` BEFORE any array materializes. One cheap extra
+    * job per guarded query (map-side partial counts + one small
+    * exchange); the skewed hot-key probe (ScaleProbe `skewfold`) prices
+    * the guarded fold itself. Returns the measured max fanout so specs
+    * can pin pass-through. */
+  def requireKeyFanout(df: DataFrame, keyCol: String, what: String,
+                       bound: Long = maxFoldRows): Long = {
+    val hottest = df.groupBy(keyCol).count()
+      .agg(coalesce(max("count"), lit(0L)))
+      .collect().head.getLong(0)
+    require(hottest <= bound,
+      s"$what: hottest '$keyCol' holds $hottest rows — the per-key " +
+        s"sorted-collect fold would buffer them all in ONE aggregation " +
+        s"buffer (budget $bound). Use the streaming twin (O(1)-per-key " +
+        "state) or pre-bucket the key; raise the bound only with sized " +
+        "executor memory")
+    hottest
+  }
+
   def boundedSequence(mn: Column, mx: Column, maxSpan: Long,
                       what: String): Column =
     sequence(

@@ -211,6 +211,10 @@ object Round8gOps {
       |FROM rec WHERE rn = n
       |ORDER BY user_id ASC NULLS LAST""".stripMargin,
     (s, dir) => {
+      // r15 watch item: the per-user history is ONE aggregation buffer —
+      // refuse loudly past the documented fold budget before collecting
+      Guards.requireKeyFanout(Tables.events(s, dir), "user_id",
+        "e20_exp_moving_avg")
       // array_sort on (ts_µs, event_id, xs) structs = the oracle's ORDER BY
       // (ts, event_id) at FULL microsecond precision — unix_millis here
       // diverged at sf0.1 (a same-millisecond pair folded in the wrong

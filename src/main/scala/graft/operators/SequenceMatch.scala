@@ -352,6 +352,7 @@ object SequenceMatch {
       s"transform(sequence(0, ${2 * k}), j -> CASE ${slotCases.mkString(" ")} END))"
 
     val src = if (skipNonMatching) df.where(conds.reduce(_ || _)) else df
+    graft.engine.Guards.requireKeyFanout(src, keyCol, "SequenceMatch.foldMatch")
     val mask = conds.zipWithIndex
       .map { case (c, i) => when(c, lit(1L << i)).otherwise(lit(0L)) }
       .reduce(_ + _)
@@ -420,6 +421,8 @@ object SequenceMatch {
       s"                      WHEN e.a = 1 THEN $ext(acc[0], e.t) " +
       s"                      ELSE acc[0] END) " +
       s"ELSE acc[1] + IF($matchB, 1L, 0L) END))"
+    graft.engine.Guards.requireKeyFanout(df, keyCol,
+      "SequenceMatch.countChainsBounded")
     df.select(col(keyCol),
               struct(tsMicros.cast("long").as("t"), tie.as("i"),
                      condA.cast("int").as("a"), condB.cast("int").as("b"))
@@ -523,6 +526,8 @@ object SequenceMatch {
         out.groupBy(keyCol)
           .agg(max(lvl.otherwise(0)).as("funnel_level"))
       case "strict_order" =>
+        graft.engine.Guards.requireKeyFanout(df, keyCol,
+          "SequenceMatch.funnelLevels(strict_order)")
         val l = df
           .select(col(keyCol),
                   struct(unix_micros(ts).as("t"), tie.as("i"),
@@ -538,9 +543,13 @@ object SequenceMatch {
                     .cast("int").as("funnel_level"))
       case "strict_dedup" =>
         require(k <= 7, s"strict_dedup composite key holds 1..7 steps, got $k")
-        val l = df
+        // the collect is post-filter (__s > 0): guard what is collected
+        val src = df
           .select(col(keyCol), unix_micros(ts).as("__t"), stepOf.as("__s"))
           .where(col("__s") > 0)
+        graft.engine.Guards.requireKeyFanout(src, keyCol,
+          "SequenceMatch.funnelLevels(strict_dedup)")
+        val l = src
           .select(col(keyCol), (col("__t") * 8 + col("__s")).as("__k"))
           .groupBy(keyCol)
           .agg(transform(array_sort(collect_list(col("__k"))),
