@@ -16,9 +16,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *     mean luminance, and a Graphics2D resize that re-encodes to PNG.
   *   - AUDIO (WAV/PCM) is decoded for real via `javax.sound.sampled`
   *     (also JDK-native): sample rate, channels, frame count, RMS level.
-  *   - VIDEO frame extraction stays a clearly-marked STUB ([[sampleFrames]])
-  *     — the JDK has no video codec and the container has no media libs;
-  *     the row-explode shape (media row → frame rows) is the real part.
+  *   - VIDEO (MJPEG-in-AVI) is decoded for real too (r16): a pure-JDK
+  *     RIFF chunk walk ([[mjpegFrames]]) plus per-frame ImageIO JPEG
+  *     decode ([[sampleVideoFrames]]) — the format every motion-JPEG
+  *     camera and OpenCV's 'MJPG' writer emits. Inter-frame codecs
+  *     (H.264 etc.) remain out of scope offline: the JDK has no codec
+  *     and the container has no media libs; on a cluster the same
+  *     flatMap boundary hosts a JavaCV/ffmpeg decode with zero plan
+  *     change.
   */
 object Multimodal {
 
@@ -156,15 +161,129 @@ object Multimodal {
     }
   }
 
-  /** Frame-sample STUB: take every `stride`-th byte as a "frame" marker —
-    * exercises the row-explode shape a video frame-sampler produces. The
-    * JDK has no video codec; this is the one decode left stubbed. */
+  /** Payload-level byte sampler (format-agnostic fallback, the
+    * [[decodeStub]] class): every `stride`-th byte as a marker row —
+    * kept as the cheap row-explode shape exerciser for corpora with no
+    * decodable codec. REAL video frame sampling is [[sampleVideoFrames]]
+    * (r16 — the former "one decode left stubbed" note is retired). */
   def sampleFrames(media: Dataset[MediaRow], stride: Int)(implicit s: SparkSession): DataFrame = {
     import s.implicits._
     media.flatMap { r =>
       r.payload.indices.by(stride).map(i =>
         (r.media_id, i, r.payload(i) & 0xff))
     }.toDF("media_id", "frame_offset", "frame_value")
+  }
+
+  // ---------------------------------------------------------------------
+  // MJPEG-in-AVI video (r16): the r15 verdict's item 5 — the JDK has no
+  // general video codec, but MJPEG-AVI is a RIFF container of per-frame
+  // JPEGs, and BOTH halves are pure JDK: a ~40-line chunk walk plus
+  // ImageIO's JPEG reader. This closes the repo's last decode stub with a
+  // REAL decoder for a real (if venerable) format — the one every
+  // motion-JPEG camera and OpenCV's 'MJPG' writer emits.
+  // ---------------------------------------------------------------------
+
+  private def u32le(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  /** Extract the video frame payloads from an MJPEG-AVI byte array: walk
+    * the RIFF tree to the 'movi' LIST and collect '..dc'/'..db' stream
+    * chunks (compressed/uncompressed video of any stream number) in file
+    * order. Pure structural parse — no codec until the caller decodes a
+    * frame. Throws on a non-RIFF/non-AVI payload (the decodeImage
+    * quarantine posture). Chunk sizes are validated against the buffer so
+    * a truncated or lying header fails loudly, never reads out of
+    * bounds. */
+  def mjpegFrames(payload: Array[Byte]): Vector[Array[Byte]] = {
+    require(payload.length >= 12 &&
+      new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(payload, 8, 4, "US-ASCII") == "AVI ",
+      "not a RIFF/AVI payload")
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(from: Int, until: Int): Unit = {
+      var p = from
+      while (p + 8 <= until) {
+        val fourcc = new String(payload, p, 4, "US-ASCII")
+        val size = u32le(payload, p + 4)
+        val dataStart = p + 8
+        val dataEnd = dataStart + size
+        require(size >= 0 && dataEnd <= until,
+          s"chunk '$fourcc' at $p claims $size bytes past the buffer")
+        if (fourcc == "LIST" && size >= 4) {
+          val listType = new String(payload, dataStart, 4, "US-ASCII")
+          // descend into movi (frames live here) and hdrl alike — only
+          // movi yields frames, but a uniform walk tolerates odd writers
+          if (listType == "movi" || listType == "hdrl" || listType == "rec ")
+            walk(dataStart + 4, dataEnd.toInt)
+        } else if (fourcc.length == 4 && fourcc(0).isDigit && fourcc(1).isDigit &&
+                   (fourcc.endsWith("dc") || fourcc.endsWith("db"))) {
+          frames += java.util.Arrays.copyOfRange(payload, dataStart, dataEnd.toInt)
+        }
+        p = dataEnd.toInt + (size.toInt & 1) // RIFF pads odd chunks
+      }
+    }
+    walk(12, payload.length)
+    frames.result()
+  }
+
+  /** REAL video frame sampling: every `stride`-th MJPEG frame of each AVI
+    * payload, decoded via ImageIO to (media_id, frame_idx, width, height,
+    * mean_luma) — the decode-bearing row-explode a video pipeline's
+    * sampling stage produces. Runs at the mapPartitions-class boundary
+    * (flatMap; ImageIO cache disabled per task); only sampled frames pay
+    * the JPEG decode — skipped frames cost the chunk walk only, which is
+    * the point of frame sampling at 100 TB. */
+  def sampleVideoFrames(media: Dataset[MediaRow], stride: Int)
+                       (implicit s: SparkSession): DataFrame = {
+    import s.implicits._
+    require(stride >= 1, s"stride >= 1: $stride")
+    media.flatMap { r =>
+      javax.imageio.ImageIO.setUseCache(false)
+      mjpegFrames(r.payload).zipWithIndex.collect {
+        case (jpeg, idx) if idx % stride == 0 =>
+          val (w, h, luma) = decodeImage(jpeg)
+          (r.media_id, idx, w, h, luma)
+      }
+    }.toDF("media_id", "frame_idx", "width", "height", "mean_luma")
+  }
+
+  /** Minimal well-formed MJPEG-AVI writer (test/synthesis side): RIFF
+    * ('AVI ') { LIST(hdrl){avih}, LIST(movi){00dc…} }. The avih carries
+    * the frame count and dimensions; index ('idx1') is optional per the
+    * RIFF spec and omitted. Enough structure for any chunk-walking
+    * reader (including [[mjpegFrames]]) and for honesty about what a
+    * real MJPEG file looks like. */
+  def mjpegAvi(frames: Seq[Array[Byte]], width: Int, height: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+      bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+    }
+    def tag(t: String): Unit = bos.write(t.getBytes("US-ASCII"))
+    val avih = new Array[Byte](56)
+    def put32(arr: Array[Byte], off: Int, v: Long): Unit = {
+      arr(off) = (v & 0xff).toByte; arr(off + 1) = ((v >> 8) & 0xff).toByte
+      arr(off + 2) = ((v >> 16) & 0xff).toByte; arr(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    put32(avih, 0, 40000L)          // dwMicroSecPerFrame (25 fps)
+    put32(avih, 16, 0x10L)          // dwFlags = AVIF_HASINDEX off, interleaved off
+    put32(avih, 24, frames.length.toLong) // dwTotalFrames
+    put32(avih, 32, 1L)             // dwStreams
+    put32(avih, 40, width.toLong)   // dwWidth
+    put32(avih, 44, height.toLong)  // dwHeight
+    val hdrlSize = 4 + 8 + avih.length
+    val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    tag("RIFF"); w32(riffSize.toLong); tag("AVI ")
+    tag("LIST"); w32(hdrlSize.toLong); tag("hdrl")
+    tag("avih"); w32(avih.length.toLong); bos.write(avih)
+    tag("LIST"); w32(moviSize.toLong); tag("movi")
+    frames.foreach { f =>
+      tag("00dc"); w32(f.length.toLong); bos.write(f)
+      if ((f.length & 1) == 1) bos.write(0) // RIFF pad
+    }
+    bos.toByteArray
   }
 
   /** 64-bit average-hash (aHash) of an image [public: the classic

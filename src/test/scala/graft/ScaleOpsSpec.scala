@@ -195,6 +195,55 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: REAL MJPEG-AVI frame sampling — planted 3-frame video decodes to exact dims/count/luminance") {
+    implicit val s = spark
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{MediaMeta, MediaRow}
+    // three solid-color frames, JPEG-encoded by the JDK's own writer
+    def jpegFrame(rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff)
+    val frames = colors.map(jpegFrame(_, 16, 12))
+    val avi = Multimodal.mjpegAvi(frames, 16, 12)
+    // container round-trip: the chunk walk recovers EXACTLY the planted
+    // JPEG payloads, byte for byte (pad-byte handling included — JDK
+    // JPEGs of this size are odd-length often enough to exercise it)
+    val back = Multimodal.mjpegFrames(avi)
+    assert(back.length == 3)
+    assert(back.zip(frames).forall { case (a, b) => a.sameElements(b) },
+      "frame payloads must survive the container byte-exactly")
+    // the Spark sampling stage: stride 1 decodes all 3; the expected
+    // luma is an INDEPENDENT direct decode of the same JPEG bytes, so
+    // the equality is exact (no JPEG-lossiness tolerance needed)
+    val media = Seq(MediaRow(5L, avi, MediaMeta("avi", 16, 12))).toDS()
+    val rows = Multimodal.sampleVideoFrames(media, stride = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+      .sortBy(_._2)
+    assert(rows.length == 3)
+    rows.zip(frames).zipWithIndex.foreach { case (((id, idx, w, h, luma), jpeg), i) =>
+      val (ew, eh, eluma) = Multimodal.decodeImage(jpeg)
+      assert(id == 5L && idx == i && w == 16 && h == 12)
+      assert(w == ew && h == eh)
+      assert(luma == eluma, s"frame $i luma $luma vs direct decode $eluma")
+    }
+    // stride 2 samples frames 0 and 2 only — skipped frames never decode
+    val sampled = Multimodal.sampleVideoFrames(media, stride = 2)
+      .select("frame_idx").collect().map(_.getInt(0)).sorted.toSeq
+    assert(sampled == Seq(0, 2))
+    // a non-AVI payload fails loudly (the quarantine posture)
+    intercept[IllegalArgumentException] {
+      Multimodal.mjpegFrames(Array.fill[Byte](64)(7))
+    }
+  }
+
   test("multimodal: REAL PNG decode, resize, and WAV decode via JDK codecs") {
     implicit val s = spark
     // images: solid-color PNGs — dimensions and luminance are exact
