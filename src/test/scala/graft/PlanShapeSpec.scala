@@ -49,6 +49,10 @@ class PlanShapeSpec extends SparkSpec {
                                // multiplier is grid-sized, never data²)
       "k68_dedup_mixture_drift", // 1-row corpus-totals broadcast for the
                                // share denominators
+      "d62_agg_q11_share",     // 1-row global-share threshold broadcast
+                               // (Q11's 0.001·total — the d08 class)
+      "d65_agg_q22_idle_rich", // 1-row avg-balance threshold broadcast
+                               // (Q22's scalar subquery — the d08 class)
 
       "k52_embedding_decontam")     // NOT tiny-build: the eval×train
                                     // Cartesian IS the declared semantics
