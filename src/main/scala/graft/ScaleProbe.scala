@@ -257,7 +257,8 @@ object ScaleProbe {
     // (no args = all three, the full probe record). Unknown names fail
     // LOUDLY: a typo'd section would otherwise select nothing and the
     // probe would exit 0 looking like a clean run with no measurements.
-    val known = Set("dense", "sparse", "emb", "events", "rank", "skewfold")
+    val known = Set("dense", "sparse", "emb", "events", "rank", "skewfold",
+                    "bloom")
     val unknown = args.toSet.diff(known)
     require(unknown.isEmpty,
       s"unknown probe section(s) ${unknown.mkString(", ")}; " +
@@ -613,6 +614,60 @@ object ScaleProbe {
         f"timeRatio=${t10 / t1}%.1f|rows10xExact=${n10 == 10 * n1}")
     }
     } // events
+
+    if (sections("bloom")) {
+    // ---- k70's Bloom-pruned decontamination at 10× (r20) ----
+    // The replica corpus re-rolls each replica's md5 split (doc_ids
+    // shift), so exact-10× rows is NOT the invariant here; the gates are
+    // (a) replica-0 exactness — replica 0 is byte-identical to the base
+    // and grams never cross replicas, so the 10× result restricted to
+    // base ids must equal the 1× result row-for-row (the k59 discipline);
+    // (b) the prune's measured cut on the train gram stream (the number
+    // that says what the Bloom actually buys on THIS corpus — the
+    // dup-dense fixture's eval set covers much of the gram vocabulary,
+    // so the honest cut here is modest; the disjoint-side cut is
+    // BloomPruneSpec's fpp-bound test).
+    import graft.engine.Tables
+    buildCorpus(spark, sfDir, outDir, replicas = 10)
+    run("k70_bloom_decontam", sfDir); run("k70_bloom_decontam", outDir)
+    val (t1, n1) = run("k70_bloom_decontam", sfDir)
+    val (t10, n10) = run("k70_bloom_decontam", outDir)
+    val nB = Tables.documents(spark, sfDir)
+      .agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val r0 = SparkEntry.queries("k70_bloom_decontam")(spark, outDir)
+      .filter(col("doc_id") < nB)
+    val b0 = SparkEntry.queries("k70_bloom_decontam")(spark, sfDir)
+    val drift = r0.exceptAll(b0).count() + b0.exceptAll(r0).count()
+    // the prune's cut, measured on the real mechanism at 10× (k70's
+    // own shingle/split recipe, inlined for the harness)
+    def grams(dir: String) = {
+      val base = Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("__t"))
+        .filter(size(col("__t")) >= 3)
+      val slots = (0 until 3).map(k => s"element_at(__t, i + $k)").mkString(", ")
+      base.select(col("doc_id"),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, size(__t) - 2), i -> concat_ws(' ', $slots))"))).as("g"))
+    }
+    val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val sp = Tables.documents(spark, outDir).select(
+      col("doc_id"),
+      when(h1 <= "c", "train").when(h1 === "d", "val")
+        .otherwise("test").as("split"))
+    val sh10 = grams(outDir)
+    val ev10 = sh10.join(sp.filter(col("split") =!= "train").select("doc_id"),
+                         "doc_id").select("g").distinct()
+    val tr10 = sh10.join(sp.filter(col("split") === "train").select("doc_id"),
+                         "doc_id")
+    val trainGrams = tr10.count()
+    val keptGrams = graft.operators.BloomPrune.prefilter(
+      tr10, xxhash64(col("g")), ev10, xxhash64(col("g")),
+      math.max(ev10.count(), 1L), 0.01).count()
+    println(f"BLOOM|k70|sf0.1=$t1%.2fs/$n1%d rows|x10=$t10%.2fs/$n10%d rows|" +
+      f"timeRatio=${t10 / t1}%.1f|replica0Exact=${drift == 0}%b|" +
+      f"trainGrams=$trainGrams%d|afterPrune=$keptGrams%d|" +
+      f"cut=${trainGrams.toDouble / keptGrams}%.2f")
+    } // bloom
 
     if (sections("skewfold")) {
     // ---- the sorted-collect fold class under REAL key skew (r16) ----

@@ -380,5 +380,85 @@ object Round20bOps {
         .orderBy(asc_nulls_last("cntrycode"))
     })
 
-  def ops: Vector[Q] = Vector(c24, c25, c26, d62, d63, d64, d65)
+  // ---------------------------------------------------------------- k70
+
+  /** k70 — Bloom-pruned train-set decontamination [public: the GPT-3/
+    * PaLM-report "remove leaked eval data from TRAINING" direction —
+    * k34 reports the EVAL side ("which eval docs are contaminated");
+    * this is its removal-face dual: which TRAIN docs share an n-gram
+    * with any eval doc, with the shared-gram count — the deletion list
+    * a pipeline actually applies]. Declared THROUGH the Tier-2
+    * `operators.BloomPrune` mechanism (the d57/k43 exact-regime-gate
+    * discipline, strengthened: here the result is exact in EVERY
+    * regime, not just a fixture regime — the Bloom prune has no false
+    * negatives and an EXACT semi join runs downstream, so fpp only
+    * moves shuffle bytes, never rows out).
+    *
+    * Scale shape: the eval-side gram set (vanishing vs train at 100 TB)
+    * builds one broadcastable Bloom sketch (`stat.bloomFilter`, one
+    * TreeAggregate pass) + the exact semi-join build side; the train
+    * gram stream is pruned MAP-SIDE before its exchange — the shuffle
+    * carries matches + fpp·|train| instead of every train gram. The
+    * sketch sizing count is a driver-resident scalar by contract (the
+    * b09 depth-guard/CC-convergence posture). Shingle + split recipes
+    * shared verbatim with k34/k24. */
+  val k70: Q = Q(
+    "k70_bloom_decontam",
+    """WITH sh AS (
+      |  SELECT doc_id, UNNEST(LIST_DISTINCT(
+      |    LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+      |                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS g
+      |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+      |  WHERE LEN(toks) >= 3),
+      |s AS (SELECT doc_id,
+      |    CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
+      |         WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) = 'd' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |ev AS (SELECT DISTINCT g FROM sh JOIN s USING (doc_id)
+      |       WHERE split <> 'train')
+      |SELECT t.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM sh t
+      |  JOIN s st ON st.doc_id = t.doc_id
+      |  JOIN ev ON ev.g = t.g
+      |WHERE st.split = 'train'
+      |GROUP BY 1
+      |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("__t"))
+        .filter(size(col("__t")) >= 3)
+      val slots = (0 until 3).map(k => s"element_at(__t, i + $k)").mkString(", ")
+      val sh = base.select(col("doc_id"),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, size(__t) - 2), i -> concat_ws(' ', $slots))"))).as("g"))
+      val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+      val splits = Tables.documents(s, dir).select(
+        col("doc_id"),
+        when(h1 <= "c", "train").when(h1 === "d", "val")
+          .otherwise("test").as("split"))
+      // the eval gram set feeds THREE consumers (sketch sizing, Bloom
+      // build, semi-join build side) — localCheckpoint materializes the
+      // small frame once instead of re-running the eval-side Generate
+      // three times (the k23/k25 lineage hygiene; measured 8.8 → ~3 s
+      // at sf0.1)
+      val ev = sh.join(splits.filter(col("split") =!= "train").select("doc_id"),
+                       "doc_id")
+        .select("g").distinct()
+        .localCheckpoint()
+      val train = sh.join(splits.filter(col("split") === "train")
+                            .select("doc_id"), "doc_id")
+      // sketch sizing: one tiny action over the (small) eval gram set —
+      // a driver-resident scalar by contract
+      val nEval = math.max(ev.count(), 1L)
+      val pruned = graft.operators.BloomPrune.prefilter(
+        train, xxhash64(col("g")), ev, xxhash64(col("g")), nEval, 0.01)
+      pruned
+        .join(ev.select(col("g").as("eg")), col("g") === col("eg"), "left_semi")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_shared"))
+        .orderBy(asc_nulls_last("doc_id"))
+    })
+
+  def ops: Vector[Q] = Vector(c24, c25, c26, d62, d63, d64, d65, k70)
 }
