@@ -2993,6 +2993,55 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("streaming custdist delta fold + closed-form zero bucket equals batch d63 bit-for-bit") {
+    import graft.engine.{Round20bOps, Tables}
+    import graft.streaming.StreamingCustdist
+    import graft.streaming.StreamingCustdist.{DeltaOut, OrderIn}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val orders = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).as[Long].collect().map(OrderIn.apply)
+    val in = MemoryStream[OrderIn]
+    val q = StreamingCustdist.distributionDeltas(in.toDS()).writeStream
+      .format("memory").queryName("cd_t").outputMode(OutputMode.Update).start()
+    try {
+      // two cuts; customers with urgent orders on BOTH sides force the
+      // retraction path (old-bucket -1) across the cut, not just within it
+      val (b1, b2) = orders.splitAt(orders.length / 2)
+      val both = b1.map(_.o_custkey).toSet intersect b2.map(_.o_custkey).toSet
+      assert(both.nonEmpty, "fixture must carry cross-cut customers")
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val deltas = spark.table("cd_t").as[DeltaOut].collect()
+      assert(deltas.exists(_.delta == -1L), "retractions must have fired")
+      // fold the changelog: net members per bucket (c >= 1); intermediate
+      // buckets net to zero and vanish
+      val nonZero = deltas.groupBy(_.c_count)
+        .map { case (c, ds) => c -> ds.map(_.delta).sum }
+        .filter(_._2 != 0L)
+      // the zero bucket is closed-form off the customer dimension
+      val nCust = Tables.customer(spark, sf0001).count()
+      val seen = nonZero.values.sum
+      val dist = (nonZero + (0L -> (nCust - seen)))
+        .filter(_._2 != 0L).toSeq
+        .sortBy { case (c, d) => (-d, -c) }
+      val batch = Round20bOps.d63.fn(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(dist == batch,
+        s"changelog distribution diverged:\nstream: $dist\nbatch:  $batch")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
-
-
