@@ -258,7 +258,7 @@ object ScaleProbe {
     // LOUDLY: a typo'd section would otherwise select nothing and the
     // probe would exit 0 looking like a clean run with no measurements.
     val known = Set("dense", "sparse", "emb", "events", "rank", "skewfold",
-                    "bloom")
+                    "bloom", "tpch")
     val unknown = args.toSet.diff(known)
     require(unknown.isEmpty,
       s"unknown probe section(s) ${unknown.mkString(", ")}; " +
@@ -614,6 +614,71 @@ object ScaleProbe {
         f"timeRatio=${t10 / t1}%.1f|rows10xExact=${n10 == 10 * n1}")
     }
     } // events
+
+    if (sections("tpch")) {
+    // ---- the r20 TPC-H shape tier at 10× fact volume (r20) ----
+    // VERBATIM fact replication (orderkeys unchanged) with dimensions
+    // copied as-is: per-order line multiplicity grows ×10 while every
+    // DISTINCT structure (suppliers per order, flagged suppliers per
+    // order, per-part mean quantity = 10·sum/10·cnt) is invariant — so
+    // the gates are CLOSED FORM: c21's threshold and qualifying set are
+    // unchanged ⇒ n_lines exactly ×10 and avg_yearly exactly ×10 of the
+    // exact decimal sum; c23's group set is unchanged ⇒ every
+    // (s_name, n_name) carries numwait exactly ×10; d62's share ratio
+    // 10v/10T is unchanged ⇒ the qualifying partkey SET is identical
+    // with each value exactly ×10. Doubles compare at 1e-9 relative
+    // (the ×10 rides the decimal route, but the final decimal→double
+    // cast may round the last bit differently from a double ×10).
+    val dirT = "/tmp/graft_tpch10"
+    buildLineitem(spark, sfDir, dirT, replicas = 10)
+    locally {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      for (t <- Seq("part", "supplier", "nation", "region", "orders",
+                    "customer"))
+        Files.copy(Paths.get(s"$sfDir/$t.parquet"),
+                   Paths.get(s"$dirT/$t.parquet"),
+                   StandardCopyOption.REPLACE_EXISTING)
+    }
+    def timedRowsT(name: String, dir: String) = {
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, dir).collect()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    val TpchQueries = Seq("c21_join_q17_small_qty", "c23_join_q21_waiting",
+                          "d62_agg_q11_share")
+    TpchQueries.foreach { q => timedRowsT(q, sfDir); timedRowsT(q, dirT) }
+    def rel(a: Double, b: Double): Double =
+      if (b == 0.0) math.abs(a) else math.abs(a - b) / math.abs(b)
+    locally {
+      val (t1, b) = timedRowsT("c21_join_q17_small_qty", sfDir)
+      val (t10, s10) = timedRowsT("c21_join_q17_small_qty", dirT)
+      val ok = s10(0).getLong(1) == 10L * b(0).getLong(1) &&
+        rel(s10(0).getDouble(0), 10.0 * b(0).getDouble(0)) < 1e-9
+      println(f"TPCH|c21|sf0.1=$t1%.2fs|x10=$t10%.2fs|" +
+        f"timeRatio=${t10 / t1}%.1f|linesExact10x+avg10x=$ok%b")
+    }
+    locally {
+      val (t1, b) = timedRowsT("c23_join_q21_waiting", sfDir)
+      val (t10, s10) = timedRowsT("c23_join_q21_waiting", dirT)
+      val bm = b.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val sm = s10.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val ok = sm == bm.map { case (k, v) => k -> v * 10L }
+      println(f"TPCH|c23|sf0.1=$t1%.2fs/${b.length}%d groups|" +
+        f"x10=$t10%.2fs/${s10.length}%d|timeRatio=${t10 / t1}%.1f|" +
+        f"numwaitExact10x=$ok%b")
+    }
+    locally {
+      val (t1, b) = timedRowsT("d62_agg_q11_share", sfDir)
+      val (t10, s10) = timedRowsT("d62_agg_q11_share", dirT)
+      val bm = b.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val sm = s10.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val ok = bm.keySet == sm.keySet &&
+        bm.forall { case (k, v) => rel(sm(k), 10.0 * v) < 1e-9 }
+      println(f"TPCH|d62|sf0.1=$t1%.2fs/${b.length}%d parts|" +
+        f"x10=$t10%.2fs/${s10.length}%d|timeRatio=${t10 / t1}%.1f|" +
+        f"setEqual+values10x=$ok%b")
+    }
+    } // tpch
 
     if (sections("bloom")) {
     // ---- k70's Bloom-pruned decontamination at 10× (r20) ----

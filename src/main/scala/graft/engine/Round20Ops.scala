@@ -134,7 +134,12 @@ object Round20Ops {
     * shuffles it twice on the SAME key (agg + join) and Spark reuses the
     * exchange — at 100 TB the per-order frame is orders-sized, the join
     * is AQE-splittable, and the supplier⋈nation dimension broadcasts.
-    * The two countDistinct ride one Expand (standard multi-distinct). */
+    * The regroup itself is TWO STACKED EXACT AGGS ((order,supp) flag-max
+    * → per-order count/sum) rather than the two-countDistinct form: the
+    * multi-distinct Expand doubles the fact through the first exchange,
+    * and the stacked form measured 30% faster on the full query's frame
+    * (5-pass medians 1.08 vs 1.48 s at sf0.1, rows identical — recorded
+    * in BASELINE). */
   val c23: Q = Q(
     "c23_join_q21_waiting",
     """SELECT s_name, n_name, CAST(COUNT(*) AS BIGINT) AS numwait
@@ -153,10 +158,11 @@ object Round20Ops {
       |ORDER BY numwait DESC NULLS LAST, s_name ASC NULLS LAST""".stripMargin,
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
-      val perOrder = li.groupBy("l_orderkey")
-        .agg(countDistinct(col("l_suppkey")).as("ns"),
-             countDistinct(when(col("l_returnflag") === "R",
-                                col("l_suppkey"))).as("nrs"))
+      val perOrder = li
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("fl"))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("ns"), sum(col("fl")).as("nrs"))
       val supNat = Tables.supplier(s, dir)
         .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name")

@@ -204,11 +204,19 @@ object Round20bOps {
     * WHERE over a different frame — the share-of-own-total form is the
     * class Q11 exists for). Fixture adaptation: value = shipped
     * `l_extendedprice · l_quantity` for one nation's suppliers (no
-    * partsupp availqty).
+    * partsupp availqty); the threshold is 2× the MEAN share rather than
+    * Q11's absolute 0.0001 — TPC-H itself scales that constant by 1/SF
+    * (spec §2.4.11: 0.0001/SF) precisely because a fixed fraction
+    * starves at scale (measured here: 394 parts qualify at sf0.01,
+    * ZERO at sf0.1); the mean-relative form keeps the identical
+    * global-scalar plan shape and is scale-stable by construction
+    * (155/1204 at sf0.01, 1627/13437 at sf0.1 — and exactly invariant
+    * under the 10× fact probe).
     *
     * Determinism: per-part values AND the global total both ride the
     * decimal route (the outer sum re-sums the exact per-part decimals),
-    * so `value > 0.001 · total` compares identical bits. Scale: ONE
+    * the mean is one double divide of identical bits (the c21 recipe),
+    * so `value > 2 · mean` compares identical bits. Scale: ONE
     * fact-pass hash agg; the global total is a re-aggregation of the
     * PART-SIZED frame (never a second fact pass) broadcast back as one
     * row — plan-pinned to exactly one data-sized aggregate. */
@@ -224,8 +232,8 @@ object Round20bOps {
        |  GROUP BY 1)
        |SELECT l_partkey AS partkey, part_value
        |FROM v
-       |WHERE part_value > 0.001 *
-       |  (SELECT ${dsumSql("part_value")} FROM v)
+       |WHERE part_value > 2.0 *
+       |  (SELECT ${dsumSql("part_value")} / COUNT(*) FROM v)
        |ORDER BY part_value DESC NULLS LAST, partkey ASC NULLS LAST""".stripMargin,
     (s, dir) => {
       val natSupp = Tables.supplier(s, dir)
@@ -236,9 +244,10 @@ object Round20bOps {
         .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(dsum(col("l_extendedprice") * col("l_quantity")).as("part_value"))
-      val total = v.agg(dsum(col("part_value")).as("grand_total"))
+      val total = v.agg((dsum(col("part_value")) / count(lit(1)))
+                          .as("mean_value"))
       v.crossJoin(broadcast(total))
-        .where(col("part_value") > lit(0.001) * col("grand_total"))
+        .where(col("part_value") > lit(2.0) * col("mean_value"))
         .select(col("l_partkey").as("partkey"), col("part_value"))
         .orderBy(desc_nulls_last("part_value"), asc_nulls_last("partkey"))
     })

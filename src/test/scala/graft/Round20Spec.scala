@@ -58,11 +58,13 @@ class Round20Spec extends SparkSpec {
     ).toDF("l_orderkey", "l_suppkey", "l_returnflag")
     val orders = Seq((1L, "F"), (2L, "F"), (3L, "F"), (4L, "F"), (5L, "O"))
       .toDF("o_orderkey", "o_orderstatus")
-    // regroup form (the c23 plan body, inlined on the micro frames)
-    val perOrder = li.groupBy("l_orderkey")
-      .agg(countDistinct(col("l_suppkey")).as("ns"),
-           countDistinct(when(col("l_returnflag") === "R",
-                              col("l_suppkey"))).as("nrs"))
+    // regroup form (the c23 plan body, inlined on the micro frames):
+    // stacked exact aggs — (order,supp) flag-max, then count/sum — the
+    // measured 30%-faster replacement for the multi-distinct Expand
+    val perOrder = li.groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("fl"))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("ns"), sum(col("fl")).as("nrs"))
     val re = li.filter(col("l_returnflag") === "R")
       .join(orders.filter(col("o_orderstatus") === "F").select("o_orderkey"),
             col("l_orderkey") === col("o_orderkey"))
