@@ -253,10 +253,12 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").count()
-    // optional section args for local iteration: dense | sparse | emb
-    // (no args = all three, the full probe record). Unknown names fail
-    // LOUDLY: a typo'd section would otherwise select nothing and the
-    // probe would exit 0 looking like a clean run with no measurements.
+    // optional section args for local iteration — any subset of the
+    // `known` set below (no args = ALL sections, the full probe record:
+    // several 10× corpus builds, minutes of wall clock). Unknown names
+    // fail LOUDLY: a typo'd section would otherwise select nothing and
+    // the probe would exit 0 looking like a clean run with no
+    // measurements.
     val known = Set("dense", "sparse", "emb", "events", "rank", "skewfold",
                     "bloom", "tpch")
     val unknown = args.toSet.diff(known)
@@ -705,21 +707,11 @@ object ScaleProbe {
     val drift = r0.exceptAll(b0).count() + b0.exceptAll(r0).count()
     // the prune's cut, measured on the real mechanism at 10× (k70's
     // own shingle/split recipe, inlined for the harness)
-    def grams(dir: String) = {
-      val base = Tables.documents(spark, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("__t"))
-        .filter(size(col("__t")) >= 3)
-      val slots = (0 until 3).map(k => s"element_at(__t, i + $k)").mkString(", ")
-      base.select(col("doc_id"),
-        explode(array_distinct(expr(
-          s"transform(sequence(1, size(__t) - 2), i -> concat_ws(' ', $slots))"))).as("g"))
-    }
-    val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
-    val sp = Tables.documents(spark, outDir).select(
-      col("doc_id"),
-      when(h1 <= "c", "train").when(h1 === "d", "val")
-        .otherwise("test").as("split"))
-    val sh10 = grams(outDir)
+    // the DECLARED recipes, not a probe-local copy (shared helpers so
+    // a recipe change can never leave the probe measuring a different
+    // mechanism than the query)
+    val sp = graft.engine.Round20bOps.mdSplits(Tables.documents(spark, outDir))
+    val sh10 = graft.engine.Round20bOps.grams3(Tables.documents(spark, outDir))
     val ev10 = sh10.join(sp.filter(col("split") =!= "train").select("doc_id"),
                          "doc_id").select("g").distinct()
     val tr10 = sh10.join(sp.filter(col("split") === "train").select("doc_id"),

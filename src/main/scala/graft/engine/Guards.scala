@@ -29,6 +29,18 @@ object Guards {
     * inside `coalesce(…, true)`: NULL bounds pass the guard and fall
     * through to `sequence`'s native NULL result (no rows), exactly the
     * pre-guard and DuckDB behavior. */
+  def boundedSequence(mn: Column, mx: Column, maxSpan: Long,
+                      what: String): Column =
+    sequence(
+      mn,
+      mx + coalesce(
+        assert_true(coalesce(mx - mn <= lit(maxSpan), lit(true)),
+          concat(lit(s"$what: key span "), (mx - mn).cast("string"),
+                 lit(s" exceeds the $maxSpan dense-spine guard — refusing " +
+                     "to explode; pre-filter outlier keys or raise the " +
+                     "bound deliberately"))),
+        lit(0L)).cast("long"))
+
   /** Per-key sorted-collect fold budget (e20/j10/j11/j16/j18 and the
     * SequenceMatch fold family): the largest event history one
     * aggregation buffer may hold before [[requireKeyFanout]] refuses.
@@ -63,16 +75,4 @@ object Guards {
         "executor memory")
     hottest
   }
-
-  def boundedSequence(mn: Column, mx: Column, maxSpan: Long,
-                      what: String): Column =
-    sequence(
-      mn,
-      mx + coalesce(
-        assert_true(coalesce(mx - mn <= lit(maxSpan), lit(true)),
-          concat(lit(s"$what: key span "), (mx - mn).cast("string"),
-                 lit(s" exceeds the $maxSpan dense-spine guard — refusing " +
-                     "to explode; pre-filter outlier keys or raise the " +
-                     "bound deliberately"))),
-        lit(0L)).cast("long"))
 }

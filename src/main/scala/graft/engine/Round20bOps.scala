@@ -391,6 +391,31 @@ object Round20bOps {
 
   // ---------------------------------------------------------------- k70
 
+  /** k70's word-3-gram stream — (doc_id, g) with per-doc-distinct grams
+    * (the k34 recipe). Shared with the ScaleProbe `bloom` section so the
+    * probe can never silently measure a different mechanism than the
+    * declared query. */
+  private[graft] def grams3(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("__t"))
+      .filter(size(col("__t")) >= 3)
+    val slots = (0 until 3).map(k => s"element_at(__t, i + $k)").mkString(", ")
+    base.select(col("doc_id"),
+      explode(array_distinct(expr(
+        s"transform(sequence(1, size(__t) - 2), i -> concat_ws(' ', $slots))"))).as("g"))
+  }
+
+  /** k70's train/val/test assignment — md5-prefix buckets over doc_id
+    * (the k24/k17 recipe). Shared with the ScaleProbe `bloom` section. */
+  private[graft] def mdSplits(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
+    docs.select(col("doc_id"),
+      when(h1 <= "c", "train").when(h1 === "d", "val")
+        .otherwise("test").as("split"))
+  }
+
   /** k70 — Bloom-pruned train-set decontamination [public: the GPT-3/
     * PaLM-report "remove leaked eval data from TRAINING" direction —
     * k34 reports the EVAL side ("which eval docs are contaminated");
@@ -434,18 +459,8 @@ object Round20bOps {
       |GROUP BY 1
       |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
     (s, dir) => {
-      val base = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("__t"))
-        .filter(size(col("__t")) >= 3)
-      val slots = (0 until 3).map(k => s"element_at(__t, i + $k)").mkString(", ")
-      val sh = base.select(col("doc_id"),
-        explode(array_distinct(expr(
-          s"transform(sequence(1, size(__t) - 2), i -> concat_ws(' ', $slots))"))).as("g"))
-      val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)
-      val splits = Tables.documents(s, dir).select(
-        col("doc_id"),
-        when(h1 <= "c", "train").when(h1 === "d", "val")
-          .otherwise("test").as("split"))
+      val sh = grams3(Tables.documents(s, dir))
+      val splits = mdSplits(Tables.documents(s, dir))
       // the eval gram set feeds THREE consumers (sketch sizing, Bloom
       // build, semi-join build side) — localCheckpoint materializes the
       // small frame once instead of re-running the eval-side Generate
@@ -462,8 +477,14 @@ object Round20bOps {
       val nEval = math.max(ev.count(), 1L)
       val pruned = graft.operators.BloomPrune.prefilter(
         train, xxhash64(col("g")), ev, xxhash64(col("g")), nEval, 0.01)
+      // SHUFFLE_HASH, not sort-merge: sorting the (already-pruned) train
+      // gram stream buys nothing — the eval side hash-builds per
+      // partition (the r15 dense-path join posture); at true scale the
+      // eval gram SET outgrows the broadcast threshold even when its
+      // Bloom bits fit, so the hint (not a broadcast) is the right force
       pruned
-        .join(ev.select(col("g").as("eg")), col("g") === col("eg"), "left_semi")
+        .join(ev.select(col("g").as("eg")).hint("shuffle_hash"),
+              col("g") === col("eg"), "left_semi")
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_shared"))
         .orderBy(asc_nulls_last("doc_id"))

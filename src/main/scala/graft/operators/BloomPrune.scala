@@ -66,7 +66,10 @@ object BloomPrune {
                      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val pruned = prefilter(big, col(bigKey), small, col(smallKey),
                            expectedItems, fpp)
-    pruned.join(small.select(col(smallKey)).distinct(),
-                col(bigKey) === col(smallKey), "left_semi")
+    // alias the build side internally so bigKey == smallKey (the natural
+    // call for a shared digest column) cannot trip Spark's
+    // ambiguous-self-join analysis
+    pruned.join(small.select(col(smallKey).as("__bp_key")).distinct(),
+                col(bigKey) === col("__bp_key"), "left_semi")
   }
 }

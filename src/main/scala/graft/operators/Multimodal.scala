@@ -195,12 +195,21 @@ object Multimodal {
     * quarantine posture). Chunk sizes are validated against the buffer so
     * a truncated or lying header fails loudly, never reads out of
     * bounds. */
-  def mjpegFrames(payload: Array[Byte]): Vector[Array[Byte]] = {
+  def mjpegFrames(payload: Array[Byte]): Vector[Array[Byte]] =
+    mjpegFrameSpans(payload).map { case (from, until) =>
+      java.util.Arrays.copyOfRange(payload, from, until)
+    }
+
+  /** [[mjpegFrames]] without the copies: (start, end) byte spans of each
+    * frame chunk's payload, so a sampling caller materializes ONLY the
+    * frames it keeps (a stride-30 sample skips 29/30 of the copy cost —
+    * the whole point of the walk being structural). */
+  def mjpegFrameSpans(payload: Array[Byte]): Vector[(Int, Int)] = {
     require(payload.length >= 12 &&
       new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
       new String(payload, 8, 4, "US-ASCII") == "AVI ",
       "not a RIFF/AVI payload")
-    val frames = Vector.newBuilder[Array[Byte]]
+    val frames = Vector.newBuilder[(Int, Int)]
     def walk(from: Int, until: Int): Unit = {
       var p = from
       while (p + 8 <= until) {
@@ -218,7 +227,7 @@ object Multimodal {
             walk(dataStart + 4, dataEnd.toInt)
         } else if (fourcc.length == 4 && fourcc(0).isDigit && fourcc(1).isDigit &&
                    (fourcc.endsWith("dc") || fourcc.endsWith("db"))) {
-          frames += java.util.Arrays.copyOfRange(payload, dataStart, dataEnd.toInt)
+          frames += ((dataStart, dataEnd.toInt))
         }
         p = dataEnd.toInt + (size.toInt & 1) // RIFF pads odd chunks
       }
@@ -240,9 +249,11 @@ object Multimodal {
     require(stride >= 1, s"stride >= 1: $stride")
     media.flatMap { r =>
       javax.imageio.ImageIO.setUseCache(false)
-      mjpegFrames(r.payload).zipWithIndex.collect {
-        case (jpeg, idx) if idx % stride == 0 =>
-          val (w, h, luma) = decodeImage(jpeg)
+      // spans, not copies: only the sampled frames materialize bytes
+      mjpegFrameSpans(r.payload).zipWithIndex.collect {
+        case ((from, until), idx) if idx % stride == 0 =>
+          val (w, h, luma) = decodeImage(
+            java.util.Arrays.copyOfRange(r.payload, from, until))
           (r.media_id, idx, w, h, luma)
       }
     }.toDF("media_id", "frame_idx", "width", "height", "mean_luma")
@@ -267,7 +278,10 @@ object Multimodal {
       arr(off + 2) = ((v >> 16) & 0xff).toByte; arr(off + 3) = ((v >> 24) & 0xff).toByte
     }
     put32(avih, 0, 40000L)          // dwMicroSecPerFrame (25 fps)
-    put32(avih, 16, 0x10L)          // dwFlags = AVIF_HASINDEX off, interleaved off
+    put32(avih, 16, 0L)             // dwFlags = 0: no idx1 is written, so
+                                    // AVIF_HASINDEX must be OFF (a reader
+                                    // that trusts the flag would seek a
+                                    // nonexistent index chunk)
     put32(avih, 24, frames.length.toLong) // dwTotalFrames
     put32(avih, 32, 1L)             // dwStreams
     put32(avih, 40, width.toLong)   // dwWidth
