@@ -59,7 +59,15 @@ object Explain {
                // stacked aggs + doc_id join), bounded topKWeighted collect,
                // map-only all-occurrences regexp
                "k41_gopher_quality_gate", "d55_topk_weighted",
-               "h49_extract_all", "k42_embedding_diversity")
+               "h49_extract_all", "k42_embedding_diversity",
+               // round-20 representatives: correlated-agg decorrelations
+               // (threshold broadcast / regroup / min-with-ties),
+               // disjunctive-predicate hash join, dimension-sized max
+               // window, Bloom-pruned semi join
+               "c21_join_q17_small_qty", "c23_join_q21_waiting",
+               "c24_join_q2_mincost", "c25_join_q19_disjunct",
+               "c26_join_q15_top_supplier", "d62_agg_q11_share",
+               "k70_bloom_decontam")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -107,7 +107,12 @@ object Round20Ops {
       Tables.supplier(s, dir)
         .join(broadcast(Tables.nation(s, dir)),
               col("s_nationkey") === col("n_nationkey"))
-        .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        // qual is supplier-bounded (≤ |suppliers| post-HAVING) — explicit
+        // broadcast: AQE's conservative post-agg estimate planned an SMJ
+        // at sf0.1 (Explain read), and sorting the dimension for a
+        // dimension-sized build is never the 100 TB shape
+        .join(broadcast(qual), col("s_suppkey") === col("l_suppkey"),
+              "left_semi")
         .select("s_name", "n_name", "s_acctbal")
         .orderBy(asc_nulls_last("s_name"))
     })
