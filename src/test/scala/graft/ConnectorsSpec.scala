@@ -523,4 +523,76 @@ class ConnectorsSpec extends SparkSpec {
         == Seq((1L, "a"), (2L, "b"), (3L, "c")))
     }
   }
+
+  test("LIVE JDBC wire: full pull-replication loop tracks a mutating source database") {
+    // The reference's CORE domain, executed over a REAL wire end-to-end:
+    // Derby stands in for MySQL (same JDBC surface, different dialect) —
+    // initial snapshot, two rounds of source mutation + incremental
+    // watermark pull, latest-row-wins collapse, and the soft-delete
+    // tombstone filter; after every round the collapsed Spark state must
+    // equal the source database's live rows EXACTLY. Pull-based CDC
+    // cannot see hard DELETEs (no binlog offline — documented), so
+    // deletion is the soft-delete flag the pull-replication literature
+    // uses; the binlog envelope path is i02/i03's oracle-gated collapse.
+    withDerby("repl") { url =>
+      exec(url,
+        "CREATE TABLE src_wire (id BIGINT PRIMARY KEY, v VARCHAR(10), " +
+          "deleted INT, updated_at VARCHAR(19))",
+        "INSERT INTO src_wire VALUES (1, 'a', 0, '2024-01-01 00:00:00')",
+        "INSERT INTO src_wire VALUES (2, 'b', 0, '2024-01-01 00:00:00')",
+        "INSERT INTO src_wire VALUES (3, 'c', 0, '2024-01-01 00:00:00')")
+      val ckpt = java.nio.file.Files.createTempDirectory("repl").toString + "/wm.txt"
+      def loader(s: org.apache.spark.sql.SparkSession, pred: String) =
+        s.read.format("jdbc")
+          .option("url", url).option("driver", DerbyDriver)
+          .option("dbtable", s"(SELECT * FROM src_wire WHERE $pred) sl")
+          .load()
+      def sourceRows(): Set[(Long, String)] = {
+        val c = java.sql.DriverManager.getConnection(url)
+        try {
+          val rs = c.createStatement()
+            .executeQuery("SELECT id, v FROM src_wire WHERE deleted = 0")
+          val b = Set.newBuilder[(Long, String)]
+          while (rs.next()) b += ((rs.getLong(1), rs.getString(2)))
+          b.result()
+        } finally c.close()
+      }
+      def collapse(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+        graft.api.Replication
+          .latestPerKey(df, Seq("ID"), Seq(org.apache.spark.sql.functions.desc("UPDATED_AT")))
+          .filter("DELETED = 0")
+          .select("ID", "V").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+
+      // round 0: snapshot
+      var accumulated = new IncrementalSource("updated_at", ckpt, loader)
+        .nextSlice(spark)
+      assert(collapse(accumulated) == sourceRows())
+      var wm = "2024-01-01 00:00:00"
+
+      // round 1: update + insert at the source, pull past the watermark
+      new IncrementalSource("updated_at", ckpt, loader).commitCheckpoint(wm)
+      exec(url,
+        "UPDATE src_wire SET v = 'a2', updated_at = '2024-01-05 00:00:00' WHERE id = 1",
+        "INSERT INTO src_wire VALUES (4, 'd', 0, '2024-01-06 00:00:00')")
+      val s1 = new IncrementalSource("updated_at", ckpt, loader).nextSlice(spark)
+      assert(s1.count() == 2, "only the mutated rows cross the wire")
+      accumulated = accumulated.unionByName(s1)
+      assert(collapse(accumulated) == sourceRows(),
+        "collapsed state must track the live source after round 1")
+      wm = "2024-01-06 00:00:00"
+
+      // round 2: soft-delete + another update
+      new IncrementalSource("updated_at", ckpt, loader).commitCheckpoint(wm)
+      exec(url,
+        "UPDATE src_wire SET deleted = 1, updated_at = '2024-01-08 00:00:00' WHERE id = 2",
+        "UPDATE src_wire SET v = 'd2', updated_at = '2024-01-09 00:00:00' WHERE id = 4")
+      val s2 = new IncrementalSource("updated_at", ckpt, loader).nextSlice(spark)
+      assert(s2.count() == 2)
+      accumulated = accumulated.unionByName(s2)
+      assert(collapse(accumulated) == sourceRows(),
+        "tombstoned key 2 must vanish; key 4 must read d2")
+      assert(collapse(accumulated) == Set((1L, "a2"), (3L, "c"), (4L, "d2")))
+    }
+  }
 }
