@@ -53,6 +53,10 @@ class PlanShapeSpec extends SparkSpec {
                                // (Q11's 0.001·total — the d08 class)
       "d65_agg_q22_idle_rich", // 1-row avg-balance threshold broadcast
                                // (Q22's scalar subquery — the d08 class)
+      "k71_doremi_update",     // three 1-row broadcasts over the
+                               // SOURCE-sized frame (global mean + the
+                               // two normalizing sums — the k51/k68
+                               // corpus-totals class)
 
       "k52_embedding_decontam")     // NOT tiny-build: the eval×train
                                     // Cartesian IS the declared semantics
