@@ -194,7 +194,7 @@ object Round20Ops {
     * these (fastText/CCNet-style) and freeze the table exactly like
     * this; training itself is out of declared scope (the Bpe.train
     * Tier-2 precedent would apply). */
-  private[engine] val K69 = Map(
+  private[graft] val K69 = Map(
     "wu" -> 200L,   // distinct-token count (lexical richness, +)
     "wt" -> -60L,   // token count (penalizes raw length)
     "ws" -> 80L,    // stopword hits ('a'/'the' — fluency proxy, +)

@@ -82,34 +82,50 @@ object Round20cOps {
         lit(K("wt")) * size(toks) +
         lit(K("ws")) * size(expr("filter(split(text, ' '), t -> t IN ('a', 'the'))")) +
         lit(K("wc")) * length(col("text")) + lit(K("b"))
-      def gridSum(c: org.apache.spark.sql.Column) =
-        sum(c.cast("decimal(28,10)")).cast("double")
-      val perSource = Tables.documents(s, dir)
-        .select(col("source"), (zi.cast("double") / lit(1000.0)).as("z"))
+      k71FromZi(Tables.documents(s, dir)
+        .select(col("source"), zi.as("zi"))
         .groupBy("source")
-        .agg((Determinism.dsum(col("z")) / count(lit(1))).as("mz"),
-             count(lit(1)).cast("long").as("n_docs"))
-      val global = perSource.agg(
-        (Determinism.dsum(col("mz")) / count(lit(1))).as("gz"),
-        count(lit(1)).cast("double").as("k"))
-      val e = perSource.crossJoin(broadcast(global))
-        .withColumn("excess", col("mz") - col("gz"))
-      val r1 = e.withColumn("t1", round(exp(lit(Eta) * col("excess")), 8))
-      val n1 = r1.agg(gridSum(col("t1")).as("w1s"))
-      val w1 = r1.crossJoin(broadcast(n1))
-        .withColumn("w1", (lit(1.0) - lit(Smooth)) * (col("t1") / col("w1s"))
-                            + lit(Smooth) / col("k"))
-      val r2 = w1.withColumn("t2",
-        round(col("w1") * exp(lit(Eta) * col("excess")), 8))
-      val n2 = r2.agg(gridSum(col("t2")).as("w2s"))
-      r2.crossJoin(broadcast(n2))
-        .select(col("source"), col("n_docs"),
-                (round(col("excess"), 6) + 0.0).as("excess"),
-                (round(col("w1"), 6) + 0.0).as("w1"),
-                (round((lit(1.0) - lit(Smooth)) * (col("t2") / col("w2s"))
-                         + lit(Smooth) / col("k"), 6) + 0.0).as("w2"))
-        .orderBy(asc_nulls_last("source"))
+        .agg(sum(col("zi")).as("sum_zi"),
+             count(lit(1)).cast("long").as("n_docs")))
     })
+
+  /** The DoReMi finisher over per-source (Σ zi, n) sufficient statistics
+    * — SHARED with the streaming twin (StreamingDoremi carries exactly
+    * these two longs per source), so stream state ≡ batch aggregate ⟹
+    * outputs bit-equal by construction. Σ zi is an EXACT int64 (the
+    * integer dot products sum without rounding), so mz = (Σzi as
+    * double)/1000/n reproduces the oracle's decimal-route mean bit for
+    * bit: sum_zi casts to double exactly (far below 2^53) and the IEEE
+    * divide by 1000.0 is correctly rounded — the same nearest double the
+    * oracle's DECIMAL(18,6) sum-then-cast lands on. */
+  def k71FromZi(stats: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def gridSum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(28,10)")).cast("double")
+    val perSource = stats.select(col("source"),
+      ((col("sum_zi").cast("double") / lit(1000.0)) / col("n_docs")).as("mz"),
+      col("n_docs"))
+    val global = perSource.agg(
+      (Determinism.dsum(col("mz")) / count(lit(1))).as("gz"),
+      count(lit(1)).cast("double").as("k"))
+    val e = perSource.crossJoin(broadcast(global))
+      .withColumn("excess", col("mz") - col("gz"))
+    val r1 = e.withColumn("t1", round(exp(lit(Eta) * col("excess")), 8))
+    val n1 = r1.agg(gridSum(col("t1")).as("w1s"))
+    val w1 = r1.crossJoin(broadcast(n1))
+      .withColumn("w1", (lit(1.0) - lit(Smooth)) * (col("t1") / col("w1s"))
+                          + lit(Smooth) / col("k"))
+    val r2 = w1.withColumn("t2",
+      round(col("w1") * exp(lit(Eta) * col("excess")), 8))
+    val n2 = r2.agg(gridSum(col("t2")).as("w2s"))
+    r2.crossJoin(broadcast(n2))
+      .select(col("source"), col("n_docs"),
+              (round(col("excess"), 6) + 0.0).as("excess"),
+              (round(col("w1"), 6) + 0.0).as("w1"),
+              (round((lit(1.0) - lit(Smooth)) * (col("t2") / col("w2s"))
+                       + lit(Smooth) / col("k"), 6) + 0.0).as("w2"))
+      .orderBy(asc_nulls_last("source"))
+  }
 
   def ops: Vector[Q] = Vector(k71)
 }

@@ -3044,4 +3044,46 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming doremi stats two-batch rollup equals batch k71 bit-for-bit") {
+    import graft.engine.{Round20cOps, Tables}
+    import graft.streaming.StreamingDoremi
+    import graft.streaming.StreamingDoremi.{DocIn, StatOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text")).as[DocIn].collect()
+    val in = MemoryStream[DocIn]
+    val q = StreamingDoremi.stats(in.toDS()).writeStream
+      .format("memory").queryName("dorem_t").outputMode(OutputMode.Update).start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+      // n_docs grows monotonically -> latest per source = max-n row
+      val latest = spark.table("dorem_t").as[StatOut].collect()
+        .groupBy(_.source)
+        .map { case (src, rows) => rows.maxBy(_.n_docs) }.toSeq
+      val streamed = Round20cOps.k71FromZi(
+        latest.toDF("source", "sum_zi", "n_docs")).collect()
+        .map(_.toString).toSeq
+      val batch = Round20cOps.k71.fn(spark, sf0001).collect()
+        .map(_.toString).toSeq
+      assert(batch.nonEmpty)
+      assert(streamed == batch,
+        s"doremi rollup diverged; first diff: " +
+          s"${streamed.zip(batch).find(p => p._1 != p._2)}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
