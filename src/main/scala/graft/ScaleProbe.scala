@@ -680,6 +680,38 @@ object ScaleProbe {
         f"x10=$t10%.2fs/${s10.length}%d|timeRatio=${t10 / t1}%.1f|" +
         f"setEqual+values10x=$ok%b")
     }
+    locally {
+      // c24: the (part,supp) MIN is a selection over identical per-line
+      // values — replication leaves it untouched, so the whole output is
+      // INVARIANT row-for-row (the strongest closed form of the tier)
+      val (t1, b) = timedRowsT("c24_join_q2_mincost", sfDir)
+      val (t10, s10) = timedRowsT("c24_join_q2_mincost", dirT)
+      val ok = b.map(_.toString).toSeq == s10.map(_.toString).toSeq
+      println(f"TPCH|c24|sf0.1=$t1%.2fs/${b.length}%d rows|" +
+        f"x10=$t10%.2fs/${s10.length}%d|timeRatio=${t10 / t1}%.1f|" +
+        f"outputInvariant=$ok%b")
+    }
+    locally {
+      // c25: every qualifying line replicates ×10 → revenue and count ×10
+      val (t1, b) = timedRowsT("c25_join_q19_disjunct", sfDir)
+      val (t10, s10) = timedRowsT("c25_join_q19_disjunct", dirT)
+      val ok = s10(0).getLong(1) == 10L * b(0).getLong(1) &&
+        rel(s10(0).getDouble(0), 10.0 * b(0).getDouble(0)) < 1e-9
+      println(f"TPCH|c25|sf0.1=$t1%.2fs|x10=$t10%.2fs|" +
+        f"timeRatio=${t10 / t1}%.1f|lines+revenue10x=$ok%b")
+    }
+    locally {
+      // c26: per-supplier revenue ×10 preserves the argmax SET; the
+      // winning total reads exactly ×10
+      val (t1, b) = timedRowsT("c26_join_q15_top_supplier", sfDir)
+      val (t10, s10) = timedRowsT("c26_join_q15_top_supplier", dirT)
+      val ok = b.map(_.getLong(0)).toSeq == s10.map(_.getLong(0)).toSeq &&
+        b.zip(s10).forall { case (x, y) =>
+          rel(y.getDouble(2), 10.0 * x.getDouble(2)) < 1e-9 }
+      println(f"TPCH|c26|sf0.1=$t1%.2fs/${b.length}%d rows|" +
+        f"x10=$t10%.2fs/${s10.length}%d|timeRatio=${t10 / t1}%.1f|" +
+        f"argmaxInvariant+total10x=$ok%b")
+    }
     } // tpch
 
     if (sections("bloom")) {
