@@ -647,7 +647,8 @@ object ScaleProbe {
       ((System.nanoTime() - t0) / 1e9, rows)
     }
     val TpchQueries = Seq("c21_join_q17_small_qty", "c23_join_q21_waiting",
-                          "d62_agg_q11_share")
+                          "d62_agg_q11_share", "c24_join_q2_mincost",
+                          "c25_join_q19_disjunct", "c26_join_q15_top_supplier")
     TpchQueries.foreach { q => timedRowsT(q, sfDir); timedRowsT(q, dirT) }
     def rel(a: Double, b: Double): Double =
       if (b == 0.0) math.abs(a) else math.abs(a - b) / math.abs(b)

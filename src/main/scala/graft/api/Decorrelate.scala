@@ -38,26 +38,29 @@ object Decorrelate {
     * ALL ties kept (the correlated `val = (SELECT min(val) WHERE key =
     * outer.key)`). Equality on the value is exact whenever the value is
     * selected, not summed (MIN/MAX are selections) or rides an exact
-    * route. */
-  def minByGroupWithTies(df: DataFrame, keys: Seq[String],
-                         valueCol: String): DataFrame =
-    extremeByGroupWithTies(df, keys, valueCol, isMin = true)
+    * route. `broadcastBack` as in [[withGroupAgg]]: default true for
+    * dimension-like group domains, false to let AQE pick the join when
+    * the group domain is data-sized. */
+  def minByGroupWithTies(df: DataFrame, keys: Seq[String], valueCol: String,
+                         broadcastBack: Boolean = true): DataFrame =
+    extremeByGroupWithTies(df, keys, valueCol, isMin = true, broadcastBack)
 
   /** [[minByGroupWithTies]]'s max dual. */
-  def maxByGroupWithTies(df: DataFrame, keys: Seq[String],
-                         valueCol: String): DataFrame =
-    extremeByGroupWithTies(df, keys, valueCol, isMin = false)
+  def maxByGroupWithTies(df: DataFrame, keys: Seq[String], valueCol: String,
+                         broadcastBack: Boolean = true): DataFrame =
+    extremeByGroupWithTies(df, keys, valueCol, isMin = false, broadcastBack)
 
   private def extremeByGroupWithTies(df: DataFrame, keys: Seq[String],
-                                     valueCol: String,
-                                     isMin: Boolean): DataFrame = {
+                                     valueCol: String, isMin: Boolean,
+                                     broadcastBack: Boolean): DataFrame = {
     val aggCol = if (isMin) min(col(valueCol)) else max(col(valueCol))
     val renamed = keys.map(k => k -> s"__dc_$k")
     val g0 = df.groupBy(keys.map(col): _*).agg(aggCol.as("__dc_m"))
     val g = renamed.foldLeft(g0) { case (d, (k, a)) => d.withColumnRenamed(k, a) }
+    val side = if (broadcastBack) broadcast(g) else g
     val cond = renamed.map { case (k, a) => col(k) === col(a) }
       .reduce(_ && _) && col(valueCol) === col("__dc_m")
-    df.join(broadcast(g), cond).drop("__dc_m").drop(renamed.map(_._2): _*)
+    df.join(side, cond).drop("__dc_m").drop(renamed.map(_._2): _*)
   }
 
   /** Q15's core: the group rows of an ALREADY-AGGREGATED frame that

@@ -103,7 +103,11 @@ object Round20Ops {
         .groupBy("l_suppkey", "l_partkey")
         .agg(dsum(col("l_quantity")).as("q"))
         .where(col("q") > 40.0)
-        .select("l_suppkey")
+        // dedup to the SUPPLIER set before the broadcast: grouped by
+        // (supp, part), a multi-part supplier would otherwise inflate the
+        // build to qualifying-PAIR size — the broadcast's justification
+        // is the supplier bound
+        .select("l_suppkey").distinct()
       Tables.supplier(s, dir)
         .join(broadcast(Tables.nation(s, dir)),
               col("s_nationkey") === col("n_nationkey"))

@@ -45,7 +45,10 @@ object StreamingDoremi {
     k("wu") * toks.distinct.length.toLong +
       k("wt") * toks.length.toLong +
       k("ws") * toks.count(t => t == "a" || t == "the").toLong +
-      k("wc") * text.length.toLong + k("b")
+      // code POINTS, not UTF-16 units: Spark's length()/DuckDB LENGTH
+      // count characters, and a supplementary-plane char (emoji) would
+      // silently break the stream≡batch bit-equality via String.length
+      k("wc") * text.codePointCount(0, text.length).toLong + k("b")
   }
 
   /** Keyed by source: (Σ zi, n) += the batch's documents; one post-batch

@@ -557,16 +557,32 @@ class ConnectorsSpec extends SparkSpec {
           b.result()
         } finally c.close()
       }
-      def collapse(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      // each pulled slice is MATERIALIZED at pull time (collect to local
+      // rows): the lazy JDBC frame would silently re-query the
+      // already-mutated table at every later action, making the
+      // state-tracking asserts vacuous — the sink's copy must be the
+      // wire-time copy, exactly like a real replicator's committed batch
+      // (id, v, deleted, updated_at) — tuples, so toDF's encoder derives
+      // (a method-local case class has no TypeTag)
+      def pull(): Seq[(Long, String, Int, String)] =
+        new IncrementalSource("updated_at", ckpt, loader).nextSlice(spark)
+          .select("ID", "V", "DELETED", "UPDATED_AT").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+                     r.getString(3))).toSeq
+      def collapse(acc: Seq[(Long, String, Int, String)]): Set[(Long, String)] = {
+        import org.apache.spark.sql.functions.desc
+        val sp2 = spark
+        import sp2.implicits._
         graft.api.Replication
-          .latestPerKey(df, Seq("ID"), Seq(org.apache.spark.sql.functions.desc("UPDATED_AT")))
+          .latestPerKey(acc.toDF("ID", "V", "DELETED", "UPDATED_AT"),
+                        Seq("ID"), Seq(desc("UPDATED_AT")))
           .filter("DELETED = 0")
           .select("ID", "V").collect()
           .map(r => (r.getLong(0), r.getString(1))).toSet
+      }
 
       // round 0: snapshot
-      var accumulated = new IncrementalSource("updated_at", ckpt, loader)
-        .nextSlice(spark)
+      var accumulated = pull()
       assert(collapse(accumulated) == sourceRows())
       var wm = "2024-01-01 00:00:00"
 
@@ -575,9 +591,13 @@ class ConnectorsSpec extends SparkSpec {
       exec(url,
         "UPDATE src_wire SET v = 'a2', updated_at = '2024-01-05 00:00:00' WHERE id = 1",
         "INSERT INTO src_wire VALUES (4, 'd', 0, '2024-01-06 00:00:00')")
-      val s1 = new IncrementalSource("updated_at", ckpt, loader).nextSlice(spark)
-      assert(s1.count() == 2, "only the mutated rows cross the wire")
-      accumulated = accumulated.unionByName(s1)
+      val s1 = pull()
+      assert(s1.length == 2, "only the mutated rows cross the wire")
+      accumulated = accumulated ++ s1
+      // the accumulated sink now holds BOTH versions of key 1 ('a' from
+      // the snapshot, 'a2' from the pull) — the collapse itself is what
+      // this asserts, not a re-read of the live table
+      assert(accumulated.count(_._1 == 1L) == 2, "stale version retained")
       assert(collapse(accumulated) == sourceRows(),
         "collapsed state must track the live source after round 1")
       wm = "2024-01-06 00:00:00"
@@ -587,9 +607,9 @@ class ConnectorsSpec extends SparkSpec {
       exec(url,
         "UPDATE src_wire SET deleted = 1, updated_at = '2024-01-08 00:00:00' WHERE id = 2",
         "UPDATE src_wire SET v = 'd2', updated_at = '2024-01-09 00:00:00' WHERE id = 4")
-      val s2 = new IncrementalSource("updated_at", ckpt, loader).nextSlice(spark)
-      assert(s2.count() == 2)
-      accumulated = accumulated.unionByName(s2)
+      val s2 = pull()
+      assert(s2.length == 2)
+      accumulated = accumulated ++ s2
       assert(collapse(accumulated) == sourceRows(),
         "tombstoned key 2 must vanish; key 4 must read d2")
       assert(collapse(accumulated) == Set((1L, "a2"), (3L, "c"), (4L, "d2")))
