@@ -60,9 +60,11 @@ object Round20Ops {
       val fl = Tables.lineitem(s, dir)
         .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
         .select("l_partkey", "l_quantity", "l_extendedprice")
-      val thr = fl.groupBy("l_partkey")
-        .agg((lit(0.2) * (dsum(col("l_quantity")) / count(lit(1)))).as("t"))
-      fl.join(broadcast(thr), "l_partkey")
+      // the per-part threshold attach IS the api.Decorrelate pattern —
+      // the engine delegates (the README's library contract)
+      graft.api.Decorrelate
+        .withGroupAgg(fl, Seq("l_partkey"),
+          (lit(0.2) * (dsum(col("l_quantity")) / count(lit(1)))).as("t"))
         .where(col("l_quantity") < col("t"))
         .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
              count(lit(1)).cast("long").as("n_lines"))

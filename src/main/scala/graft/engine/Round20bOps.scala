@@ -79,12 +79,10 @@ object Round20bOps {
               col("l_suppkey") === col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(min(col("l_extendedprice") / col("l_quantity")).as("uc"))
-      val mc = cost.groupBy("l_partkey").agg(min(col("uc")).as("min_cost"))
-        .withColumnRenamed("l_partkey", "m_partkey")
-      cost
-        .join(broadcast(mc),
-              col("l_partkey") === col("m_partkey") &&
-                col("uc") === col("min_cost"))
+      // the min-with-ties equality join-back IS the api.Decorrelate
+      // pattern — the engine delegates (the README's library contract)
+      graft.api.Decorrelate
+        .minByGroupWithTies(cost, Seq("l_partkey"), "uc")
         .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
                 col("l_partkey").as("partkey"), col("uc").as("unit_cost"))

@@ -32,6 +32,13 @@ class DecorrelateSpec extends SparkSpec {
       .select("pk", "sk").orderBy("pk", "sk").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(gotMax == Seq((1L, 12L), (2L, 11L)))
+    // the data-sized-domain escape hatch returns the same rows without
+    // forcing a broadcast build
+    val noBc = Decorrelate
+      .minByGroupWithTies(cost, Seq("pk"), "uc", broadcastBack = false)
+      .select("pk", "sk").orderBy("pk", "sk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(noBc == got)
   }
 
   test("globalExtremeWithTies: one computation, ties kept, window form (the Q15 shape)") {
