@@ -24,6 +24,17 @@ class BloomPruneSpec extends SparkSpec {
     assert(pruned == plain, "prune must not change the exact join result")
   }
 
+  test("semiJoinPruned accepts the SAME key name on both sides (the natural shared-digest call)") {
+    // regression: the un-aliased form threw AMBIGUOUS_REFERENCE the
+    // moment bigKey == smallKey — every digest-keyed caller's natural
+    // shape
+    val big = spark.range(0, 100).select(col("id").as("g"), col("id").as("p"))
+    val small = spark.range(0, 10).select((col("id") * 5L).as("g"))
+    val got = BloomPrune.semiJoinPruned(big, "g", small, "g", 10L)
+      .select("p").orderBy("p").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 5L, 10L, 15L, 20L, 25L, 30L, 35L, 40L, 45L))
+  }
+
   test("prefilter is a superset of the matching rows and prunes a disjoint big side") {
     // big side: 50k keys, only 500 of which are in the small set —
     // the decontamination selectivity shape
