@@ -650,8 +650,12 @@ object ScaleProbe {
                           "d62_agg_q11_share", "c24_join_q2_mincost",
                           "c25_join_q19_disjunct", "c26_join_q15_top_supplier")
     TpchQueries.foreach { q => timedRowsT(q, sfDir); timedRowsT(q, dirT) }
+    // b == 0 has no relative error; treat exact-zero agreement as 0 and any
+    // nonzero a as a full-scale miss (1.0) so the < 1e-9 gates still fail
+    // loudly instead of comparing abs(a) to a relative threshold (r16 ADVICE)
     def rel(a: Double, b: Double): Double =
-      if (b == 0.0) math.abs(a) else math.abs(a - b) / math.abs(b)
+      if (b == 0.0) { if (a == 0.0) 0.0 else 1.0 }
+      else math.abs(a - b) / math.abs(b)
     locally {
       val (t1, b) = timedRowsT("c21_join_q17_small_qty", sfDir)
       val (t10, s10) = timedRowsT("c21_join_q17_small_qty", dirT)
@@ -753,10 +757,14 @@ object ScaleProbe {
     val keptGrams = graft.operators.BloomPrune.prefilter(
       tr10, xxhash64(col("g")), ev10, xxhash64(col("g")),
       math.max(ev10.count(), 1L), 0.01).count()
+    // keptGrams == 0 would print cut=Infinity — a degenerate fixture where
+    // the prune keeps nothing; report n/a instead of a misleading ratio
+    // (r16 ADVICE item)
+    val cutStr = if (keptGrams > 0)
+      f"${trainGrams.toDouble / keptGrams}%.2f" else "n/a"
     println(f"BLOOM|k70|sf0.1=$t1%.2fs/$n1%d rows|x10=$t10%.2fs/$n10%d rows|" +
       f"timeRatio=${t10 / t1}%.1f|replica0Exact=${drift == 0}%b|" +
-      f"trainGrams=$trainGrams%d|afterPrune=$keptGrams%d|" +
-      f"cut=${trainGrams.toDouble / keptGrams}%.2f")
+      f"trainGrams=$trainGrams%d|afterPrune=$keptGrams%d|cut=$cutStr")
     } // bloom
 
     if (sections("skewfold")) {

@@ -26,7 +26,15 @@ object Decorrelate {
     * data-sized group domains and let AQE pick the join. */
   def withGroupAgg(df: DataFrame, keys: Seq[String], agg: Column,
                    broadcastBack: Boolean = true): DataFrame = {
+    requireReservedFree(df, keys)
     val g0 = df.groupBy(keys.map(col): _*).agg(agg)
+    // the agg alias must not shadow a probe column — the join below would
+    // otherwise carry two same-name columns and downstream col() resolution
+    // would be ambiguous or silently pick the wrong one (r16 ADVICE item)
+    g0.columns.filterNot(keys.contains).foreach { a =>
+      require(!df.columns.contains(a),
+        s"Decorrelate.withGroupAgg: agg alias '$a' collides with an existing column")
+    }
     val renamed = keys.map(k => k -> s"__dc_$k")
     val g = renamed.foldLeft(g0) { case (d, (k, a)) => d.withColumnRenamed(k, a) }
     val side = if (broadcastBack) broadcast(g) else g
@@ -50,9 +58,23 @@ object Decorrelate {
                          broadcastBack: Boolean = true): DataFrame =
     extremeByGroupWithTies(df, keys, valueCol, isMin = false, broadcastBack)
 
+  /** The __dc_* working names are reserved: a caller frame that already
+    * carries one would make the decorrelating self-join ambiguous (or
+    * silently join on the wrong column), so fail loudly up front instead
+    * (r16 ADVICE item). */
+  private def requireReservedFree(df: DataFrame, keys: Seq[String],
+                                  extra: Seq[String] = Nil): Unit = {
+    val reserved = keys.map(k => s"__dc_$k") ++ extra
+    val clash = reserved.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"Decorrelate: reserved working column(s) ${clash.mkString(", ")} " +
+        "already exist on the input frame")
+  }
+
   private def extremeByGroupWithTies(df: DataFrame, keys: Seq[String],
                                      valueCol: String, isMin: Boolean,
                                      broadcastBack: Boolean): DataFrame = {
+    requireReservedFree(df, keys, extra = Seq("__dc_m"))
     val aggCol = if (isMin) min(col(valueCol)) else max(col(valueCol))
     val renamed = keys.map(k => k -> s"__dc_$k")
     val g0 = df.groupBy(keys.map(col): _*).agg(aggCol.as("__dc_m"))
@@ -73,6 +95,7 @@ object Decorrelate {
     * empty partition moves ALL rows to one task. */
   def globalExtremeWithTies(aggregated: DataFrame, aggCol: String,
                             isMax: Boolean = true): DataFrame = {
+    requireReservedFree(aggregated, Nil, extra = Seq("__dc_ext"))
     val ext = if (isMax) max(col(aggCol)) else min(col(aggCol))
     aggregated
       .withColumn("__dc_ext", ext.over(Window.partitionBy()))

@@ -169,7 +169,13 @@ object Round20Ops {
       |ORDER BY numwait DESC NULLS LAST, s_name ASC NULLS LAST""".stripMargin,
     (s, dir) => {
       val li = Tables.lineitem(s, dir)
+      // NULL l_suppkey must not count as a distinct supplier in ns: the
+      // declared SQL's `<>` comparisons are NULL-rejecting, so a NULL-key
+      // l2 row never witnesses EXISTS — drop such rows before the regroup
+      // (map-side, pre-shuffle; the fixture has none, but equivalence to
+      // the oracle must not be conditional on that). r16 ADVICE item.
       val perOrder = li
+        .filter(col("l_suppkey").isNotNull)
         .groupBy("l_orderkey", "l_suppkey")
         .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("fl"))
         .groupBy("l_orderkey")

@@ -433,7 +433,15 @@ object Round20bOps {
     * carries matches + fpp·|train| instead of every train gram. The
     * sketch sizing count is a driver-resident scalar by contract (the
     * b09 depth-guard/CC-convergence posture). Shingle + split recipes
-    * shared verbatim with k34/k24. */
+    * shared verbatim with k34/k24.
+    *
+    * EAGER construction (r16 ADVICE): unlike every other declared query,
+    * merely CALLING k70's fn runs Spark jobs — the eval-side count(),
+    * the localCheckpoint(), and `BloomPrune.prefilter`'s
+    * `stat.bloomFilter` TreeAggregate all execute at build time, because
+    * the sketch must exist before the pruned plan can be declared. A
+    * plan-only caller (Explain, plan-shape checks) pays the eval-side
+    * computation; that is the price of the sketch-then-plan shape. */
   val k70: Q = Q(
     "k70_bloom_decontam",
     """WITH sh AS (

@@ -36,6 +36,11 @@ object BloomPrune {
     * xxhash64) or an id — hash textual keys to 64 bits FIRST (the same
     * normalization both join sides need anyway for the exact join).
     *
+    * EAGER: `stat.bloomFilter` runs its TreeAggregate job when this
+    * method is CALLED — the sketch must exist before the pruned frame
+    * can be built, so constructing the returned plan already executed
+    * one pass over `small` (r16 ADVICE: plan-only callers pay it too).
+    *
     * @param expectedItems sizing for the sketch (overestimate is safe —
     *                      bits scale linearly; underestimate inflates fpp)
     * @param fpp           target false-positive rate (drives bits/key) */

@@ -31,7 +31,16 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
   * stream: it needs the customer dimension. It is recovered sink-side in
   * closed form — custdist(0) = |customers| − Σ_{c ≥ 1} custdist(c) —
   * which is exactly what the batch left join computes; pinned bit-equal
-  * to batch d63 across a two-batch cut in StreamingSpec. */
+  * to batch d63 across a two-batch cut in StreamingSpec.
+  *
+  * Referential-integrity precondition (r16 ADVICE): the closed form is
+  * only valid if every streamed `o_custkey` exists in the customer
+  * dimension snapshot |customers| is taken from — an order for an
+  * unknown or late-arriving customer adds to Σ custdist(c ≥ 1) without
+  * being in |customers|, silently deflating the zero bucket (possibly
+  * below zero). The TPC-H fixture guarantees the FK; a production
+  * deployment must either enforce it upstream or refresh |customers|
+  * from the same watermark as the order stream. */
 object StreamingCustdist {
 
   final case class OrderIn(o_custkey: Long)
