@@ -68,10 +68,11 @@ object Explain {
                "c24_join_q2_mincost", "c25_join_q19_disjunct",
                "c26_join_q15_top_supplier", "d62_agg_q11_share",
                "k70_bloom_decontam")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
+    // GraftSession, not a bare builder: the declared queries may reference
+    // the registered native functions (graft_canon, graft_gcd, ...) via
+    // expr(), which resolve only with GraftExtensions installed (r21 fix —
+    // h53 was the first Explain target to hit UNRESOLVED_ROUTINE here)
+    val spark = GraftSession.builder("graft-explain", Some("local[4]"), Some(4))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,186 @@
+package graft.engine
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Round-17 batch (builder-internal r21): the two families the r16
+  * verdict named as the genuinely-novel remaining surface — Unicode
+  * canonicalization as a dedup key (h53 function face + k72 dedup face,
+  * riding the codegen'd [[graft.functions.CanonicalizeTextExpression]])
+  * and the Count-Min sketch exact regime (d66 — the last classic sketch
+  * family without a declared face; topK/histogram/KMV/Bloom each have
+  * one under the d57/d58 exact-regime-gate discipline).
+  */
+object Round21Ops {
+
+  /** The injected Unicode suffix shared by h53's two dialects: a
+    * DECOMPOSED e+U+0301 (exercises NFC composition), an uppercase word
+    * (case fold), U+00DF ß (no decomposition — must survive), and
+    * U+0130 İ — the codepoint where JDK full lowercasing ("i"+U+0307)
+    * and utf8proc simple lowercasing ("i") DIFFER but the mark-strip
+    * step erases the difference (the sweep-verified showcase). Built
+    * from escapes so the source file stays ASCII. */
+  private val Inject = " café STRASSE ß İ"
+
+  /** Accented vowel targets for the translate-injection (À É Î Ö Ü /
+    * à é î ö ü), again via escapes. */
+  private val AccUpper = "ÀÉÎÖÜ"
+  private val AccLower = "àéîöü"
+
+  /** h53 — Unicode canonical text [public: the normalize-before-hash
+    * step of CCNet §4.1 / Dolma's text normalization; DuckDB 1.0.0
+    * ships the oracle as `nfc_normalize` + `strip_accents` + `lower`]:
+    * canon(s) = NFC(stripMarks(NFD(lower(NFC(s))))) over text that is
+    * unicode-ified IN-QUERY (the fixture is pure ASCII — verified — so
+    * accents, case noise, a decomposed combining sequence, ß and İ are
+    * injected deterministically via shared-dialect `translate`/`upper`
+    * and string literals), making the hash compare a REAL cross-engine
+    * exercise of composition, case folding and mark stripping rather
+    * than an identity pass.
+    *
+    * Engine agreement is sweep-verified, not assumed: all 281,360
+    * assigned non-surrogate codepoints were canonicalized by both
+    * pipelines at build time; 281,330 agree bit-exactly and the 30
+    * divergent ones are Unicode-13.0 additions absent from DuckDB
+    * 1.0.0's utf8proc tables (the full list lives in the Expression's
+    * scaladoc; none are injectable here by construction).
+    *
+    * Scale shape: map-only scalar projection (no shuffle, no state —
+    * the cheapest class), with a full-ASCII fast path that skips all
+    * four Normalizer passes, so at 100 TB the mostly-ASCII corpus pays
+    * one byte scan + ASCII lowercase per row. */
+  val h53: Q = Q(
+    "h53_canonical_text",
+    s"""SELECT doc_id,
+       |  NFC_NORMALIZE(STRIP_ACCENTS(LOWER(NFC_NORMALIZE(
+       |    TRANSLATE(UPPER(SUBSTR(text, 1, 30)), 'AEIOU', '$AccUpper')
+       |      || '$Inject')))) AS canonical
+       |FROM documents
+       |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr(s"graft_canon(concat(translate(upper(substring(text, 1, 30)), " +
+               s"'AEIOU', '$AccUpper'), '$Inject'))").as("canonical"))
+        .orderBy(asc_nulls_last("doc_id")))
+
+  /** k72 — canonical-key exact dedup [public: the normalized sibling of
+    * k01/k65 — Dolma/CCNet normalize before any exact hash dedup, so a
+    * corpus whose duplicates differ only by case or accents still
+    * collapses]: each doc's 24-char prefix is deterministically
+    * re-spelled by doc_id residue (upper-cased / accent-translated /
+    * raw — three RAW-DISTINCT spellings of the same underlying text),
+    * then grouped by the canonical key. The fixture's 24-char prefixes
+    * genuinely collide (476 keys over 500 docs at sf0.01: 22 pairs + 1
+    * triple — and those groups mix residues, so the group only forms if
+    * canonicalization actually collapses the spelling noise).
+    * `n_raw_variants` counts the distinct raw spellings each canonical
+    * group absorbed — the direct witness that canon did work the raw
+    * GROUP BY could not.
+    *
+    * Scale shape: map-only canonicalization into ONE hash aggregate on
+    * the canonical key (k01's exact shape — at 100 TB this is the
+    * standard normalize→hash-partition dedup, AQE-splittable, no joins;
+    * the md5 output key keeps result width constant). */
+  val k72: Q = Q(
+    "k72_canonical_dedup",
+    s"""WITH v AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN UPPER(SUBSTR(text, 1, 24))
+       |         WHEN doc_id % 3 = 1
+       |           THEN TRANSLATE(SUBSTR(text, 1, 24), 'aeiou', '$AccLower')
+       |         ELSE SUBSTR(text, 1, 24) END AS noisy
+       |  FROM documents),
+       |c AS (SELECT doc_id, noisy,
+       |        NFC_NORMALIZE(STRIP_ACCENTS(LOWER(NFC_NORMALIZE(noisy)))) AS ck
+       |      FROM v)
+       |SELECT MD5(ck) AS key_md5,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT noisy) AS BIGINT) AS n_raw_variants,
+       |  MIN(doc_id) AS keep_doc
+       |FROM c
+       |GROUP BY ck
+       |ORDER BY key_md5 ASC NULLS LAST""".stripMargin,
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, upper(substring(col("text"), 1, 24)))
+            .when(col("doc_id") % 3 === 1,
+              translate(substring(col("text"), 1, 24), "aeiou", AccLower))
+            .otherwise(substring(col("text"), 1, 24)).as("noisy"))
+        .withColumn("ck", expr("graft_canon(noisy)"))
+        .groupBy("ck")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+             countDistinct(col("noisy")).cast("long").as("n_raw_variants"),
+             min(col("doc_id")).as("keep_doc"))
+        .select(md5(col("ck").cast("binary")).as("key_md5"),
+          col("n_docs"), col("n_raw_variants"), col("keep_doc"))
+        .orderBy(asc_nulls_last("key_md5")))
+
+  /** d66 sketch parameters, frozen (the k57/k69 frozen-table
+    * discipline): eps 0.001 → width 2000, confidence 0.99 → depth 7,
+    * seed 42 — probed exact at freeze time for the 25-key nation domain
+    * (also exact at seeds 1/7 and eps 0.01/0.0005; the regime has slack,
+    * it is not a knife-edge). */
+  private[graft] val CmsEps = 0.001
+  private[graft] val CmsConf = 0.99
+  private[graft] val CmsSeed = 42
+
+  /** d66 — Count-Min sketch, exact regime [public: Cormode & Muthu-
+    * krishnan 2005; Spark's built-in `count_min_sketch` aggregate — the
+    * last classic sketch family without a declared face, under the
+    * d57/d58 exact-regime-gate discipline]: one sketch over customer
+    * nation keys, then every distinct key's `estimateCount` read back
+    * out. Exactness here is STRUCTURAL, not lucky: the estimate for key
+    * k is min over depth rows of (count_k + Σ counts of keys colliding
+    * with k in that row), so it is exact iff every key gets ≥1
+    * collision-free row — a property of the 25 KEY VALUES and the
+    * frozen (eps, confidence, seed) ONLY, independent of row counts,
+    * hence SF-INVARIANT once probed (Round21Spec pins it per SF and
+    * CmsSpec pins the law; the compressed-regime error bound is law-
+    * tested there, not declared). Oracle = exact per-nation counts via
+    * dimension LEFT JOIN (COUNT of matches, 0 for a customer-less
+    * nation) — the sketch must reproduce them exactly.
+    *
+    * Scale shape: `count_min_sketch` is a TypedImperativeAggregate with
+    * map-side partials (per-partition 112 KB sketches, counter-matrix
+    * merge is commutative addition — one treeish exchange of sketch
+    * bytes, never rows); the probe side is a 25-row distinct joined to
+    * the 1-row sketch broadcast (the constant join key folds to TRUE,
+    * so this plans as the whitelisted 1-row-build BNLJ — the d08
+    * scalar-attach class). The estimate UDF runs 25 times on a
+    * post-aggregate frame (the k70 justification: no public Catalyst
+    * expression reads a CountMinSketch, and the frame is domain-sized,
+    * never data-sized). At 100 TB: one scan, one sketch-bytes exchange,
+    * a 25-row join. */
+  val d66: Q = Q(
+    "d66_cms_exact_counts",
+    """SELECT CAST(n_nationkey AS BIGINT) AS key,
+      |  CAST(COUNT(c_custkey) AS BIGINT) AS cnt
+      |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+      |GROUP BY 1
+      |ORDER BY key ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_nationkey").isNotNull)
+      val sk = cust
+        .agg(expr(s"count_min_sketch(c_nationkey, ${CmsEps}d, ${CmsConf}d, $CmsSeed)")
+          .as("sk"))
+      // probe domain = the nation DIMENSION (25-row scan), not a second
+      // fact scan + distinct exchange — at 100 TB the sketch's whole point
+      // is that the fact is read ONCE; a zero-customer nation reads 0 in
+      // the exact regime (its collision-free row holds no counts), which
+      // is exactly the oracle's LEFT-JOIN COUNT(c_custkey) = 0
+      val keys = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("key"))
+      val est = udf((bytes: Array[Byte], k: Long) =>
+        CountMinSketch.readFrom(new ByteArrayInputStream(bytes)).estimateCount(k))
+      keys.crossJoin(broadcast(sk))
+        .select(col("key"), est(col("sk"), col("key")).as("cnt"))
+        .orderBy(asc_nulls_last("key"))
+    })
+
+  def ops: Vector[Q] = Vector(d66, h53, k72)
+}

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{AdcScoreExpression, ChargeExpression, DotProductExpression, GcdExpression, LongDistanceExpression, PackBytesExpression, UnitVectorExpression}
+import graft.functions.{AdcScoreExpression, CanonicalizeTextExpression, ChargeExpression, DotProductExpression, GcdExpression, LongDistanceExpression, PackBytesExpression, UnitVectorExpression}
 
 /** Engine extension point (SURVEY §4 "custom code actually needed" item 2).
   *
@@ -66,6 +66,13 @@ final class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.catalyst.expressions.Cast(
             c, org.apache.spark.sql.types.LongType))
         GcdExpression(a, b)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_canon"),
+      new ExpressionInfo(classOf[CanonicalizeTextExpression].getName, "graft_canon"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_canon(string)")
+        CanonicalizeTextExpression(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_unit"),

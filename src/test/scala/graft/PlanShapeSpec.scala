@@ -53,6 +53,10 @@ class PlanShapeSpec extends SparkSpec {
                                // (Q11's 0.001·total — the d08 class)
       "d65_agg_q22_idle_rich", // 1-row avg-balance threshold broadcast
                                // (Q22's scalar subquery — the d08 class)
+      "d66_cms_exact_counts",  // 1-row sketch-bytes broadcast probed by
+                               // the 25-row key domain (the d08 class;
+                               // the lit-key equijoin constant-folds to
+                               // TRUE, so it plans as BNLJ by design)
       "k71_doremi_update",     // three 1-row broadcasts over the
                                // SOURCE-sized frame (global mean + the
                                // two normalizing sums — the k51/k68

@@ -3086,4 +3086,47 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming CMS: batch-cut sketch is bit-equal to the batch aggregate; estimates equal d66") {
+    import graft.streaming.StreamingCms
+    import graft.streaming.StreamingCms.{CmsIn, CmsOut}
+    import graft.engine.Round21Ops
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    withRocksDbProvider {
+      val keys = graft.engine.Tables.customer(spark, sf0001)
+        .select(col("c_nationkey").cast("long")).collect()
+        .map(r => CmsIn("all", r.getLong(0)))
+      val in = MemoryStream[CmsIn]
+      val q = StreamingCms.frequencySketch(in.toDS(),
+          Round21Ops.CmsEps, Round21Ops.CmsConf, Round21Ops.CmsSeed)
+        .writeStream.format("memory").queryName("cms_t")
+        .outputMode(OutputMode.Update).start()
+      try {
+        // two batch cuts: counter addition is commutative, so the cut
+        // position cannot matter -- the final state must equal one batch
+        // aggregate over the union, BYTE FOR BYTE
+        val (b1, b2) = keys.splitAt(keys.length / 3)
+        in.addData(b1.toIndexedSeq); q.processAllAvailable()
+        in.addData(b2.toIndexedSeq); q.processAllAvailable()
+        val emissions = spark.table("cms_t").as[CmsOut].collect()
+        val finalBytes = emissions.last.sketch
+        val batchBytes = graft.engine.Tables.customer(spark, sf0001)
+          .agg(expr(s"count_min_sketch(c_nationkey, ${Round21Ops.CmsEps}d, " +
+            s"${Round21Ops.CmsConf}d, ${Round21Ops.CmsSeed})"))
+          .head.getAs[Array[Byte]](0)
+        assert(java.util.Arrays.equals(finalBytes, batchBytes),
+          "streaming sketch bytes != batch count_min_sketch aggregate bytes")
+        // and the estimates read from the streamed sketch equal d66
+        val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(finalBytes))
+        val d66 = Round21Ops.d66.fn(spark, sf0001).collect()
+          .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+        d66.foreach { case (k, c) =>
+          assert(sk.estimateCount(k) == c, s"streamed estimate off for $k") }
+      } finally q.stop()
+    }
+  }
 }
