@@ -19,6 +19,17 @@ object Dedup {
     df.groupBy(md5(col(contentCol)).as("h"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** [[exactByDigest]] on the Unicode-CANONICAL content (NFC + casefold +
+    * accent strip — [[TextAnalysis.canonicalText]]): duplicates differing
+    * only by case, accents, or composition form collapse too — the
+    * normalize-before-hash posture of every production corpus pipeline
+    * (the k72 declared query's library face). Same 100 TB shape: map-only
+    * canonicalization into one hash aggregate. */
+  def exactByCanonicalDigest(df: DataFrame, idCol: String,
+                             contentCol: String): DataFrame =
+    df.groupBy(md5(TextAnalysis.canonicalText(col(contentCol))).as("h"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
   /** Exact token-set Jaccard near-dup pairs within a blocking key.
     * Inverted-index self-join: cost Σ_token df(token)² per block — use a
     * selective blocking column; the unblocked 100 TB path is MinHashLSH. */

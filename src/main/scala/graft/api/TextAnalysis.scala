@@ -12,6 +12,15 @@ object TextAnalysis {
   /** Whitespace token array. */
   def tokens(textCol: Column, sep: String = " "): Column = split(textCol, sep)
 
+  /** Unicode canonical form — the normalize-before-hash step (CCNet §4.1 /
+    * Dolma): NFC → lowercase(ROOT) → NFD → strip marks → NFC, via the
+    * codegen'd [[graft.functions.CanonicalizeTextExpression]] (`graft_canon`
+    * in SQL; this is its Scala-API face). Map-only, full-ASCII fast path. */
+  def canonicalText(textCol: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.CanonicalizeTextExpression(
+        org.apache.spark.sql.graftbridge.Bridge.expression(textCol)))
+
   /** Stopword ratio over a literal stopword set. */
   def stopwordRatio(textCol: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(textCol)

@@ -738,4 +738,26 @@ class ApiSpec extends SparkSpec {
     assert(gotNonDet == wantRows,
       "fallback collapse must be exact on a non-deterministic repartitioned frame")
   }
+
+  test("TextAnalysis.canonicalText + Dedup.exactByCanonicalDigest collapse case/accent/composition variants") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    // the same underlying text in four spellings: raw, upper, accented,
+    // DECOMPOSED combining form -- plus one genuinely different text
+    val df = Seq(
+      (1L, "resume review"),
+      (2L, "RESUME REVIEW"),
+      (3L, "r\u00e9sum\u00e9 review"),
+      (4L, "re\u0301sume\u0301 review"),
+      (5L, "other text")).toDF("id", "text")
+    val canon = df.select(graft.api.TextAnalysis.canonicalText(col("text")).as("c"))
+      .collect().map(_.getString(0))
+    assert(canon.take(4).distinct === Array("resume review"))
+    val groups = graft.api.Dedup.exactByCanonicalDigest(df, "id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(groups === Map(1L -> 4L, 5L -> 1L))
+    // the plain digest dedup CANNOT collapse them -- the witness
+    assert(graft.api.Dedup.exactByDigest(df, "id", "text").count() == 5L)
+  }
 }
