@@ -1,5 +1,10 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// The r21 canonicalization sources carry meaningful non-ASCII literals
+// (a DECOMPOSED e+U+0301 among them); pin the source charset so a
+// non-UTF-8 default locale can never silently miscompile them.
+ThisBuild / scalacOptions += "-encoding"
+ThisBuild / scalacOptions += "UTF-8"
 name := "mysqltoclickhousespark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

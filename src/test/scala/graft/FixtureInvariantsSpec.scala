@@ -81,5 +81,20 @@ class FixtureInvariantsSpec extends SparkSpec {
         s"only $distinctToks distinct tokens in $dir — k54's V=16 vocab " +
           "budget no longer bites; re-pick V before re-declaring")
     }
+
+    test(s"documents.text is pure ASCII at $sfName (h53/k72 declared-domain contract)") {
+      // h53/k72's oracle equality rests on the build-time codepoint sweep:
+      // all injected codepoints are sweep-verified JDK==DuckDB agreers, and
+      // the UNDERLYING text contributes only ASCII (where the pipelines
+      // agree trivially). A regenerated fixture with non-ASCII text could
+      // smuggle in one of the 30 Unicode-13.0 divergers and flip the hash
+      // — surface that here, not in the driver's oracle diff.
+      val nonAscii = graft.engine.Tables.documents(spark, dir)
+        .filter(not(col("text").rlike("^[\\x00-\\x7F]*$")))
+        .count()
+      assert(nonAscii == 0L,
+        s"$nonAscii non-ASCII documents in $dir — re-run the JDK/DuckDB " +
+          "codepoint sweep for the new text domain before trusting h53/k72")
+    }
   }
 }
