@@ -33,7 +33,9 @@ object Round21Ops {
     * step of CCNet §4.1 / Dolma's text normalization; DuckDB 1.0.0
     * ships the oracle as `nfc_normalize` + `strip_accents` + `lower`]:
     * canon(s) = NFC(stripMarks(NFD(lower(NFC(s))))) over text that is
-    * unicode-ified IN-QUERY (the fixture is pure ASCII — verified — so
+    * unicode-ified IN-QUERY (the fixture is pure ASCII — verified at
+    * build time AND pinned per-SF by FixtureInvariantsSpec, since the
+    * declared-domain restriction rests on it — so
     * accents, case noise, a decomposed combining sequence, ß and İ are
     * injected deterministically via shared-dialect `translate`/`upper`
     * and string literals), making the hash compare a REAL cross-engine
