@@ -3129,4 +3129,55 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("streaming timer-closed sessions: gap-close + watermark-close equal batch j03") {
+    import graft.streaming.StreamingSessionClose
+    import graft.streaming.StreamingSessionClose.{EventIn, SessionOut}
+    val sp = spark
+    import sp.implicits._
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    withRocksDbProvider {
+      // global TIME split so per-user event order holds across batches
+      // (the documented in-order contract); within a batch order is free
+      val evs = graft.engine.Tables.events(spark, sf0001)
+        .select(col("user_id"), col("ts")).orderBy("ts")
+        .collect().map(r => EventIn(r.getLong(0), r.getTimestamp(1)))
+      val (b1, b2) = evs.splitAt(evs.length / 2)
+      val maxTs = evs.map(_.ts.getTime).max
+      val sentinel = EventIn(-1L, new java.sql.Timestamp(maxTs + 2L * 3600 * 1000))
+      val sentinel2 = EventIn(-1L, new java.sql.Timestamp(maxTs + 3L * 3600 * 1000))
+      val in = MemoryStream[EventIn]
+      val q = StreamingSessionClose.sessions(
+          in.toDS().withWatermark("ts", "0 seconds"), 30L * 60 * 1000000)
+        .writeStream.format("memory").queryName("sess_t")
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(b1.toIndexedSeq); q.processAllAvailable()
+        in.addData(b2.toIndexedSeq); q.processAllAvailable()
+        // two sentinel rounds: the first raises the watermark past every
+        // real session end, the second guarantees a microbatch runs WITH
+        // that watermark so every remaining timer fires
+        in.addData(sentinel); q.processAllAvailable()
+        in.addData(sentinel2); q.processAllAvailable()
+        val streamed = spark.table("sess_t").as[SessionOut].collect()
+          .filter(_.user_id >= 0)
+          .map(o => (o.user_id, o.s_start.getTime, o.s_start.getNanos,
+                     o.s_end.getTime, o.s_end.getNanos, o.n_events)).toSet
+        val batch = graft.engine.StreamBatchOps.j03.fn(spark, sf0001).collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+                     r.getTimestamp(1).getNanos, r.getTimestamp(2).getTime,
+                     r.getTimestamp(2).getNanos, r.getLong(3))).toSet
+        assert(batch.nonEmpty)
+        // every session emitted exactly once (Append discipline)
+        assert(streamed.size == spark.table("sess_t").as[SessionOut]
+          .collect().count(_.user_id >= 0),
+          "a session was emitted more than once")
+        assert(streamed == batch,
+          s"timer-closed sessions diverged from batch j03; " +
+            s"onlyStream=${(streamed -- batch).take(3)} " +
+            s"onlyBatch=${(batch -- streamed).take(3)}")
+      } finally q.stop()
+    }
+  }
 }
