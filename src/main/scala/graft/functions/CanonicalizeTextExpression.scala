@@ -40,6 +40,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * Round21Spec; the declared queries inject only sweep-verified
   * codepoints.
   *
+  * One divergence class the per-codepoint sweep structurally CANNOT
+  * see (each char was embedded as "x□y", a fixed context): Unicode
+  * SpecialCasing's context-SENSITIVE rules. The JDK implements
+  * Final_Sigma — Σ after a cased letter with no cased letter following
+  * lowercases to ς ("ΑΣ" → "ας", "xΣ" → "xς") — while utf8proc applies
+  * only the simple mapping Σ → σ everywhere ("ασ", "xσ"; verified live
+  * against DuckDB 1.0.0 at build time). Final_Sigma is the only
+  * locale-independent context-sensitive lowercase rule (the Turkish/
+  * Lithuanian ones are locale-gated and Locale.ROOT avoids them), so
+  * GREEK CAPITAL SIGMA in word-final position is the one excluded
+  * codepoint-in-context; Round21Spec pins the JDK-side behavior and
+  * the declared queries inject no Σ.
+  *
   * Scale shape: map-only scalar (the cheapest class), codegen'd via
   * nullSafeCodeGen calling the static helper below — the same shape as
   * Spark's own Lower (whose body is also a library call), so it stays

@@ -51,6 +51,23 @@ class Round21Spec extends SparkSpec {
     }
   }
 
+  test("canonString: Final_Sigma is context-sensitive JDK-side (the excluded divergence class)") {
+    // The per-codepoint sweep embedded every char as "x□y" — a fixed
+    // context — so it structurally could not see SpecialCasing's
+    // context-SENSITIVE rules. The JDK implements Final_Sigma (Σ after a
+    // cased letter with no cased letter following → ς); utf8proc/DuckDB
+    // applies the simple mapping Σ → σ EVERYWHERE (verified live against
+    // DuckDB 1.0.0 at build time: "ΑΣ" → "ασ", "xΣ" → "xσ"). Word-final
+    // Σ is therefore the one excluded codepoint-in-context of the
+    // declared domain; pin the JDK side so an SDK change that alters the
+    // rule fails here, not in an oracle diff.
+    assert(CanonicalizeText.canonString("ΑΣ") == "ας")     // final → ς
+    assert(CanonicalizeText.canonString("xΣ") == "xς")     // final after cased
+    assert(CanonicalizeText.canonString("ΣΑ") == "σα")     // non-final → σ
+    assert(CanonicalizeText.canonString("Σ") == "σ")       // no preceding cased
+    assert(CanonicalizeText.canonString("ΟΔΥΣΣΕΥΣ") == "οδυσσευς")
+  }
+
   test("canon: full-ASCII fast path equals the general pipeline") {
     for (s <- Seq("The Quick BROWN fox", "", "a", "MiXeD 123 !@#")) {
       val fast = graft.functions.CanonicalizeText.canon(UTF8String.fromString(s))
