@@ -221,4 +221,45 @@ object GraftProperties extends Properties("graft") {
         closed == expanded(rank - 1)
       }
     }
+
+  // ------------------------------------------------- canonicalization laws
+
+  /** Random Unicode strings biased toward the interesting classes: Latin
+    * accents, Greek (final-sigma contexts), combining marks, Hangul
+    * (NFC/NFD round trips), plus plain ASCII. */
+  private val genUnicode: Gen[String] = {
+    val interesting = Gen.oneOf(
+      Gen.choose(0x20, 0x7E),          // ASCII
+      Gen.choose(0xC0, 0x17F),         // Latin-1/Extended-A accents
+      Gen.choose(0x386, 0x3CE),        // Greek incl. sigma/final sigma
+      Gen.choose(0x300, 0x36F),        // combining marks
+      Gen.choose(0xAC00, 0xAC20),      // Hangul syllables
+      Gen.choose(0x1E00, 0x1E9E))      // Latin Extended Additional
+    Gen.listOf(interesting).map(cps =>
+      cps.map(cp => new String(Character.toChars(cp))).mkString)
+  }
+
+  /** Canonicalization is IDEMPOTENT: re-canonicalizing already-canonical
+    * text is a no-op — the law that makes it safe for a pipeline to
+    * re-ingest its own normalized output. (Final_Sigma cannot break it:
+    * the first pass leaves no capital sigma behind.) */
+  property("graft_canon is idempotent") =
+    forAll(genUnicode) { s =>
+      val once = graft.functions.CanonicalizeText.canonString(s)
+      graft.functions.CanonicalizeText.canonString(once) == once
+    }
+
+  /** Canonical output carries no uppercase and no combining marks —
+    * the two classes the pipeline exists to remove. */
+  property("graft_canon output is lowercase and mark-free") =
+    forAll(genUnicode) { s =>
+      val c = graft.functions.CanonicalizeText.canonString(s)
+      c.codePoints().toArray.forall { cp =>
+        val t = Character.getType(cp)
+        !Character.isUpperCase(cp) &&
+          t != Character.NON_SPACING_MARK &&
+          t != Character.COMBINING_SPACING_MARK &&
+          t != Character.ENCLOSING_MARK
+      }
+    }
 }
