@@ -260,7 +260,7 @@ object ScaleProbe {
     // the probe would exit 0 looking like a clean run with no
     // measurements.
     val known = Set("dense", "sparse", "emb", "events", "rank", "skewfold",
-                    "bloom", "tpch")
+                    "bloom", "tpch", "r22")
     val unknown = args.toSet.diff(known)
     require(unknown.isEmpty,
       s"unknown probe section(s) ${unknown.mkString(", ")}; " +
@@ -793,6 +793,72 @@ object ScaleProbe {
         f"skew10x=$ts2%.2fs/$ns%d rows|skewRatio=${ts2 / tu}%.2f")
     }
     } // skewfold
+
+    if (sections("r22")) {
+    // ---- r22's iterative/sequential operators at 10×, closed form ----
+    // (a) PageRank on a 2-regular ring: uniformity is preserved by the
+    // scaled-integer recurrence, so EVERY node's rank has a closed form
+    // computable in probe-local Long arithmetic — an exact-value gate
+    // over the whole output at both sizes, plus the measured time ratio
+    // of the per-round join+agg pipeline (expect ~linear: 2n edges,
+    // n ranks per round).
+    import org.apache.spark.sql.DataFrame
+    def ring(n: Long): DataFrame =
+      spark.range(n).selectExpr(
+        s"stack(2, id, (id + 1) % $n, id, (id + $n - 1) % $n) AS (src, dst)")
+    def ringClosedForm(n: Long, iters: Int): Long = {
+      val S = 1000000000000L
+      val init = S / n; val base = (15L * init) / 100L
+      var r = init
+      for (_ <- 1 to iters) r = base + (85L * (2L * (r / 2L))) / 100L
+      r
+    }
+    def prTime(n: Long, gate: Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val ranks = graft.operators.PageRank.ranks(ring(n), "src", "dst",
+        iters = 3, broadcastGate = gate)
+      val want = ringClosedForm(n, 3)
+      val exact = ranks.filter(col("r") === lit(want)).count()
+      graft.operators.PageRank.freeResult(ranks)
+      require(exact == n,
+        s"PageRank ring($n): only $exact/$n nodes match the closed form $want")
+      ((System.nanoTime() - t0) / 1e9, exact)
+    }
+    val g = graft.operators.PageRank.broadcastNodeGate
+    prTime(100000L, g) // warm
+    val (tp1, np1) = prTime(100000L, g)
+    val (tp10, np10) = prTime(1000000L, g)
+    // the above-gate SHUFFLE regime, forced at the same 1e6 (gate = 0):
+    // both per-round join regimes carry the closed-form gate (the CC
+    // broadcast/shuffle relabel-gate discipline)
+    val (tpS, npS) = prTime(1000000L, 0L)
+    println(f"R22|pagerank_ring|n=1e5:$tp1%.2fs/$np1%d exact|" +
+      f"n=1e6:$tp10%.2fs/$np10%d exact|timeRatio=${tp10 / tp1}%.1f|" +
+      f"n=1e6 shuffle-regime:$tpS%.2fs/$npS%d exact")
+
+    // (b) GreedyCover on a planted corpus: doc i holds (i > m-10 ?
+    // 5 + (i-(m-10)) : 5) DISJOINT items, so the greedy picks are exactly
+    // docs m, m-1, m-2, m-3, m-4 with gains 15..11 at ANY m — the closed
+    // form survives the 10× and the items table stays linear in m.
+    def planted(m: Long): DataFrame =
+      spark.range(1, m + 1).selectExpr("id",
+        s"explode(sequence(1, case when id > $m - 10 then 5 + (id - ($m - 10)) else 5 end)) AS j")
+        .selectExpr("id", "concat(id, '_', j) AS item")
+    def gcTime(m: Long): Double = {
+      val t0 = System.nanoTime()
+      val got = graft.operators.GreedyCover.select(planted(m), "id", "item", k = 5)
+        .orderBy("sel_rank").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      val want = (1 to 5).map(i => (i, m - i + 1, 16L - i))
+      require(got == want, s"GreedyCover planted($m): got $got, want $want")
+      (System.nanoTime() - t0) / 1e9
+    }
+    gcTime(100000L) // warm
+    val tg1 = gcTime(100000L)
+    val tg10 = gcTime(1000000L)
+    println(f"R22|greedy_cover|m=1e5:$tg1%.2fs|m=1e6:$tg10%.2fs|" +
+      f"closedFormExact=true|timeRatio=${tg10 / tg1}%.1f")
+    } // r22
     spark.stop()
   }
 }

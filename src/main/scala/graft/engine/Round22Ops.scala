@@ -1,0 +1,196 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GreedyCover, PageRank}
+
+/** Round-17 second batch (builder-internal r22): two operator CLASSES the
+  * surface did not cover —
+  *
+  *   - k73: iterative weighted-mass fixed point (integer-exact PageRank).
+  *     ConnectedComponents (k23/k25) is the only other iterative operator
+  *     and it propagates a min-label through a lattice — convergence by
+  *     order, no arithmetic to reproduce. PageRank propagates divisible
+  *     MASS, so the §2 determinism discipline (scaled-integer floor
+  *     arithmetic, both engines truncate `div` toward zero) gets applied
+  *     to a multi-round recurrence for the first time, and the oracle
+  *     unrolls the same recurrence as a static CTE chain.
+  *
+  *   - k74: sequential submodular selection (greedy max-coverage).
+  *     Every other declared query is ONE declarative plan; greedy's
+  *     round-t argmax depends on rounds 1..t-1, so the operator runs k
+  *     driver rounds (the k-means/IVF posture — 1-row argmax collects,
+  *     all data distributed) and the oracle unrolls the k rounds as
+  *     chained CTEs with NOT-EXISTS anti-joins.
+  */
+object Round22Ops {
+
+  private val S = "1000000000000" // rank mass scale (1e12) as SQL literal
+
+  /** k73 — PageRank over the customer↔supplier bipartite graph [public:
+    * Page et al. 1999 "The PageRank Citation Ranking"; the Pregel
+    * message-passing shape on DataFrames, Malewicz et al. SIGMOD'10 —
+    * link-analysis quality signals are how CommonCrawl-scale pipelines
+    * seed-filter domains]: distinct (customer, supplier) trade pairs from
+    * orders⋈lineitem become a symmetrized edge list (cust node = 2k,
+    * supp node = 2k+1 — collision-free by parity), and 3 damped rounds
+    * (d=0.85) of the scaled-integer recurrence rank the nodes; the face
+    * is the top-20 by rank with a total tie-break order.
+    *
+    * Determinism: every quantity is a Long — init = S div N,
+    * base = (15·init) div 100, r' = base + (85·Σ(r div outdeg)) div 100 —
+    * and both engines truncate integer division identically (§2 rule),
+    * so the unrolled-CTE oracle matches bit-for-bit with no float
+    * summation anywhere. Suppliers aggregate ~15× more mass than
+    * customers (10 suppliers serve 150+ customers at sf0.001), so the
+    * top-20 is all suppliers plus the best-connected customers — real
+    * signal, not a uniform fixture artifact.
+    *
+    * Scale shape: per round one equi-join |E|⋈|V| on src + one sum-agg
+    * on dst (two shuffles per round, the Pregel step); the edge table is
+    * checkpointed ONCE (the caller's orders⋈lineitem distinct never
+    * reruns), rounds are a fixed count, and nothing data-sized touches
+    * the driver. The face's top-20 is a TakeOrdered, not a global sort.
+    *
+    * EAGER construction (the k70 class): calling fn runs the whole
+    * 3-round iteration; the returned frame is a self-contained 20-row
+    * checkpoint and every upstream checkpoint is freed before return. */
+  val k73: Q = Q(
+    "k73_pagerank_bipartite",
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+       |edges AS (SELECT cn AS src, sn AS dst FROM pairs
+       |          UNION ALL SELECT sn AS src, cn AS dst FROM pairs),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+       |        FROM edges GROUP BY src),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+       |pr AS (SELECT $S // n AS init, (15 * ($S // n)) // 100 AS base FROM nn),
+       |r0 AS (SELECT src AS node, init AS r FROM deg CROSS JOIN pr),
+       |s1 AS (SELECT e.dst AS node, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS m
+       |       FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+       |       GROUP BY e.dst),
+       |r1 AS (SELECT r0.node, base + (85 * COALESCE(s1.m, 0)) // 100 AS r
+       |       FROM r0 CROSS JOIN pr LEFT JOIN s1 ON s1.node = r0.node),
+       |s2 AS (SELECT e.dst AS node, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS m
+       |       FROM edges e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+       |       GROUP BY e.dst),
+       |r2 AS (SELECT r1.node, base + (85 * COALESCE(s2.m, 0)) // 100 AS r
+       |       FROM r1 CROSS JOIN pr LEFT JOIN s2 ON s2.node = r1.node),
+       |s3 AS (SELECT e.dst AS node, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS m
+       |       FROM edges e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src
+       |       GROUP BY e.dst),
+       |r3 AS (SELECT r2.node, base + (85 * COALESCE(s3.m, 0)) // 100 AS r
+       |       FROM r2 CROSS JOIN pr LEFT JOIN s3 ON s3.node = r2.node)
+       |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS node_kind,
+       |  node // 2 AS entity_key, r AS rank_scaled
+       |FROM r3
+       |ORDER BY rank_scaled DESC NULLS LAST, node_kind ASC NULLS LAST,
+       |  entity_key ASC NULLS LAST
+       |LIMIT 20""".stripMargin,
+    (s, dir) => {
+      val pairs = Tables.orders(s, dir)
+        .filter(col("o_custkey").isNotNull)
+        .join(Tables.lineitem(s, dir).filter(col("l_suppkey").isNotNull),
+              col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("cn"),
+                (col("l_suppkey") * 2 + 1).as("sn"))
+        .distinct()
+        // one materialization: the symmetrizing union would otherwise run
+        // the join+distinct once per branch (alias renumbering defeats
+        // exchange reuse — the ConnectedComponents lesson)
+        .localCheckpoint()
+      val edges = pairs.select(col("cn").as("src"), col("sn").as("dst"))
+        .unionAll(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+      val ranks = PageRank.ranks(edges, "src", "dst", iters = 3)
+      val out = ranks.select(
+          when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp"))
+            .as("node_kind"),
+          expr("node div 2").as("entity_key"),
+          col("r").as("rank_scaled"))
+        .orderBy(desc_nulls_last("rank_scaled"), asc_nulls_last("node_kind"),
+                 asc_nulls_last("entity_key"))
+        .limit(20)
+        .localCheckpoint() // 20-row self-contained result
+      PageRank.freeResult(ranks)
+      PageRank.freeResult(pairs)
+      out
+    })
+
+  /** k74 — greedy max-coverage document selection [public: the
+    * (1−1/e) greedy of Nemhauser–Wolsey–Fisher 1978; CELF lazy
+    * evaluation, Leskovec et al. KDD'07; GreeDi distributed two-round,
+    * Mirzasoleiman et al. NIPS'13 — coverage-based subset selection is
+    * the "pick the k docs that together cover the most distinct
+    * n-grams" step of data-efficient pretraining]: 5 greedy rounds over
+    * the documents' distinct 3-word shingles (k08's shingling dialect),
+    * each round counting every document's NOT-YET-COVERED shingles and
+    * taking the (gain DESC, doc_id ASC) argmax.
+    *
+    * The oracle unrolls the 5 rounds as chained CTEs: pᵢ = anti-join
+    * gains vs the covered set cᵢ₋₁ (NOT EXISTS), sᵢ = 1-row argmax,
+    * cᵢ = cᵢ₋₁ ∪ the winner's shingles. A selected doc's rows all fall
+    * to the anti-join afterward (its shingles ⊆ covered), so it can
+    * never re-win — no explicit exclusion list needed on either side.
+    *
+    * Scale shape: per round ONE hash anti-join on the shingle column +
+    * one count-agg + a TakeOrdered(1); the covered set is a distributed
+    * checkpointed frame, never driver-resident; only the 1-row argmax is
+    * collected (the k-means posture). EAGER construction (k70 class). */
+  val k74: Q = Q(
+    "k74_greedy_coverage",
+    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t
+      |              FROM documents WHERE LEN(STRING_SPLIT(text, ' ')) >= 3),
+      |g AS (SELECT DISTINCT doc_id, shingle FROM (
+      |        SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 2),
+      |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      |        FROM toks)),
+      |p1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+      |       FROM g GROUP BY doc_id),
+      |s1 AS (SELECT doc_id, gain FROM p1 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+      |c1 AS (SELECT DISTINCT shingle FROM g
+      |       WHERE doc_id IN (SELECT doc_id FROM s1)),
+      |p2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM g
+      |       WHERE NOT EXISTS (SELECT 1 FROM c1 WHERE c1.shingle = g.shingle)
+      |       GROUP BY doc_id),
+      |s2 AS (SELECT doc_id, gain FROM p2 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+      |c2 AS (SELECT shingle FROM c1 UNION
+      |       SELECT shingle FROM g WHERE doc_id IN (SELECT doc_id FROM s2)),
+      |p3 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM g
+      |       WHERE NOT EXISTS (SELECT 1 FROM c2 WHERE c2.shingle = g.shingle)
+      |       GROUP BY doc_id),
+      |s3 AS (SELECT doc_id, gain FROM p3 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+      |c3 AS (SELECT shingle FROM c2 UNION
+      |       SELECT shingle FROM g WHERE doc_id IN (SELECT doc_id FROM s3)),
+      |p4 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM g
+      |       WHERE NOT EXISTS (SELECT 1 FROM c3 WHERE c3.shingle = g.shingle)
+      |       GROUP BY doc_id),
+      |s4 AS (SELECT doc_id, gain FROM p4 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+      |c4 AS (SELECT shingle FROM c3 UNION
+      |       SELECT shingle FROM g WHERE doc_id IN (SELECT doc_id FROM s4)),
+      |p5 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM g
+      |       WHERE NOT EXISTS (SELECT 1 FROM c4 WHERE c4.shingle = g.shingle)
+      |       GROUP BY doc_id),
+      |s5 AS (SELECT doc_id, gain FROM p5 ORDER BY gain DESC, doc_id ASC LIMIT 1)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS INTEGER) AS sel_rank, doc_id, gain FROM s1
+      |  UNION ALL SELECT 2, doc_id, gain FROM s2
+      |  UNION ALL SELECT 3, doc_id, gain FROM s3
+      |  UNION ALL SELECT 4, doc_id, gain FROM s4
+      |  UNION ALL SELECT 5, doc_id, gain FROM s5)
+      |ORDER BY sel_rank ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 2), g -> concat_ws(' ', " +
+            "element_at(t, g), element_at(t, g + 1), element_at(t, g + 2)))"))
+          .as("shingle"))
+      GreedyCover.select(grams, "doc_id", "shingle", k = 5)
+        .orderBy(asc_nulls_last("sel_rank"))
+    })
+
+  def ops: Vector[Q] = Vector(k73, k74)
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GreedyCover, PageRank}
+
+/** Round-22 operator semantics: integer-exact PageRank (k73's engine) and
+  * greedy max-coverage (k74's engine). The fixture-level oracle equality is
+  * the selfcheck's job; these pin the operator CONTRACTS on hand graphs
+  * where the expected values are independently derived in the test body
+  * (closed form for regular graphs, a worked 2-round recurrence for the
+  * star, the classic overlap counterexample for greedy).
+  */
+class Round22Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = 1000000000000L
+
+  /** The scaled-integer recurrence on a d-regular graph, where uniformity
+    * makes it closed-form: every node keeps the same rank each round. */
+  private def regularClosedForm(n: Long, d: Long, iters: Int): Long = {
+    val init = S / n
+    val base = (15L * init) / 100L
+    var r = init
+    for (_ <- 1 to iters) r = base + (85L * (d * (r / d))) / 100L
+    r
+  }
+
+  test("PageRank: triangle (2-regular) matches the closed form, all 3 iters") {
+    // symmetrized triangle: each node has out-degree 2
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val got = PageRank.ranks(edges, "src", "dst", iters = 3)
+      .orderBy("node").as[(Long, Long)].collect()
+    val want = regularClosedForm(n = 3, d = 2, iters = 3)
+    assert(got.toSeq == Seq((0L, want), (1L, want), (2L, want)))
+    assert(want > 0L)
+  }
+
+  test("PageRank: star graph matches a hand-run 2-round recurrence") {
+    // center 0, leaves 1..4, symmetrized: center outdeg 4, leaves outdeg 1
+    val pairs = (1L to 4L).map(l => (0L, l))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val got = PageRank.ranks(edges, "src", "dst", iters = 2)
+      .orderBy("node").as[(Long, Long)].collect().toMap
+
+    // independent derivation, same integer rules
+    val init = S / 5; val base = (15L * init) / 100L
+    // round 1: center receives 4 leaf contributions (each r/1); each leaf
+    // receives the center's r/4
+    val c1 = base + (85L * (4L * init)) / 100L
+    val l1 = base + (85L * (init / 4L)) / 100L
+    // round 2
+    val c2 = base + (85L * (4L * l1)) / 100L
+    val l2 = base + (85L * (c1 / 4L)) / 100L
+    assert(got(0L) == c2)
+    (1L to 4L).foreach(l => assert(got(l) == l2))
+    assert(c2 > l2, "the hub must out-rank the leaves")
+  }
+
+  test("PageRank: dangling node fails loudly, not by silent mass leak") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst") // 2 has no out-edge
+    val e = intercept[IllegalArgumentException] {
+      PageRank.ranks(edges, "src", "dst", iters = 1)
+    }
+    assert(e.getMessage.contains("dangling"))
+  }
+
+  test("GreedyCover: overlap makes greedy diverge from size ranking") {
+    // A={x,y,z}, B={x,y,w}, C={u,v}: sizes 3,3,2 — size-ranking would take
+    // A then B, but after A, B's marginal gain is 1 < C's 2. Greedy must
+    // pick A (tie-break id), then C, then B with gain 1.
+    val items = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"), (2L, "w"),
+      (3L, "u"), (3L, "v")).toDF("id", "item")
+    val got = GreedyCover.select(items, "id", "item", k = 3)
+      .orderBy("sel_rank").as[(Int, Long, Long)].collect().toSeq
+    assert(got == Seq((1, 1L, 3L), (2, 3L, 2L), (3, 2L, 1L)))
+  }
+
+  test("GreedyCover: universe exhaustion returns fewer than k rows") {
+    val items = Seq((1L, "a"), (2L, "a")).toDF("id", "item")
+    val got = GreedyCover.select(items, "id", "item", k = 3)
+      .orderBy("sel_rank").as[(Int, Long, Long)].collect().toSeq
+    // round 1 takes id 1 (gain 1, tie-break); round 2: id 2's only item is
+    // covered, so its gain group vanishes — selection stops at 1 row
+    assert(got == Seq((1, 1L, 1L)))
+  }
+
+  test("GreedyCover: duplicate (id,item) rows do not inflate gains") {
+    val items = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "item")
+    val got = GreedyCover.select(items, "id", "item", k = 2)
+      .orderBy("sel_rank").as[(Int, Long, Long)].collect().toSeq
+    assert(got == Seq((1, 1L, 2L), (2, 2L, 1L)))
+  }
+}
