@@ -71,10 +71,9 @@ object GreedyCover {
     val trail = ArrayBuffer[DataFrame]()
     var exhausted = false
     for (i <- 1 to k if !exhausted) {
-      val gains = g.join(covered, Seq(itemCol), "left_anti")
-        .groupBy(idCol).agg(count(lit(1)).as("gain"))
       // top-1 via TakeOrdered (no global sort); 1-row collect per round
-      val top = gains.orderBy(desc("gain"), asc(idCol)).limit(1).collect()
+      val top = gains(g, covered, idCol, itemCol)
+        .orderBy(desc("gain"), asc(idCol)).limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {
         val id = top(0).getLong(top(0).fieldIndex(idCol))
@@ -97,4 +96,14 @@ object GreedyCover {
       java.util.Arrays.asList(picks.map(p => Row(p._1, p._2, p._3)).toArray: _*),
       schema)
   }
+
+  /** One round's marginal-gain frame as a LAZY plan — the loop body,
+    * exposed so the plan-pin suite can see the per-round shape the eager
+    * loop hides: an equi anti-join on the item column (hash-partitioned /
+    * broadcastable while the covered set is small) into one count
+    * aggregate. */
+  private[graft] def gains(g: DataFrame, covered: DataFrame,
+                           idCol: String, itemCol: String): DataFrame =
+    g.join(covered, Seq(itemCol), "left_anti")
+      .groupBy(idCol).agg(count(lit(1)).as("gain"))
 }

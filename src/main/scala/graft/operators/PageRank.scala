@@ -114,6 +114,9 @@ object PageRank {
     val n = nodes.count() // 1-row scalar class (Guards posture)
     require(n > 0, "PageRank: empty graph")
     val init = scale / n
+    require(init > 0,
+      s"PageRank: scale $scale div $n nodes floors to 0 mass per node; " +
+        "raise scale above the node count")
     val base = ((100L - damp) * init) / 100L
 
     // the ConnectedComponents relabel gate: the rank table is |V| rows of
@@ -122,18 +125,11 @@ object PageRank {
     // round, the dst aggregation, instead of two); above it, hash join
     // (the 100 TB regime — both regimes share the same plan text)
     val small = n <= broadcastGate
-    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
     var ranks = nodes.withColumn("r", lit(init))
     val trail = ArrayBuffer[DataFrame]()
     for (_ <- 1 to iters) {
-      val sums = edgesD.join(hint(ranks), edgesD("src") === ranks("node"))
-        .select(col("dst").as("node"), expr("r div outdeg").as("c"))
-        .groupBy("node").agg(sum("c").as("m"))
-      val next = nodes.join(hint(sums), Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"($damp * coalesce(m, 0L)) div 100")).as("r"))
-        .localCheckpoint()
+      val next = round(edgesD, nodes, ranks, base, damp, small).localCheckpoint()
       trail += ranks
       ranks = next
     }
@@ -142,5 +138,22 @@ object PageRank {
     free(trail)
     free(Seq(edgesD, nodes))
     ranks
+  }
+
+  /** One recurrence round as a LAZY frame — the loop body, exposed so the
+    * plan-pin suite can see the per-round physical shape the eager loop
+    * hides behind its checkpoints: the |E|⋈|V| rank join (broadcast-hinted
+    * under the gate) feeding the dst sum-aggregate, then the damped update
+    * over the node set. */
+  private[graft] def round(edgesD: DataFrame, nodes: DataFrame,
+                           ranks: DataFrame, base: Long, damp: Int,
+                           small: Boolean): DataFrame = {
+    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val sums = edgesD.join(hint(ranks), edgesD("src") === ranks("node"))
+      .select(col("dst").as("node"), expr("r div outdeg").as("c"))
+      .groupBy("node").agg(sum("c").as("m"))
+    nodes.join(hint(sums), Seq("node"), "left")
+      .select(col("node"),
+        (lit(base) + expr(s"($damp * coalesce(m, 0L)) div 100")).as("r"))
   }
 }

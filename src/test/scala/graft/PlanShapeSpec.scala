@@ -452,4 +452,60 @@ class PlanShapeSpec extends SparkSpec {
         s"${q.name}: grid agg + window exchanges only, got $dataExchanges:\n$p")
     }
   }
+
+  test("k73/k74 internals: per-round shapes — BHJ under the gate, shuffle join above, equi anti-join gains, never BNLJ") {
+    // the r22 operators run eager loops whose returned frames are
+    // checkpoint roots, so the full-surface sweep above cannot see the
+    // per-round plans; PageRank.round / GreedyCover.gains expose the loop
+    // bodies lazily and the regime behavior is pinned here (the closed-form
+    // VALUE gates for both regimes live in ScaleProbe's r22 section)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgesD = edges.join(deg, "src")
+    val nodes = edgesD.select(col("src").as("node")).distinct()
+    val ranks = nodes.withColumn("r", lit(100L))
+
+    val pSmall = executedPlan(
+      graft.operators.PageRank.round(edgesD, nodes, ranks, 5L, 85, small = true))
+    assert(pSmall.contains("BroadcastHashJoin"),
+      s"under the gate the rank join must broadcast:\n$pSmall")
+    assert(!pSmall.contains("BroadcastNestedLoopJoin") &&
+           !pSmall.contains("CartesianProduct"), s"k73 small regime:\n$pSmall")
+
+    // above the gate: kill both broadcast thresholds so tiny test data
+    // cannot auto-broadcast, and pin the fallback to a real shuffle join
+    val k1 = "spark.sql.autoBroadcastJoinThreshold"
+    val k2 = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    def opt(k: String): Option[String] =
+      try Option(spark.conf.get(k)) catch { case _: Exception => None }
+    val (o1, o2) = (opt(k1), opt(k2))
+    try {
+      spark.conf.set(k1, "-1"); spark.conf.set(k2, "-1")
+      val pBig = executedPlan(
+        graft.operators.PageRank.round(edgesD, nodes, ranks, 5L, 85, small = false))
+      assert(!pBig.contains("BroadcastNestedLoopJoin") &&
+             !pBig.contains("CartesianProduct"), s"k73 big regime:\n$pBig")
+      assert(pBig.contains("SortMergeJoin") || pBig.contains("ShuffledHashJoin"),
+        s"above the gate the rank join must be a shuffle join:\n$pBig")
+      assert(!pBig.contains("BroadcastHashJoin"),
+        s"no broadcast above the gate:\n$pBig")
+    } finally {
+      def restore(k: String, o: Option[String]): Unit =
+        o.fold(spark.conf.unset(k))(v => spark.conf.set(k, v))
+      restore(k1, o1); restore(k2, o2)
+    }
+
+    // non-empty covered set: an empty one is folded away entirely by
+    // PropagateEmptyRelation and no join would remain to pin
+    val items = Seq((1L, "a"), (2L, "b")).toDF("id", "item")
+    val covered = Seq("a").toDF("item")
+    val pG = executedPlan(
+      graft.operators.GreedyCover.gains(items, covered, "id", "item"))
+    assert(pG.contains("LeftAnti"), s"gains must plan an anti join:\n$pG")
+    assert(!pG.contains("BroadcastNestedLoopJoin") &&
+           !pG.contains("CartesianProduct"), s"k74 gains:\n$pG")
+  }
 }
