@@ -103,14 +103,15 @@ object PageRank {
     val deg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val edgesD = e0.join(deg, "src").localCheckpoint()
 
-    val dangling = edgesD.select(col("dst").as("src")).distinct()
-      .join(deg, Seq("src"), "left_anti").count()
+    // node set == deg's key set once danglingness is excluded; checkpoint
+    // FIRST so the dangling guard below probes this |V|-row frame instead
+    // of recomputing the degree aggregate from the raw edges
+    val nodes = edgesD.select(col("src").as("node")).distinct().localCheckpoint()
+    val dangling = edgesD.select(col("dst").as("node")).distinct()
+      .join(nodes, Seq("node"), "left_anti").count()
     require(dangling == 0L,
       s"PageRank: $dangling dangling node(s) (dst with no out-edge) would " +
         "leak mass each round; symmetrize the graph or add self-loops")
-
-    // node set == deg's key set once danglingness is excluded
-    val nodes = edgesD.select(col("src").as("node")).distinct().localCheckpoint()
     val n = nodes.count() // 1-row scalar class (Guards posture)
     require(n > 0, "PageRank: empty graph")
     val init = scale / n
