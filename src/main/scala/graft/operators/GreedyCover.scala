@@ -78,9 +78,13 @@ object GreedyCover {
       else {
         val id = top(0).getLong(top(0).fieldIndex(idCol))
         picks += ((i, id, top(0).getLong(top(0).fieldIndex("gain"))))
+        // covered is a BAG, deliberately: the anti-join is insensitive to
+        // build-side duplicates, so the per-round distinct exchange is pure
+        // cost; the bag is bounded by the selected docs' total item count
+        // (k × max doc size) with or without it
         val next = covered
           .unionAll(g.filter(col(idCol) === lit(id)).select(col(itemCol)))
-          .distinct().localCheckpoint()
+          .localCheckpoint()
         trail += covered
         covered = next
       }
