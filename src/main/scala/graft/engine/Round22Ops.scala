@@ -4,8 +4,8 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{GreedyCover, PageRank}
 
-/** Round-17 second batch (builder-internal r22): two operator CLASSES the
-  * surface did not cover —
+/** Round-17 second batch (builder-internal r22): three operator CLASSES
+  * the surface did not cover —
   *
   *   - k73: iterative weighted-mass fixed point (integer-exact PageRank).
   *     ConnectedComponents (k23/k25) is the only other iterative operator
@@ -22,6 +22,12 @@ import graft.operators.{GreedyCover, PageRank}
   *     driver rounds (the k-means/IVF posture — 1-row argmax collects,
   *     all data distributed) and the oracle unrolls the k rounds as
   *     chained CTEs with NOT-EXISTS anti-joins.
+  *
+  *   - k75: alternating marginal balancing (iterative proportional
+  *     fitting / raking). Unlike k73/k74 this one IS one declarative
+  *     plan — the sweeps live on the domain-sized grid, so the fixed
+  *     4-sweep recurrence unrolls as window stages (the k71 two-rounds
+  *     posture applied to a 2-D alternating fixed point).
   */
 object Round22Ops {
 
@@ -192,5 +198,87 @@ object Round22Ops {
         .orderBy(asc_nulls_last("sel_rank"))
     })
 
-  def ops: Vector[Q] = Vector(k73, k74)
+  /** k75 — iterative proportional fitting (raking) of the source×lang
+    * mixture [public: Deming & Stephan 1940 "On a Least Squares Adjustment
+    * of a Sampled Frequency Table"; raking is the standard survey
+    * post-stratification reweighting, and balancing a pretraining corpus's
+    * source×language grid to target marginals is its mixture-tier use —
+    * k51 MEASURES the mixture, k71 REWEIGHTS domains against a reference,
+    * this BALANCES the 2-D grid to uniform marginals]: the per-cell doc
+    * counts become scaled-integer mass m₀ = (c·S) div G, then four
+    * alternating marginal sweeps (src, lang, src, lang) apply
+    * m' = (m · T) div marginSum — the k73 floor-div determinism discipline
+    * on the classic alternating-scaling fixed point. `weight_ppm` is the
+    * raking weight a pipeline would apply per cell (m₄·10⁶ div m₀).
+    *
+    * Declared semantics are the FIXED 4-sweep unrolled recurrence (like
+    * k71's two declared rounds), not convergence; the grid support is the
+    * observed cells (standard IPF-on-support — absent pairs stay absent).
+    * Overflow headroom: m ≤ S = 1e9 and T ≤ S, so m·T ≤ 1e18 < Long.Max;
+    * m₀ > 0 needs G ≤ S (documented domain — at 1e9+ docs raise S and
+    * route the products through decimal(38,0), the d-block discipline).
+    *
+    * Scale shape: ONE map-side-partial count aggregate over the corpus is
+    * the only data-sized work; everything after lives on the domain-sized
+    * grid (≤ sources × langs rows) — a 1-row marginal-count broadcast (the
+    * k51/k68 whitelisted class) and four window sums over the grid. At
+    * 100 TB this is the cheapest possible balancing shape: the sweeps cost
+    * nothing more at any corpus size. */
+  val k75: Q = Q(
+    "k75_ipf_mixture_balance",
+    """WITH grid AS (
+      |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY source, lang),
+      |nm AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS nsrc,
+      |              CAST(COUNT(DISTINCT lang) AS BIGINT) AS nlang
+      |       FROM grid),
+      |base AS (SELECT source, lang,
+      |    CAST((c * 1000000000) // SUM(c) OVER () AS BIGINT) AS m,
+      |    1000000000 // nsrc AS tsrc, 1000000000 // nlang AS tlang
+      |  FROM grid CROSS JOIN nm),
+      |s1 AS (SELECT source, lang,
+      |    CAST((m * tsrc) // SUM(m) OVER (PARTITION BY source) AS BIGINT) AS m,
+      |    tsrc, tlang, m AS m0 FROM base),
+      |s2 AS (SELECT source, lang,
+      |    CAST((m * tlang) // SUM(m) OVER (PARTITION BY lang) AS BIGINT) AS m,
+      |    tsrc, tlang, m0 FROM s1),
+      |s3 AS (SELECT source, lang,
+      |    CAST((m * tsrc) // SUM(m) OVER (PARTITION BY source) AS BIGINT) AS m,
+      |    tsrc, tlang, m0 FROM s2),
+      |s4 AS (SELECT source, lang,
+      |    CAST((m * tlang) // SUM(m) OVER (PARTITION BY lang) AS BIGINT) AS m,
+      |    m0 FROM s3)
+      |SELECT source, lang, m AS balanced_mass,
+      |  CAST((m * 1000000) // m0 AS BIGINT) AS weight_ppm
+      |FROM s4
+      |ORDER BY source ASC NULLS LAST, lang ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      val grid = Tables.documents(s, dir)
+        .groupBy("source", "lang").agg(count(lit(1)).cast("long").as("c"))
+      val nm = grid.agg(countDistinct(col("source")).cast("long").as("nsrc"),
+                        countDistinct(col("lang")).cast("long").as("nlang"))
+      val base = grid.crossJoin(broadcast(nm))
+        .withColumn("m", expr("(c * 1000000000) div (sum(c) over ())"))
+        .withColumn("tsrc", expr("1000000000 div nsrc"))
+        .withColumn("tlang", expr("1000000000 div nlang"))
+        .withColumn("m0", col("m"))
+      base
+        .withColumn("m", expr(srcSweep))
+        .withColumn("m", expr(langSweep))
+        .withColumn("m", expr(srcSweep))
+        .withColumn("m", expr(langSweep))
+        .select(col("source"), col("lang"), col("m").as("balanced_mass"),
+                expr("(m * 1000000) div m0").as("weight_ppm"))
+        .orderBy(asc_nulls_last("source"), asc_nulls_last("lang"))
+    })
+
+  /** One raking sweep each (exposed for the law spec): scale every
+    * marginal group's mass to its target, flooring per cell — after a
+    * sweep each group's marginal lands in [T − cells, T] exactly. */
+  private[graft] val srcSweep =
+    "(m * tsrc) div (sum(m) over (partition by source))"
+  private[graft] val langSweep =
+    "(m * tlang) div (sum(m) over (partition by lang))"
+
+  def ops: Vector[Q] = Vector(k73, k74, k75)
 }

@@ -61,6 +61,10 @@ class PlanShapeSpec extends SparkSpec {
                                // SOURCE-sized frame (global mean + the
                                // two normalizing sums — the k51/k68
                                // corpus-totals class)
+      "k75_ipf_mixture_balance", // 1-row marginal-count broadcast over
+                               // the domain-sized grid (the k51/k68
+                               // class; all sweeps live on ≤ src×lang
+                               // rows)
 
       "k52_embedding_decontam")     // NOT tiny-build: the eval×train
                                     // Cartesian IS the declared semantics

@@ -88,6 +88,40 @@ class Round22Spec extends SparkSpec {
     assert(got == Seq((1, 1L, 1L)))
   }
 
+  test("k75 raking sweep laws: marginal hits target up to floor dust; balanced grid is a fixed point") {
+    import graft.engine.Round22Ops
+    val df = Seq(("s1", "a", 100L), ("s1", "b", 300L), ("s2", "a", 200L))
+      .toDF("source", "lang", "m").withColumn("tsrc", lit(1000L))
+    val swept = df.withColumn("m", expr(Round22Ops.srcSweep))
+      .orderBy("source", "lang").select("m").as[Long].collect().toSeq
+    // s1 (sum 400): 100*1000/400 = 250, 300*1000/400 = 750; s2: 200*1000/200 = 1000
+    assert(swept == Seq(250L, 750L, 1000L))
+    // fixed point: groups already summing to the target are unchanged
+    val balanced = Seq(("s1", "a", 250L), ("s1", "b", 750L), ("s2", "a", 1000L))
+      .toDF("source", "lang", "m").withColumn("tsrc", lit(1000L))
+    val again = balanced.withColumn("m", expr(Round22Ops.srcSweep))
+      .orderBy("source", "lang").select("m").as[Long].collect().toSeq
+    assert(again == Seq(250L, 750L, 1000L))
+    // floor dust: a group whose masses do not divide evenly lands in
+    // [T - cells, T], never above
+    val dusty = Seq(("s1", "a", 333L), ("s1", "b", 334L), ("s1", "c", 334L))
+      .toDF("source", "lang", "m").withColumn("tsrc", lit(1000L))
+    val d = dusty.withColumn("m", expr(Round22Ops.srcSweep))
+      .agg(sum("m")).as[Long].collect().head
+    assert(d <= 1000L && d >= 997L)
+  }
+
+  test("k75 on the fixture: every lang marginal hits its target up to floor dust") {
+    val out = graft.engine.Round22Ops.k75.fn(spark, sf0001).collect()
+    val byLang = out.groupBy(_.getString(1))
+    val target = 1000000000L / byLang.size
+    byLang.foreach { case (lang, rows) =>
+      val marginal = rows.map(_.getLong(2)).sum
+      assert(marginal <= target && marginal >= target - rows.length,
+        s"lang $lang marginal $marginal vs target $target ± ${rows.length}")
+    }
+  }
+
   test("GreedyCover: duplicate (id,item) rows do not inflate gains") {
     val items = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "item")
     val got = GreedyCover.select(items, "id", "item", k = 2)
