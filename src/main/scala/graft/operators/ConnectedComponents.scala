@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable.ArrayBuffer
@@ -41,10 +40,7 @@ object ConnectedComponents {
     * un-checkpoint, so this walks the analyzed plan to the LogicalRDD
     * leaves (the checkpoint cache) and unpersists them directly. */
   private def free(frames: Iterable[DataFrame]): Unit =
-    frames.foreach(_.queryExecution.analyzed.foreach {
-      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
-      case _ => ()
-    })
+    Checkpoints.free(frames)
 
   /** Release the one cached frame an assign / assignContracted / assignStar
     * result pins
@@ -62,11 +58,7 @@ object ConnectedComponents {
     * with "checkpoint block not found" instead of a recompute (flagged
     * r7). Non-checkpoint roots are a safe no-op — such a result pins
     * nothing of ours to release. */
-  def freeResult(labels: DataFrame): Unit =
-    labels.queryExecution.analyzed match {
-      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+  def freeResult(labels: DataFrame): Unit = Checkpoints.freeResult(labels)
 
   /** Label every vertex with its component's minimum vertex id.
     * Returns (`vertexCol`, `component`). Vertices absent from `edges`

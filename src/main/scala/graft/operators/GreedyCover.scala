@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -41,12 +40,6 @@ import scala.collection.mutable.ArrayBuffer
   * has fewer than `k` rows.
   */
 object GreedyCover {
-
-  private def free(frames: Iterable[DataFrame]): Unit =
-    frames.foreach(_.queryExecution.analyzed.foreach {
-      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
-      case _ => ()
-    })
 
   /** Greedily select up to `k` ids from `items` (idCol: long, itemCol:
     * any equatable type). Returns (`sel_rank` int, `<idCol>` long,
@@ -89,7 +82,7 @@ object GreedyCover {
         covered = next
       }
     }
-    free(trail); free(Seq(g, covered))
+    Checkpoints.free(trail); Checkpoints.free(Seq(g, covered))
 
     // k-row driver-built result: self-contained, pins nothing
     val schema = StructType(Seq(

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 import scala.collection.mutable.ArrayBuffer
@@ -55,23 +54,10 @@ object PageRank {
     * relabel-gate discipline; above it both joins fall back to hash). */
   val broadcastNodeGate: Long = 1000000L
 
-  /** Unpersist the cached RDDs behind localCheckpoint'ed frames (the
-    * ConnectedComponents hygiene: per-round checkpoints would otherwise
-    * stay pinned in storage memory for the session's lifetime). */
-  private def free(frames: Iterable[DataFrame]): Unit =
-    frames.foreach(_.queryExecution.analyzed.foreach {
-      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
-      case _ => ()
-    })
-
   /** Release the one cached frame a [[ranks]] result pins (|V| rows).
-    * Safe no-op on non-checkpoint roots — see
-    * [[ConnectedComponents.freeResult]] for why the guard matters. */
-  def freeResult(labels: DataFrame): Unit =
-    labels.queryExecution.analyzed match {
-      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    * Safe no-op on non-checkpoint roots — see [[Checkpoints.freeResult]]
+    * for why the guard matters. */
+  def freeResult(labels: DataFrame): Unit = Checkpoints.freeResult(labels)
 
   /** Rank every node of the directed graph `edges`. Returns
     * (`node` long, `r` long) — r is the PageRank mass scaled by `scale`.
@@ -136,8 +122,8 @@ object PageRank {
     }
     // final ranks are a self-contained checkpoint: everything upstream
     // (intermediate rounds, the edge table, the node set) can be released
-    free(trail)
-    free(Seq(edgesD, nodes))
+    Checkpoints.free(trail)
+    Checkpoints.free(Seq(edgesD, nodes))
     ranks
   }
 

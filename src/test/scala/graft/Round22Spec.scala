@@ -88,6 +88,50 @@ class Round22Spec extends SparkSpec {
     assert(got == Seq((1, 1L, 1L)))
   }
 
+  test("PageRank law: total mass is conserved up to floor dust on seeded random graphs") {
+    // each round loses < 1 per (edge contribution, damp division, base
+    // floor): Σr_t ≥ S − t·(E + 2N); and never exceeds S. 10 seeded
+    // random symmetric graphs, all sizes/shapes.
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 10) {
+      val nV = 3 + rnd.nextInt(20)
+      val raw = (0 until (nV * 2)).map(_ => (rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+        .filter(p => p._1 != p._2).distinct
+      if (raw.nonEmpty) {
+        val edges = (raw ++ raw.map(p => (p._2, p._1))).distinct.toDF("src", "dst")
+        val e = edges.count()
+        val iters = 3
+        val ranks = PageRank.ranks(edges, "src", "dst", iters = iters)
+        val total = ranks.agg(sum("r")).as[Long].collect().head
+        val n = ranks.count()
+        val S = 1000000000000L
+        // init flooring also loses < N once at t=0
+        val floorLoss = n + iters * (e + 2 * n)
+        assert(total <= S, s"mass above scale: $total > $S")
+        assert(total >= S - floorLoss,
+          s"mass leak beyond floor dust: $total < $S - $floorLoss (n=$n, e=$e)")
+        PageRank.freeResult(ranks)
+      }
+    }
+  }
+
+  test("GreedyCover law: marginal gains are non-increasing (submodularity) on seeded random corpora") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val nDocs = 5 + rnd.nextInt(15)
+      val rows = (1L to nDocs).flatMap { id =>
+        val sz = 1 + rnd.nextInt(12)
+        (0 until sz).map(_ => (id, s"g${rnd.nextInt(40)}"))
+      }
+      val got = GreedyCover.select(rows.toDF("id", "item"), "id", "item", k = 6)
+        .orderBy("sel_rank").as[(Int, Long, Long)].collect().toSeq
+      val gainSeq = got.map(_._3)
+      assert(gainSeq == gainSeq.sortBy(-_),
+        s"greedy gains must be non-increasing, got $gainSeq")
+      assert(gainSeq.forall(_ > 0), "every selection must add coverage")
+    }
+  }
+
   test("k75 raking sweep laws: marginal hits target up to floor dust; balanced grid is a fixed point") {
     import graft.engine.Round22Ops
     val df = Seq(("s1", "a", 100L), ("s1", "b", 300L), ("s2", "a", 200L))
