@@ -67,7 +67,12 @@ object Explain {
                "c21_join_q17_small_qty", "c23_join_q21_waiting",
                "c24_join_q2_mincost", "c25_join_q19_disjunct",
                "c26_join_q15_top_supplier", "d62_agg_q11_share",
-               "k70_bloom_decontam")
+               "k70_bloom_decontam",
+               // round-22 representative: IPF raking — grid agg + 1-row
+               // marginal broadcast + four window sweeps (k73/k74 faces are
+               // checkpoint roots; their per-round shapes are pinned in
+               // PlanShapeSpec via PageRank.round / GreedyCover.gains)
+               "k75_ipf_mixture_balance")
     // GraftSession, not a bare builder: the declared queries may reference
     // the registered native functions (graft_canon, graft_gcd, ...) via
     // expr(), which resolve only with GraftExtensions installed (r21 fix —
