@@ -30,9 +30,12 @@ import scala.collection.mutable.ArrayBuffer
   * float summation anywhere.
   *
   * Plan per iteration: one equi-join of the (src,dst,outdeg) edge table
-  * against the current ranks on src, then one sum-aggregate on dst —
-  * two shuffles of |E|+|V| rows per round, no driver-side data (the
-  * Pregel message-passing shape on DataFrames, Malewicz et al. SIGMOD'10).
+  * against the current ranks on src, then one sum-aggregate on dst — the
+  * Pregel message-passing shape on DataFrames (Malewicz et al.
+  * SIGMOD'10). Below [[broadcastNodeGate]] the |V|-row rank side is
+  * broadcast and a round costs ONE shuffle (the dst aggregation); above
+  * it the rank join shuffles too (two shuffles of |E|+|V| rows per
+  * round), with no driver-side data in either regime.
   * Rounds are a FIXED count (the declared semantics — this is not a
   * convergence loop), so lineage stays `iters` joins deep; each round
   * localCheckpoints its ranks to keep per-job plans one round deep
