@@ -132,6 +132,30 @@ class Round22Spec extends SparkSpec {
     }
   }
 
+  test("row-order/partitioning invariance: PageRank and GreedyCover are pure functions of their input SETS") {
+    // the k64 shuffle-determinism discipline: permuting and repartitioning
+    // the input rows must reproduce identical outputs (rests on integer
+    // sums being merge-order-independent and total-order argmax tie-breaks)
+    val rnd = new scala.util.Random(11)
+    val pairs = (0 until 30).map(_ => (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val sym = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+    val a = PageRank.ranks(sym.toDF("src", "dst"), "src", "dst", iters = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val b = PageRank.ranks(
+        rnd.shuffle(sym).toDF("src", "dst").repartition(7), "src", "dst", iters = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(a == b, "PageRank must be invariant to input row order/partitioning")
+
+    val items = (1L to 12L).flatMap(id => (0 until (3 + rnd.nextInt(6))).map(_ => (id, s"t${rnd.nextInt(25)}")))
+    val g1 = GreedyCover.select(items.toDF("id", "item"), "id", "item", k = 4)
+      .orderBy("sel_rank").as[(Int, Long, Long)].collect().toSeq
+    val g2 = GreedyCover.select(rnd.shuffle(items).toDF("id", "item").repartition(5),
+        "id", "item", k = 4)
+      .orderBy("sel_rank").as[(Int, Long, Long)].collect().toSeq
+    assert(g1 == g2, "GreedyCover must be invariant to input row order/partitioning")
+  }
+
   test("k75 raking sweep laws: marginal hits target up to floor dust; balanced grid is a fixed point") {
     import graft.engine.Round22Ops
     val df = Seq(("s1", "a", 100L), ("s1", "b", 300L), ("s2", "a", 200L))
