@@ -272,6 +272,65 @@ object Round22Ops {
         .orderBy(asc_nulls_last("source"), asc_nulls_last("lang"))
     })
 
+  /** i13 — JOIN-view incremental maintenance: the bilinear delta rule
+    * [public: the classic incremental view maintenance result for joins —
+    * Blakeley/Larson/Tompa SIGMOD'86; the same rule DBSP/differential
+    * dataflow generalize]: for V = A ⋈ B and insert deltas ΔA, ΔB,
+    *
+    *   ΔV = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB
+    *
+    * — the cross terms the ADDITIVE maintenance class (i09/i10, where
+    * f(A∪Δ) = f(A) + f(Δ)) never needs; a join is BILINEAR, so this is a
+    * genuinely different maintenance algebra with a different 100 TB
+    * shape. The face composes ΔV's aggregate state with the stored view's
+    * state via the same `Mv.merge` monoid (i09's machinery reused), and
+    * the oracle recomputes the post-delta view FROM SCRATCH — the hash
+    * match is the cross-engine proof that delta-composition ≡ recompute.
+    *
+    * Deltas are watermark splits on INDEPENDENT attributes (order date /
+    * ship date), so all three delta terms are genuinely non-empty (a
+    * same-attribute cut would zero the cross terms through the join-key
+    * equality); the complements are NULL-safe (a NULL date lands in the
+    * OLD side on both engines — no row can vanish from the partition).
+    *
+    * Scale shape: the stored-view state is persisted in real use (the i09
+    * posture — computing it here is the oracle-comparable stand-in); the
+    * live cost is the three delta joins, and each BROADCASTS its
+    * delta side — at 100 TB the deltas are the small batch against the
+    * big stored base, which is exactly the broadcast-runtime-filter
+    * shape; ΔA⋈ΔB is batch-local. State merge shuffles |keys| rows. */
+  val i13: Q = Q(
+    "i13_mv_join_delta",
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |  ${Determinism.dsumSql("l_extendedprice")} AS sum_value,
+       |  ${Determinism.davgSql("l_extendedprice")} AS avg_value
+       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |GROUP BY 1
+       |ORDER BY o_orderpriority ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      import graft.api.Mv
+      val keys = Seq("o_orderpriority")
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+      val l = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_extendedprice", "l_shipdate")
+      // NULL-safe complements: isNew is exactly true/false, never NULL
+      val aIsNew = coalesce(col("o_orderdate") >= lit("1999-01-01"), lit(false))
+      val bIsNew = coalesce(col("l_shipdate") >= lit("1999-07-01"), lit(false))
+      val (aOld, aNew) = (o.filter(!aIsNew), o.filter(aIsNew))
+      val (bOld, bNew) = (l.filter(!bIsNew), l.filter(bIsNew))
+      def j(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.join(b, col("l_orderkey") === col("o_orderkey"))
+      // stored view's state (persisted in real use — the i09 posture)
+      val vOld = Mv.aggState(j(aOld, bOld), keys, "l_extendedprice")
+      // the bilinear delta: three joins, each broadcasting its delta side
+      val dv = j(broadcast(aNew), bOld)
+        .unionByName(j(aOld, broadcast(bNew)))
+        .unionByName(j(broadcast(aNew), broadcast(bNew)))
+      val merged = Mv.merge(keys, vOld, Mv.aggState(dv, keys, "l_extendedprice"))
+      Mv.finalizeState(merged, keys).orderBy(asc_nulls_last("o_orderpriority"))
+    })
+
   /** One raking sweep each (exposed for the law spec): scale every
     * marginal group's mass to its target, flooring per cell — after a
     * sweep each group's marginal lands in [T − cells, T] exactly. */
@@ -280,5 +339,5 @@ object Round22Ops {
   private[graft] val langSweep =
     "(m * tlang) div (sum(m) over (partition by lang))"
 
-  def ops: Vector[Q] = Vector(k73, k74, k75)
+  def ops: Vector[Q] = Vector(k73, k74, k75, i13)
 }

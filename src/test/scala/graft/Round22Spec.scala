@@ -190,6 +190,51 @@ class Round22Spec extends SparkSpec {
     }
   }
 
+  test("i13: all three bilinear delta terms are non-empty on the fixture (the composition is not vacuous)") {
+    val o = graft.engine.Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_orderdate")
+    val l = graft.engine.Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_shipdate")
+    val aIsNew = coalesce(col("o_orderdate") >= lit("1999-01-01"), lit(false))
+    val bIsNew = coalesce(col("l_shipdate") >= lit("1999-07-01"), lit(false))
+    val t1 = o.filter(aIsNew).join(l.filter(!bIsNew),
+      col("l_orderkey") === col("o_orderkey")).count()
+    val t2 = o.filter(!aIsNew).join(l.filter(bIsNew),
+      col("l_orderkey") === col("o_orderkey")).count()
+    val t3 = o.filter(aIsNew).join(l.filter(bIsNew),
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(t1 > 0 && t2 > 0 && t3 > 0,
+      s"every delta term must bite: dA*Bold=$t1, Aold*dB=$t2, dA*dB=$t3")
+  }
+
+  test("i13: the delta rule needs every cross term — dropping one breaks recompute equality") {
+    import graft.api.Mv
+    // A: (key, grp); B: (key, v). One old and one new row on each side
+    // sharing key 1, so every quadrant joins.
+    val aOld = Seq((1L, "g")).toDF("k", "grp")
+    val aNew = Seq((1L, "g")).toDF("k", "grp") // second A-row for key 1
+    val bOld = Seq((1L, 10.0)).toDF("k2", "v")
+    val bNew = Seq((1L, 5.0)).toDF("k2", "v")
+    def j(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.join(b, col("k") === col("k2"))
+    val keys = Seq("grp")
+    def finalize(dv: org.apache.spark.sql.DataFrame) =
+      Mv.finalizeState(Mv.merge(keys,
+        Mv.aggState(j(aOld, bOld), keys, "v"),
+        Mv.aggState(dv, keys, "v")), keys)
+        .select("grp", "n", "sum_value").as[(String, Long, Double)].collect().toSeq
+    val full = j(aOld.unionAll(aNew), bOld.unionAll(bNew))
+      .groupBy("grp").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .as[(String, Long, Double)].collect().toSeq
+    val composed = finalize(
+      j(aNew, bOld).unionByName(j(aOld, bNew)).unionByName(j(aNew, bNew)))
+    assert(composed == full, "the 3-term composition must equal recompute")
+    val missingCross = finalize(j(aNew, bOld).unionByName(j(aOld, bNew)))
+    assert(missingCross != full,
+      "dropping the dA*dB term must break equality — the bilinear terms are load-bearing")
+  }
+
   test("GreedyCover: duplicate (id,item) rows do not inflate gains") {
     val items = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "item")
     val got = GreedyCover.select(items, "id", "item", k = 2)
