@@ -68,11 +68,13 @@ object Explain {
                "c24_join_q2_mincost", "c25_join_q19_disjunct",
                "c26_join_q15_top_supplier", "d62_agg_q11_share",
                "k70_bloom_decontam",
-               // round-22 representative: IPF raking — grid agg + 1-row
+               // round-22 representatives: IPF raking — grid agg + 1-row
                // marginal broadcast + four window sweeps (k73/k74 faces are
                // checkpoint roots; their per-round shapes are pinned in
-               // PlanShapeSpec via PageRank.round / GreedyCover.gains)
-               "k75_ipf_mixture_balance")
+               // PlanShapeSpec via PageRank.round / GreedyCover.gains) —
+               // and the bilinear join-delta composition (3 broadcast-delta
+               // joins + the Mv state merge)
+               "k75_ipf_mixture_balance", "i13_mv_join_delta")
     // GraftSession, not a bare builder: the declared queries may reference
     // the registered native functions (graft_canon, graft_gcd, ...) via
     // expr(), which resolve only with GraftExtensions installed (r21 fix —

@@ -331,6 +331,83 @@ object Round22Ops {
       Mv.finalizeState(merged, keys).orderBy(asc_nulls_last("o_orderpriority"))
     })
 
+  /** i14 — OUTER-join view maintenance: the null-padding transition
+    * algebra [public: outer-join IVM, Larson & Zhou ICDE'07; Griffin &
+    * Libkin SIGMOD'95 for the signed-delta formalism] — the class i13's
+    * inner-join rule cannot express: for V = A ⟕ B, inserting ΔB can
+    * RETRACT stored rows (a left row padded with NULLs in V_old gains its
+    * first match, so the padded row must leave the view). The composition
+    * is i13's bilinear terms PLUS i10's signed retraction, through the
+    * same Mv monoid:
+    *
+    *   V_new = V_old  +  ΔA ⟕ B_new  +  A_old ⋈ ΔB
+    *                  −  (A_old ▷ B_old ⋉ ΔB) as NULL-padded rows
+    *
+    * (▷ = anti join, ⋉ = semi join: exactly the left rows whose FIRST
+    * match arrived in ΔB). The oracle recomputes the LEFT JOIN from
+    * scratch — the hash match proves the padded-row transitions were
+    * handled exactly; the spec additionally pins that dropping the
+    * retraction term breaks equality and that the term BITES on the
+    * fixture at every SF (cut tuned: 4/55/576 customers at
+    * sf0.001/0.01/0.1 have their first order past 1997-01-01).
+    *
+    * Scale shape: the retraction term is an anti+semi join chain on the
+    * join key — both sides key-partitioned, the ΔB semi side
+    * broadcastable; everything else is i13's shape (broadcast-delta
+    * joins against the stored base, |keys|-row state merge). */
+  val i14: Q = Q(
+    "i14_mv_outer_join_delta",
+    s"""SELECT c_mktsegment, COUNT(*) AS n,
+       |  ${Determinism.dsumSql("o_totalprice")} AS sum_value,
+       |  ${Determinism.davgSql("o_totalprice")} AS avg_value
+       |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+       |GROUP BY 1
+       |ORDER BY c_mktsegment ASC NULLS LAST""".stripMargin,
+    (s, dir) => {
+      import graft.api.Mv
+      val keys = Seq("c_mktsegment")
+      val a = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      val b = Tables.orders(s, dir)
+        .select("o_custkey", "o_totalprice", "o_orderdate")
+      val merged = outerJoinDeltaState(a, b,
+        aIsNew = coalesce(col("c_custkey") % 10 >= 8, lit(false)),
+        bIsNew = coalesce(col("o_orderdate") >= lit("1997-01-01"), lit(false)),
+        on = col("o_custkey") === col("c_custkey"),
+        keys = keys, valueCol = "o_totalprice")
+      Mv.finalizeState(merged, keys).orderBy(asc_nulls_last("c_mktsegment"))
+    })
+
+  /** i14's composition as a reusable mechanism (also driven directly by
+    * the law spec on a hand graph): the merged MV state for
+    * V_new = A_new ⟕ B_new, built from the STORED state of A_old ⟕ B_old
+    * plus the three delta terms. `includeRetraction = false` exists ONLY
+    * as the spec's negative control — it drops the padded-row retraction
+    * term, which must break recompute equality. */
+  private[graft] def outerJoinDeltaState(
+      a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+      aIsNew: org.apache.spark.sql.Column, bIsNew: org.apache.spark.sql.Column,
+      on: org.apache.spark.sql.Column, keys: Seq[String], valueCol: String,
+      includeRetraction: Boolean = true): org.apache.spark.sql.DataFrame = {
+    import graft.api.Mv
+    val (aOld, aDelta) = (a.filter(!aIsNew), a.filter(aIsNew))
+    val (bOld, bDelta) = (b.filter(!bIsNew), b.filter(bIsNew))
+    // stored view's state (persisted in real use — the i09/i13 posture)
+    val vOld = Mv.aggState(aOld.join(bOld, on, "left"), keys, valueCol)
+    // ΔA ⟕ B_full: a left-outer join can only build its RIGHT side, so
+    // the delta side cannot be broadcast here — at scale this is the
+    // shuffle join of the small ΔA against the big stored B, correctly
+    val t1 = Mv.aggState(aDelta.join(b, on, "left"), keys, valueCol)
+    val t2 = Mv.aggState(aOld.join(broadcast(bDelta), on), keys, valueCol)
+    // the padded rows to retract: old left rows whose FIRST match is in ΔB
+    val firstMatched = aOld
+      .join(bOld, on, "left_anti")
+      .join(broadcast(bDelta), on, "left_semi")
+      .withColumn(valueCol, lit(null).cast("double"))
+    val t3 = Mv.aggStateSigned(firstMatched, keys, valueCol, lit(-1))
+    val states = Seq(vOld, t1, t2) ++ (if (includeRetraction) Seq(t3) else Nil)
+    Mv.merge(keys, states: _*)
+  }
+
   /** One raking sweep each (exposed for the law spec): scale every
     * marginal group's mass to its target, flooring per cell — after a
     * sweep each group's marginal lands in [T − cells, T] exactly. */
@@ -339,5 +416,5 @@ object Round22Ops {
   private[graft] val langSweep =
     "(m * tlang) div (sum(m) over (partition by lang))"
 
-  def ops: Vector[Q] = Vector(k73, k74, k75, i13)
+  def ops: Vector[Q] = Vector(k73, k74, k75, i13, i14)
 }

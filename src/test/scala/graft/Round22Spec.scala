@@ -235,6 +235,48 @@ class Round22Spec extends SparkSpec {
       "dropping the dA*dB term must break equality — the bilinear terms are load-bearing")
   }
 
+  test("i14: outer-join delta composition equals recompute; the retraction term is load-bearing") {
+    import graft.engine.Round22Ops
+    import graft.api.Mv
+    // hand graph exercising every transition: c1 old with old+new orders;
+    // c2 old whose FIRST order arrives in the delta (the retraction case);
+    // c3 old with no orders (padded row survives); c8 new with a new
+    // order; c9 new with no orders (padded row appears in V_new)
+    val a = Seq((1L, "s1"), (2L, "s1"), (3L, "s2"), (8L, "s2"), (9L, "s1"))
+      .toDF("ck", "seg")
+    val b = Seq((1L, 10.0, 1996), (1L, 20.0, 1998), (2L, 40.0, 1998),
+                (8L, 5.0, 1998)).toDF("ok", "price", "yr")
+    val aN = coalesce(col("ck") % 10 >= 8, lit(false))
+    val bN = coalesce(col("yr") >= 1997, lit(false))
+    val on = col("ok") === col("ck")
+    def run(withRetraction: Boolean) =
+      Mv.finalizeState(Round22Ops.outerJoinDeltaState(
+          a, b, aN, bN, on, Seq("seg"), "price", withRetraction), Seq("seg"))
+        .orderBy("seg").select("seg", "n", "sum_value")
+        .as[(String, Long, Double)].collect().toSeq
+    val full = a.join(b, on, "left").groupBy("seg")
+      .agg(count(lit(1)).as("n"),
+           sum(col("price").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("seg").as[(String, Long, Double)].collect().toSeq
+    assert(full == Seq(("s1", 4L, 70.0), ("s2", 2L, 5.0)), s"hand expectation: $full")
+    assert(run(withRetraction = true) == full)
+    assert(run(withRetraction = false) != full,
+      "dropping the padded-row retraction must break recompute equality")
+  }
+
+  test("i14: the retraction term bites on the fixture (first-match-in-delta customers exist)") {
+    val a = graft.engine.Tables.customer(spark, sf0001).select("c_custkey")
+    val b = graft.engine.Tables.orders(spark, sf0001)
+      .select("o_custkey", "o_orderdate")
+    val aIsNew = coalesce(col("c_custkey") % 10 >= 8, lit(false))
+    val bIsNew = coalesce(col("o_orderdate") >= lit("1997-01-01"), lit(false))
+    val on = col("o_custkey") === col("c_custkey")
+    val bite = a.filter(!aIsNew)
+      .join(b.filter(!bIsNew), on, "left_anti")
+      .join(b.filter(bIsNew), on, "left_semi").count()
+    assert(bite > 0, "the fixture must exercise the retraction term (cut mistuned?)")
+  }
+
   test("GreedyCover: duplicate (id,item) rows do not inflate gains") {
     val items = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "item")
     val got = GreedyCover.select(items, "id", "item", k = 2)
