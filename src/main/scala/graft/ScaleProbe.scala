@@ -717,6 +717,23 @@ object ScaleProbe {
         f"x10=$t10%.2fs/${s10.length}%d|timeRatio=${t10 / t1}%.1f|" +
         f"argmaxInvariant+total10x=$ok%b")
     }
+    locally {
+      // i13 (r22): verbatim line replication multiplies EVERY (order, line)
+      // join pair by 10 while the bOld/bDelta shipdate split replicates
+      // inside each side — so the delta-composed view reads n exactly ×10,
+      // sum exactly ×10 (decimal route), avg invariant, per priority group
+      timedRowsT("i13_mv_join_delta", sfDir); timedRowsT("i13_mv_join_delta", dirT)
+      val (t1, b) = timedRowsT("i13_mv_join_delta", sfDir)
+      val (t10, s10) = timedRowsT("i13_mv_join_delta", dirT)
+      val ok = b.length == s10.length && b.zip(s10).forall { case (x, y) =>
+        x.getString(0) == y.getString(0) &&
+          y.getLong(1) == 10L * x.getLong(1) &&
+          rel(y.getDouble(2), 10.0 * x.getDouble(2)) < 1e-9 &&
+          rel(y.getDouble(3), x.getDouble(3)) < 1e-9 }
+      println(f"TPCH|i13|sf0.1=$t1%.2fs/${b.length}%d groups|" +
+        f"x10=$t10%.2fs/${s10.length}%d|timeRatio=${t10 / t1}%.1f|" +
+        f"n+sum10x+avgInvariant=$ok%b")
+    }
     } // tpch
 
     if (sections("bloom")) {
