@@ -28,6 +28,14 @@ import graft.operators.{GreedyCover, PageRank}
   *     plan — the sweeps live on the domain-sized grid, so the fixed
   *     4-sweep recurrence unrolls as window stages (the k71 two-rounds
   *     posture applied to a 2-D alternating fixed point).
+  *
+  *   - i13/i14: join-view incremental maintenance — the BILINEAR delta
+  *     rule for inner joins (cross terms the additive i09/i10 class
+  *     never needs) and its outer-join completion (null-padded rows
+  *     RETRACTED when a left row gains its first match, via i10's
+  *     signed states). Both compose through the api.Mv monoid and both
+  *     oracles recompute from scratch, so the hash matches are the
+  *     cross-engine delta-composition ≡ recompute proofs.
   */
 object Round22Ops {
 
