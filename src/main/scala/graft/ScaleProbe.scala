@@ -182,6 +182,28 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
   }
 
+  /** 10× orders, VERBATIM (custkeys unchanged, o_orderkey tagged into a
+    * fresh key space only to stay unique): every customer's order
+    * multiplicity grows ×10 while the SET of customers-with-orders is
+    * invariant — so i14's outer-join view reads matched rows exactly ×10
+    * and padded rows exactly ×1 (closed form per segment:
+    * n10 = 10·(n1 − padded) + padded, sum ×10, avg invariant). */
+  def buildOrders(spark: SparkSession, sfDir: String, outDir: String,
+                  replicas: Int): Unit = {
+    val base = graft.engine.Tables.orders(spark, sfDir)
+    val keyBase = base.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+    val reps = (0 until replicas).map { r =>
+      base.select(base.columns.map {
+        case "o_orderkey" =>
+          (col("o_orderkey") + lit(keyBase * r)).as("o_orderkey")
+        case c => col(c)
+      }: _*)
+    }
+    reps.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+  }
+
   /** 10× events: rows replicated with user_id/event_id offset per replica
     * (max+1 bases — the r10 advice fix), everything else verbatim, so
     * every per-user query sees 10× disjoint users each with the original
@@ -733,6 +755,40 @@ object ScaleProbe {
       println(f"TPCH|i13|sf0.1=$t1%.2fs/${b.length}%d groups|" +
         f"x10=$t10%.2fs/${s10.length}%d|timeRatio=${t10 / t1}%.1f|" +
         f"n+sum10x+avgInvariant=$ok%b")
+    }
+    locally {
+      // i14 (r22): verbatim 10× orders (custkeys unchanged) — the set of
+      // customers-with-orders is invariant, so per segment the outer view
+      // reads n10 = 10·(n1 − padded) + padded (matched ×10, padded ×1),
+      // sum exactly ×10 (padded rows carry NULL), avg invariant
+      val dirO = "/tmp/graft_orders10"
+      buildOrders(spark, sfDir, dirO, replicas = 10)
+      locally {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        Files.copy(Paths.get(s"$sfDir/customer.parquet"),
+                   Paths.get(s"$dirO/customer.parquet"),
+                   StandardCopyOption.REPLACE_EXISTING)
+      }
+      import graft.engine.Tables
+      val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
+      val padded = cust
+        .join(Tables.orders(spark, sfDir).select("o_custkey"),
+              col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      timedRowsT("i14_mv_outer_join_delta", sfDir)
+      timedRowsT("i14_mv_outer_join_delta", dirO)
+      val (t1, b) = timedRowsT("i14_mv_outer_join_delta", sfDir)
+      val (t10, s10) = timedRowsT("i14_mv_outer_join_delta", dirO)
+      val ok = b.length == s10.length && b.zip(s10).forall { case (x, y) =>
+        val p = padded.getOrElse(x.getString(0), 0L)
+        x.getString(0) == y.getString(0) &&
+          y.getLong(1) == 10L * (x.getLong(1) - p) + p &&
+          rel(y.getDouble(2), 10.0 * x.getDouble(2)) < 1e-9 &&
+          rel(y.getDouble(3), x.getDouble(3)) < 1e-9 }
+      println(f"TPCH|i14|sf0.1=$t1%.2fs/${b.length}%d segments|" +
+        f"x10=$t10%.2fs/${s10.length}%d|timeRatio=${t10 / t1}%.1f|" +
+        f"matched10x+paddedInvariant+avgInvariant=$ok%b")
     }
     } // tpch
 
