@@ -20,14 +20,19 @@ object Round21Ops {
     * (case fold), U+00DF ß (no decomposition — must survive), and
     * U+0130 İ — the codepoint where JDK full lowercasing ("i"+U+0307)
     * and utf8proc simple lowercasing ("i") DIFFER but the mark-strip
-    * step erases the difference (the sweep-verified showcase). Built
-    * from escapes so the source file stays ASCII. */
-  private val Inject = " café STRASSE ß İ"
+    * step erases the difference (the sweep-verified showcase). The
+    * LITERAL is built from \\uXXXX escapes (the r17-verdict fix: the
+    * raw-byte form this comment previously claimed not to have would
+    * survive only as long as no tool mangled the file's UTF-8; escapes
+    * make the load-bearing codepoints — decomposed vs precomposed is
+    * the whole point of e+U+0301 — robust to any re-encoding; scaladoc
+    * PROSE still uses raw UTF-8 freely, which carries no semantics). */
+  private val Inject = " cafe\u0301 STRASSE \u00DF \u0130"
 
   /** Accented vowel targets for the translate-injection (À É Î Ö Ü /
     * à é î ö ü), again via escapes. */
-  private val AccUpper = "ÀÉÎÖÜ"
-  private val AccLower = "àéîöü"
+  private val AccUpper = "\u00C0\u00C9\u00CE\u00D6\u00DC"
+  private val AccLower = "\u00E0\u00E9\u00EE\u00F6\u00FC"
 
   /** h53 — Unicode canonical text [public: the normalize-before-hash
     * step of CCNet §4.1 / Dolma's text normalization; DuckDB 1.0.0

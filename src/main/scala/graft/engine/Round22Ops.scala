@@ -162,31 +162,31 @@ object Round22Ops {
       |        FROM toks)),
       |p1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
       |       FROM g GROUP BY doc_id),
-      |s1 AS (SELECT doc_id, gain FROM p1 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+      |s1 AS (SELECT doc_id, gain FROM p1 ORDER BY gain DESC NULLS LAST, doc_id ASC NULLS LAST LIMIT 1),
       |c1 AS (SELECT DISTINCT shingle FROM g
       |       WHERE doc_id IN (SELECT doc_id FROM s1)),
       |p2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM g
       |       WHERE NOT EXISTS (SELECT 1 FROM c1 WHERE c1.shingle = g.shingle)
       |       GROUP BY doc_id),
-      |s2 AS (SELECT doc_id, gain FROM p2 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+      |s2 AS (SELECT doc_id, gain FROM p2 ORDER BY gain DESC NULLS LAST, doc_id ASC NULLS LAST LIMIT 1),
       |c2 AS (SELECT shingle FROM c1 UNION
       |       SELECT shingle FROM g WHERE doc_id IN (SELECT doc_id FROM s2)),
       |p3 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM g
       |       WHERE NOT EXISTS (SELECT 1 FROM c2 WHERE c2.shingle = g.shingle)
       |       GROUP BY doc_id),
-      |s3 AS (SELECT doc_id, gain FROM p3 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+      |s3 AS (SELECT doc_id, gain FROM p3 ORDER BY gain DESC NULLS LAST, doc_id ASC NULLS LAST LIMIT 1),
       |c3 AS (SELECT shingle FROM c2 UNION
       |       SELECT shingle FROM g WHERE doc_id IN (SELECT doc_id FROM s3)),
       |p4 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM g
       |       WHERE NOT EXISTS (SELECT 1 FROM c3 WHERE c3.shingle = g.shingle)
       |       GROUP BY doc_id),
-      |s4 AS (SELECT doc_id, gain FROM p4 ORDER BY gain DESC, doc_id ASC LIMIT 1),
+      |s4 AS (SELECT doc_id, gain FROM p4 ORDER BY gain DESC NULLS LAST, doc_id ASC NULLS LAST LIMIT 1),
       |c4 AS (SELECT shingle FROM c3 UNION
       |       SELECT shingle FROM g WHERE doc_id IN (SELECT doc_id FROM s4)),
       |p5 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain FROM g
       |       WHERE NOT EXISTS (SELECT 1 FROM c4 WHERE c4.shingle = g.shingle)
       |       GROUP BY doc_id),
-      |s5 AS (SELECT doc_id, gain FROM p5 ORDER BY gain DESC, doc_id ASC LIMIT 1)
+      |s5 AS (SELECT doc_id, gain FROM p5 ORDER BY gain DESC NULLS LAST, doc_id ASC NULLS LAST LIMIT 1)
       |SELECT * FROM (
       |  SELECT CAST(1 AS INTEGER) AS sel_rank, doc_id, gain FROM s1
       |  UNION ALL SELECT 2, doc_id, gain FROM s2
@@ -224,7 +224,11 @@ object Round22Ops {
     * observed cells (standard IPF-on-support — absent pairs stay absent).
     * Overflow headroom: m ≤ S = 1e9 and T ≤ S, so m·T ≤ 1e18 < Long.Max;
     * m₀ > 0 needs G ≤ S (documented domain — at 1e9+ docs raise S and
-    * route the products through decimal(38,0), the d-block discipline).
+    * route the products through decimal(38,0), the d-block discipline);
+    * the domain is ENFORCED in-plan (r17 ADVICE): an `assert_true(m0 > 0)`
+    * rides inside the weight_ppm divisor, so an out-of-range corpus fails
+    * loudly on the Spark side exactly where DuckDB's `//` raises, instead
+    * of Spark silently NULLing where DuckDB errors.
     *
     * Scale shape: ONE map-side-partial count aggregate over the corpus is
     * the only data-sized work; everything after lives on the domain-sized
@@ -276,7 +280,15 @@ object Round22Ops {
         .withColumn("m", expr(srcSweep))
         .withColumn("m", expr(langSweep))
         .select(col("source"), col("lang"), col("m").as("balanced_mass"),
-                expr("(m * 1000000) div m0").as("weight_ppm"))
+                // in-plan domain guard (the r17 ADVICE item + Guards
+                // discipline): outside the documented G <= S domain a cell's
+                // m0 floors to 0, where Spark's div yields NULL but DuckDB's
+                // // raises — the engines would fail DIFFERENTLY. assert_true
+                // rides inside the divisor (NULL when legal, loud error
+                // otherwise) so both engines now fail loudly on the same
+                // corpus; in-domain it adds one comparison per grid cell and
+                // the value is bit-unchanged.
+                expr(weightPpmGuarded).as("weight_ppm"))
         .orderBy(asc_nulls_last("source"), asc_nulls_last("lang"))
     })
 
@@ -419,6 +431,16 @@ object Round22Ops {
   /** One raking sweep each (exposed for the law spec): scale every
     * marginal group's mass to its target, flooring per cell — after a
     * sweep each group's marginal lands in [T − cells, T] exactly. */
+  /** k75's guarded raking weight (exposed for the guard spec): in-domain
+    * (m0 > 0) the assert is NULL, coalesce adds 0 and the value is
+    * bit-identical to the bare `(m * 1000000) div m0`; out-of-domain it
+    * raises loudly where DuckDB's `//` raises division-by-zero. */
+  private[graft] val weightPpmGuarded =
+    "(m * 1000000) div (m0 + coalesce(assert_true(m0 > 0, " +
+      "'k75: cell mass m0 floored to 0 - corpus outside the documented " +
+      "G <= S domain; raise S (decimal route) before raking'), " +
+      "cast(0 as bigint)))"
+
   private[graft] val srcSweep =
     "(m * tsrc) div (sum(m) over (partition by source))"
   private[graft] val langSweep =

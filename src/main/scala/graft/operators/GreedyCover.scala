@@ -59,6 +59,17 @@ object GreedyCover {
     // materialization serves all k rounds
     val g = items.select(col(idCol), col(itemCol)).distinct().localCheckpoint()
 
+    // require-reject NULL ids (the r17 ADVICE item): a NULL id would form
+    // its own gains group — Spark's asc() sorts it FIRST while DuckDB's
+    // default is NULLS LAST, so a NULL winner would silently diverge the
+    // engines (and getLong below would NPE). The declared domain is
+    // non-null ids; one cheap scan of the already-checkpointed frame
+    // enforces it loudly instead of ordering around it.
+    require(g.filter(col(idCol).isNull).isEmpty,
+      s"GreedyCover: NULL $idCol rows present — the argmax tie-break " +
+        "(gain DESC, id ASC) needs a total order over non-null ids; " +
+        "filter NULLs upstream or assign surrogate ids")
+
     var covered = g.select(col(itemCol)).limit(0)
     val picks = ArrayBuffer[(Int, Long, Long)]()
     val trail = ArrayBuffer[DataFrame]()

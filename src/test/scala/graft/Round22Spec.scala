@@ -283,4 +283,38 @@ class Round22Spec extends SparkSpec {
       .orderBy("sel_rank").as[(Int, Long, Long)].collect().toSeq
     assert(got == Seq((1, 1L, 2L), (2, 2L, 1L)))
   }
+
+  test("GreedyCover: NULL ids are require-rejected, not silently ordered (r17 ADVICE)") {
+    // a NULL id would sort FIRST under Spark's asc() but LAST under
+    // DuckDB's default — the reject keeps the engines from silently
+    // diverging (and select() from NPEing on getLong)
+    val items = Seq((Some(1L), "a"), (None: Option[Long], "b"))
+      .toDF("id", "item")
+    val e = intercept[IllegalArgumentException] {
+      GreedyCover.select(items, "id", "item", k = 1)
+    }
+    assert(e.getMessage.contains("NULL"))
+    // and the non-null subset still selects fine through the same path
+    val ok = GreedyCover.select(items.filter(col("id").isNotNull), "id", "item", k = 1)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(ok == Seq((1, 1L, 1L)))
+  }
+
+  test("k75 weight guard: bit-identical to the bare div in-domain, loud out-of-domain (r17 ADVICE)") {
+    val inDomain = Seq((7000000L, 3L), (123456789L, 1000000000L), (5L, 5L))
+      .toDF("m", "m0")
+    val got = inDomain.selectExpr(graft.engine.Round22Ops.weightPpmGuarded,
+                                  "(m * 1000000) div m0")
+      .as[(Long, Long)].collect()
+    got.foreach { case (guarded, bare) => assert(guarded == bare) }
+
+    // m0 = 0 (the G > S floor case): Spark used to NULL silently where
+    // DuckDB raises; now both fail loudly
+    val e = intercept[Exception] {
+      Seq((7L, 0L)).toDF("m", "m0")
+        .selectExpr(graft.engine.Round22Ops.weightPpmGuarded).collect()
+    }
+    assert(e.getMessage.contains("m0 floored to 0") ||
+      Option(e.getCause).exists(_.getMessage.contains("m0 floored to 0")))
+  }
 }
