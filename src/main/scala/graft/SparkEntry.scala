@@ -22,7 +22,8 @@ object SparkEntry {
       Round9Ops.ops ++ Round10Ops.ops ++ Round11Ops.ops ++ Round12Ops.ops ++
       Round13Ops.ops ++ Round14Ops.ops ++ Round15Ops.ops ++ Round16Ops.ops ++
       Round17Ops.ops ++ Round18Ops.ops ++ Round19Ops.ops ++ Round20Ops.ops ++
-      Round20bOps.ops ++ Round20cOps.ops ++ Round21Ops.ops ++ Round22Ops.ops
+      Round20bOps.ops ++ Round20cOps.ops ++ Round21Ops.ops ++ Round22Ops.ops ++
+      Round23Ops.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -171,6 +171,21 @@ class PlanShapeSpec extends SparkSpec {
       s"d28 plans 2-3 shuffles (hist agg, window, [final sort]), got $shuffles:\n$p")
   }
 
+  test("k76: both window passes ride ONE source exchange; no join") {
+    // the systematic-draw scale contract: the running sum and the source
+    // total share hashpartitioning(source) — a second data exchange means
+    // the windows stopped sharing the partitioning; the only other
+    // shuffle is the declared output sort (rangepartitioning)
+    val p = executedPlan(graft.engine.Round23Ops.k76.fn(spark, sf0001))
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Join"), s"k76 must not join:\n$p")
+    val windows = "\\bWindow\\b".r.findAllIn(p).length
+    assert(windows == 2, s"expected the cum + total window pair, got $windows:\n$p")
+    val dataExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(dataExchanges == 1,
+      s"k76: one shared source exchange, got $dataExchanges:\n$p")
+  }
+
   test("d32/d36: power sums map-side combine; no window, no data-sized sort") {
     // the exact-moment recipe's scale contract: ONE two-phase hash agg
     // carries the int64 power sums (partial_sum map-side), the closed
