@@ -104,7 +104,6 @@ object Hnsw {
     require(maxLevel >= 1, s"Hnsw: maxLevel must be >= 1, got $maxLevel")
     require(math.pow(m.toDouble, maxLevel.toDouble) <= Long.MaxValue.toDouble,
       "Hnsw: m^maxLevel overflows Long")
-    val spark = embeddings.sparkSession
 
     // NULL ids would break the total-order tie-breaks (the GreedyCover
     // r17-ADVICE discipline); reject loudly up front
@@ -117,6 +116,7 @@ object Hnsw {
     require(unit.filter(col("node").isNull).isEmpty,
       s"Hnsw: NULL $idCol rows present — the deterministic tie-breaks " +
         "need a total order over non-null ids")
+    require(!unit.isEmpty, "Hnsw: empty corpus")
 
     val top = unit.agg(max("level")).collect().head.getInt(0) // 1-row scalar
     val layers = (0 to top).map { l =>
@@ -127,10 +127,15 @@ object Hnsw {
 
     // deterministic entry: max level, lowest id — TakeOrdered, 1-row
     val e = unit.orderBy(desc("level"), asc("node")).limit(1).collect().head
-    HnswIndex(adjacency,
-              unit.select("node", "level").localCheckpoint(),
-              unit.select("node", "u").localCheckpoint(),
-              e.getLong(0), top)
+    val idx = HnswIndex(adjacency,
+                        unit.select("node", "level").localCheckpoint(),
+                        unit.select("node", "u").localCheckpoint(),
+                        e.getLong(0), top)
+    // the two skinny index checkpoints above are materialized (eager), so
+    // the fat build-time frame can be released — without this, every
+    // build pins a third copy of the corpus for the session's lifetime
+    Checkpoints.freeResult(unit)
+    idx
   }
 
   /** One layer's capped adjacency (layer, src, dst, cos) as a CHECKPOINTED
