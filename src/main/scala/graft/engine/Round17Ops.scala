@@ -639,9 +639,7 @@ object Round17Ops {
       .select(col("doc_id"), split(col("text"), " ").as("__t"))
       .filter(size(col("__t")) >= 20)
       .select(col("doc_id"), size(col("__t")).cast("long").as("n_tokens"),
-        posexplode(expr(
-          "transform(sequence(1, size(__t) - 19), " +
-            "st -> md5(concat_ws(' ', slice(__t, st, 20))))")))
+        posexplode(expr(Spans.DigestsExpr)))
       .select(col("doc_id"), col("n_tokens"),
               (col("pos") + 1).as("st"), col("col").as("d"))
     val wd = Window.partitionBy("d")

@@ -118,8 +118,8 @@ object Round18Ops {
       d = d.withColumn(s"__d$j", expr(
         s"case when size(__d${j - 1}) > $w then " +
           s"transform(sequence(1, size(__d${j - 1}) - $w), " +
-          s"i -> md5(concat(element_at(__d${j - 1}, i), " +
-          s"element_at(__d${j - 1}, i + $w)))) " +
+          s"i -> unhex(md5(concat(element_at(__d${j - 1}, i), " +
+          s"element_at(__d${j - 1}, i + $w))))) " +
           s"else slice(__d${j - 1}, 1, 0) end"))
     }
     // (2) one Generate over all levels; dup via the k44 digest window
@@ -152,7 +152,7 @@ object Round18Ops {
           "flatten(transform(__r, (x, ix) -> " +
             "transform(slice(__r, ix + 1, least(__w, size(__r) - ix)), " +
             "y -> named_struct('delta', y.i - x.i, " +
-            "'h', md5(concat(x.dig, y.dig))))))")).as("__p"))
+            "'h', unhex(md5(concat(x.dig, y.dig)))))))")).as("__p"))
       .select(col("doc_id"), col("n_tokens"), col("j"), col("__w"),
               col("__p.delta").as("delta"), col("__p.h").as("h"))
     // (5) composite cross-doc match + the bracket-law max

@@ -839,7 +839,14 @@ object Round19Ops {
   /** The k66 audit body over a precomputed (id1, id2, jaccard) pair frame
     * (factored for Round19Spec synthetic-frame pins). */
   def k66Plan(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    def mh(i: Int) = min(md5(concat(lit(s"$i:"), col("token")))).as(s"h$i")
+    // binary md5 (the Spans.digestsExpr r18 narrowing, same argument):
+    // min over unhex(md5) picks the same element as min over the hex
+    // string (hex→binary is order-isomorphic), the h_i equality tests
+    // compare the same bits, and the signature never reaches the output —
+    // so the distinct-token shuffle's 4 partial mins and the broadcast
+    // sig frame carry 16-byte keys instead of 32-char strings
+    def mh(i: Int) =
+      min(unhex(md5(concat(lit(s"$i:"), col("token"))))).as(s"h$i")
     val sig = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .distinct()
