@@ -607,9 +607,18 @@ object ExtOps {
       // LSH-parameter-bounded under normal data (max 134 at sf0.1), and the
       // GroupEmit cap bounds the degenerate case (a mass-duplicated corpus
       // collapsing one band) — see GroupEmit.boundedPairs.
+      // binary min-hash components (the r18 Spans.digestsExpr narrowing):
+      // the band never reaches the output — it is only the GroupEmit
+      // bucket key — and min over unhex(md5) picks the same token as min
+      // over the hex string (hex→binary is order-isomorphic), so the
+      // concatenated 64-byte binary band collides exactly when the
+      // oracle's 128-char hex band does (fixed-width components make
+      // concat equality componentwise either way). k14, which OUTPUTS
+      // h0..h3, keeps the shared hex-string helper.
       val sig = tokens(s, dir)
         .groupBy("doc_id", "source")
-        .agg(concat(minhash(0), minhash(1), minhash(2), minhash(3)).as("band"))
+        .agg(concat((0 to 3).map(i =>
+          min(unhex(md5(concat(lit(s"$i:"), col("t")))))): _*).as("band"))
       graft.operators.GroupEmit.boundedPairs(
           sig, Seq("band", "source"), struct(col("doc_id")))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
@@ -843,7 +852,11 @@ object ExtOps {
   def k15BucketSizes(s: SparkSession, dir: String): DataFrame =
     tokens(s, dir)
       .groupBy("doc_id", "source")
-      .agg(concat(minhash(0), minhash(1), minhash(2), minhash(3)).as("band"))
+      // the same binary band expression the declared k15 feeds to
+      // GroupEmit (kept in sync with the r18 narrowing — bucket sizes are
+      // identical either way, but "the REAL bucket key" must stay literal)
+      .agg(concat((0 to 3).map(i =>
+        min(unhex(md5(concat(lit(s"$i:"), col("t")))))): _*).as("band"))
       .groupBy("band", "source")
       .agg(count(lit(1)).as("n"))
 

@@ -843,13 +843,19 @@ object Round19Ops {
     // min over unhex(md5) picks the same element as min over the hex
     // string (hex→binary is order-isomorphic), the h_i equality tests
     // compare the same bits, and the signature never reaches the output —
-    // so the distinct-token shuffle's 4 partial mins and the broadcast
-    // sig frame carry 16-byte keys instead of 32-char strings
+    // so the signature shuffle's 4 partial mins and the broadcast sig
+    // frame carry 16-byte keys instead of 32-char strings
     def mh(i: Int) =
       min(unhex(md5(concat(lit(s"$i:"), col("token"))))).as(s"h$i")
+    // NO distinct before the mins (r18): min is duplicate-insensitive, so
+    // the oracle's DISTINCT (doc, token) projection and the raw token
+    // multiset yield identical h0..h3 — the old (doc, token) distinct was
+    // a full extra shuffle + hash agg of the exploded corpus feeding a
+    // second doc-keyed shuffle; now the explode map-combines straight
+    // into the ONE doc-keyed aggregation (the k14 shape, which never had
+    // the distinct for exactly this reason)
     val sig = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .distinct()
       .groupBy("doc_id").agg(mh(0), mh(1), mh(2), mh(3))
     val m = (0 to 3).map(i =>
       when(col(s"x.h$i") === col(s"y.h$i"), 1).otherwise(0)).reduce(_ + _)
