@@ -165,4 +165,42 @@ class Round16Spec extends SparkSpec {
     assert(p.contains("Window"), s"k44 should decide dups via the digest window:\n$p")
     assert(!p.contains("Join"), s"k44 must not join:\n$p")
   }
+
+  test("r18 narrowing: binary md5 orders, groups and min-picks exactly like hex md5") {
+    // The r18 optimization round rekeyed the span family (and k15/k66) on
+    // unhex(md5(...)) — 16-byte binary — in place of the 32-char hex
+    // string. Everything downstream (grouping, min/max tie-breaks, sort
+    // order) is unchanged ONLY IF BinaryType comparison is unsigned
+    // lexicographic and therefore agrees with the hex string's order
+    // (nibble → hex char is monotone). A signed-byte comparison would
+    // diverge on any digest whose leading byte is ≥ 0x80 — about half of
+    // all digests — so 256 values exercise the property thoroughly. This
+    // pins the load-bearing equivalence claim of the narrowing commits.
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{col, expr, hex, lower, md5, min, unhex}
+    val df = (1 to 256).map(i => s"tok$i").toDF("s")
+      .select(col("s"), md5(col("s")).as("hx"), unhex(md5(col("s"))).as("bin"))
+      .localCheckpoint() // one evaluation feeds every assertion below
+    // bijection witness: hex(bin) round-trips to the hex digest, row by row
+    assert(df.filter(lower(hex(col("bin"))) =!= col("hx")).isEmpty,
+      "unhex(md5) must round-trip to the hex digest on every row")
+    // the binary really is narrower: 16 bytes vs 32 chars
+    assert(df.filter(expr("length(bin) != 16 or length(hx) != 32")).isEmpty)
+    // order witness: sorting by the binary key yields the hex-sorted order
+    val byHex = df.orderBy("hx").select("s").as[String].collect().toSeq
+    val byBin = df.orderBy("bin").select("s").as[String].collect().toSeq
+    assert(byHex == byBin,
+      "BinaryType ordering must equal the hex string ordering (unsigned lex)")
+    // min/tie-break witness: the aggregate min picks the same digest
+    val minHex = df.agg(min("hx")).head.getString(0)
+    val minBin = df.agg(min("bin")).head.getAs[Array[Byte]](0)
+      .map("%02x".format(_)).mkString
+    assert(minHex == minBin, s"min over binary must pick min-hex: $minHex vs $minBin")
+    // grouping witness: binary keys partition rows exactly like hex keys
+    val nHex = df.groupBy("hx").count().count()
+    val nBin = df.groupBy("bin").count().count()
+    assert(nHex == nBin && nHex == 256L,
+      s"binary grouping must match hex grouping: $nHex vs $nBin")
+  }
 }
