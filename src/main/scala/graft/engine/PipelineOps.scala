@@ -118,8 +118,12 @@ object PipelineOps {
       val nTok = size(split(col("text"), " "))
       val quality = least(nTok.cast("double") / 100, lit(1.0)) * 0.5 +
         least(col("n_chars").cast("double") / nTok / 7, lit(1.0)) * 0.5
+      // r19 narrowing: the content digest is an INTERNAL group key (only
+      // min(doc_id) survives it), so group on the 16-byte binary md5 —
+      // same groups under the hex↔binary bijection, half the key bytes
+      // through the dedup exchange (the Spans r18 argument).
       val keep = d.filter(quality >= 0.5)
-        .groupBy(md5(col("text")))
+        .groupBy(unhex(md5(col("text"))))
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
       val h1 = substring(md5(col("doc_id").cast("string")), 1, 1)

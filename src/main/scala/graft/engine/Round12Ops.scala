@@ -439,11 +439,18 @@ object Round12Ops {
       |FROM d
       |ORDER BY doc_id ASC NULLS LAST""".stripMargin,
     (s, dir) => {
+      // r19 narrowing (the Spans r18 argument): the chunk digest is an
+      // INTERNAL group/join key — never output — so it rides as 16-byte
+      // binary (unhex(md5)) instead of the 32-char hex string, halving
+      // the key column through the count exchange and the join back.
+      // hex↔binary is a bijection: grouping, countDistinct, and the join
+      // equality are unchanged (the oracle keeps its hex formulation and
+      // only ever tests digest equality).
       val c = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("__t"))
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(__t), 20), " +
-          "st -> md5(concat_ws(' ', slice(__t, st, 20))))")).as("h"))
+          "st -> unhex(md5(concat_ws(' ', slice(__t, st, 20)))))")).as("h"))
       val g = c.groupBy("h")
         .agg(countDistinct("doc_id").cast("long").as("nd"))
       c.join(g, "h")

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -672,8 +672,14 @@ object Round19Ops {
   /** The k64 plan body (factored for Round19Spec synthetic-frame pins). */
   def k64Plan(docs: DataFrame): DataFrame = {
     import graft.operators.DistributedRank
+    // r19 narrowing: the shuffle key __h is INTERNAL (the output carries
+    // only ranks), so it rides as 16-byte binary. BinaryType's unsigned
+    // lexicographic order equals the hex string's order (nibble→hex char
+    // is monotone — the Round16Spec r18 pin), so the per-source rank and
+    // the (source, __h) join are unchanged while the rank exchange and
+    // join keys halve.
     val base = docs.select(col("doc_id"), col("source"),
-                           md5(col("doc_id").cast("string")).as("__h"))
+                           unhex(md5(col("doc_id").cast("string"))).as("__h"))
     // per-source hash-shuffle rank (md5 keys are distinct, so the
     // doubled midrank collapses to 2·rank: r = dr2 DIV 2)
     val r = base.join(
@@ -759,8 +765,12 @@ object Round19Ops {
   /** The k65 plan body (factored for Round19Spec synthetic-frame pins). */
   def k65Plan(docs: DataFrame): DataFrame = {
     val isTest = substring(md5(col("doc_id").cast("string")), 1, 1) >= "e"
-    val key = md5(concat_ws(" ",
-      array_sort(array_distinct(split(col("text"), " ")))))
+    // r19 narrowing: the set-fingerprint d is an INTERNAL group/join key
+    // (never output) — 16-byte binary halves it through both min-id
+    // aggregations and the two d-keyed joins (the Spans r18 argument;
+    // equality/grouping unchanged under the hex↔binary bijection).
+    val key = unhex(md5(concat_ws(" ",
+      array_sort(array_distinct(split(col("text"), " "))))))
     val oldMin = docs.filter(!isTest)
       .select(col("doc_id"), key.as("d"))
       .groupBy("d").agg(min(col("doc_id")).as("cid"))
@@ -854,9 +864,17 @@ object Round19Ops {
     // second doc-keyed shuffle; now the explode map-combines straight
     // into the ONE doc-keyed aggregation (the k14 shape, which never had
     // the distinct for exactly this reason)
+    // r19: ONE stored evaluation of the signature subtree. The x/y joins
+    // below alias-renumber sig into two statically-planned copies whose
+    // merged execution was left to AQE exchange reuse (the r18 plan read);
+    // the lazy localCheckpoint (the RangeJoin/DistributedRank discipline)
+    // makes the reuse structural — the corpus explode + doc-keyed
+    // signature aggregate runs once by RDD identity, and both broadcast
+    // builds read the doc-sized (doc_id + 4×16 B) checkpoint.
     val sig = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id").agg(mh(0), mh(1), mh(2), mh(3))
+      .localCheckpoint(false)
     val m = (0 to 3).map(i =>
       when(col(s"x.h$i") === col(s"y.h$i"), 1).otherwise(0)).reduce(_ + _)
     pairs
@@ -931,19 +949,73 @@ object Round19Ops {
     })
 
   /** The k67 sweep body over a precomputed (id1, id2, jaccard) frame
-    * pruned at the grid minimum (factored for Round19Spec pins). */
-  def k67Plan(pairs: DataFrame): DataFrame = {
-    val sp = pairs.sparkSession
+    * pruned at the grid minimum (factored for Round19Spec pins).
+    *
+    * r19 shape (guide §2.3 "aggregate before you shuffle"): the old form
+    * grid-left-joined the pair frame (5× row multiplication), exploded both
+    * endpoints (10×|pairs| rows) and ran two countDistincts whose two-phase
+    * expand tripled that again — ~30×|pairs| map-side rows per run. The
+    * grid predicate `j >= t` is MONOTONE in j, so every per-threshold count
+    * is a SUFFIX SUM over a 5-bucket histogram:
+    *  - n_pairs(t)       = #pairs with j ≥ t         = Σ_{b ≥ t} pairs[b]
+    *  - n_docs(t)        = #docs with max-pair-j ≥ t = Σ_{b ≥ t} docs[b]
+    *    (a doc touches a qualifying pair iff its MAX pair j qualifies)
+    *  - n_removed_est(t) = #docs with a SMALLER-id partner at ≥ t
+    *                     = #docs whose max j-as-id2 ≥ t
+    * where bucket(j) = the largest grid point ≤ j, so bucket(j) ≥ t ⟺
+    * j ≥ t for every grid t (identical double literals, identical
+    * comparisons — the oracle's arithmetic, regrouped). What crosses the
+    * exchanges now: one 2·|pairs| explode into a doc-keyed max-aggregate
+    * (map-combined, narrow rows) and two ≤ grid²-row frames; the 5-row
+    * grid joins only bucket HISTOGRAMS, never the pair frame. Empty grid
+    * rows survive with zeros via the left join + coalesce, as before. */
+  def k67Plan(pairs0: DataFrame): DataFrame = {
+    val sp = pairs0.sparkSession
     import sp.implicits._
+    // The histogram split below consumes the pair frame TWICE (pair
+    // buckets + per-doc maxima); a lazy localCheckpoint stores the pruned
+    // pair frame once (|pairs| × (id, id, j) — the τ-min frame, never the
+    // corpus) so the expensive k02 pair join cannot re-plan per consumer
+    // (the same structural-reuse discipline as d44/k66 this round).
+    val pairs = pairs0.localCheckpoint(false)
     val grid = SweepGrid.toDF("threshold")
-    grid.join(pairs, col("jaccard") >= col("threshold"), "left")
-      .select(col("threshold"), explode(array(
-        struct(col("id1").as("doc"), lit(false).as("rm")),
-        struct(col("id2").as("doc"), lit(true).as("rm")))).as("x"))
+    // largest grid point ≤ j; NULL when j qualifies nowhere (j below the
+    // grid minimum — impossible for the pruned pair frame, but a NULL here
+    // is simply never ≥ any threshold, matching the old non-match case;
+    // NULL in (max of an empty when-set) propagates the same way)
+    def bucket(j: Column): Column =
+      SweepGrid.sorted.foldLeft(lit(null).cast("double")) { (acc, t) =>
+        when(j >= t, lit(t)).otherwise(acc)
+      }
+    // per-bucket pair histogram: ≤ grid-size rows
+    val pairHist = pairs.groupBy(bucket(col("jaccard")).as("b"))
+      .agg(count(lit(1)).as("np"))
+    // per-doc max pair-j (any side) and max pair-j as the REMOVED (larger
+    // id) side — one explode, one map-combined doc-keyed aggregate
+    val docMax = pairs
+      .select(explode(array(
+        struct(col("id1").as("doc"), col("jaccard").as("j"), lit(false).as("rm")),
+        struct(col("id2").as("doc"), col("jaccard").as("j"), lit(true).as("rm")))).as("x"))
+      .groupBy(col("x.doc").as("doc"))
+      .agg(max(col("x.j")).as("mj"),
+           max(when(col("x.rm"), col("x.j"))).as("mjr"))
+    // joint (bucket(mj), bucket(mjr)) histogram: ≤ grid² rows. mjr ≤ mj
+    // always (max over a subset), so within the bm ≥ t join the removed
+    // count is the conditional sum over br ≥ t.
+    val docHist = docMax.groupBy(bucket(col("mj")).as("bm"),
+                                 bucket(col("mjr")).as("br"))
+      .agg(count(lit(1)).as("nd"))
+    val docCounts = grid.join(docHist, col("bm") >= col("threshold"), "left")
       .groupBy("threshold")
-      .agg(expr("count(x.doc) DIV 2").as("n_pairs"),
-           countDistinct(col("x.doc")).as("n_docs"),
-           countDistinct(when(col("x.rm"), col("x.doc"))).as("n_removed_est"))
+      .agg(coalesce(sum(col("nd")), lit(0L)).as("n_docs"),
+           coalesce(sum(when(col("br") >= col("threshold"), col("nd"))),
+                    lit(0L)).as("n_removed_est"))
+    val pairCounts = grid.join(pairHist, col("b") >= col("threshold"), "left")
+      .groupBy("threshold")
+      .agg(coalesce(sum(col("np")), lit(0L)).as("n_pairs"))
+    pairCounts.join(docCounts, "threshold")
+      .select(col("threshold"), col("n_pairs"), col("n_docs"),
+              col("n_removed_est"))
       .orderBy(asc_nulls_last("threshold"))
   }
 

@@ -57,12 +57,23 @@ object DistributedRank {
   def midranks2Weighted(df: DataFrame, groupCols: Seq[String],
                         valueCol: String, weight: Column): DataFrame = {
     val gc: Seq[Column] = groupCols.map(col)
-    val g = df.filter(col(valueCol).isNotNull)
-      .groupBy((gc :+ col(valueCol)): _*)
-      .agg(sum(weight).as("__cnt"))
-    val ranged = g
-      .repartitionByRange((gc :+ col(valueCol).asc): _*)
-      .withColumn("__p", spark_partition_id())
+    // The ranged frame feeds TWO consumers (the running-sum window and the
+    // slice-offset aggregate below). Planned twice, the scan → distinct-agg
+    // → range-exchange subtree repeats statically and the reuse is left to
+    // AQE's runtime exchange canonicalization — a match that pruning or a
+    // rule change can silently break, at which point the DOMINANT exchange
+    // of the whole operator materializes twice (the r18 verdict's d44
+    // item). A lazy localCheckpoint (the RangeJoin discipline) makes the
+    // reuse STRUCTURAL: both consumers read one stored evaluation by RDD
+    // identity, not by plan-shape luck. Lazy, so the caller's first action
+    // still materializes it as part of its own job; distinct-key-sized
+    // (never data-sized) rows are what gets pinned. Exposed pre-checkpoint
+    // as [[midranks2Ranged]] so Round10Spec's plan pin can still see the
+    // range exchange (the checkpoint hides the subtree behind a
+    // LogicalRDD). On a real cluster prefer reliable `checkpoint` — the
+    // ConnectedComponents caveat applies here too.
+    val ranged = midranks2Ranged(df, groupCols, valueCol, weight)
+      .localCheckpoint(false)
     // pass 2a: strictly-less count within this slice of the group
     val wRun = Window.partitionBy(("__p" +: groupCols).map(col): _*)
       .orderBy(col(valueCol).asc)
@@ -83,6 +94,22 @@ object DistributedRank {
         col("__cnt").as("cnt"),
         (lit(2L) * (col("__off") + col("__run")) + col("__cnt") + lit(1L))
           .as("dr2")): _*)
+  }
+
+  /** Pass 1 of [[midranks2Weighted]] before its materialization point: the
+    * distinct `(group, value) → Σweight` aggregate, range-repartitioned
+    * with the slice id stamped. Factored out so the plan pin (Round10Spec)
+    * can assert the range exchange / no-SinglePartition shape that the
+    * checkpoint in [[midranks2Weighted]] hides behind a LogicalRDD. */
+  private[graft] def midranks2Ranged(df: DataFrame, groupCols: Seq[String],
+                                     valueCol: String,
+                                     weight: Column): DataFrame = {
+    val gc: Seq[Column] = groupCols.map(col)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy((gc :+ col(valueCol)): _*)
+      .agg(sum(weight).as("__cnt"))
+      .repartitionByRange((gc :+ col(valueCol).asc): _*)
+      .withColumn("__p", spark_partition_id())
   }
 
   /** Midranks over a caller-asserted BOUNDED value domain: one
@@ -152,9 +179,16 @@ object DistributedRank {
                broadcastXRanks: Boolean = false): DataFrame = {
     val gc: Seq[Column] = groupCols.map(col)
     val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    // The x-rank mapping feeds TWO consumers (the group-size aggregate n
+    // below and the probe join): planned twice, its whole subtree repeats
+    // statically and only AQE's runtime exchange-canonicalization merges
+    // the copies. Same structural-reuse move as midranks2Weighted's ranged
+    // checkpoint: one stored evaluation, distinct-grid-sized (and with
+    // broadcastXRanks, domain-sized — tiny by the caller's assertion).
     val rx0 = (if (broadcastXRanks) midranks2Bounded(base, groupCols, xCol)
                else midranks2(base, groupCols, xCol))
       .withColumnRenamed("cnt", "__cx").withColumnRenamed("dr2", "__dx")
+      .localCheckpoint(false)
     val ry = midranks2(base, groupCols, yCol)
       .withColumnRenamed("cnt", "__cy").withColumnRenamed("dr2", "__dy")
     // group sizes from the mapping itself (Σ tie counts = row count) — a

@@ -83,16 +83,28 @@ class Round10Spec extends SparkSpec {
       .select(col("l_linestatus").as("g"),
               (col("l_extendedprice").cast("decimal(18,2)") * 100)
                 .cast("long").as("v"))
-    val plan = DistributedRank.midranks2(src, Seq("g"), "v")
+    // The r19 structural-reuse checkpoint hides pass 1 behind a LogicalRDD
+    // in the OUTPUT plan, so the range-exchange pin reads the exposed
+    // pre-checkpoint frame (the exact subtree the checkpoint stores) …
+    val pass1 = DistributedRank.midranks2Ranged(src, Seq("g"), "v", lit(1L))
       .queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("rangepartitioning"),
+    assert(pass1.toLowerCase.contains("rangepartitioning"),
            "expected a range exchange (pass 1)")
-    // nothing may collapse to one partition: the data-sized windows key on
-    // (slice, group) and the offsets window hash-partitions on the group —
-    // a single-partition exchange would be the exact plan this operator
-    // exists to avoid.
+    assert(!pass1.contains("SinglePartition"),
+           s"no single-partition exchange allowed in pass 1:\n$pass1")
+    // … and the output plan must (a) consume ONE stored pass-1 evaluation
+    // — the structural reuse the checkpoint buys: exactly one scan leaf,
+    // which is the checkpointed RDD — and (b) still never collapse to a
+    // single partition anywhere in pass 2.
+    val out = DistributedRank.midranks2(src, Seq("g"), "v")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD") ||
+           plan.contains("Scan ExistingRDD"),
+           s"pass 2 should read the checkpointed pass-1 frame:\n$plan")
     assert(!plan.contains("SinglePartition"),
            s"no single-partition exchange allowed:\n$plan")
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+           s"the range exchange must not re-plan above the checkpoint:\n$plan")
   }
 
   // ----------------------------------------------- LongDistanceExpression
